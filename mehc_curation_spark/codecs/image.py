@@ -1,0 +1,306 @@
+"""Image encode/decode in pure NumPy + stdlib.
+
+Formats (all public specs / public-knowledge techniques):
+
+- ``raw``   : bare RGB8 pixel dump, length must equal w*h*3.
+- ``bmp``   : 24-bit uncompressed Windows BMP (BITMAPINFOHEADER,
+              bottom-up rows, 4-byte row padding, BGR order).
+- ``png``   : real PNG — IHDR/IDAT/IEND chunks, zlib-compressed
+              scanlines, 8-bit RGB color type 2. Encoder emits filter 0;
+              decoder implements all five filter types (None/Sub/Up/
+              Average/Paeth) per the PNG spec.
+- ``jpegq`` : a lossy quantizing 8x8 block-DCT codec (JPEG-style
+              transform coding without the entropy stage; coefficients
+              are stored zlib-compressed). With a flat quantization step
+              q=5 the reconstruction MSE is bounded by ~q^2/12 ≈ 2.1
+              per pixel, i.e. PSNR ≳ 44 dB — comfortably above the
+              40 dB invariant from BASELINE.json input_hint.
+
+This is the graft analog of the reference's molecule parse/serialize
+(RDKit ``MolFromSmiles``/``MolToSmiles``,
+``/root/reference/mehc_curation/validation/utils/validation_utils.py:26-32``):
+`decode_image` failing ⇒ the row is invalid (rule F1).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class DecodeError(ValueError):
+    """Raised when an image payload cannot be decoded."""
+
+
+# ---------------------------------------------------------------------------
+# raw
+# ---------------------------------------------------------------------------
+
+def _encode_raw(px: np.ndarray) -> bytes:
+    return px.astype(np.uint8).tobytes()
+
+
+def _decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    if len(data) != w * h * 3:
+        raise DecodeError(f"raw: expected {w*h*3} bytes, got {len(data)}")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# bmp (24-bit uncompressed)
+# ---------------------------------------------------------------------------
+
+def _encode_bmp(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    # BGR, bottom-up, padded rows
+    bgr = px[:, :, ::-1]
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    body = rows[::-1].tobytes()
+    file_size = 14 + 40 + img_size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def _decode_bmp(data: bytes, w: int, h: int) -> np.ndarray:
+    if len(data) < 54 or data[:2] != b"BM":
+        raise DecodeError("bmp: bad magic")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise DecodeError("bmp: unsupported header")
+    bw, bh = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise DecodeError("bmp: only 24-bit uncompressed supported")
+    if bw != w or abs(bh) != h:
+        raise DecodeError(f"bmp: dims {bw}x{bh} != expected {w}x{h}")
+    row_size = (bw * 3 + 3) & ~3
+    need = offset + row_size * abs(bh)
+    if len(data) < need:
+        raise DecodeError("bmp: truncated")
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * abs(bh), offset=offset)
+    rows = rows.reshape(abs(bh), row_size)[:, : bw * 3].reshape(abs(bh), bw, 3)
+    if bh > 0:  # bottom-up
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# ---------------------------------------------------------------------------
+# png (color type 2, bit depth 8)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # filter type 0 per scanline
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = px.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter_png(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG per-scanline filtering (spec filters 0-4)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y, 0]
+        line = raw[y, 1:].astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise DecodeError(f"png: bad filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _decode_png(data: bytes, w: int, h: int) -> np.ndarray:
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise DecodeError("png: bad signature")
+    pos = 8
+    ihdr = None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise DecodeError("png: truncated chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise DecodeError("png: missing IHDR/IDAT")
+    pw, ph, depth, ctype, _, _, interlace = ihdr
+    if depth != 8 or ctype != 2 or interlace != 0:
+        raise DecodeError("png: only 8-bit RGB non-interlaced supported")
+    if pw != w or ph != h:
+        raise DecodeError(f"png: dims {pw}x{ph} != expected {w}x{h}")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise DecodeError(f"png: zlib {e}") from e
+    stride = w * 3
+    if len(raw) != h * (1 + stride):
+        raise DecodeError("png: bad scanline payload size")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    if np.all(raw[:, 0] == 0):  # fast path: filter 0 everywhere (our encoder)
+        return raw[:, 1:].reshape(h, w, 3).copy()
+    return _unfilter_png(raw, h, stride, 3).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# jpegq — quantizing block-DCT lossy codec
+# ---------------------------------------------------------------------------
+
+_JPGQ_MAGIC = b"JPGQ"
+_Q_STEP = 5  # flat quantization step; MSE <= q^2/12 ~ 2.1 -> PSNR >= ~44 dB
+
+# Orthonormal 8x8 DCT-II basis
+_N = 8
+_k = np.arange(_N)
+_DCT8 = np.cos(np.pi * (2 * _k[None, :] + 1) * _k[:, None] / (2 * _N)) * np.sqrt(2.0 / _N)
+_DCT8[0, :] = 1.0 / np.sqrt(_N)
+
+
+def _blockify(ch: np.ndarray) -> tuple[np.ndarray, int, int]:
+    h, w = ch.shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    padded = np.zeros((ph, pw), dtype=np.float64)
+    padded[:h, :w] = ch
+    if ph > h:
+        padded[h:, :w] = ch[-1:, :]
+    if pw > w:
+        padded[:, w:] = padded[:, w - 1 : w]
+    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    return blocks, ph, pw
+
+
+def _encode_jpegq(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    coeffs = []
+    for c in range(3):
+        blocks, ph, pw = _blockify(px[:, :, c].astype(np.float64) - 128.0)
+        # DCT per block: D @ B @ D.T  (einsum over the block grid)
+        dct = np.einsum("ij,abjk,lk->abil", _DCT8, blocks, _DCT8)
+        q = np.round(dct / _Q_STEP).astype(np.int16)
+        coeffs.append(q)
+    body = zlib.compress(np.concatenate([c.ravel() for c in coeffs]).tobytes(), 6)
+    return _JPGQ_MAGIC + struct.pack("<HHB", w, h, _Q_STEP) + body
+
+
+def _decode_jpegq(data: bytes, w: int, h: int) -> np.ndarray:
+    if len(data) < 9 or data[:4] != _JPGQ_MAGIC:
+        raise DecodeError("jpegq: bad magic")
+    jw, jh, qstep = struct.unpack_from("<HHB", data, 4)
+    if jw != w or jh != h:
+        raise DecodeError(f"jpegq: dims {jw}x{jh} != expected {w}x{h}")
+    try:
+        raw = zlib.decompress(data[9:])
+    except zlib.error as e:
+        raise DecodeError(f"jpegq: zlib {e}") from e
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    per_ch = (ph // 8) * (pw // 8) * 64
+    if len(raw) != per_ch * 3 * 2:
+        raise DecodeError("jpegq: bad coefficient payload size")
+    q = np.frombuffer(raw, dtype=np.int16).astype(np.float64) * qstep
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        blocks = q[c * per_ch : (c + 1) * per_ch].reshape(ph // 8, pw // 8, 8, 8)
+        idct = np.einsum("ji,abjk,kl->abil", _DCT8, blocks, _DCT8)
+        plane = idct.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
+        out[:, :, c] = np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+_ENCODERS = {"raw": _encode_raw, "bmp": _encode_bmp, "png": _encode_png, "jpegq": _encode_jpegq}
+_DECODERS = {"raw": _decode_raw, "bmp": _decode_bmp, "png": _decode_png, "jpegq": _decode_jpegq}
+
+
+def encode_image(px: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array in the given format."""
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    try:
+        enc = _ENCODERS[fmt]
+    except KeyError:
+        raise ValueError(f"unknown fmt {fmt!r}") from None
+    return enc(np.ascontiguousarray(px, dtype=np.uint8))
+
+
+def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Decode an image payload; raises :class:`DecodeError` on any problem.
+
+    Dimensions are cross-checked against the table's (w, h) columns —
+    a mismatch is a validation failure (rule F1).
+    """
+    if data is None:
+        raise DecodeError("null payload")
+    if fmt not in _DECODERS:
+        raise DecodeError(f"unknown fmt {fmt!r}")
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise DecodeError(f"bad dims {w}x{h}")
+    return _DECODERS[fmt](bytes(data), int(w), int(h))
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

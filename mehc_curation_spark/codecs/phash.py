@@ -1,0 +1,55 @@
+"""64-bit perceptual hash (classic pHash construction, public technique).
+
+Pipeline: RGB → luma → area-average resample to 32x32 → 2D DCT-II →
+top-left 8x8 low-frequency block (DC term excluded from the median) →
+threshold at median → 64 bits packed into a signed int64 (matches the
+table's ``phash bigint`` column).
+
+Plays the role the canonical SMILES string plays for dedup identity in
+the reference (`/root/reference/mehc_curation/utils/common.py:93-99`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M = 32
+_j = np.arange(_M)
+_DCT32 = np.cos(np.pi * (2 * _j[None, :] + 1) * _j[:, None] / (2 * _M)) * np.sqrt(2.0 / _M)
+_DCT32[0, :] = 1.0 / np.sqrt(_M)
+
+_BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def _resample_area(gray: np.ndarray, size: int = _M) -> np.ndarray:
+    """Box/area-average resample to size x size (handles any h, w)."""
+    h, w = gray.shape
+    ys = (np.arange(size + 1) * h) // size
+    xs = (np.arange(size + 1) * w) // size
+    # cumulative-sum integral image for exact box averages
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    # guard degenerate cells when h or w < size
+    y1 = np.maximum(y1, y0 + 1)
+    x1 = np.maximum(x1, x0 + 1)
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    s = ii[y1][:, x1] - ii[y0][:, x1] - ii[y1][:, x0] + ii[y0][:, x0]
+    return s / area
+
+
+def phash64(px: np.ndarray) -> int:
+    """Perceptual hash of an (h, w, 3) uint8 RGB image → signed int64."""
+    gray = (
+        0.299 * px[:, :, 0].astype(np.float64)
+        + 0.587 * px[:, :, 1].astype(np.float64)
+        + 0.114 * px[:, :, 2].astype(np.float64)
+    )
+    small = _resample_area(gray, _M)
+    dct = _DCT32 @ small @ _DCT32.T
+    block = dct[:8, :8].ravel()
+    med = np.median(block[1:])  # exclude DC
+    bits = (block > med).astype(np.uint64)
+    val = np.uint64(np.sum(bits * _BIT_WEIGHTS, dtype=np.uint64))
+    return int(val.astype(np.int64))  # wrap into signed bigint range

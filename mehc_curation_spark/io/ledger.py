@@ -1,0 +1,78 @@
+"""Per-partition (phash-bucket) lineage + metrics ledger with atomic
+commit — the durability layer behind checkpoint resume.
+
+Emulates the part of Iceberg semantics the pipeline needs (no Iceberg
+runtime jars in this environment): data files live under
+``data/bucket=<k>/``, and a JSON manifest is committed atomically
+(write-temp-then-rename) after the bucket's files are moved into
+place. A bucket is only ever visible in the ledger if its data is
+complete, so resume-by-skipping-committed-buckets is honest.
+
+Graft of the reference's report/output sink layer
+(``/root/reference/mehc_curation/utils/report_utils.py:42-65``) plus
+the lineage the reference loses by resetting row identity per step
+(SURVEY.md §4.2.6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+
+class Ledger:
+    def __init__(self, table_path: str):
+        self.root = table_path
+        self.data_dir = os.path.join(table_path, "data")
+        self.ledger_dir = os.path.join(table_path, "_ledger")
+        self.ledger_file = os.path.join(self.ledger_dir, "ledger.json")
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self) -> dict:
+        if not os.path.exists(self.ledger_file):
+            return {"version": 0, "buckets": {}, "runs": []}
+        with open(self.ledger_file) as f:
+            return json.load(f)
+
+    def completed_buckets(self) -> set[int]:
+        return {int(k) for k in self.read()["buckets"]}
+
+    # -- write --------------------------------------------------------------
+
+    def staging_dir(self) -> str:
+        d = os.path.join(self.root, "_staging", uuid.uuid4().hex[:12])
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def commit_buckets(self, staging: str, per_bucket: dict[int, dict],
+                       elapsed_sec: float) -> None:
+        """Move staged bucket dirs into the table, then atomically
+        publish the updated ledger (tmp + os.replace)."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        state = self.read()
+        for b in sorted(per_bucket):
+            src = os.path.join(staging, f"bucket={b}")
+            dst = os.path.join(self.data_dir, f"bucket={b}")
+            if os.path.exists(src):
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                shutil.move(src, dst)
+            entry = dict(per_bucket[b])
+            entry["committed_at"] = time.time()
+            state["buckets"][str(b)] = entry
+        state["version"] = state.get("version", 0) + 1
+        state["runs"].append({
+            "ts": time.time(),
+            "buckets": sorted(per_bucket),
+            "elapsed_sec": elapsed_sec,
+        })
+        tmp = self.ledger_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.ledger_file)
+        shutil.rmtree(staging, ignore_errors=True)

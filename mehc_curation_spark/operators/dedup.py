@@ -1,0 +1,122 @@
+"""Deduplication — Spark reimplementation of the reference's shared
+``deduplicate()`` (``/root/reference/mehc_curation/utils/common.py:8-196``),
+keyed on ``phash`` (D1–D7 in SURVEY.md §2.4).
+
+Semantics preserved exactly (incl. quirk §4.2.1):
+
+- *perfect duplicates*: identical (key, payload) rows beyond the first
+  (ordered by image_id) are dropped, first kept (``common.py:88-90``);
+- *partial duplicates*: a key whose payload column has >1 distinct
+  value is **conflicting — ALL of its rows are dropped**, not
+  keep-first (``common.py:96-113``);
+- *dup report*: one row per duplicated key with ``is_perfect_dups``
+  flag and the list of member row ids (``common.py:115-131``) —
+  `collect_list(image_id)` replaces the pandas index list.
+
+Physical shape (the 100 TB story): everything runs on a slim
+projection (id, key, payload) — never the image bytes. The per-row
+labeling variant uses two window functions that share ONE hash
+exchange on the key (`Window.partitionBy(key)` and
+`partitionBy(key, payload)` are both satisfied by clustering on key),
+so consecutive dedup passes over an already key-partitioned stream add
+sorts but no further shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mehc_curation_spark.schema import CAPTION_COL, ID_COL, KEY_COL
+
+DUP_REASON_COL = "dup_reason"
+
+
+def dup_reason_col(df: DataFrame, key: str = KEY_COL,
+                   payload: str = CAPTION_COL, id_col: str = ID_COL,
+                   out_col: str = DUP_REASON_COL) -> DataFrame:
+    """Append a dup-reason column: 'duplicate_conflict' for every row of
+    a conflicting key, 'duplicate_perfect' for non-first identical rows,
+    NULL for survivors. One shuffle (hash on `key`)."""
+    w_key = Window.partitionBy(key)
+    w_row = Window.partitionBy(key, payload).orderBy(id_col)
+    # approx distinct is not allowed here (exactness is semantic);
+    # size(collect_set) is exact and key groups are small by nature.
+    n_payloads = F.size(F.collect_set(payload).over(w_key))
+    rn = F.row_number().over(w_row)
+    return df.withColumn(
+        out_col,
+        F.when(n_payloads > 1, F.lit("duplicate_conflict"))
+        .when(rn > 1, F.lit("duplicate_perfect"))
+        .otherwise(F.lit(None).cast("string")),
+    )
+
+
+def deduplicate(
+    df: DataFrame,
+    partial_dup_cols: Optional[Sequence[str]] = None,
+    payload: str = CAPTION_COL,
+    id_col: str = ID_COL,
+    show_dup_info: bool = False,
+    return_format_data: bool = False,
+):
+    """Standalone dedup mirroring the reference's public
+    ``deduplicate()`` return shapes (``common.py:20-39`` docstring):
+
+    Returns ``cleaned_df`` and, per flags, ``dups_info`` (key,
+    is_perfect_dups, indexes=collect_list(id)) and the counters dict.
+
+    `partial_dup_cols` defaults to [KEY_COL] — the graft analog of the
+    reference defaulting to the first (payload) column
+    (``common.py:93-94``).
+    """
+    keys = list(partial_dup_cols) if partial_dup_cols else [KEY_COL]
+    others = [c for c in df.columns if c not in keys]
+    labeled = df
+    # conflicting keys: any non-key column with >1 distinct value
+    w_key = Window.partitionBy(*keys)
+    conflict = F.lit(False)
+    for c in others:
+        conflict = conflict | (F.size(F.collect_set(c).over(w_key)) > 1)
+    w_row = Window.partitionBy(*keys, *others).orderBy(id_col if id_col in df.columns else keys[0])
+    labeled = (
+        labeled.withColumn("_conflict", conflict)
+        .withColumn("_rn", F.row_number().over(w_row))
+    )
+    cleaned = (
+        labeled.filter(~F.col("_conflict") & (F.col("_rn") == 1))
+        .drop("_conflict", "_rn")
+    )
+    if not (show_dup_info or return_format_data):
+        return cleaned
+
+    dup_rows = labeled.filter(F.col("_conflict") | (F.col("_rn") > 1))
+    # one report row per duplicated key, flagged perfect vs partial
+    # (≅ common.py:115-121); indexes = member ids (≅ common.py:123-131)
+    idx_agg = (F.sort_array(F.collect_list(id_col)).alias("indexes")
+               if id_col in df.columns else F.count("*").alias("indexes"))
+    dups_info = (
+        dup_rows.groupBy(*keys)
+        .agg(
+            (~F.max(F.col("_conflict"))).alias("is_perfect_dups"),
+        )
+        .join(df.groupBy(*keys).agg(idx_agg), on=keys, how="left")
+    )
+    out = [cleaned]
+    if show_dup_info:
+        out.append(dups_info)
+    if return_format_data:
+        n_in = df.count()
+        n_unique = cleaned.count()
+        flags = {r["is_perfect_dups"]: r["cnt"]
+                 for r in dups_info.groupBy("is_perfect_dups")
+                 .agg(F.count("*").alias("cnt")).collect()}
+        out.append({
+            "duplicate_validation_input": n_in,
+            "perfect_dups": int(flags.get(True, 0)),
+            "partial_dups": int(flags.get(False, 0)),
+            "validation_unique": n_unique,
+        })
+    return tuple(out) if len(out) > 1 else out[0]

@@ -1,0 +1,223 @@
+"""Language identification + caption perplexity — the graft analogs of
+the reference's molecule-parse gates (``is_inorganic`` /
+``is_organometallic``,
+``/root/reference/mehc_curation/validation/utils/validation_utils.py:44-69``).
+
+A fastText-style hashed character-trigram linear model (public
+technique: Joulin et al. 2016, "Bag of Tricks for Efficient Text
+Classification") built from a small embedded seed corpus per language —
+fully deterministic, no network, no external model files.
+
+One log-probability table serves two rules:
+
+- **langid** (rule F3): argmax language + top1−top2 margin as
+  confidence; margin below threshold ⇒ 'und'.
+- **perplexity** (rule F4, KenLM-style n-gram scoring): ppl =
+  exp(−avg trigram log-prob) under the best language's model;
+  gibberish scores close to the smoothing floor ⇒ high ppl.
+
+Scoring is fully NumPy-vectorized over a batch of captions (codepoint
+array + reduceat segment sums) — the same `classify_batch` runs inside
+the Spark pandas UDF and the pandas oracle, so results are
+bit-identical by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LANGS = ("en", "de", "fr", "es", "vi", "zh")
+UNKNOWN = "und"
+
+_B = 1 << 16          # hash buckets
+_ALPHA = 0.05         # add-alpha smoothing
+_H1 = np.uint64(1000003)
+_H2 = np.uint64(10007)
+
+# Seed corpus: original sentences written for this repo (public
+# knowledge only — ordinary prose, numbers, units).
+_SEED: dict[str, str] = {
+    "en": (
+        "a photograph of a small brown dog running across a green field on a "
+        "sunny afternoon. the city skyline at night with bright lights "
+        "reflected in the river. two children playing chess in the park near "
+        "an old oak tree. a close up of a red bicycle leaning against a brick "
+        "wall. the mountain trail winds through pine forest toward the summit. "
+        "fresh bread and cheese on a wooden table beside a window. a group of "
+        "people waiting for the train at the station in the early morning. "
+        "the boat sails slowly along the coast under a cloudy sky. an old "
+        "clock tower stands in the middle of the town square. rain falls on "
+        "the quiet street while cars pass with their headlights on. a woman "
+        "reads a book in a cafe near the harbor. the garden is full of roses "
+        "and tulips in late spring."
+    ),
+    "de": (
+        "ein foto von einem kleinen braunen hund der über eine grüne wiese "
+        "läuft an einem sonnigen nachmittag. die skyline der stadt bei nacht "
+        "mit hellen lichtern die sich im fluss spiegeln. zwei kinder spielen "
+        "schach im park neben einer alten eiche. eine nahaufnahme eines roten "
+        "fahrrads das an einer backsteinmauer lehnt. der bergpfad führt durch "
+        "den kiefernwald zum gipfel. frisches brot und käse auf einem "
+        "holztisch neben dem fenster. eine gruppe von menschen wartet am "
+        "bahnhof auf den zug am frühen morgen. das boot segelt langsam die "
+        "küste entlang unter einem bewölkten himmel. ein alter uhrturm steht "
+        "mitten auf dem marktplatz. der regen fällt auf die stille straße "
+        "während autos mit eingeschalteten scheinwerfern vorbeifahren. eine "
+        "frau liest ein buch in einem café am hafen. der garten ist im "
+        "späten frühling voller rosen und tulpen."
+    ),
+    "fr": (
+        "une photographie d'un petit chien brun qui court à travers un champ "
+        "vert par un après-midi ensoleillé. les gratte-ciel de la ville la "
+        "nuit avec des lumières vives reflétées dans la rivière. deux enfants "
+        "jouent aux échecs dans le parc près d'un vieux chêne. un gros plan "
+        "d'un vélo rouge appuyé contre un mur de briques. le sentier de "
+        "montagne serpente à travers la forêt de pins vers le sommet. du pain "
+        "frais et du fromage sur une table en bois près de la fenêtre. un "
+        "groupe de personnes attend le train à la gare tôt le matin. le "
+        "bateau navigue lentement le long de la côte sous un ciel nuageux. "
+        "une vieille tour de l'horloge se dresse au milieu de la place du "
+        "village. la pluie tombe sur la rue calme pendant que les voitures "
+        "passent avec leurs phares allumés. une femme lit un livre dans un "
+        "café près du port. le jardin est plein de roses et de tulipes à la "
+        "fin du printemps."
+    ),
+    "es": (
+        "una fotografía de un pequeño perro marrón corriendo por un campo "
+        "verde en una tarde soleada. el horizonte de la ciudad por la noche "
+        "con luces brillantes reflejadas en el río. dos niños juegan al "
+        "ajedrez en el parque cerca de un viejo roble. un primer plano de una "
+        "bicicleta roja apoyada contra una pared de ladrillos. el sendero de "
+        "la montaña serpentea por el bosque de pinos hacia la cumbre. pan "
+        "fresco y queso sobre una mesa de madera junto a la ventana. un grupo "
+        "de personas espera el tren en la estación temprano por la mañana. el "
+        "barco navega lentamente a lo largo de la costa bajo un cielo "
+        "nublado. una vieja torre del reloj se alza en medio de la plaza del "
+        "pueblo. la lluvia cae sobre la calle tranquila mientras los coches "
+        "pasan con los faros encendidos. una mujer lee un libro en un café "
+        "cerca del puerto. el jardín está lleno de rosas y tulipanes a "
+        "finales de la primavera."
+    ),
+    "vi": (
+        "một bức ảnh chụp chú chó nâu nhỏ chạy qua cánh đồng xanh vào một "
+        "buổi chiều nắng đẹp. đường chân trời thành phố về đêm với ánh đèn "
+        "sáng phản chiếu trên dòng sông. hai đứa trẻ chơi cờ vua trong công "
+        "viên gần cây sồi già. cận cảnh chiếc xe đạp màu đỏ dựa vào bức tường "
+        "gạch. con đường mòn trên núi uốn lượn qua rừng thông hướng về đỉnh "
+        "núi. bánh mì tươi và phô mai trên bàn gỗ cạnh cửa sổ. một nhóm người "
+        "đang chờ tàu ở nhà ga vào sáng sớm. con thuyền trôi chậm dọc theo bờ "
+        "biển dưới bầu trời nhiều mây. tháp đồng hồ cổ đứng giữa quảng "
+        "trường thị trấn. mưa rơi trên con phố yên tĩnh trong khi những chiếc "
+        "xe chạy qua với đèn pha bật sáng. một người phụ nữ đọc sách trong "
+        "quán cà phê gần bến cảng. khu vườn đầy hoa hồng và hoa tulip vào "
+        "cuối mùa xuân."
+    ),
+    "zh": (
+        "一张小棕狗在阳光明媚的下午跑过绿色田野的照片。夜晚的城市天际线，明亮的灯光倒映在河面上。"
+        "两个孩子在公园里一棵老橡树旁下棋。一辆红色自行车靠在砖墙上的特写。"
+        "山间小路蜿蜒穿过松树林通向山顶。窗边木桌上放着新鲜的面包和奶酪。"
+        "清晨一群人在车站等火车。小船在多云的天空下沿着海岸缓缓航行。"
+        "古老的钟楼矗立在小镇广场的中央。雨落在安静的街道上汽车开着前灯驶过。"
+        "一位女士在港口附近的咖啡馆里看书。晚春的花园里开满了玫瑰和郁金香。"
+    ),
+}
+
+
+def _codepoints(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+
+
+def _tri_buckets(cp: np.ndarray) -> np.ndarray:
+    """Hash every trigram of a codepoint array into [0, _B)."""
+    if cp.size < 3:
+        return np.empty(0, dtype=np.int64)
+    c = cp.astype(np.uint64)
+    h = c[:-2] * _H1 + c[1:-1] * _H2 + c[2:]
+    return (h & np.uint64(_B - 1)).astype(np.int64)
+
+
+def _build_tables() -> np.ndarray:
+    """(n_langs, _B) float32 smoothed trigram log-probs."""
+    tables = np.zeros((len(LANGS), _B), dtype=np.float64)
+    for i, lang in enumerate(LANGS):
+        counts = np.zeros(_B, dtype=np.float64)
+        buckets = _tri_buckets(_codepoints(_SEED[lang].casefold()))
+        np.add.at(counts, buckets, 1.0)
+        total = counts.sum()
+        tables[i] = np.log((counts + _ALPHA) / (total + _ALPHA * _B))
+    return tables.astype(np.float32)
+
+
+_TABLES = _build_tables()
+_FLOOR_PPL = float(np.exp(-float(_TABLES.min())))  # ppl of a fully unseen text
+
+
+def classify_batch(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Classify a batch of captions.
+
+    Args:
+        texts: sequence of Optional[str].
+
+    Returns:
+        (langs, confs, ppls): object array of language codes ('und' when
+        the margin is below zero information or the text has no
+        trigrams), float64 top1−top2 margins, float64 perplexities
+        under the best model.
+    """
+    n = len(texts)
+    langs = np.full(n, UNKNOWN, dtype=object)
+    confs = np.zeros(n, dtype=np.float64)
+    ppls = np.full(n, _FLOOR_PPL, dtype=np.float64)
+    if n == 0:
+        return langs, confs, ppls
+
+    norm = [(t.casefold() if isinstance(t, str) else "") for t in texts]
+    joined = "".join(norm)
+    cp = _codepoints(joined)
+    lens = np.fromiter((len(s) for s in norm), dtype=np.int64, count=n)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+
+    # Per-text trigram spans within the concatenated array.
+    tri_counts = np.maximum(lens - 2, 0)
+    valid = tri_counts > 0
+    if not valid.any():
+        return langs, confs, ppls
+
+    # Gather trigram buckets text-by-text boundaries: build a global
+    # index of trigram start positions, skipping the 2 cross-boundary
+    # positions at each text end.
+    tri_total = int(tri_counts.sum())
+    pos = np.empty(tri_total, dtype=np.int64)
+    seg_starts = np.empty(int(valid.sum()), dtype=np.int64)
+    off = 0
+    si = 0
+    for i in range(n):
+        tc = tri_counts[i]
+        if tc == 0:
+            continue
+        pos[off : off + tc] = np.arange(starts[i], starts[i] + tc)
+        seg_starts[si] = off
+        si += 1
+        off += tc
+
+    c = cp.astype(np.uint64)
+    h = c[pos] * _H1 + c[pos + 1] * _H2 + c[pos + 2]
+    buckets = (h & np.uint64(_B - 1)).astype(np.int64)
+
+    # Segment-sum each language's log-probs over each text's trigrams.
+    scores = np.empty((len(LANGS), int(valid.sum())), dtype=np.float64)
+    for li in range(len(LANGS)):
+        lp = _TABLES[li][buckets].astype(np.float64)
+        scores[li] = np.add.reduceat(lp, seg_starts)
+    scores /= tri_counts[valid][None, :].astype(np.float64)
+
+    order = np.argsort(-scores, axis=0)
+    top1 = order[0]
+    best = scores[top1, np.arange(scores.shape[1])]
+    second = scores[order[1], np.arange(scores.shape[1])]
+
+    langs[valid] = np.array(LANGS, dtype=object)[top1]
+    confs[valid] = best - second
+    ppls[valid] = np.exp(-best)
+    return langs, confs, ppls

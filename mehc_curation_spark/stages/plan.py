@@ -1,0 +1,202 @@
+"""The curation label plan — ONE lazy DataFrame plan for the full
+validate → scrub → normalize → dedup pipeline.
+
+This is the Spark-first answer to the reference's eager step-at-a-time
+execution (every operator materializes a full DataFrame copy,
+``/root/reference/mehc_curation/validation/core/engine.py:40``,
+``cleaning/core/engine.py:56-64``): all rules become columns on a
+single lineage, Catalyst fuses the non-UDF parts into whole-stage
+codegen, and the three inter-stage dedup passes share a single hash
+exchange on ``phash``.
+
+Design rules (the 100 TB story):
+
+- **bytes never shuffle.** The decode UDF consumes the binary column
+  straight off the scan; the projection after it is slim
+  (id, phash, caption, label columns). Parquet column pruning keeps
+  text-only runs from reading bytes at all when `validate=False`.
+- **no branch, no join.** Dropped rows are not split off (that would
+  re-run the scan per branch); instead `drop_reason` accumulates via
+  coalesce — first failing rule wins, later rules see `alive =
+  drop_reason IS NULL`.
+- **one shuffle.** All dedup windows partition by ``phash`` (or
+  (phash, caption) which phash-clustering already satisfies), so
+  stage-2/3 dedup adds sorts but no exchanges.
+- **dedup sees only alive rows** via when(alive, …) inside the window
+  aggregates — exact equivalent of the oracle deduping survivors only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mehc_curation_spark.operators.udfs import (
+    decode_reason_udf,
+    langid_udf,
+    make_normalize_udf,
+    make_toxicity_udf,
+    pii_scrub_col,
+)
+from mehc_curation_spark.rules.heuristics import heuristic_reason_col
+from mehc_curation_spark.rules.langid import UNKNOWN
+from mehc_curation_spark.rules.registry import CurationConfig
+from mehc_curation_spark.schema import CAPTION_COL, ID_COL, KEY_COL
+
+_BLANK_RX = "^[ \t\n\r]*$"
+_DEFAULT_PPL = 4000.0
+
+
+def _dedup_pass(df: DataFrame, caption_col: str) -> DataFrame:
+    """Append dedup drop-reasons for currently-alive rows (reference
+    semantics, ``utils/common.py:88-113``: conflicting key ⇒ drop ALL;
+    else keep-first of identical (key, caption))."""
+    alive = F.col("drop_reason").isNull()
+    w_key = Window.partitionBy(KEY_COL)
+    w_prior = (
+        Window.partitionBy(KEY_COL, caption_col)
+        .orderBy(ID_COL)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_alive_captions = F.size(F.collect_set(
+        F.when(alive, F.col(caption_col))).over(w_key))
+    prior_alive = F.count(F.when(alive, F.lit(1))).over(w_prior)
+    return df.withColumn(
+        "drop_reason",
+        F.coalesce(
+            F.col("drop_reason"),
+            F.when(n_alive_captions > 1, F.lit("duplicate_conflict"))
+            .when(prior_alive > 0, F.lit("duplicate_perfect")),
+        ),
+    )
+
+
+def build_labels_plan(df: DataFrame,
+                      config: CurationConfig = CurationConfig()) -> DataFrame:
+    """Build the (lazy) labels DataFrame:
+
+    ``image_id, phash, keep, drop_reason, caption_scrubbed,
+    lang, lang_conf, ppl``
+
+    Mirrors ``complete_refinement``'s stage chain and dedup gates
+    (``refinement/core/pipeline.py:73-269``) with the graft rules.
+    """
+    gates = config.dedup_gates()
+
+    # ---- per-row labels (narrow; no shuffle) -----------------------------
+    # langid + ppl on the ORIGINAL caption, reported for every row.
+    out = df.withColumn("_lid", langid_udf(F.col(CAPTION_COL)))
+
+    reason = F.lit(None).cast("string")
+    if config.validate:
+        reason = decode_reason_udf(F.col("bytes"), F.col("fmt"),
+                                   F.col("w"), F.col("h"))
+    out = out.withColumn("drop_reason", reason)
+    # slim projection: bytes are dropped HERE, before any wide operation
+    out = out.select(ID_COL, KEY_COL, CAPTION_COL, "drop_reason", "_lid.*")
+
+    alive = F.col("drop_reason").isNull()
+    if config.rm_low_quality:
+        out = out.withColumn(
+            "drop_reason",
+            F.coalesce(F.col("drop_reason"),
+                       heuristic_reason_col(F.col(CAPTION_COL))),
+        )
+    if config.rm_unknown_lang:
+        low = (F.col("lang") == UNKNOWN) | (F.col("lang_conf") < config.min_lang_margin)
+        out = out.withColumn(
+            "drop_reason",
+            F.coalesce(
+                F.col("drop_reason"),
+                F.when(low, F.lit("lang_low_conf")).when(
+                    ~F.col("lang").isin(*config.allowed_langs),
+                    F.lit("lang_not_allowed"),
+                ),
+            ),
+        )
+    if config.rm_high_ppl:
+        thr_map = config.ppl_threshold_map()
+        mapping = F.create_map(
+            *[F.lit(x) for kv in thr_map.items() for x in kv])
+        thr = F.coalesce(F.element_at(mapping, F.col("lang")), F.lit(_DEFAULT_PPL))
+        out = out.withColumn(
+            "drop_reason",
+            F.coalesce(F.col("drop_reason"),
+                       F.when(F.col("ppl") > thr, F.lit("ppl_too_high"))),
+        )
+
+    # ---- dedup gate 1 (single exchange on phash from here on) -----------
+    if gates[0]:
+        out = _dedup_pass(out, CAPTION_COL)
+
+    # ---- stage 2: scrubs -------------------------------------------------
+    cap = CAPTION_COL
+    if config.scrub_pii:
+        scrubbed = pii_scrub_col(F.col(cap))
+        emptied = (
+            (scrubbed != F.col(cap))
+            & F.regexp_like(scrubbed, F.lit(_BLANK_RX))
+            & ~F.regexp_like(F.col(cap), F.lit(_BLANK_RX))
+        )
+        out = (
+            out.withColumn("_cap2", scrubbed)
+            .withColumn(
+                "drop_reason",
+                F.coalesce(F.col("drop_reason"),
+                           F.when(emptied, F.lit("scrub_emptied"))),
+            )
+        )
+        cap = "_cap2"
+
+    if config.scrub_toxicity:
+        tox = make_toxicity_udf(config.toxicity_method)
+        out = out.withColumn("_tox", tox(F.col(cap)))
+        out = (
+            out.withColumn(
+                "drop_reason",
+                F.coalesce(F.col("drop_reason"),
+                           F.when(F.col("_tox.diff").isNull(),
+                                  F.lit("scrub_unprocessable"))),
+            )
+            .withColumn("_cap3", F.col("_tox.caption"))
+            .drop("_tox")
+        )
+        cap = "_cap3"
+
+    if config.validate_post_scrub:
+        # ≅ validate_post_neutr: re-filter, counters discarded
+        # (refinement/core/pipeline.py:217-228)
+        out = out.withColumn(
+            "drop_reason",
+            F.coalesce(F.col("drop_reason"),
+                       heuristic_reason_col(F.col(cap))),
+        )
+
+    if gates[1]:
+        out = _dedup_pass(out, cap)
+
+    # ---- stage 3: normalization -------------------------------------------
+    if config.normalize_lossy or config.normalize_canonical:
+        norm = make_normalize_udf(config.normalize_lossy,
+                                  config.normalize_canonical)
+        out = (
+            out.withColumn("_norm", norm(F.col(cap)))
+            .withColumn("_cap4", F.col("_norm.caption"))
+            .drop("_norm")
+        )
+        cap = "_cap4"
+
+    if gates[2]:
+        out = _dedup_pass(out, cap)
+
+    alive = F.col("drop_reason").isNull()
+    return out.select(
+        ID_COL,
+        KEY_COL,
+        alive.alias("keep"),
+        "drop_reason",
+        F.when(alive, F.col(cap)).alias("caption_scrubbed"),
+        "lang",
+        "lang_conf",
+        "ppl",
+    )

@@ -1,0 +1,130 @@
+"""RefinementStage — the full-pipeline orchestrator, graft of
+``RefinementPipeline.complete_refinement``
+(``/root/reference/mehc_curation/refinement/core/pipeline.py:23-291``).
+
+Two modes:
+
+- :meth:`complete_curation` / :func:`curate` — build the single lazy
+  labels plan (all stages + dedup gates fused, one shuffle) and return
+  it as a DataFrame. This is the flagship query.
+- :func:`run_curate` — execute with durability: phash-bucket
+  partitioned output, per-bucket lineage/metrics ledger, and
+  checkpoint **resume of any failed bucket range** (sound because every
+  pipeline operation is per-row or grouped by phash, and
+  pmod(phash, B) assigns each phash to exactly one bucket — buckets are
+  independent units of work).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mehc_curation_spark.io.ledger import Ledger
+from mehc_curation_spark.rules.registry import CurationConfig
+from mehc_curation_spark.schema import KEY_COL
+from mehc_curation_spark.stages.plan import build_labels_plan
+
+BUCKET_COL = "bucket"
+
+
+def bucket_col(config: CurationConfig) -> F.Column:
+    """Deterministic phash bucket: pmod(phash, B) — the explicit
+    repartition/skew key (SURVEY.md §2.6, north_rule)."""
+    return F.pmod(F.col(KEY_COL), F.lit(config.phash_buckets)).cast("int")
+
+
+class RefinementStage:
+    def __init__(self, df: DataFrame, config: CurationConfig = CurationConfig()):
+        self.df = df
+        self.config = config
+
+    def complete_curation(self) -> DataFrame:
+        """Lazy labels plan (image_id, phash, keep, drop_reason,
+        caption_scrubbed, lang, lang_conf, ppl)."""
+        return build_labels_plan(self.df, self.config)
+
+    def curated(self) -> DataFrame:
+        """Kept rows only, with final captions — the reference's
+        'refined DataFrame' return shape."""
+        labels = self.complete_curation()
+        return labels.filter(F.col("keep")).drop("keep", "drop_reason")
+
+
+def curate(df: DataFrame, config: CurationConfig = CurationConfig()) -> DataFrame:
+    """Functional form of :meth:`RefinementStage.complete_curation`."""
+    return build_labels_plan(df, config)
+
+
+def run_curate(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    config: CurationConfig = CurationConfig(),
+    resume: bool = True,
+) -> dict:
+    """Execute the pipeline durably with per-bucket checkpoint/resume.
+
+    Output layout::
+
+        <output_path>/data/bucket=<k>/*.parquet   labels, phash-bucketed
+        <output_path>/_ledger/ledger.json         per-bucket lineage+metrics
+
+    On resume, buckets already committed in the ledger are skipped —
+    the graft of 'checkpoint resume of any failed partition range'
+    (BASELINE.json north_rule).
+    """
+    ledger = Ledger(output_path)
+    done = ledger.completed_buckets() if resume else set()
+
+    df = spark.read.parquet(input_path)
+    df = df.withColumn(BUCKET_COL, bucket_col(config))
+    if done:
+        df = df.filter(~F.col(BUCKET_COL).isin(*sorted(done)))
+
+    # Explicit repartition on the bucket key: co-locates each phash's
+    # rows (dedup needs it anyway) and defuses caption-length/language
+    # skew by spreading rows across B buckets.
+    t0 = time.time()
+    labels = build_labels_plan(df, config)
+    labels = labels.withColumn(BUCKET_COL, bucket_col(config))
+
+    staging = ledger.staging_dir()
+    (
+        labels.repartition(F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(staging)
+    )
+    elapsed = time.time() - t0
+
+    # per-bucket metrics from the staged output (slim read)
+    staged = spark.read.parquet(staging)
+    stats = (
+        staged.groupBy(BUCKET_COL, "drop_reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    per_bucket: dict[int, dict] = {}
+    for r in stats:
+        b = int(r[BUCKET_COL])
+        e = per_bucket.setdefault(b, {"rows": 0, "kept": 0, "dropped": {}})
+        e["rows"] += r["n"]
+        if r["drop_reason"] is None:
+            e["kept"] += r["n"]
+        else:
+            e["dropped"][r["drop_reason"]] = r["n"]
+
+    ledger.commit_buckets(staging, per_bucket, elapsed)
+    total_rows = sum(e["rows"] for e in per_bucket.values())
+    return {
+        "buckets_done": sorted(done),
+        "buckets_new": sorted(per_bucket),
+        "rows": total_rows,
+        "kept": sum(e["kept"] for e in per_bucket.values()),
+        "elapsed_sec": elapsed,
+        "rows_per_sec": (total_rows / elapsed) if elapsed > 0 else None,
+    }

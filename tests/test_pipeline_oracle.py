@@ -1,0 +1,82 @@
+"""End-to-end gate: Spark pipeline labels vs the pure-pandas oracle.
+
+BASELINE.json north_rule requires F1 >= 0.99 on keep/drop and
+byte-equal scrubbed captions; since both engines share one rule
+implementation the tests assert exact equality (F1 == 1.0).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mehc_curation_spark.oracle import curate_oracle
+from mehc_curation_spark.rules.registry import CurationConfig
+from mehc_curation_spark.stages.plan import build_labels_plan
+
+
+def _compare(spark_labels: pd.DataFrame, oracle_labels: pd.DataFrame):
+    s = spark_labels.sort_values("image_id").reset_index(drop=True)
+    o = oracle_labels.sort_values("image_id").reset_index(drop=True)
+    assert len(s) == len(o)
+    assert (s["image_id"] == o["image_id"]).all()
+
+    # F1 on keep/drop
+    tp = int((s["keep"] & o["keep"]).sum())
+    fp = int((s["keep"] & ~o["keep"]).sum())
+    fn = int((~s["keep"] & o["keep"]).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    return f1, s, o
+
+
+@pytest.fixture(scope="module")
+def labels(spark, pairs_df, pairs_pdf):
+    cfg = CurationConfig()
+    s = build_labels_plan(pairs_df, cfg).toPandas()
+    o = curate_oracle(pairs_pdf, cfg)
+    return s, o
+
+
+def test_keep_f1(labels):
+    s, o = labels
+    f1, s, o = _compare(s, o)
+    assert f1 >= 0.99, f"F1 {f1}"
+    # target is exact equality (shared rule implementation)
+    mism = s[s["keep"] != o["keep"]]
+    assert len(mism) == 0, mism.head(20)
+
+
+def test_drop_reasons_exact(labels):
+    s, o = labels
+    _, s, o = _compare(s, o)
+    sr = s["drop_reason"].fillna("<kept>")
+    orr = o["drop_reason"].fillna("<kept>")
+    bad = s[(sr != orr)]
+    assert len(bad) == 0, bad.head(20).to_string()
+
+
+def test_scrubbed_caption_byte_equal(labels):
+    s, o = labels
+    _, s, o = _compare(s, o)
+    ks = s[s["keep"]]["caption_scrubbed"]
+    ko = o[o["keep"]]["caption_scrubbed"]
+    mismatch = [(a, b) for a, b in zip(ks, ko) if a != b]
+    assert not mismatch, mismatch[:10]
+
+
+def test_lang_ppl_bitwise(labels):
+    s, o = labels
+    _, s, o = _compare(s, o)
+    assert (s["lang"] == o["lang"]).all()
+    np.testing.assert_array_equal(s["ppl"].to_numpy(), o["ppl"].to_numpy())
+    np.testing.assert_array_equal(s["lang_conf"].to_numpy(),
+                                  o["lang_conf"].to_numpy())
+
+
+def test_partition_count_invariance(spark, pairs_df, pairs_pdf):
+    """Same labels at different parallelism (order-independence)."""
+    cfg = CurationConfig()
+    a = (build_labels_plan(pairs_df.repartition(3), cfg)
+         .toPandas().sort_values("image_id").reset_index(drop=True))
+    b = (build_labels_plan(pairs_df.repartition(17), cfg)
+         .toPandas().sort_values("image_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
