@@ -19,11 +19,21 @@ Design rules (the 100 TB story):
   re-run the scan per branch); instead `drop_reason` accumulates via
   coalesce — first failing rule wins, later rules see `alive =
   drop_reason IS NULL`.
-- **one shuffle.** All dedup windows partition by ``phash`` (or
-  (phash, caption) which phash-clustering already satisfies), so
-  stage-2/3 dedup adds sorts but no exchanges.
+- **narrow first, wide last.** All UDFs and scrubs are per-row, so the
+  caption's whole evolution (original → PII-scrubbed → toxicity-scrubbed
+  → normalized) is computed BEFORE any shuffle. Python eval nodes do
+  not preserve partitioning info, so putting them between window passes
+  would force one exchange per dedup pass; keeping the three dedup
+  window passes adjacent lets them share ONE hash exchange on phash
+  (asserted by tests/test_plan_shape.py).
 - **dedup sees only alive rows** via when(alive, …) inside the window
   aggregates — exact equivalent of the oracle deduping survivors only.
+
+The reason-priority order is exactly the oracle's stage order even
+though values are precomputed: stage-1 rules → dedup-1 → scrub drops →
+dedup-2 → dedup-3; `coalesce` makes the earlier stage win, and the
+when(alive, …) window inputs make each dedup pass see exactly the rows
+the oracle's survivor set contains at that point.
 """
 
 from __future__ import annotations
@@ -49,8 +59,8 @@ _DEFAULT_PPL = 4000.0
 
 def _dedup_pass(df: DataFrame, caption_col: str) -> DataFrame:
     """Append dedup drop-reasons for currently-alive rows (reference
-    semantics, ``utils/common.py:88-113``: conflicting key ⇒ drop ALL;
-    else keep-first of identical (key, caption))."""
+    semantics, ``utils/common.py:88-113``: conflicting key ⇒ drop ALL
+    its rows; otherwise keep-first of identical (key, caption))."""
     alive = F.col("drop_reason").isNull()
     w_key = Window.partitionBy(KEY_COL)
     w_prior = (
@@ -83,19 +93,20 @@ def build_labels_plan(df: DataFrame,
     """
     gates = config.dedup_gates()
 
-    # ---- per-row labels (narrow; no shuffle) -----------------------------
+    # ======== phase A: narrow per-row computation (no shuffle) ==========
+
     # langid + ppl on the ORIGINAL caption, reported for every row.
+    # One select per UDF struct so each Python eval runs exactly once.
     out = df.withColumn("_lid", langid_udf(F.col(CAPTION_COL)))
 
-    reason = F.lit(None).cast("string")
+    stage1 = F.lit(None).cast("string")
     if config.validate:
-        reason = decode_reason_udf(F.col("bytes"), F.col("fmt"),
+        stage1 = decode_reason_udf(F.col("bytes"), F.col("fmt"),
                                    F.col("w"), F.col("h"))
-    out = out.withColumn("drop_reason", reason)
-    # slim projection: bytes are dropped HERE, before any wide operation
-    out = out.select(ID_COL, KEY_COL, CAPTION_COL, "drop_reason", "_lid.*")
+    # slim projection: bytes are dropped HERE, before anything wide
+    out = out.select(ID_COL, KEY_COL, CAPTION_COL,
+                     stage1.alias("drop_reason"), "_lid.*")
 
-    alive = F.col("drop_reason").isNull()
     if config.rm_low_quality:
         out = out.withColumn(
             "drop_reason",
@@ -115,9 +126,8 @@ def build_labels_plan(df: DataFrame,
             ),
         )
     if config.rm_high_ppl:
-        thr_map = config.ppl_threshold_map()
         mapping = F.create_map(
-            *[F.lit(x) for kv in thr_map.items() for x in kv])
+            *[F.lit(x) for kv in config.ppl_threshold_map().items() for x in kv])
         thr = F.coalesce(F.element_at(mapping, F.col("lang")), F.lit(_DEFAULT_PPL))
         out = out.withColumn(
             "drop_reason",
@@ -125,12 +135,9 @@ def build_labels_plan(df: DataFrame,
                        F.when(F.col("ppl") > thr, F.lit("ppl_too_high"))),
         )
 
-    # ---- dedup gate 1 (single exchange on phash from here on) -----------
-    if gates[0]:
-        out = _dedup_pass(out, CAPTION_COL)
-
-    # ---- stage 2: scrubs -------------------------------------------------
+    # ---- caption evolution (all narrow; dead rows' values are unused) ----
     cap = CAPTION_COL
+    scrub_reason = F.lit(None).cast("string")
     if config.scrub_pii:
         scrubbed = pii_scrub_col(F.col(cap))
         emptied = (
@@ -138,53 +145,46 @@ def build_labels_plan(df: DataFrame,
             & F.regexp_like(scrubbed, F.lit(_BLANK_RX))
             & ~F.regexp_like(F.col(cap), F.lit(_BLANK_RX))
         )
-        out = (
-            out.withColumn("_cap2", scrubbed)
-            .withColumn(
-                "drop_reason",
-                F.coalesce(F.col("drop_reason"),
-                           F.when(emptied, F.lit("scrub_emptied"))),
-            )
-        )
+        out = out.withColumn("_cap2", scrubbed).withColumn("_pii_emptied", emptied)
+        scrub_reason = F.when(F.col("_pii_emptied"), F.lit("scrub_emptied"))
         cap = "_cap2"
 
     if config.scrub_toxicity:
         tox = make_toxicity_udf(config.toxicity_method)
         out = out.withColumn("_tox", tox(F.col(cap)))
-        out = (
-            out.withColumn(
-                "drop_reason",
-                F.coalesce(F.col("drop_reason"),
-                           F.when(F.col("_tox.diff").isNull(),
-                                  F.lit("scrub_unprocessable"))),
-            )
-            .withColumn("_cap3", F.col("_tox.caption"))
-            .drop("_tox")
+        out = out.select("*", F.col("_tox.caption").alias("_cap3"),
+                         F.col("_tox.diff").alias("_tox_diff")).drop("_tox")
+        scrub_reason = F.coalesce(
+            scrub_reason,
+            F.when(F.col("_tox_diff").isNull(), F.lit("scrub_unprocessable")),
         )
         cap = "_cap3"
 
     if config.validate_post_scrub:
         # ≅ validate_post_neutr: re-filter, counters discarded
         # (refinement/core/pipeline.py:217-228)
-        out = out.withColumn(
-            "drop_reason",
-            F.coalesce(F.col("drop_reason"),
-                       heuristic_reason_col(F.col(cap))),
-        )
+        scrub_reason = F.coalesce(scrub_reason, heuristic_reason_col(F.col(cap)))
 
-    if gates[1]:
-        out = _dedup_pass(out, cap)
+    out = out.withColumn("_scrub_reason", scrub_reason)
+    post_scrub_cap = cap
 
-    # ---- stage 3: normalization -------------------------------------------
     if config.normalize_lossy or config.normalize_canonical:
         norm = make_normalize_udf(config.normalize_lossy,
                                   config.normalize_canonical)
-        out = (
-            out.withColumn("_norm", norm(F.col(cap)))
-            .withColumn("_cap4", F.col("_norm.caption"))
-            .drop("_norm")
-        )
+        out = out.withColumn("_norm", norm(F.col(cap)))
+        out = out.select("*", F.col("_norm.caption").alias("_cap4")).drop("_norm")
         cap = "_cap4"
+
+    # ======== phase B: the wide region (one exchange on phash) ==========
+
+    if gates[0]:
+        out = _dedup_pass(out, CAPTION_COL)
+
+    out = out.withColumn(
+        "drop_reason", F.coalesce(F.col("drop_reason"), F.col("_scrub_reason")))
+
+    if gates[1]:
+        out = _dedup_pass(out, post_scrub_cap)
 
     if gates[2]:
         out = _dedup_pass(out, cap)
