@@ -105,7 +105,8 @@ def _low_quality(rng: np.random.Generator, kind: str, lang: str) -> str:
     if kind == "control":
         return _caption(rng, lang) + "\x07"
     if kind == "high_digit":
-        return "".join(str(i) for i in rng.integers(0, 10, 30)) + " img"
+        # >50% digits but >=25% letters, so it reaches the digit rule
+        return "".join(str(i) for i in rng.integers(0, 10, 15)) + " photos"
     raise ValueError(kind)
 
 

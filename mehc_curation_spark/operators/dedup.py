@@ -73,7 +73,9 @@ def deduplicate(
     (``common.py:93-94``).
     """
     keys = list(partial_dup_cols) if partial_dup_cols else [KEY_COL]
-    others = [c for c in df.columns if c not in keys]
+    # id_col plays the pandas-index role (row identity, not a value
+    # column) — it must not participate in conflict / full-row checks.
+    others = [c for c in df.columns if c not in keys and c != id_col]
     labeled = df
     # conflicting keys: any non-key column with >1 distinct value
     w_key = Window.partitionBy(*keys)

@@ -31,8 +31,10 @@ from pyspark.sql import functions as F
 MIN_LEN = 3
 MAX_LEN = 512
 MAX_REPEAT_RUN = 9          # a run of 10+ identical chars ⇒ junk
-ALPHA_NUM = 1               # letters/len >= 1/2  ⇔ 2*letters >= len
-ALPHA_DEN = 2
+# letters/len >= 1/4 (NOT 1/2: with both ratios at 1/2 the digit rule
+# would be unreachable — letters>=n/2 and digits>n/2 can't both hold)
+ALPHA_NUM = 1
+ALPHA_DEN = 4
 DIGIT_NUM = 1               # digits/len <= 1/2  ⇔ 2*digits <= len
 DIGIT_DEN = 2
 

@@ -1,0 +1,86 @@
+"""Codec round-trip, PSNR invariant, and phash properties."""
+
+import numpy as np
+import pytest
+
+from mehc_curation_spark.codecs.image import (
+    DecodeError,
+    decode_image,
+    encode_image,
+    psnr,
+)
+from mehc_curation_spark.codecs.phash import phash64
+
+RNG = np.random.default_rng(123)
+
+
+def _images():
+    out = []
+    for (h, w) in [(16, 16), (17, 23), (64, 64), (33, 47), (16, 64)]:
+        out.append(RNG.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    grad = np.tile((np.arange(64, dtype=np.uint16) * 4).astype(np.uint8), (64, 1))
+    out.append(grad[:, :, None].repeat(3, 2))
+    return out
+
+
+@pytest.mark.parametrize("fmt", ["raw", "bmp", "png"])
+def test_lossless_roundtrip(fmt):
+    for px in _images():
+        h, w = px.shape[:2]
+        dec = decode_image(encode_image(px, fmt), fmt, w, h)
+        assert np.array_equal(dec, px)
+
+
+def test_jpegq_psnr_at_least_40db():
+    """input_hint invariant: decoded pixels PSNR >= 40 dB for lossy fmt."""
+    for px in _images():
+        h, w = px.shape[:2]
+        dec = decode_image(encode_image(px, "jpegq"), "jpegq", w, h)
+        assert psnr(px, dec) >= 40.0
+
+
+def test_jpegq_decode_deterministic():
+    px = _images()[0]
+    h, w = px.shape[:2]
+    data = encode_image(px, "jpegq")
+    a = decode_image(data, "jpegq", w, h)
+    b = decode_image(data, "jpegq", w, h)
+    assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("fmt", ["raw", "bmp", "png", "jpegq"])
+def test_corruption_raises(fmt):
+    px = _images()[0]
+    h, w = px.shape[:2]
+    data = encode_image(px, fmt)
+    with pytest.raises(DecodeError):
+        decode_image(data[: len(data) // 3], fmt, w, h)
+    if fmt != "raw":  # raw is a bare pixel dump — no magic to corrupt
+        with pytest.raises(DecodeError):
+            decode_image(b"XX" + data[2:], fmt, w, h)
+    with pytest.raises(DecodeError):
+        decode_image(data, fmt, w + 1, h)  # dim mismatch
+
+
+def test_phash_stability_and_discrimination():
+    imgs = _images()
+    for px in imgs:
+        assert phash64(px) == phash64(px.copy())
+        assert -(2**63) <= phash64(px) < 2**63
+    hashes = {phash64(px) for px in imgs}
+    assert len(hashes) == len(imgs)  # distinct structures -> distinct hashes
+
+
+def test_phash_of_stored_bytes_is_stable():
+    """The pipeline's dedup identity is phash(decode(stored bytes)) —
+    it must be deterministic per stored payload, for lossless and lossy
+    formats alike. (pHash is intentionally NOT asserted robust to
+    re-encoding of synthetic patterns: their low-frequency DCT
+    coefficients sit near the median threshold.)"""
+    for px in _images():
+        h, w = px.shape[:2]
+        for fmt in ["raw", "bmp", "png", "jpegq"]:
+            data = encode_image(px, fmt)
+            a = phash64(decode_image(data, fmt, w, h))
+            b = phash64(decode_image(data, fmt, w, h))
+            assert a == b
