@@ -84,6 +84,10 @@ def run_curate(
     df = df.withColumn(BUCKET_COL, bucket_col(config))
     if done:
         df = df.filter(~F.col(BUCKET_COL).isin(*sorted(done)))
+        if df.isEmpty():  # nothing left to resume — no-op
+            return {"buckets_done": sorted(done), "buckets_new": [],
+                    "rows": 0, "kept": 0, "elapsed_sec": 0.0,
+                    "rows_per_sec": None}
 
     # Explicit repartition on the bucket key: co-locates each phash's
     # rows (dedup needs it anyway) and defuses caption-length/language

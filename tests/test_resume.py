@@ -1,0 +1,96 @@
+"""Checkpoint/resume + ledger + report tests (SURVEY.md §5.2 items 5-6).
+
+The resume unit is a phash bucket (pmod(phash, B)): every pipeline
+operation is per-row or grouped by phash, so buckets are independent —
+killing after k buckets and resuming must reproduce the exact output
+of an uninterrupted run.
+"""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mehc_curation_spark.io.ledger import Ledger
+from mehc_curation_spark.io.reports import render_report
+from mehc_curation_spark.rules.registry import CurationConfig
+from mehc_curation_spark.stages.refinement import run_curate
+
+CFG = CurationConfig(phash_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def input_path(pairs_df, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("resume") / "pairs_in")
+    pairs_df.write.mode("overwrite").parquet(p)
+    return p
+
+
+def _read_labels(spark, out):
+    return (spark.read.parquet(os.path.join(out, "data"))
+            .toPandas().sort_values("image_id").reset_index(drop=True))
+
+
+def test_run_and_ledger(spark, input_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("resume") / "labels_full")
+    m = run_curate(spark, input_path, out, CFG)
+    assert m["rows"] == 2000
+    led = Ledger(out).read()
+    assert len(led["buckets"]) == CFG.phash_buckets
+    # ledger row counts match the data
+    labels = _read_labels(spark, out)
+    by_bucket = labels.groupby(labels["phash"].mod(CFG.phash_buckets)).size()
+    for b, entry in led["buckets"].items():
+        assert entry["rows"] == int(by_bucket.loc[int(b)])
+        assert entry["kept"] + sum(entry["dropped"].values()) == entry["rows"]
+
+
+def test_resume_after_partial_run(spark, input_path, tmp_path_factory):
+    """Run buckets {0,1,2} only (simulated crash), then resume; final
+    output must equal a clean full run."""
+    full_out = str(tmp_path_factory.mktemp("resume") / "full")
+    run_curate(spark, input_path, full_out, CFG)
+    full = _read_labels(spark, full_out)
+
+    part_out = str(tmp_path_factory.mktemp("resume") / "partial")
+    # simulate a failed run: curate only a bucket range by pre-filtering
+    df = spark.read.parquet(input_path)
+    sub_in = str(tmp_path_factory.mktemp("resume") / "subset")
+    df.filter(F.pmod(F.col("phash"), F.lit(CFG.phash_buckets)) < 3) \
+      .write.parquet(sub_in)
+    run_curate(spark, sub_in, part_out, CFG)
+    assert len(Ledger(part_out).completed_buckets()) == 3
+
+    # resume with the full input: only buckets 3..7 are recomputed
+    m = run_curate(spark, input_path, part_out, CFG, resume=True)
+    assert sorted(m["buckets_new"]) == [3, 4, 5, 6, 7]
+    resumed = _read_labels(spark, part_out)
+    pd.testing.assert_frame_equal(
+        resumed.reset_index(drop=True), full.reset_index(drop=True))
+
+
+def test_resume_noop_when_complete(spark, input_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("resume") / "noop")
+    run_curate(spark, input_path, out, CFG)
+    m2 = run_curate(spark, input_path, out, CFG, resume=True)
+    assert m2["rows"] == 0 and m2["buckets_new"] == []
+
+
+def test_report_golden(spark, input_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("resume") / "report")
+    run_curate(spark, input_path, out, CFG)
+    led = Ledger(out).read()
+    reasons: dict[str, int] = {}
+    total = 0
+    for e in led["buckets"].values():
+        total += e["rows"]
+        for k, v in e["dropped"].items():
+            reasons[k] = reasons.get(k, 0) + v
+    rep = render_report(reasons, total, CFG)
+    assert "Input rows:              2000" in rep
+    assert "perfect duplicates:" in rep.lower() or "perfect duplicates:" in rep
+    # deterministic: same fixture => identical report text
+    rep2 = render_report(reasons, total, CFG)
+    assert rep == rep2
