@@ -1,38 +1,472 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the curation labels pipeline run over the
+sf0.001 ``documents`` table (documents-as-captions, decode gate off).
+
+``queries()`` — one entry per implemented operator family from
+SURVEY.md §2 plus the training-data ops (dedup, similarity search,
+text analysis, multimodal). Each callable takes (spark, sf_dir).
+
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents for every
+SQL-expressible query. Model-backed ops (langid, perplexity, simhash,
+minhash-LSH, hyperplane ANN, image decode) are intentionally omitted →
+the driver records rows-only checks for those.
+
+Numeric-parity conventions used throughout (so value hashes match):
+- money sums go through DECIMAL casts (exact) and only the final
+  aggregate is cast to DOUBLE;
+- every float output column is ROUND()ed the same way on both sides;
+- top-k queries order by the ROUNDED score plus an id tiebreak.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(c, p=18, s=2):
+    return c.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Curation labels over sf0.001 documents-as-captions.
+
+    Exercises the real engine end-to-end on driver data: heuristics,
+    langid + perplexity gates, PII/toxicity scrubs, normalization and
+    the three phash-keyed dedup passes (phash := xxhash64(text) here),
+    with the image-decode gate disabled (documents carry no payload).
+    """
+    from mehc_curation_spark.rules.registry import CurationConfig
+    from mehc_curation_spark.stages.plan import build_labels_plan
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pairs_shaped = docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit("raw").alias("fmt"),
+        F.col("text").alias("caption"),
+        F.xxhash64("text").alias("phash"),
+    )
+    cfg = CurationConfig(validate=False)
+    return build_labels_plan(pairs_shaped, cfg)
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracled queries
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "1999-01-01")
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec(F.col("l_extendedprice")) * disc).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_dec(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"))
+    )
+    return rev.orderBy(F.desc("revenue"), F.col("o_orderkey")).limit(10)
+
+
+def q5_region_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_window_top2_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_rollup_order_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def events_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("new_s", F.when(gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((F.lit(1) + F.sum("new_s")).cast("bigint").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+def doc_quality_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    reason = (
+        F.when(F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0),
+               F.lit("empty"))
+        .when(n < 150, F.lit("too_short"))
+        .when(n > 420, F.lit("too_long"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.select("doc_id", reason.alias("drop_reason"),
+                    reason.isNull().alias("keep"))
+
+
+def doc_pii_scrub(spark, sf_dir):
+    from mehc_curation_spark.rules.pii import PII_PATTERNS
+
+    d = _t(spark, sf_dir, "documents")
+    out = F.col("text")
+    for name, pat, repl in PII_PATTERNS:
+        if name in ("email", "url"):  # RE2-safe subset (no lookaround)
+            out = F.regexp_replace(out, pat, repl)
+    return d.select("doc_id", out.alias("text_scrubbed"))
+
+
+def doc_token_stats(spark, sf_dir):
+    from mehc_curation_spark.operators.text_stats import (
+        bpe_ish_token_count_col,
+        token_count_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count_col(F.col("text")).alias("n_pieces"),
+        F.length("text").alias("n_chars_q"),
+    )
+
+
+def doc_lang_stats(spark, sf_dir):
+    from mehc_curation_spark.operators.text_stats import salted_lang_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return salted_lang_stats(d, "lang", "n_chars", salt=8)
+
+
+def doc_exact_dedup(spark, sf_dir):
+    from mehc_curation_spark.operators.similarity import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "n_chars")
+
+
+def doc_dedup_dropall(spark, sf_dir):
+    """Reference partial-dup semantics (drop ALL rows of a conflicting
+    key) keyed on the text's 30-char prefix."""
+    from mehc_curation_spark.operators.dedup import deduplicate
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 30).alias("k"), "text")
+    cleaned = deduplicate(d, partial_dup_cols=["k"], id_col="doc_id")
+    return cleaned.select("doc_id")
+
+
+def doc_fingerprint(spark, sf_dir):
+    from mehc_curation_spark.operators.text_stats import fingerprint_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+
+def orders_dup_report(spark, sf_dir):
+    """D5 index-list aggregation: per-key sorted member list
+    (collect_list ≅ the reference's pandas index list)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias("indexes"),
+             F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def emb_cosine_topk(spark, sf_dir):
+    from mehc_curation_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return cosine_topk(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
+                       q, k=10, round_to=4)
+
+
+# ---------------------------------------------------------------------------
+# model/UDF-backed queries (rows-only checks — no SQL equivalent)
+# ---------------------------------------------------------------------------
+
+def doc_langid(spark, sf_dir):
+    from mehc_curation_spark.operators.udfs import langid_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", langid_udf(F.col("text")).alias("_l")
+    ).select("doc_id", "_l.lang", F.round("_l.lang_conf", 6).alias("lang_conf"),
+             F.round("_l.ppl", 4).alias("ppl"))
+
+
+def doc_minhash_neardup(spark, sf_dir):
+    from mehc_curation_spark.operators.similarity import minhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dups(d, "doc_id", "text", threshold=0.2,
+                             num_hashes=32, bands=16, shingle_k=3)
+
+
+def doc_simhash(spark, sf_dir):
+    from mehc_curation_spark.operators.similarity import simhash64_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))
+
+
+def emb_ann_lsh(spark, sf_dir):
+    from mehc_curation_spark.operators.similarity import ann_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ann_topk_lsh(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
+                        q, k=10, n_planes=8)
+
+
+def _pairs_path(n: int = 2000, seed: int = 42) -> str:
+    from mehc_curation_spark.fixtures import write_pairs_parquet
+
+    cache = os.environ.get("SPARK_GRAFT_PAIRS_CACHE", "/tmp/mehc_pairs_cache")
+    os.makedirs(cache, exist_ok=True)
+    return write_pairs_parquet(cache, n, seed)
+
+
+def pairs_curate_labels(spark, sf_dir):
+    """The full image+caption curation pipeline (decode gate on) over
+    the seed-deterministic synthetic pairs table."""
+    from mehc_curation_spark.stages.plan import build_labels_plan
+
+    df = spark.read.parquet(_pairs_path())
+    return build_labels_plan(df)
+
+
+def pairs_image_features(spark, sf_dir):
+    from mehc_curation_spark.operators.multimodal import image_features
+
+    df = spark.read.parquet(_pairs_path())
+    return image_features(df)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q5_region_revenue": q5_region_revenue,
+        "q_window_top2_orders": q_window_top2_orders,
+        "q_rollup_order_counts": q_rollup_order_counts,
+        "events_sessionize": events_sessionize,
+        "doc_quality_filter": doc_quality_filter,
+        "doc_pii_scrub": doc_pii_scrub,
+        "doc_token_stats": doc_token_stats,
+        "doc_lang_stats": doc_lang_stats,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_dedup_dropall": doc_dedup_dropall,
+        "doc_fingerprint": doc_fingerprint,
+        "orders_dup_report": orders_dup_report,
+        "emb_cosine_topk": emb_cosine_topk,
+        # model/UDF-backed (rows-only)
+        "doc_langid": doc_langid,
+        "doc_minhash_neardup": doc_minhash_neardup,
+        "doc_simhash": doc_simhash,
+        "emb_ann_lsh": emb_ann_lsh,
+        "pairs_curate_labels": pairs_curate_labels,
+        "pairs_image_features": pairs_image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"(?:https?://|www\.)[^ \t\n\r]+"
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT r_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+                   COUNT(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q_window_top2_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) t
+            WHERE rn <= 2
+        """,
+        "q_rollup_order_counts": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id,
+                       CASE WHEN date_diff('second',
+                                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                ts) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events)
+            SELECT user_id,
+                   CAST(1 + SUM(new_s) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "doc_quality_filter": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN 'empty'
+                        WHEN LENGTH(text) < 150 THEN 'too_short'
+                        WHEN LENGTH(text) > 420 THEN 'too_long'
+                        ELSE NULL END AS drop_reason,
+                   (CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN 'empty'
+                         WHEN LENGTH(text) < 150 THEN 'too_short'
+                         WHEN LENGTH(text) > 420 THEN 'too_long'
+                         ELSE NULL END) IS NULL AS keep
+            FROM documents
+        """,
+        "doc_pii_scrub": f"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text, '{email}', '', 'g'),
+                                  '{url}', '', 'g') AS text_scrubbed
+            FROM documents
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
+                   END AS n_tokens,
+                   LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))
+                       AS n_pieces,
+                   LENGTH(text) AS n_chars_q
+            FROM documents
+        """,
+        "doc_lang_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   ROUND(SUM(CAST(n_chars AS DOUBLE)) / COUNT(*), 4) AS avg_len,
+                   MAX(n_chars) AS max_len, MIN(n_chars) AS min_len
+            FROM documents GROUP BY lang
+        """,
+        "doc_exact_dedup": """
+            SELECT d.doc_id, d.n_chars
+            FROM documents d
+            JOIN (SELECT text, MIN(doc_id) AS doc_id
+                  FROM documents GROUP BY text) w
+              ON d.text = w.text AND d.doc_id = w.doc_id
+        """,
+        "doc_dedup_dropall": """
+            WITH keyed AS (
+                SELECT doc_id, substr(text, 1, 30) AS k, text FROM documents),
+            good AS (
+                SELECT k FROM keyed GROUP BY k
+                HAVING COUNT(DISTINCT text) <= 1),
+            firsts AS (
+                SELECT k, text, MIN(doc_id) AS doc_id
+                FROM keyed GROUP BY k, text)
+            SELECT f.doc_id
+            FROM firsts f JOIN good g ON f.k = g.k
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   substr(md5(regexp_replace(lower(trim(text)),
+                                             '[ \t\n\r]+', ' ', 'g')), 1, 16) AS fp
+            FROM documents
+        """,
+        "orders_dup_report": """
+            SELECT o_custkey,
+                   array_to_string(list_sort(list(o_orderkey)), ',') AS indexes,
+                   COUNT(*) AS n
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+        """,
+        "emb_cosine_topk": """
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 4) AS cos
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY cos DESC, e.vec_id
+            LIMIT 10
+        """,
+    }

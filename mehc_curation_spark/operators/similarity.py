@@ -1,0 +1,231 @@
+"""Near-duplicate detection and similarity search at corpus scale:
+
+- exact dedup              (hash groupBy, keep min-id)
+- MinHash + LSH near-dup   (shingle → K minhashes → bands → bucket join)
+- SimHash                  (token bit-vote, Hamming buckets)
+- n-gram Jaccard           (exact verify for candidate pairs)
+- cosine top-k             (brute-force baseline over embeddings)
+- hyperplane-LSH ANN       (the scale path for similarity search)
+
+MinHash/Jaccard/cosine are pure Catalyst (xxhash64 / transform /
+aggregate / array_intersect — JVM-side, no Python). SimHash and the
+hyperplane projections are Arrow-vectorized pandas UDFs over NumPy.
+
+Scale notes: the LSH candidate join shuffles only (band_id, band_hash,
+doc_id) — never the text; the exact-verify join re-reads shingles for
+the candidate minority only. Brute-force cosine is O(n) per query and
+exists as the correctness baseline for the ANN path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per exact text value (hash aggregate —
+    partial map-side combine, one shuffle of (text_hash, id))."""
+    wins = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return df.join(wins, on=[text_col, id_col], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash (Catalyst only)
+# ---------------------------------------------------------------------------
+
+def word_shingles_col(c: Column, k: int = 3) -> Column:
+    """Array of word k-grams of the lowercased text."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), "[ \t\n\r]+", " "), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                                        for j in range(k)])
+    return F.when(n >= k, F.transform(idx, gram)).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_cols(shingles: Column, num_hashes: int = 32) -> Column:
+    """K minhash values as an array<long>: min over shingles of
+    xxhash64(shingle, seed_i). Entirely JVM-side."""
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_k: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Returns (id_a, id_b) with id_a < id_b, deduplicated across bands.
+    Only slim columns shuffle: (band, band_hash, id).
+    """
+    rows = num_hashes // bands
+    sig = df.select(F.col(id_col).alias("_id"),
+                    minhash_cols(word_shingles_col(F.col(text_col), shingle_k),
+                                 num_hashes).alias("_mh"))
+    band_entries = sig.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.element_at("_mh", b * rows + r + 1)
+                                  for r in range(rows)]).alias("bh"))
+            for b in range(bands)
+        ])).alias("e"),
+    ).select("_id", "e.band", "e.bh")
+    grouped = (
+        band_entries.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(F.transform(
+                F.slice("ids", 1, F.size("ids") - 1),
+                lambda a, i: F.transform(
+                    F.slice("ids", i + 2, F.size("ids")),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
+            ))
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    return pairs
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
+                  text_col: str, shingle_k: int = 3) -> DataFrame:
+    """Exact Jaccard over word shingles for candidate pairs
+    (array_intersect / array_union — Catalyst)."""
+    sh = df.select(F.col(id_col).alias("_jid"),
+                   F.array_distinct(
+                       word_shingles_col(F.col(text_col), shingle_k)).alias("_sh"))
+    a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("_shb"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.size(F.array_intersect("_sha", "_shb")) /
+                F.greatest(F.size(F.array_union("_sha", "_shb")), F.lit(1))
+                .cast("double"), 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.5, num_hashes: int = 32,
+                      bands: int = 8, shingle_k: int = 3) -> DataFrame:
+    """LSH candidates → exact-Jaccard verify → pairs over threshold."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
+                                  shingle_k)
+    return (ngram_jaccard(df, cand, id_col, text_col, shingle_k)
+            .filter(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# simhash (vectorized pandas UDF)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def simhash64_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash: md5-derived token hashes, per-bit majority vote.
+    Deterministic across engines (md5, not runtime-seeded hashes)."""
+    import hashlib
+
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        if not isinstance(t, str) or not t.strip():
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in t.lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            bits = (h >> np.arange(64)) & 1
+            votes += 2 * bits - 1
+        val = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                val |= np.uint64(1) << np.uint64(b)
+        out[i] = int(val.astype(np.int64))
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+def cosine_col(vec_col: Column, query: Sequence[float]) -> Column:
+    """Cosine similarity against a constant query vector — pure
+    Catalyst: zip_with dot product + aggregate norms."""
+    q = [float(x) for x in query]
+    qn = float(np.sqrt(sum(x * x for x in q))) or 1.0
+    qcol = F.array(*[F.lit(x) for x in q])
+    dot = F.aggregate(
+        F.zip_with(vec_col, qcol, lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    vnorm = F.sqrt(F.aggregate(
+        F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (vnorm * F.lit(qn))
+
+
+def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
+                query: Sequence[float], k: int = 10,
+                round_to: int = 4) -> DataFrame:
+    """Brute-force cosine top-k (the correctness baseline).
+
+    Rounded before ranking so the result is reproducible across
+    engines; ties broken by id.
+    """
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), query), round_to).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def make_hyperplane_lsh_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    """Bucket id from signs of random-hyperplane projections — the ANN
+    scale path: equal-bucket candidates only, then exact cosine."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @pandas_udf(LongType())
+    def lsh_bucket(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        signs = (m @ planes) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return lsh_bucket
+
+
+def ann_topk_lsh(df: DataFrame, vec_col: str, id_col: str,
+                 query: Sequence[float], k: int = 10, dim: Optional[int] = None,
+                 n_planes: int = 12, seed: int = 42,
+                 round_to: int = 4) -> DataFrame:
+    """ANN: restrict to the query's LSH bucket, then exact cosine.
+
+    At 100 TB the bucket filter prunes ~2^-n_planes of the corpus before
+    any ranking; brute-force `cosine_topk` is the recall baseline.
+    """
+    dim = dim or len(list(query))
+    lsh = make_hyperplane_lsh_udf(dim, n_planes, seed)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    qsig = int(((np.asarray(list(query), dtype=np.float64) @ planes) > 0)
+               @ (1 << np.arange(n_planes)).astype(np.int64))
+    bucketed = df.withColumn("_bucket", lsh(F.col(vec_col)))
+    cand = bucketed.filter(F.col("_bucket") == qsig)
+    return cosine_topk(cand, vec_col, id_col, query, k, round_to)

@@ -1,0 +1,84 @@
+"""Text analysis operators for large-scale training-data curation:
+token counting, quality scoring, document fingerprinting, language
+stats with salted aggregation. All pure Catalyst expressions (JVM-side,
+whole-stage codegen) unless noted.
+
+These generalize the curation engine's caption rules to any text
+corpus (driver `documents` table or the pairs table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_count_col(c: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, "[ \t\n\r]+")))
+
+
+def bpe_ish_token_count_col(c: Column) -> Column:
+    """BPE-ish subword proxy: count of letter-runs, digit-runs and
+    individual punctuation marks (a cheap deterministic stand-in for a
+    real tokenizer's piece count)."""
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"))
+
+
+def quality_score_cols(c: Column) -> dict[str, Column]:
+    """Heuristic quality feature columns (length / punct / digit /
+    whitespace ratios), integer-safe rounding for oracle parity."""
+    n = F.length(c)
+    nz = F.when(n > 0, n.cast("double")).otherwise(F.lit(None))
+    return {
+        "n_chars_q": n,
+        "n_tokens": token_count_col(c),
+        "punct_ratio": F.round(F.regexp_count(c, F.lit(r"[^A-Za-z0-9 \t\n\r]")) / nz, 6),
+        "digit_ratio": F.round(F.regexp_count(c, F.lit("[0-9]")) / nz, 6),
+        "space_ratio": F.round(F.regexp_count(c, F.lit("[ ]")) / nz, 6),
+        "mean_token_len": F.round(
+            F.regexp_count(c, F.lit("[A-Za-z0-9]")) /
+            F.when(token_count_col(c) > 0, token_count_col(c).cast("double")), 6),
+    }
+
+
+def fingerprint_col(c: Column, n_hex: int = 16) -> Column:
+    """Deterministic document fingerprint: md5-prefix of the
+    whitespace-collapsed lowercase text. Stable across engines (md5 is
+    md5 everywhere), unlike murmur/xxhash variants."""
+    canon = F.regexp_replace(F.lower(F.trim(c)), "[ \t\n\r]+", " ")
+    return F.substring(F.md5(canon.cast("binary")), 1, n_hex)
+
+
+def salted_lang_stats(df: DataFrame, lang_col: str = "lang",
+                      len_col: str = "n_chars", salt: int = 8) -> DataFrame:
+    """Per-language stats via two-phase salted aggregation.
+
+    The skew story: one language can dominate a web corpus (en ≈ 55%
+    in the fixture mix), so a plain groupBy(lang) funnels most rows to
+    one reducer. Phase 1 groups by (lang, salt) — spreading the hot key
+    over `salt` reducers with map-side partial aggregation — and the
+    tiny phase-2 re-merge by lang is trivially balanced.
+    (This is the graft requirement from SURVEY.md §2.6 / BASELINE
+    north_star: "salted aggregation for per-language quality stats".)
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(lang_col), F.monotonically_increasing_id()),
+                        F.lit(salt)))
+    phase1 = salted.groupBy(lang_col, "_salt").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(len_col).cast("double")).alias("_sum_len"),
+        F.max(len_col).alias("_max_len"),
+        F.min(len_col).alias("_min_len"),
+    )
+    return (
+        phase1.groupBy(lang_col)
+        .agg(
+            F.sum("_n").alias("n_docs"),
+            F.round(F.sum("_sum_len") / F.sum("_n"), 4).alias("avg_len"),
+            F.max("_max_len").alias("max_len"),
+            F.min("_min_len").alias("min_len"),
+        )
+    )
