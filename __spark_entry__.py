@@ -259,8 +259,11 @@ def doc_minhash_neardup(spark, sf_dir):
     from mehc_curation_spark.operators.similarity import minhash_near_dups
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_dups(d, "doc_id", "text", threshold=0.2,
-                             num_hashes=32, bands=16, shingle_k=3)
+    # bands=4/rows=8: the synthetic corpus has a ~30-word vocabulary, so
+    # shallow bands fire on Jaccard noise; 8-row bands only fire near
+    # j≈0.5+, keeping the candidate set linear.
+    return minhash_near_dups(d, "doc_id", "text", threshold=0.3,
+                             num_hashes=32, bands=4, shingle_k=3)
 
 
 def doc_simhash(spark, sf_dir):

@@ -56,30 +56,62 @@ def word_shingles_col(c: Column, k: int = 3) -> Column:
 
 def minhash_cols(shingles: Column, num_hashes: int = 32) -> Column:
     """K minhash values as an array<long>: min over shingles of
-    xxhash64(shingle, seed_i). Entirely JVM-side."""
+    xxhash64(shingle, seed_i). Entirely JVM-side.
+
+    NOTE: only safe when the result is consumed as a whole (e.g.
+    written out). Referencing its elements in later projections makes
+    CollapseProject inline this whole expression per reference —
+    use :func:`minhash_signatures` for anything downstream."""
     return F.array(*[
         F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
         for i in range(num_hashes)
     ])
 
 
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+    """(id, h0..h{K-1}) minhash signature table via explode + groupBy.
+
+    The aggregation is an optimizer barrier: downstream band hashes
+    reference plain aggregate outputs, so the shingle pipeline is
+    computed exactly once per row (CollapseProject cannot inline
+    through an Aggregate — without this the banded-LSH expression tree
+    grows as O(K × bands × rows) copies of the shingle scan).
+    Map-side partial min aggregation keeps the shuffle slim:
+    (id, K longs) per row. Rows with <k tokens drop out (no shingles —
+    they cannot near-dup by shingle overlap anyway).
+    """
+    sh = df.select(F.col(id_col).alias("_id"),
+                   F.explode(word_shingles_col(F.col(text_col), shingle_k))
+                   .alias("_s"))
+    return sh.groupBy("_id").agg(*[
+        F.min(F.xxhash64("_s", F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ])
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 32, bands: int = 8,
-                           shingle_k: int = 3) -> DataFrame:
+                           shingle_k: int = 3,
+                           max_bucket: int = 64) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     Returns (id_a, id_b) with id_a < id_b, deduplicated across bands.
     Only slim columns shuffle: (band, band_hash, id).
+
+    `max_bucket` caps the members of one (band, hash) bucket before
+    pair expansion: a bucket with hundreds of members is a degenerate
+    low-information band (pair count grows quadratically) — such
+    buckets are SKIPPED, not sampled, so raise the cap if your corpus
+    legitimately contains huge duplicate clusters.
     """
     rows = num_hashes // bands
-    sig = df.select(F.col(id_col).alias("_id"),
-                    minhash_cols(word_shingles_col(F.col(text_col), shingle_k),
-                                 num_hashes).alias("_mh"))
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     band_entries = sig.select(
         "_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.element_at("_mh", b * rows + r + 1)
+                     F.xxhash64(*[F.col(f"h{b * rows + r}")
                                   for r in range(rows)]).alias("bh"))
             for b in range(bands)
         ])).alias("e"),
@@ -87,7 +119,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     grouped = (
         band_entries.groupBy("band", "bh")
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
     pairs = grouped.select(
         F.explode(
@@ -125,10 +157,11 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
 
 def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5, num_hashes: int = 32,
-                      bands: int = 8, shingle_k: int = 3) -> DataFrame:
+                      bands: int = 8, shingle_k: int = 3,
+                      max_bucket: int = 64) -> DataFrame:
     """LSH candidates → exact-Jaccard verify → pairs over threshold."""
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
-                                  shingle_k)
+                                  shingle_k, max_bucket)
     return (ngram_jaccard(df, cand, id_col, text_col, shingle_k)
             .filter(F.col("jaccard") >= threshold))
 
