@@ -1,0 +1,178 @@
+"""Command-line interface — graft of the reference's four argparse
+CLIs (``/root/reference/mehc_curation/{validation,cleaning,
+normalization,refinement}/__main__.py``), collapsed into subcommands:
+
+    python -m mehc_curation_spark curate   -i <parquet> -o <table> [toggles]
+    python -m mehc_curation_spark validate -i <parquet> -o <dir>
+    python -m mehc_curation_spark clean    -i <parquet> -o <dir> [--toxicity_method ...]
+    python -m mehc_curation_spark normalize -i <parquet> -o <dir>
+    python -m mehc_curation_spark dedup    -i <parquet> -o <dir>
+
+Flag names mirror the reference where the concept carries over
+(--get_report, --n_cpu → --cores, method switch). All toggles default
+True and the flag *disables* the step, exactly like the reference's
+``action="store_false"`` flags (refinement/__main__.py:35-60).
+
+Cluster use: ``spark-submit --py-files mehc_curation_spark.zip
+-m ...`` — build the zip with ``python -m mehc_curation_spark package``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import zipfile
+
+
+def _add_io(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-i", "--input", required=True,
+                   help="Input parquet path (pairs schema)")
+    p.add_argument("-o", "--output", required=True,
+                   help="Output table/directory")
+    p.add_argument("--cores", type=int, default=-1,
+                   help="Local cores, -1 = all (≅ the reference's n_cpu)")
+    p.add_argument("--master", default=None,
+                   help="Spark master URL (omit under spark-submit)")
+    p.add_argument("--get_report", action="store_true",
+                   help="Render the text curation report")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mehc_curation_spark",
+        description="PySpark-native image+caption curation engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("curate", help="full pipeline with dedup gates + resume")
+    _add_io(c)
+    for flag, help_ in [
+        ("validate", "image decode gate"),
+        ("rm_low_quality", "heuristic caption rules"),
+        ("rm_unknown_lang", "language-ID gate"),
+        ("rm_high_ppl", "perplexity gate"),
+        ("scrub_pii", "PII scrub"),
+        ("scrub_toxicity", "toxicity scrub"),
+        ("validate_post_scrub", "re-validate after scrubs"),
+        ("normalize_lossy", "lossy text normalization"),
+        ("normalize_canonical", "canonical rewrite"),
+        ("rm_dup_between_stages", "dedup between stages"),
+    ]:
+        c.add_argument(f"--no_{flag}", dest=flag, action="store_false",
+                       default=True, help=f"disable: {help_}")
+    c.add_argument("--toxicity_method", choices=["mask", "drop_sentence"],
+                   default="mask",
+                   help="≅ the reference's neutralizing_method boyle|rdkit")
+    c.add_argument("--phash_buckets", type=int, default=64)
+    c.add_argument("--no_resume", dest="resume", action="store_false",
+                   default=True)
+
+    for name in ("validate", "clean", "normalize", "dedup"):
+        s = sub.add_parser(name)
+        _add_io(s)
+        if name == "clean":
+            s.add_argument("--toxicity_method",
+                           choices=["mask", "drop_sentence"], default="mask")
+
+    pk = sub.add_parser("package", help="build the --py-files zip")
+    pk.add_argument("-o", "--output", default="mehc_curation_spark.zip")
+    return p
+
+
+def build_pyfiles_zip(out_path: str) -> str:
+    """Zip the package for spark-submit --py-files."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _, files in os.walk(root):
+            if "__pycache__" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    rel = os.path.join("mehc_curation_spark",
+                                       os.path.relpath(full, root))
+                    z.write(full, rel)
+    return out_path
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "package":
+        path = build_pyfiles_zip(args.output)
+        print(json.dumps({"py_files": path}))
+        return 0
+
+    from mehc_curation_spark.session import get_spark
+
+    spark = get_spark(f"mehc-{args.cmd}", master=args.master, cores=args.cores)
+    try:
+        if args.cmd == "curate":
+            from mehc_curation_spark.io.ledger import Ledger
+            from mehc_curation_spark.io.reports import render_report
+            from mehc_curation_spark.rules.registry import CurationConfig
+            from mehc_curation_spark.stages.refinement import run_curate
+
+            cfg = CurationConfig(
+                validate=args.validate,
+                rm_low_quality=args.rm_low_quality,
+                rm_unknown_lang=args.rm_unknown_lang,
+                rm_high_ppl=args.rm_high_ppl,
+                scrub_pii=args.scrub_pii,
+                scrub_toxicity=args.scrub_toxicity,
+                toxicity_method=args.toxicity_method,
+                validate_post_scrub=args.validate_post_scrub,
+                normalize_lossy=args.normalize_lossy,
+                normalize_canonical=args.normalize_canonical,
+                rm_dup_between_stages=args.rm_dup_between_stages,
+                phash_buckets=args.phash_buckets,
+            )
+            metrics = run_curate(spark, args.input, args.output, cfg,
+                                 resume=args.resume)
+            print(json.dumps(metrics))
+            if args.get_report:
+                led = Ledger(args.output).read()
+                reasons: dict[str, int] = {}
+                total = 0
+                for e in led["buckets"].values():
+                    total += e["rows"]
+                    for k, v in e["dropped"].items():
+                        reasons[k] = reasons.get(k, 0) + v
+                report = render_report(reasons, total, cfg)
+                rpath = os.path.join(args.output, "report.txt")
+                with open(rpath, "w") as f:
+                    f.write(report)
+                print(report)
+            return 0
+
+        df = spark.read.parquet(args.input)
+        if args.cmd == "validate":
+            from mehc_curation_spark.stages.validation import ValidationStage
+
+            out, fmt = ValidationStage(df).complete_validation(True)
+        elif args.cmd == "clean":
+            from mehc_curation_spark.stages.cleaning import CleaningStage
+
+            out, fmt = CleaningStage(df).complete_cleaning(
+                args.toxicity_method, True)
+        elif args.cmd == "normalize":
+            from mehc_curation_spark.stages.normalization import NormalizationStage
+
+            out, fmt = NormalizationStage(df).complete_normalization(True)
+        else:  # dedup
+            from mehc_curation_spark.operators.dedup import deduplicate
+
+            out, dups_info, fmt = deduplicate(
+                df, show_dup_info=True, return_format_data=True)
+            dups_info.write.mode("overwrite").parquet(
+                os.path.join(args.output, "dups_info"))
+        out.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
+        print(json.dumps(fmt))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,154 @@
+"""Snapshot-table layer — a thin Iceberg-semantics emulation over
+Parquet (no Iceberg runtime jars in this environment; SURVEY.md §7).
+
+Gives the pipeline the three Iceberg behaviors it depends on, behind an
+interface that switches to real Iceberg when a runtime is present:
+
+1. **atomic snapshot commit** — data files are written to a staging
+   dir, then a JSON snapshot manifest listing exactly those files is
+   published via write-temp-then-rename; readers only ever see a
+   committed manifest;
+2. **snapshot lineage / time travel** — every commit records a parent
+   snapshot id; `read(version=...)` reads any historical snapshot;
+3. **pinned schema** — the declared schema is stored in table metadata
+   and asserted on append.
+
+Stage barriers in the curation job (`complete_refinement`'s
+materialization points, ``refinement/core/pipeline.py:157-269``) map to
+one snapshot per stage, which is what checkpoint-resume reads back.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    """A Parquet-backed table with atomic JSON snapshot manifests."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "_snapshots")
+        self.data_dir = os.path.join(path, "data")
+
+    # -- metadata ---------------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version:06d}.json")
+
+    def current_version(self) -> int:
+        """Highest committed snapshot version (0 = empty table)."""
+        if not os.path.isdir(self.meta_dir):
+            return 0
+        versions = [int(f[1:7]) for f in os.listdir(self.meta_dir)
+                    if f.startswith("v") and f.endswith(".json")]
+        return max(versions, default=0)
+
+    def manifest(self, version: Optional[int] = None) -> dict:
+        v = version or self.current_version()
+        if v == 0:
+            return {"version": 0, "files": [], "schema": None, "parent": None}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return self.current_version() > 0
+
+    # -- write ------------------------------------------------------------
+
+    def write(self, df: DataFrame, mode: str = "append",
+              properties: Optional[dict] = None) -> int:
+        """Write a new snapshot; returns the committed version.
+
+        mode='append' keeps prior files in the new manifest;
+        mode='overwrite' starts the file list fresh (old files stay on
+        disk for time travel until `expire_snapshots`).
+        """
+        assert mode in ("append", "overwrite")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        parent = self.current_version()
+        parent_manifest = self.manifest(parent)
+
+        if parent and parent_manifest["schema"] and mode == "append":
+            if json.loads(df.schema.json()) != json.loads(parent_manifest["schema"]):
+                raise ValueError(
+                    f"schema mismatch appending to {self.path}: table has "
+                    f"{parent_manifest['schema']}")
+
+        staging = os.path.join(self.path, "_staging", uuid.uuid4().hex[:12])
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(self.data_dir, exist_ok=True)
+        new_files = []
+        for f in sorted(os.listdir(staging)):
+            if f.endswith(".parquet"):
+                dst_name = f"{uuid.uuid4().hex[:8]}-{f}"
+                shutil.move(os.path.join(staging, f),
+                            os.path.join(self.data_dir, dst_name))
+                new_files.append(dst_name)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        files = new_files if mode == "overwrite" else \
+            parent_manifest["files"] + new_files
+        version = parent + 1
+        manifest = {
+            "version": version,
+            "parent": parent or None,
+            "ts": time.time(),
+            "files": files,
+            "schema": df.schema.json(),
+            "properties": properties or {},
+        }
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(version))
+        return version
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self, spark: SparkSession,
+             version: Optional[int] = None) -> DataFrame:
+        m = self.manifest(version)
+        if not m["files"]:
+            raise FileNotFoundError(f"{self.path}: no committed snapshot")
+        paths = [os.path.join(self.data_dir, f) for f in m["files"]]
+        return spark.read.parquet(*paths)
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop manifests older than the newest `keep_last` and delete
+        data files no newer manifest references. Returns files removed."""
+        cur = self.current_version()
+        keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
+        live_files: set[str] = set()
+        for v in keep_versions:
+            live_files.update(self.manifest(v)["files"])
+        removed = 0
+        if os.path.isdir(self.data_dir):
+            for f in list(os.listdir(self.data_dir)):
+                if f not in live_files:
+                    os.remove(os.path.join(self.data_dir, f))
+                    removed += 1
+        for v in range(1, max(1, cur - keep_last + 1)):
+            p = self._manifest_path(v)
+            if os.path.exists(p):
+                os.remove(p)
+        return removed
+
+
+def load_table(spark: SparkSession, identifier: str) -> DataFrame:
+    """Read a table by identifier: real Iceberg when a catalog is
+    configured (identifier contains no path separator), else the
+    SnapshotTable emulation, else plain Parquet."""
+    if "/" not in identifier:
+        return spark.read.format("iceberg").load(identifier)
+    st = SnapshotTable(identifier)
+    if st.exists():
+        return st.read(spark)
+    return spark.read.parquet(identifier)

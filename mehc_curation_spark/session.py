@@ -1,0 +1,54 @@
+"""SparkSession construction with the engine's tuned defaults.
+
+Replaces the reference's per-call process-pool setup
+(``/root/reference/mehc_curation/utils/common.py:41-59`` — n_cpu
+clamping + ParallelPandas.initialize before every operator): one
+long-lived session, long-lived reused Python workers, AQE on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "mehc-curation-spark",
+              master: str | None = None,
+              cores: int = -1,
+              shuffle_partitions: int | None = None,
+              arrow_batch: int = 2048) -> SparkSession:
+    """Build (or get) the tuned session.
+
+    Args:
+        master: explicit master URL; on a cluster leave None and let
+            spark-submit decide. Locally, None → local[cores].
+        cores: -1 = all cores (same clamping contract as the
+            reference's n_cpu, ``common.py:41-59``).
+        shuffle_partitions: default 2× cores locally (a cluster submit
+            should size this to executors × cores × 2).
+        arrow_batch: max Arrow records per batch — deliberately small
+            because image `bytes` rows are heavy (input_hint: binary
+            payload batches must fit Python worker memory).
+    """
+    avail = os.cpu_count() or 1
+    if cores == -1 or cores > avail:
+        cores = avail
+    elif cores <= 0:
+        cores = 1
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    elif not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):
+        b = b.master(f"local[{cores}]")
+    return (
+        b.config("spark.sql.shuffle.partitions",
+                 str(shuffle_partitions or max(8, cores * 2)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )

