@@ -56,7 +56,12 @@ def make_spark(cpus: int, app: str = "mehc-bench"):
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # small scan splits: the narrow stage carries the Arrow UDFs, so
+        # its task count — bounded by parquet splits — must exceed the
+        # core count by a few waves or extra cores sit idle
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.python.worker.reuse", "true")
@@ -73,17 +78,47 @@ def pairs_path(n_rows: int, seed: int = 42) -> str:
     return write_pairs_parquet(cache, n_rows, seed)
 
 
-def run_curate_bench(spark, n_rows: int) -> tuple[float, int]:
+def _load_pairs(spark, n_rows: int, replicate: int = 1):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(pairs_path(n_rows))
+    if replicate > 1:
+        # Deterministic row replication to scale the measured work
+        # without hours of corpus generation: each replica gets a
+        # distinct image_id and a rehashed phash (equal phashes stay
+        # equal within a replica, so the planted-duplicate structure is
+        # preserved per replica). Same input file, same job, both
+        # parallelism levels — the protocol BASELINE.md requires.
+        rep = F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        df = (
+            df.withColumn("rep", rep)
+            .withColumn("image_id", F.concat_ws("_", "image_id", "rep"))
+            .withColumn("phash", F.when(F.col("rep") == 0, F.col("phash"))
+                        .otherwise(F.xxhash64("phash", "rep")))
+            .drop("rep")
+        )
+    return df
+
+
+def run_curate_bench(spark, n_rows: int, replicate: int = 1,
+                     warmup: bool = False) -> tuple[float, int]:
     """Run the full labels pipeline; return (seconds, rows)."""
     from mehc_curation_spark.stages.plan import build_labels_plan
 
-    path = pairs_path(n_rows)
-    df = spark.read.parquet(path)
+    if warmup:
+        # warm codegen caches + Python workers so the measured run is
+        # steady-state compute, not JIT/startup
+        (build_labels_plan(_load_pairs(spark, n_rows, 1).limit(4096))
+         .write.format("noop").mode("overwrite").save())
+    df = _load_pairs(spark, n_rows, replicate)
+    n = df.count()
     t0 = time.time()
-    # count() forces full evaluation of every rule + dedup; the plan has
-    # no cached state between runs (fresh lineage each call)
+    # noop sink: materializes EVERY output column, so all UDFs, scrubs
+    # and dedup windows actually run. (count() would let Catalyst
+    # eliminate the windows and UDF projections — cardinality-preserving
+    # operators are pruned under count(*).)
     labels = build_labels_plan(df)
-    n = labels.count()
+    labels.write.format("noop").mode("overwrite").save()
     return time.time() - t0, n
 
 
@@ -134,45 +169,71 @@ def scaling() -> None:
     Evidence for the north_rule's N→4N scaling-efficiency criterion
     (no real cluster in this sandbox; see BASELINE.md protocol).
     """
+    import statistics
     import subprocess
 
-    n_pairs = int(os.environ.get("SPARK_GRAFT_PAIRS_N", "120000"))
+    n_pairs = int(os.environ.get("SPARK_GRAFT_PAIRS_N", "400000"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
     pairs_path(n_pairs)  # pre-generate so neither run pays generation
 
-    results = {}
-    for cpus in (8, 32):
+    def one_run(cpus: int) -> dict:
         code = (
-            "import bench, json, time; "
+            "import bench, json; "
             f"spark = bench.make_spark({cpus}, 'mehc-scaling'); "
             "spark.sparkContext.setLogLevel('ERROR'); "
-            f"sec, rows = bench.run_curate_bench(spark, {n_pairs}); "
+            f"sec, rows = bench.run_curate_bench(spark, {n_pairs}, "
+            f"replicate={replicate}, warmup=True); "
             "spark.stop(); "
             "print(json.dumps({'sec': sec, 'rows': rows}))"
         )
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)), check=True)
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        return json.loads(out.stdout.strip().splitlines()[-1])
 
-    t8 = results[8]["rows"] / results[8]["sec"]
-    t32 = results[32]["rows"] / results[32]["sec"]
+    # Interleave the two levels and take per-level medians: this host
+    # shows 3-4x background-load swings, so adjacent pairs + medians
+    # beat one long run per level.
+    runs: dict[int, list[dict]] = {8: [], 32: []}
+    for _ in range(repeats):
+        for cpus in (8, 32):
+            r = one_run(cpus)
+            runs[cpus].append(r)
+            print(json.dumps({"cpus": cpus, **r}), flush=True)
+
+    rows = runs[8][0]["rows"]
+    t8 = statistics.median(rows / r["sec"] for r in runs[8])
+    t32 = statistics.median(rows / r["sec"] for r in runs[32])
+    sec8 = statistics.median(r["sec"] for r in runs[8])
+    sec32 = statistics.median(r["sec"] for r in runs[32])
     eff = (t32 / t8) / (32 / 8)
+    all8 = ", ".join(f"{r['sec']:.1f}" for r in runs[8])
+    all32 = ", ".join(f"{r['sec']:.1f}" for r in runs[32])
     md = f"""# BENCH — scaling evidence (N → 4N parallelism)
 
-Protocol (BASELINE.md): identical curation job, identical deterministic
-input ({results[8]['rows']} pairs, seed 42), run at two local
-parallelism levels. Scaling efficiency = (T32/T8) / (32/8).
+Protocol (BASELINE.md): identical curation job (full labels pipeline:
+decode gate, heuristics, langid+ppl, PII/toxicity scrubs,
+normalization, 3 phash dedup passes; materialized via noop sink so no
+operator is optimized away), identical deterministic input
+({rows} pairs, seed 42, {n_pairs} generated rows x {replicate}
+replica(s)), run at two local parallelism levels. Runs are interleaved
+(8,32) x {repeats} with a warmup pass each, medians reported — this
+host shows multi-x background-load swings.
 
-| parallelism | wall sec | rows/sec |
-|---|---|---|
-| local[8]  | {results[8]['sec']:.1f} | {t8:,.0f} |
-| local[32] | {results[32]['sec']:.1f} | {t32:,.0f} |
+| parallelism | median wall sec | all runs (sec) | median rows/sec |
+|---|---|---|---|
+| local[8]  | {sec8:.1f} | {all8} | {t8:,.0f} |
+| local[32] | {sec32:.1f} | {all32} | {t32:,.0f} |
 
 **Scaling efficiency: {eff:.3f}** (target >= 0.8)
 
-Skew mitigation in effect: phash-keyed single exchange for all dedup
-passes, AQE on, Arrow batch 2048, shuffle partitions = 2x cores,
-salted two-phase aggregation for per-language stats.
+Skew/scale mitigations in effect: phash-keyed single exchange for all
+dedup passes (tests/test_plan_shape.py), AQE with skew-join, Arrow
+batch 8192 (sized for ~5 KB payload rows; the JVM<->Python boundary has
+a large fixed per-batch cost on this host), parquet row groups 2048 +
+maxPartitionBytes=4m so the UDF-carrying scan stage has ~6 waves of
+tasks at 32 cores, salted two-phase aggregation for per-language stats.
 """
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     os.makedirs(out_dir, exist_ok=True)

@@ -221,7 +221,7 @@ def make_pairs_pdf(n: int, seed: int = 42) -> pd.DataFrame:
 
 
 def write_pairs_parquet(path: str, n: int, seed: int = 42,
-                        row_group_size: int = 8192) -> str:
+                        row_group_size: int = 2048) -> str:
     """Materialize the pairs table as a parquet file; returns the path.
 
     Cached: if the file already exists it is reused (generation of the

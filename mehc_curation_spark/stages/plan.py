@@ -42,8 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mehc_curation_spark.operators.udfs import (
-    decode_reason_udf,
-    langid_udf,
+    decode_langid_arrow,
     make_normalize_udf,
     make_toxicity_udf,
     pii_scrub_col,
@@ -95,17 +94,10 @@ def build_labels_plan(df: DataFrame,
 
     # ======== phase A: narrow per-row computation (no shuffle) ==========
 
-    # langid + ppl on the ORIGINAL caption, reported for every row.
-    # One select per UDF struct so each Python eval runs exactly once.
-    out = df.withColumn("_lid", langid_udf(F.col(CAPTION_COL)))
-
-    stage1 = F.lit(None).cast("string")
-    if config.validate:
-        stage1 = decode_reason_udf(F.col("bytes"), F.col("fmt"),
-                                   F.col("w"), F.col("h"))
-    # slim projection: bytes are dropped HERE, before anything wide
-    out = out.select(ID_COL, KEY_COL, CAPTION_COL,
-                     stage1.alias("drop_reason"), "_lid.*")
+    # Fused Arrow stage: decode gate + langid + ppl in ONE JVM↔Python
+    # crossing; `bytes` is consumed and dropped here, before anything
+    # wide. langid/ppl score the ORIGINAL caption for every row.
+    out = decode_langid_arrow(df, validate=config.validate)
 
     if config.rm_low_quality:
         out = out.withColumn(
