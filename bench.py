@@ -107,8 +107,11 @@ def run_curate_bench(spark, n_rows: int, replicate: int = 1,
 
     if warmup:
         # warm codegen caches + Python workers so the measured run is
-        # steady-state compute, not JIT/startup
-        (build_labels_plan(_load_pairs(spark, n_rows, 1).limit(4096))
+        # steady-state compute, not JIT/startup. Uses a separate tiny
+        # cached corpus: limit() on the big table still schedules a
+        # LocalLimit task per parquet split (174 tasks), which made the
+        # warmup cost a third of the measured run.
+        (build_labels_plan(spark.read.parquet(pairs_path(4096)))
          .write.format("noop").mode("overwrite").save())
     df = _load_pairs(spark, n_rows, replicate)
     n = df.count()

@@ -41,19 +41,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mehc_curation_spark.operators.udfs import (
-    decode_langid_arrow,
-    make_normalize_udf,
-    make_toxicity_udf,
-    pii_scrub_col,
-)
-from mehc_curation_spark.rules.heuristics import heuristic_reason_col
-from mehc_curation_spark.rules.langid import UNKNOWN
+from mehc_curation_spark.operators.udfs import curate_narrow_arrow
 from mehc_curation_spark.rules.registry import CurationConfig
 from mehc_curation_spark.schema import CAPTION_COL, ID_COL, KEY_COL
-
-_BLANK_RX = "^[ \t\n\r]*$"
-_DEFAULT_PPL = 4000.0
 
 
 def _dedup_pass(df: DataFrame, caption_col: str) -> DataFrame:
@@ -94,78 +84,14 @@ def build_labels_plan(df: DataFrame,
 
     # ======== phase A: narrow per-row computation (no shuffle) ==========
 
-    # Fused Arrow stage: decode gate + langid + ppl in ONE JVM↔Python
-    # crossing; `bytes` is consumed and dropped here, before anything
-    # wide. langid/ppl score the ORIGINAL caption for every row.
-    out = decode_langid_arrow(df, validate=config.validate)
-
-    if config.rm_low_quality:
-        out = out.withColumn(
-            "drop_reason",
-            F.coalesce(F.col("drop_reason"),
-                       heuristic_reason_col(F.col(CAPTION_COL))),
-        )
-    if config.rm_unknown_lang:
-        low = (F.col("lang") == UNKNOWN) | (F.col("lang_conf") < config.min_lang_margin)
-        out = out.withColumn(
-            "drop_reason",
-            F.coalesce(
-                F.col("drop_reason"),
-                F.when(low, F.lit("lang_low_conf")).when(
-                    ~F.col("lang").isin(*config.allowed_langs),
-                    F.lit("lang_not_allowed"),
-                ),
-            ),
-        )
-    if config.rm_high_ppl:
-        mapping = F.create_map(
-            *[F.lit(x) for kv in config.ppl_threshold_map().items() for x in kv])
-        thr = F.coalesce(F.element_at(mapping, F.col("lang")), F.lit(_DEFAULT_PPL))
-        out = out.withColumn(
-            "drop_reason",
-            F.coalesce(F.col("drop_reason"),
-                       F.when(F.col("ppl") > thr, F.lit("ppl_too_high"))),
-        )
-
-    # ---- caption evolution (all narrow; dead rows' values are unused) ----
-    cap = CAPTION_COL
-    scrub_reason = F.lit(None).cast("string")
-    if config.scrub_pii:
-        scrubbed = pii_scrub_col(F.col(cap))
-        emptied = (
-            (scrubbed != F.col(cap))
-            & F.regexp_like(scrubbed, F.lit(_BLANK_RX))
-            & ~F.regexp_like(F.col(cap), F.lit(_BLANK_RX))
-        )
-        out = out.withColumn("_cap2", scrubbed).withColumn("_pii_emptied", emptied)
-        scrub_reason = F.when(F.col("_pii_emptied"), F.lit("scrub_emptied"))
-        cap = "_cap2"
-
-    if config.scrub_toxicity:
-        tox = make_toxicity_udf(config.toxicity_method)
-        out = out.withColumn("_tox", tox(F.col(cap)))
-        out = out.select("*", F.col("_tox.caption").alias("_cap3"),
-                         F.col("_tox.diff").alias("_tox_diff")).drop("_tox")
-        scrub_reason = F.coalesce(
-            scrub_reason,
-            F.when(F.col("_tox_diff").isNull(), F.lit("scrub_unprocessable")),
-        )
-        cap = "_cap3"
-
-    if config.validate_post_scrub:
-        # ≅ validate_post_neutr: re-filter, counters discarded
-        # (refinement/core/pipeline.py:217-228)
-        scrub_reason = F.coalesce(scrub_reason, heuristic_reason_col(F.col(cap)))
-
-    out = out.withColumn("_scrub_reason", scrub_reason)
-    post_scrub_cap = cap
-
-    if config.normalize_lossy or config.normalize_canonical:
-        norm = make_normalize_udf(config.normalize_lossy,
-                                  config.normalize_canonical)
-        out = out.withColumn("_norm", norm(F.col(cap)))
-        out = out.select("*", F.col("_norm.caption").alias("_cap4")).drop("_norm")
-        cap = "_cap4"
+    # ONE fused Arrow stage: decode gate + langid + ppl + heuristics +
+    # PII/toxicity scrub + post-scrub re-validation + normalization in a
+    # single JVM↔Python crossing; `bytes` is consumed and dropped there,
+    # before anything wide. See curate_narrow_arrow for the measured
+    # rationale. Emits drop_reason (stage 1), scrub_reason (stage 2,
+    # folded in AFTER dedup-1 below) and the three caption variants the
+    # dedup passes key on.
+    out = curate_narrow_arrow(df, config)
 
     # ======== phase B: the wide region (one exchange on phash) ==========
 
@@ -173,13 +99,13 @@ def build_labels_plan(df: DataFrame,
         out = _dedup_pass(out, CAPTION_COL)
 
     out = out.withColumn(
-        "drop_reason", F.coalesce(F.col("drop_reason"), F.col("_scrub_reason")))
+        "drop_reason", F.coalesce(F.col("drop_reason"), F.col("scrub_reason")))
 
     if gates[1]:
-        out = _dedup_pass(out, post_scrub_cap)
+        out = _dedup_pass(out, "cap_scrub")
 
     if gates[2]:
-        out = _dedup_pass(out, cap)
+        out = _dedup_pass(out, "cap_final")
 
     alive = F.col("drop_reason").isNull()
     return out.select(
@@ -187,7 +113,7 @@ def build_labels_plan(df: DataFrame,
         KEY_COL,
         alive.alias("keep"),
         "drop_reason",
-        F.when(alive, F.col(cap)).alias("caption_scrubbed"),
+        F.when(alive, F.col("cap_final")).alias("caption_scrubbed"),
         "lang",
         "lang_conf",
         "ppl",
