@@ -19,13 +19,15 @@ Design rules (the 100 TB story):
   re-run the scan per branch); instead `drop_reason` accumulates via
   coalesce — first failing rule wins, later rules see `alive =
   drop_reason IS NULL`.
-- **narrow first, wide last.** All UDFs and scrubs are per-row, so the
-  caption's whole evolution (original → PII-scrubbed → toxicity-scrubbed
-  → normalized) is computed BEFORE any shuffle. Python eval nodes do
-  not preserve partitioning info, so putting them between window passes
-  would force one exchange per dedup pass; keeping the three dedup
-  window passes adjacent lets them share ONE hash exchange on phash
-  (asserted by tests/test_plan_shape.py).
+- **narrow first, wide last — and the narrow phase is ONE Arrow
+  stage.** All rules and scrubs are per-row, so the caption's whole
+  evolution (original → PII-scrubbed → toxicity-scrubbed → normalized)
+  is computed in a single fused ``mapInArrow`` crossing BEFORE any
+  shuffle (see ``curate_narrow_arrow`` for the measured rationale).
+  Python eval nodes do not preserve partitioning info, so putting them
+  between window passes would force one exchange per dedup pass;
+  keeping the three dedup window passes adjacent lets them share ONE
+  hash exchange on phash (asserted by tests/test_plan_shape.py).
 - **dedup sees only alive rows** via when(alive, …) inside the window
   aggregates — exact equivalent of the oracle deduping survivors only.
 
