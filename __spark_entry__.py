@@ -241,6 +241,16 @@ def emb_cosine_topk(spark, sf_dir):
                        q, k=10, round_to=4)
 
 
+def emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup, exact all-pairs baseline (id_a < id_b,
+    cos >= 0.4 on the synthetic corpus whose max off-diagonal cos ≈ 0.5)."""
+    from mehc_curation_spark.operators.similarity import embedding_near_dups_exact
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups_exact(e, "embedding", "vec_id",
+                                     threshold=0.4, round_to=4)
+
+
 # ---------------------------------------------------------------------------
 # model/UDF-backed queries (rows-only checks — no SQL equivalent)
 # ---------------------------------------------------------------------------
@@ -280,6 +290,17 @@ def emb_ann_lsh(spark, sf_dir):
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return ann_topk_lsh(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
                         q, k=10, n_planes=8)
+
+
+def emb_near_dup_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup, banded hyperplane-LSH scale path
+    (approximate recall ~0.5 at cos 0.4 with 4 bands x 4 bits; the
+    exact variant above is the recall baseline)."""
+    from mehc_curation_spark.operators.similarity import embedding_near_dups_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups_lsh(e, "embedding", "vec_id",
+                                   threshold=0.4, n_planes=16, bands=4)
 
 
 def _pairs_path(n: int = 2000, seed: int = 42) -> str:
@@ -323,7 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
+        "emb_near_dup": emb_near_dup,
         # model/UDF-backed (rows-only)
+        "emb_near_dup_lsh": emb_near_dup_lsh,
         "doc_langid": doc_langid,
         "doc_minhash_neardup": doc_minhash_neardup,
         "doc_simhash": doc_simhash,
@@ -471,5 +494,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cos DESC, e.vec_id
             LIMIT 10
+        """,
+        "emb_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cos
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
         """,
     }

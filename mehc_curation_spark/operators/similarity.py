@@ -262,3 +262,123 @@ def ann_topk_lsh(df: DataFrame, vec_col: str, id_col: str,
     bucketed = df.withColumn("_bucket", lsh(F.col(vec_col)))
     cand = bucketed.filter(F.col("_bucket") == qsig)
     return cosine_topk(cand, vec_col, id_col, query, k, round_to)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (pairwise, not query-anchored)
+# ---------------------------------------------------------------------------
+
+def _normalized_vec(vec_col: Column) -> Column:
+    """L2-normalize an array<float> column (Catalyst; norm computed
+    once per ROW, so the pair join below is a plain dot product)."""
+    norm = F.sqrt(F.aggregate(
+        F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    return F.transform(vec_col, lambda a: a.cast("double") / safe)
+
+
+def _dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def embedding_near_dups_exact(df: DataFrame, vec_col: str, id_col: str,
+                              threshold: float = 0.9,
+                              round_to: int = 4) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold — brute force.
+
+    O(n^2) pair enumeration: this is the CORRECTNESS BASELINE (and the
+    DuckDB-oracled query surface), usable up to ~10^5 vectors. The
+    scale path is :func:`embedding_near_dups_lsh`, which prunes the
+    pair space with banded hyperplane buckets before the same exact
+    cosine verify. Normalization happens once per row BEFORE the join,
+    so each candidate pair costs one zip_with dot product in codegen.
+    """
+    nv = df.select(F.col(id_col).alias("_nid"),
+                   _normalized_vec(F.col(vec_col)).alias("_nv"))
+    a = nv.select(F.col("_nid").alias("id_a"), F.col("_nv").alias("_va"))
+    b = nv.select(F.col("_nid").alias("id_b"), F.col("_nv").alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.round(_dot_col(F.col("_va"), F.col("_vb")), round_to).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def make_hyperplane_bands_udf(dim: int, n_planes: int = 16, bands: int = 4,
+                              seed: int = 42):
+    """Array of per-band bucket keys from hyperplane sign bits.
+
+    n_planes sign bits are split into `bands` groups of n_planes/bands
+    bits; two vectors are candidates if ANY band key matches (standard
+    banded-LSH OR-construction — same shape as the MinHash bands).
+    """
+    rows = n_planes // bands
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(LongType()))
+    def band_keys(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        signs = ((m @ planes) > 0).astype(np.int64)        # (n, n_planes)
+        w = (1 << np.arange(rows)).astype(np.int64)
+        # key per band = band index in the high bits | packed sign bits
+        keys = np.stack(
+            [(signs[:, b * rows:(b + 1) * rows] @ w) | (np.int64(b) << 56)
+             for b in range(bands)], axis=1)
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
+def embedding_near_dups_lsh(df: DataFrame, vec_col: str, id_col: str,
+                            threshold: float = 0.9, dim: Optional[int] = None,
+                            n_planes: int = 16, bands: int = 4,
+                            seed: int = 42, round_to: int = 4,
+                            max_bucket: int = 256) -> DataFrame:
+    """Near-dup pairs via banded hyperplane LSH + exact cosine verify.
+
+    The scale path: only (band_key, id) pairs shuffle for candidate
+    generation (never the vectors); the exact verify joins vectors back
+    for the candidate minority. Recall is governed by bands/rows — with
+    r = n_planes/bands sign bits per band, a pair at angle θ collides
+    in ≥1 band with p = 1-(1-(1-θ/π)^r)^bands. Oversized buckets
+    (degenerate bands) are skipped, mirroring minhash_lsh_candidates.
+    """
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    keys = make_hyperplane_bands_udf(dim, n_planes, bands, seed)
+    entries = df.select(F.col(id_col).alias("_id"),
+                        F.explode(keys(F.col(vec_col))).alias("bh"))
+    grouped = (
+        entries.groupBy("bh")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    cand = grouped.select(
+        F.explode(
+            F.flatten(F.transform(
+                F.slice("ids", 1, F.size("ids") - 1),
+                lambda a, i: F.transform(
+                    F.slice("ids", i + 2, F.size("ids")),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
+            ))
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    nv = df.select(F.col(id_col).alias("_nid"),
+                   _normalized_vec(F.col(vec_col)).alias("_nv"))
+    a = nv.select(F.col("_nid").alias("id_a"), F.col("_nv").alias("_va"))
+    b = nv.select(F.col("_nid").alias("id_b"), F.col("_nv").alias("_vb"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b",
+                F.round(_dot_col(F.col("_va"), F.col("_vb")), round_to).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -44,6 +44,12 @@ def get_spark(app_name: str = "mehc-curation-spark",
         b = b.master(master)
     elif not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):
         b = b.master(f"local[{cores}]")
+        # single-JVM local mode: driver heap IS the executor heap; the
+        # 1g default GC-thrashes the window stage at high core counts
+        # (only honored if the JVM isn't already up, e.g. getOrCreate
+        # reuse or spark-submit, where --driver-memory rules)
+        b = b.config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     return (
         b.config("spark.sql.shuffle.partitions",
                  str(shuffle_partitions or max(8, cores * 2)))

@@ -48,19 +48,25 @@ from mehc_curation_spark.rules.registry import CurationConfig
 from mehc_curation_spark.schema import CAPTION_COL, ID_COL, KEY_COL
 
 
-def _dedup_pass(df: DataFrame, caption_col: str) -> DataFrame:
+def _dedup_pass(df: DataFrame, caption_hash_col: str) -> DataFrame:
     """Append dedup drop-reasons for currently-alive rows (reference
     semantics, ``utils/common.py:88-113``: conflicting key ⇒ drop ALL
-    its rows; otherwise keep-first of identical (key, caption))."""
+    its rows; otherwise keep-first of identical (key, caption)).
+
+    Keys on a 128-bit caption hash column (see build_labels_plan), not
+    the caption string: the window sorts then compare two longs instead
+    of arbitrary-length UTF-8, and the exchange payload stays slim.
+    """
     alive = F.col("drop_reason").isNull()
+    h = F.col(caption_hash_col)
     w_key = Window.partitionBy(KEY_COL)
     w_prior = (
-        Window.partitionBy(KEY_COL, caption_col)
+        Window.partitionBy(KEY_COL, f"{caption_hash_col}.a",
+                           f"{caption_hash_col}.b")
         .orderBy(ID_COL)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n_alive_captions = F.size(F.collect_set(
-        F.when(alive, F.col(caption_col))).over(w_key))
+    n_alive_captions = F.size(F.collect_set(F.when(alive, h)).over(w_key))
     prior_alive = F.count(F.when(alive, F.lit(1))).over(w_prior)
     return df.withColumn(
         "drop_reason",
@@ -70,6 +76,18 @@ def _dedup_pass(df: DataFrame, caption_col: str) -> DataFrame:
             .when(prior_alive > 0, F.lit("duplicate_perfect")),
         ),
     )
+
+
+def _cap_hash(col_name: str) -> F.Column:
+    """128-bit equality surrogate for a caption column: two xxhash64
+    runs with independent seeds. At the 10^12-row design point a single
+    64-bit hash would see ~10^4 birthday collisions corpus-wide (wrong
+    merges of distinct captions); 128 bits pushes that to ~10^-15.
+    Collisions only matter WITHIN one phash group, so even 64 bits is
+    safe in practice — 128 makes it a non-question for the price of one
+    extra long per row."""
+    return F.struct(F.xxhash64(F.col(col_name)).alias("a"),
+                    F.xxhash64(F.col(col_name), F.lit(1)).alias("b"))
 
 
 def build_labels_plan(df: DataFrame,
@@ -95,19 +113,32 @@ def build_labels_plan(df: DataFrame,
     # dedup passes key on.
     out = curate_narrow_arrow(df, config)
 
+    # Shuffle hygiene: the original and post-scrub captions are ONLY
+    # dedup keys from here on (the output carries just cap_final), so
+    # they are replaced by 128-bit hashes before the exchange — the
+    # window sorts compare longs, and ~2 caption strings per row never
+    # shuffle. Computed JVM-side (xxhash64 codegen) right after the
+    # Arrow stage.
+    out = (
+        out.withColumn("_h_orig", _cap_hash(CAPTION_COL))
+        .withColumn("_h_scrub", _cap_hash("cap_scrub"))
+        .withColumn("_h_final", _cap_hash("cap_final"))
+        .drop(CAPTION_COL, "cap_scrub")
+    )
+
     # ======== phase B: the wide region (one exchange on phash) ==========
 
     if gates[0]:
-        out = _dedup_pass(out, CAPTION_COL)
+        out = _dedup_pass(out, "_h_orig")
 
     out = out.withColumn(
         "drop_reason", F.coalesce(F.col("drop_reason"), F.col("scrub_reason")))
 
     if gates[1]:
-        out = _dedup_pass(out, "cap_scrub")
+        out = _dedup_pass(out, "_h_scrub")
 
     if gates[2]:
-        out = _dedup_pass(out, "cap_final")
+        out = _dedup_pass(out, "_h_final")
 
     alive = F.col("drop_reason").isNull()
     return out.select(
