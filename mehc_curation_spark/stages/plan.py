@@ -59,6 +59,7 @@ def _dedup_pass(df: DataFrame, caption_hash_col: str) -> DataFrame:
     """
     alive = F.col("drop_reason").isNull()
     h = F.col(caption_hash_col)
+    alive_h = F.when(alive, h)
     w_key = Window.partitionBy(KEY_COL)
     w_prior = (
         Window.partitionBy(KEY_COL, f"{caption_hash_col}.a",
@@ -66,13 +67,19 @@ def _dedup_pass(df: DataFrame, caption_hash_col: str) -> DataFrame:
         .orderBy(ID_COL)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n_alive_captions = F.size(F.collect_set(F.when(alive, h)).over(w_key))
+    # ">1 distinct alive caption" as min!=max over the phash partition:
+    # constant memory per row — a collect_set buffer per group was the
+    # dominant GC source in this stage at high core counts — and both
+    # window specs are satisfied by the SAME sort (phash, h.a, h.b, id),
+    # so each dedup pass costs exactly one sort, no re-sort between the
+    # two WindowExecs.
+    conflict = F.min(alive_h).over(w_key) != F.max(alive_h).over(w_key)
     prior_alive = F.count(F.when(alive, F.lit(1))).over(w_prior)
     return df.withColumn(
         "drop_reason",
         F.coalesce(
             F.col("drop_reason"),
-            F.when(n_alive_captions > 1, F.lit("duplicate_conflict"))
+            F.when(conflict, F.lit("duplicate_conflict"))
             .when(prior_alive > 0, F.lit("duplicate_perfect")),
         ),
     )
