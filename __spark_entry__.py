@@ -276,7 +276,10 @@ def doc_langid(spark, sf_dir):
 def doc_minhash_neardup(spark, sf_dir):
     from mehc_curation_spark.operators.similarity import minhash_near_dups
 
-    d = _t(spark, sf_dir, "documents")
+    # repartition: documents.parquet is a single split at bench scale,
+    # which would serialize the Arrow shingle UDF; at corpus scale the
+    # scan has thousands of splits and this is a no-op cost-wise.
+    d = _t(spark, sf_dir, "documents").repartition(64, "doc_id")
     # bands=4/rows=8: the synthetic corpus has a ~30-word vocabulary, so
     # shallow bands fire on Jaccard noise; 8-row bands only fire near
     # j≈0.5+, keeping the candidate set linear.

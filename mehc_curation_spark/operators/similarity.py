@@ -41,53 +41,108 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# shingles + minhash (Catalyst only)
+# shingles + minhash
+#
+# Implementation note (measured): Spark's higher-order array functions
+# (transform / zip_with / lambdafunction) are CodegenFallback — any
+# shingle construction through them runs INTERPRETED, and lambda-bound
+# outer expressions are inlined per reference, so a k-gram builder costs
+# ~2 ms/doc regardless of formulation (11-13 s for 5k docs measured for
+# both the element_at and the slice+zip_with variants). Shingling is
+# therefore an Arrow-vectorized UDF: tokenize + hash each distinct
+# shingle to 64 bits in Python (~40 µs/doc), keep everything downstream
+# (band join, Jaccard verify) on long arrays JVM-side.
 # ---------------------------------------------------------------------------
 
 def word_shingles_col(c: Column, k: int = 3) -> Column:
-    """Array of word k-grams of the lowercased text."""
+    """Array of word k-grams of the lowercased text — pure Catalyst.
+
+    Kept as the reference semantics / small-data variant (it feeds the
+    DuckDB-oracle-checked tests); see the module note above for why the
+    hot path uses :func:`make_shingle_hash_udf` instead."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(c)), "[ \t\n\r]+", " "), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
-                                        for j in range(k)])
-    return F.when(n >= k, F.transform(idx, gram)).otherwise(F.array().cast("array<string>"))
+    m = n - (k - 1)  # number of k-grams
+    grams = F.slice(toks, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(grams, F.slice(toks, 1 + j, m),
+                           lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_cols(shingles: Column, num_hashes: int = 32) -> Column:
-    """K minhash values as an array<long>: min over shingles of
-    xxhash64(shingle, seed_i). Entirely JVM-side.
+def _shingle_hashes_py(text, k: int):
+    """Distinct 64-bit shingle hashes of one document (blake2b-8)."""
+    import hashlib
 
-    NOTE: only safe when the result is consumed as a whole (e.g.
-    written out). Referencing its elements in later projections makes
-    CollapseProject inline this whole expression per reference —
-    use :func:`minhash_signatures` for anything downstream."""
-    return F.array(*[
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])
+    if text is None:
+        return []
+    toks = text.lower().split()
+    if len(toks) < k:
+        return []
+    grams = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    return [
+        int.from_bytes(hashlib.blake2b(g.encode("utf-8"),
+                                       digest_size=8).digest(),
+                       "little", signed=True)
+        for g in grams
+    ]
+
+
+def make_shingle_hash_udf(k: int = 3):
+    """array<long> of distinct shingle hashes per document."""
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(LongType()))
+    def shingle_hashes(text: pd.Series) -> pd.Series:
+        return pd.Series([_shingle_hashes_py(t, k) for t in text],
+                         dtype=object)
+
+    return shingle_hashes
+
+
+def make_minhash_udf(num_hashes: int = 32, k: int = 3, seed: int = 42):
+    """array<long> minhash signature per document.
+
+    K universal-hash functions h_i(x) = (a_i * x + b_i) mod 2^64 over
+    the 64-bit shingle hashes, minimum per i — vectorized as one
+    (K, n_shingles) NumPy broadcast per document."""
+    from pyspark.sql.types import ArrayType
+
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, 2**63, num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    B = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_sig(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            hs = _shingle_hashes_py(t, k)
+            if not hs:
+                out.append(None)
+                continue
+            base = np.array(hs, dtype=np.int64).view(np.uint64)
+            sig = (A[:, None] * base[None, :] + B[:, None]).min(axis=1)
+            out.append(sig.view(np.int64).tolist())
+        return pd.Series(out, dtype=object)
+
+    return minhash_sig
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
-    """(id, h0..h{K-1}) minhash signature table via explode + groupBy.
+    """(id, h0..h{K-1}) minhash signature table.
 
-    The aggregation is an optimizer barrier: downstream band hashes
-    reference plain aggregate outputs, so the shingle pipeline is
-    computed exactly once per row (CollapseProject cannot inline
-    through an Aggregate — without this the banded-LSH expression tree
-    grows as O(K × bands × rows) copies of the shingle scan).
-    Map-side partial min aggregation keeps the shuffle slim:
-    (id, K longs) per row. Rows with <k tokens drop out (no shingles —
-    they cannot near-dup by shingle overlap anyway).
-    """
-    sh = df.select(F.col(id_col).alias("_id"),
-                   F.explode(word_shingles_col(F.col(text_col), shingle_k))
-                   .alias("_s"))
-    return sh.groupBy("_id").agg(*[
-        F.min(F.xxhash64("_s", F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ])
+    One narrow Arrow stage per document — no explode, no shuffle; the
+    h columns are element_at projections of the materialized UDF
+    output (PythonEval materializes, so elements are not recomputed).
+    Rows with <k tokens drop out (no shingles — they cannot near-dup
+    by shingle overlap anyway)."""
+    mh = make_minhash_udf(num_hashes, shingle_k)
+    sig = df.select(F.col(id_col).alias("_id"),
+                    mh(F.col(text_col)).alias("_sig"))
+    return sig.filter(F.col("_sig").isNotNull()).select(
+        "_id", *[F.element_at("_sig", i + 1).alias(f"h{i}")
+                 for i in range(num_hashes)])
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -136,11 +191,14 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
                   text_col: str, shingle_k: int = 3) -> DataFrame:
-    """Exact Jaccard over word shingles for candidate pairs
-    (array_intersect / array_union — Catalyst)."""
+    """Exact Jaccard over word shingles for candidate pairs.
+
+    Shingle sets are 64-bit hash arrays (same Arrow UDF family as the
+    signatures — see module note); intersect/union run JVM-side on
+    longs. Hash collisions would need two distinct shingles of the
+    same document pair to collide in 64 bits — negligible."""
     sh = df.select(F.col(id_col).alias("_jid"),
-                   F.array_distinct(
-                       word_shingles_col(F.col(text_col), shingle_k)).alias("_sh"))
+                   make_shingle_hash_udf(shingle_k)(F.col(text_col)).alias("_sh"))
     a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("_shb"))
     return (
