@@ -338,6 +338,16 @@ def pairs_image_features(spark, sf_dir):
     return image_features(df)
 
 
+def pairs_phash_neardup(spark, sf_dir):
+    """Image near-dup by perceptual-hash hamming distance (banded
+    exact-match LSH over the 64-bit phash + popcount verify) — the
+    north_star's deduplication-by-phash beyond exact equality."""
+    from mehc_curation_spark.operators.similarity import phash_near_dups
+
+    df = spark.read.parquet(_pairs_path())
+    return phash_near_dups(df, "phash", "image_id", max_hamming=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -365,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh": emb_ann_lsh,
         "pairs_curate_labels": pairs_curate_labels,
         "pairs_image_features": pairs_image_features,
+        "pairs_phash_neardup": pairs_phash_neardup,
     }
 
 

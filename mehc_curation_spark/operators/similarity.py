@@ -6,15 +6,19 @@
 - n-gram Jaccard           (exact verify for candidate pairs)
 - cosine top-k             (brute-force baseline over embeddings)
 - hyperplane-LSH ANN       (the scale path for similarity search)
+- embedding near-dup       (exact all-pairs baseline + banded LSH)
+- phash hamming near-dup   (banded 64-bit pHash, popcount verify)
 
-MinHash/Jaccard/cosine are pure Catalyst (xxhash64 / transform /
-aggregate / array_intersect — JVM-side, no Python). SimHash and the
-hyperplane projections are Arrow-vectorized pandas UDFs over NumPy.
+Shingling and minhash signatures are Arrow-vectorized UDFs (see the
+measured CodegenFallback note below); band joins, Jaccard verify,
+cosine and hamming verify are Catalyst on longs/arrays. Dedup,
+banding, hamming and cosine math stay entirely JVM-side.
 
-Scale notes: the LSH candidate join shuffles only (band_id, band_hash,
-doc_id) — never the text; the exact-verify join re-reads shingles for
-the candidate minority only. Brute-force cosine is O(n) per query and
-exists as the correctness baseline for the ANN path.
+Scale notes: every LSH candidate join shuffles only (band_id,
+band_hash, doc_id) — never text or vectors; the exact-verify join
+re-reads payloads for the candidate minority only. Brute-force cosine
+is O(n) per query and exists as the correctness baseline for the ANN
+path; brute-force pairwise cosine likewise for the banded variants.
 """
 
 from __future__ import annotations
@@ -439,4 +443,66 @@ def embedding_near_dups_lsh(df: DataFrame, vec_col: str, id_col: str,
         .select("id_a", "id_b",
                 F.round(_dot_col(F.col("_va"), F.col("_vb")), round_to).alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# phash hamming near-dup (image-level: north_star "deduplication-by-phash")
+# ---------------------------------------------------------------------------
+
+def phash_near_dups(df: DataFrame, phash_col: str = "phash",
+                    id_col: str = "image_id", max_hamming: int = 4,
+                    max_bucket: int = 1024) -> DataFrame:
+    """Image near-dup pairs: hamming(phash_a, phash_b) <= max_hamming.
+
+    Banded exact-match LSH on the 64-bit perceptual hash: split into 4
+    disjoint 16-bit bands — by pigeonhole, any pair within hamming
+    distance <= 4... may still differ in every band, BUT with d <= 4
+    and 4 bands at least one band is UNCHANGED whenever the 4 flipped
+    bits do not hit all 4 bands; to make the guarantee exact for
+    d <= max_hamming we use (max_hamming + 1) bands when it divides 64
+    evenly (pigeonhole: d flips cannot touch all d+1 bands, so one band
+    matches exactly). Candidates = pairs sharing any band value;
+    verify = bit_count(a XOR b) <= d, all whole-stage codegen.
+
+    Only (band_key, id) shuffles for candidates; phashes join back for
+    the verify. Skew guard: degenerate buckets (> max_bucket members,
+    e.g. a constant-phash band) are dropped, mirroring the other LSH
+    candidate generators.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands  # last band takes the remainder bits
+    bands = []
+    for b in range(n_bands):
+        lo = b * width
+        take = 64 - lo if b == n_bands - 1 else width
+        key = F.shiftrightunsigned(F.col(phash_col), lo).bitwiseAND(
+            F.lit((1 << take) - 1))
+        bands.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    entries = df.select(F.col(id_col).alias("_id"),
+                        F.explode(F.array(*bands)).alias("e")) \
+                .select("_id", "e.band", "e.key")
+    grouped = (
+        entries.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    cand = grouped.select(
+        F.explode(
+            F.flatten(F.transform(
+                F.slice("ids", 1, F.size("ids") - 1),
+                lambda a, i: F.transform(
+                    F.slice("ids", i + 2, F.size("ids")),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
+            ))
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    ph = df.select(F.col(id_col).alias("_pid"), F.col(phash_col).alias("_ph"))
+    a = ph.select(F.col("_pid").alias("id_a"), F.col("_ph").alias("_pa"))
+    b = ph.select(F.col("_pid").alias("id_b"), F.col("_ph").alias("_pb"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b",
+                F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

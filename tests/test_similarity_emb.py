@@ -60,3 +60,47 @@ def test_lsh_subset_of_exact_and_high_recall(emb_df):
     assert lsh <= exact
     recall = len(lsh & set(planted)) / len(planted)
     assert recall >= 0.9, (recall, sorted(set(planted) - lsh))
+
+
+# ---------------------------------------------------------------------------
+# phash hamming near-dup
+# ---------------------------------------------------------------------------
+
+def test_phash_near_dups_exact_guarantee(spark):
+    """d <= max_hamming pairs are ALWAYS found (pigeonhole over d+1
+    bands — this is a guarantee, not probabilistic LSH); pairs beyond
+    the radius are excluded by the popcount verify."""
+    from mehc_curation_spark.operators.similarity import phash_near_dups
+
+    import random
+    rnd = random.Random(9)
+    rows = []
+    planted = []
+    vid = 0
+    base_hashes = [rnd.getrandbits(64) - (1 << 63) for _ in range(40)]
+    for h in base_hashes:
+        rows.append((f"i{vid}", h))
+        vid += 1
+    # twins at hamming 1..4 (must all be found)
+    for d in (1, 2, 3, 4):
+        h = base_hashes[d]
+        flipped = h
+        for bit in rnd.sample(range(64), d):
+            flipped ^= (1 << bit)
+            if flipped >= (1 << 63):
+                flipped -= (1 << 64)
+        rows.append((f"twin{d}", flipped))
+        planted.append(tuple(sorted((f"i{d}", f"twin{d}"))))
+    # a far pair: hamming ~32, must NOT be matched with its base
+    far = base_hashes[0] ^ ((1 << 32) - 1)
+    if far >= (1 << 63):
+        far -= (1 << 64)
+    rows.append(("far0", far))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {tuple(sorted((r["id_a"], r["id_b"])))
+           for r in phash_near_dups(df, "phash", "image_id",
+                                    max_hamming=4).collect()}
+    assert set(planted) <= got, sorted(set(planted) - got)
+    assert ("far0", "i0") not in got and ("i0", "far0") not in got
+    for r in phash_near_dups(df, "phash", "image_id", max_hamming=4).collect():
+        assert r["hamming"] <= 4
