@@ -84,3 +84,57 @@ def test_phash_of_stored_bytes_is_stable():
             a = phash64(decode_image(data, fmt, w, h))
             b = phash64(decode_image(data, fmt, w, h))
             assert a == b
+
+
+def test_spark_decode_matches_local_decode_end_to_end(spark, tmp_path):
+    """input_hint invariant, end to end: pixels decoded THROUGH the
+    Spark engine (parquet scan -> Arrow -> mapInPandas decode) must be
+    identical to an in-process decode of the same rows — i.e. the
+    engine's plumbing (parquet round-trip, Arrow binary transfer,
+    batch slicing) never perturbs the payload. Bit-exactness is checked
+    via per-image pixel md5; lossy-format fidelity vs the original
+    pixels (PSNR >= 40 dB) is covered by test_jpegq_psnr_at_least_40db."""
+    import hashlib
+
+    import pandas as pd
+
+    from mehc_curation_spark.codecs.image import DecodeError, decode_image
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+
+    pdf = make_pairs_pdf(300, seed=21)
+    path = str(tmp_path / "pairs.parquet")
+    pdf.to_parquet(path)
+
+    def md5s(batches):
+        from mehc_curation_spark.codecs.image import (
+            DecodeError as DE,
+            decode_image as dec,
+        )
+
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                try:
+                    px = dec(r.bytes, r.fmt, int(r.w), int(r.h))
+                    rows.append((r.image_id,
+                                 hashlib.md5(px.tobytes()).hexdigest()))
+                except (DE, TypeError, ValueError):
+                    rows.append((r.image_id, None))
+            yield pd.DataFrame(rows, columns=["image_id", "px_md5"])
+
+    got = {
+        r["image_id"]: r["px_md5"]
+        for r in spark.read.parquet(path)
+        .mapInPandas(md5s, "image_id string, px_md5 string").collect()
+    }
+    assert len(got) == len(pdf)
+    n_decodable = 0
+    for r in pdf.itertuples(index=False):
+        try:
+            px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+            exp = hashlib.md5(px.tobytes()).hexdigest()
+            n_decodable += 1
+        except (DecodeError, TypeError, ValueError):
+            exp = None
+        assert got[r.image_id] == exp, r.image_id
+    assert n_decodable > 250  # corpus is ~1% corrupted; most must decode
