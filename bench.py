@@ -141,6 +141,15 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             spark.read.parquet(p).limit(16).count()
+    # ... and spin up + warm the Python UDF workers (module imports
+    # cost ~1s per worker the first time a pandas UDF runs on it).
+    from pyspark.sql import functions as F
+
+    from mehc_curation_spark.operators.udfs import langid_udf
+
+    (spark.range(256).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+     .select(langid_udf(F.concat(F.lit("warm "), F.col("id"))).alias("x"))
+     .write.format("noop").mode("overwrite").save())
 
     qs = entry_mod.queries()
     out = {}
