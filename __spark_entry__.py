@@ -314,6 +314,17 @@ def emb_near_dup_lsh(spark, sf_dir):
                                    threshold=0.4, n_planes=16, bands=4)
 
 
+def emb_ann_ivf(spark, sf_dir):
+    """ANN via IVF (KMeans coarse quantizer, probe nearest cells) —
+    the data-adaptive counterpart of the hyperplane-LSH path."""
+    from mehc_curation_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ivf_topk(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
+                    q, k=10, n_cells=16, n_probe=4)
+
+
 def _pairs_path(n: int = 2000, seed: int = 42) -> str:
     from mehc_curation_spark.fixtures import write_pairs_parquet
 
@@ -373,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_neardup": doc_minhash_neardup,
         "doc_simhash": doc_simhash,
         "emb_ann_lsh": emb_ann_lsh,
+        "emb_ann_ivf": emb_ann_ivf,
         "pairs_curate_labels": pairs_curate_labels,
         "pairs_image_features": pairs_image_features,
         "pairs_phash_neardup": pairs_phash_neardup,

@@ -506,3 +506,51 @@ def phash_near_dups(df: DataFrame, phash_col: str = "phash",
                 F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (k-means coarse quantizer — the other standard scale path)
+# ---------------------------------------------------------------------------
+
+def ivf_index(df: DataFrame, vec_col: str, n_cells: int = 16,
+              seed: int = 42, sample_fraction: float = 1.0):
+    """Train an IVF coarse quantizer (KMeans centroids) and return
+    (assigned_df, centers): the input with an `_ivf_cell` column and
+    the centroid matrix (n_cells, dim) for query-side probing.
+
+    Training runs on a sample (`sample_fraction`) — at corpus scale the
+    quantizer needs thousands of points per cell, not the full table.
+    Assignment is one `ml` transform (JVM, no Python)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vdf = df.withColumn("_ivf_vec", array_to_vector(
+        F.col(vec_col).cast("array<double>")))
+    train = vdf if sample_fraction >= 1.0 else vdf.sample(
+        fraction=sample_fraction, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_ivf_vec",
+                predictionCol="_ivf_cell")
+    model = km.fit(train)
+    assigned = model.transform(vdf).drop("_ivf_vec")
+    centers = np.vstack(model.clusterCenters())
+    return assigned, centers
+
+
+def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
+             query: Sequence[float], k: int = 10, n_cells: int = 16,
+             n_probe: int = 4, seed: int = 42,
+             round_to: int = 4) -> DataFrame:
+    """ANN top-k via IVF: probe the `n_probe` cells whose centroids are
+    closest to the query, exact cosine within them.
+
+    Complement of :func:`ann_topk_lsh`: IVF adapts its partitioning to
+    the data distribution (centroids) where hyperplane LSH is
+    data-oblivious; recall is tuned by n_probe, and the probed
+    fraction ~ n_probe / n_cells. Brute-force `cosine_topk` is the
+    recall baseline for both."""
+    assigned, centers = ivf_index(df, vec_col, n_cells, seed)
+    q = np.asarray(list(query), dtype=np.float64)
+    d2 = ((centers - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2)[:n_probe]]
+    cand = assigned.filter(F.col("_ivf_cell").isin(probe)).drop("_ivf_cell")
+    return cosine_topk(cand, vec_col, id_col, query, k, round_to)

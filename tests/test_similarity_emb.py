@@ -104,3 +104,35 @@ def test_phash_near_dups_exact_guarantee(spark):
     assert ("far0", "i0") not in got and ("i0", "far0") not in got
     for r in phash_near_dups(df, "phash", "image_id", max_hamming=4).collect():
         assert r["hamming"] <= 4
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with generous probing on clustered data must recover most of
+    the brute-force top-k (the recall baseline relationship the
+    operator documents)."""
+    import numpy as np
+
+    from mehc_curation_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    dim, n_clusters, per = 32, 8, 40
+    rows, vid = [], 0
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + rng.standard_normal(dim) * 0.3
+            rows.append((vid, v.astype(float).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (centers[0] + rng.standard_normal(dim) * 0.1).tolist()
+    brute = [r["vec_id"] for r in
+             cosine_topk(df, "embedding", "vec_id", q, k=10).collect()]
+    ivf = [r["vec_id"] for r in
+           ivf_topk(df, "embedding", "vec_id", q, k=10,
+                    n_cells=8, n_probe=3).collect()]
+    recall = len(set(brute) & set(ivf)) / 10
+    assert recall >= 0.8, (recall, brute, ivf)
