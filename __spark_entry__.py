@@ -128,6 +128,35 @@ def q_window_top2_orders(spark, sf_dir):
     )
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: per-priority count of orders having at least one
+    qualifying lineitem — left-semi join (EXISTS). (The driver's
+    lineitem carries no commit/receipt dates, so the EXISTS predicate
+    is deep-discount lineitems instead of late ones.)"""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a floor —
+    aggregate + having + join back to order attributes."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 300))
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
 def q_rollup_order_counts(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
@@ -365,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q5_region_revenue": q5_region_revenue,
         "q_window_top2_orders": q_window_top2_orders,
+        "q4_order_priority": q4_order_priority,
+        "q18_large_orders": q18_large_orders,
         "q_rollup_order_counts": q_rollup_order_counts,
         "events_sessionize": events_sessionize,
         "doc_quality_filter": doc_quality_filter,
@@ -437,6 +468,25 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
                 FROM orders) t
             WHERE rn <= 2
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+              AND o_orderdate <  TIMESTAMP '1995-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_discount > 0.05)
+            GROUP BY o_orderpriority
+        """,
+        "q18_large_orders": """
+            SELECT o_orderkey, o_orderdate, o_totalprice, sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey,
+                         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300) b
+              ON o_orderkey = b.l_orderkey
         """,
         "q_rollup_order_counts": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n

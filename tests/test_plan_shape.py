@@ -60,3 +60,22 @@ def test_no_sort_outside_windows(plan_str):
     n_sort = sum(ln.strip().startswith("+- Sort") or ln.strip().startswith("Sort")
                  for ln in tree.splitlines())
     assert n_sort <= 6, plan_str
+
+
+def test_bucket_partition_pruning(spark, tmp_path, pairs_df):
+    """Scale story: the curated output is hive-partitioned on
+    bucket=pmod(phash,B); a single-bucket read must prune the scan to
+    that bucket's files (PartitionFilters, not a post-scan filter)."""
+    from mehc_curation_spark.rules.registry import CurationConfig
+    from mehc_curation_spark.stages.refinement import run_curate
+
+    inp = str(tmp_path / "pairs.parquet")
+    pairs_df.write.parquet(inp)
+    out = str(tmp_path / "out")
+    run_curate(spark, inp, out, CurationConfig(phash_buckets=8))
+    df = spark.read.parquet(f"{out}/data").filter("bucket = 3")
+    s = _formatted(df)
+    pf = [ln for ln in s.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bucket" in pf[0], s
+    # the filter reached the scan: no rows from other buckets survive
+    assert df.select("bucket").distinct().collect()[0]["bucket"] == 3
