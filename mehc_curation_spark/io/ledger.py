@@ -48,6 +48,16 @@ class Ledger:
         os.makedirs(d, exist_ok=True)
         return d
 
+    def write_aux(self, name: str, payload: dict) -> None:
+        """Atomically publish an auxiliary JSON artifact (e.g. the
+        salted per-language stats) next to the ledger."""
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        path = os.path.join(self.ledger_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=2, sort_keys=True)
+        os.replace(tmp, path)
+
     def commit_buckets(self, staging: str, per_bucket: dict[int, dict],
                        elapsed_sec: float) -> None:
         """Move staged bucket dirs into the table, then atomically

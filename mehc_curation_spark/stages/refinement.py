@@ -122,9 +122,40 @@ def run_curate(
         else:
             e["dropped"][r["drop_reason"]] = r["n"]
 
+    # Per-language quality stats via salted two-phase aggregation
+    # (north_rule: 'salted aggregation for per-language quality stats'):
+    # en is ~55% of a web corpus, so a single groupBy(lang) would send
+    # half the table to one reducer; the salt spreads the partial
+    # aggregation over S sub-keys and the final pass combines S rows
+    # per language. Computed from the staging read — commit_buckets
+    # below MOVES the staged files into the table.
+    salt = F.pmod(F.xxhash64("image_id"), F.lit(config.salt_factor))
+    partial = (
+        staged.groupBy("lang", salt.alias("_salt"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+             F.sum("ppl").alias("ppl_sum"))
+    )
+    lang_stats = {
+        r["lang"]: {
+            "rows": int(r["n"]), "kept": int(r["kept"]),
+            "keep_rate": round(r["kept"] / r["n"], 4) if r["n"] else None,
+            "mean_ppl": round(r["ppl_sum"] / r["n"], 2) if r["n"] else None,
+        }
+        for r in (
+            partial.groupBy("lang")
+            .agg(F.sum("n").alias("n"), F.sum("kept").alias("kept"),
+                 F.sum("ppl_sum").alias("ppl_sum"))
+            .collect()
+        )
+    }
+
     ledger.commit_buckets(staging, per_bucket, elapsed)
+    ledger.write_aux("lang_stats.json", lang_stats)
+
     total_rows = sum(e["rows"] for e in per_bucket.values())
     return {
+        "lang_stats": lang_stats,
         "buckets_done": sorted(done),
         "buckets_new": sorted(per_bucket),
         "rows": total_rows,
