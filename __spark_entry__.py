@@ -323,6 +323,20 @@ def doc_simhash(spark, sf_dir):
     return d.select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))
 
 
+def doc_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup: 64-bit simhash per document, then the same
+    banded-hamming candidate join + popcount verify used for phash
+    (the hamming-ball machinery is hash-agnostic)."""
+    from mehc_curation_spark.operators.similarity import (
+        phash_near_dups,
+        simhash64_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents").repartition(64, "doc_id")
+    sh = d.select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))
+    return phash_near_dups(sh, "simhash", "doc_id", max_hamming=3)
+
+
 def emb_ann_lsh(spark, sf_dir):
     from mehc_curation_spark.operators.similarity import ann_topk_lsh
 
@@ -414,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": doc_langid,
         "doc_minhash_neardup": doc_minhash_neardup,
         "doc_simhash": doc_simhash,
+        "doc_simhash_neardup": doc_simhash_neardup,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_ivf": emb_ann_ivf,
         "pairs_curate_labels": pairs_curate_labels,
