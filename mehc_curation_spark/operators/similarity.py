@@ -243,9 +243,12 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
         if not isinstance(t, str) or not t.strip():
             continue
         votes = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
         for tok in t.lower().split():
             h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-            bits = (h >> np.arange(64)) & 1
+            # np.uint64(h): a bare Python int >= 2^63 won't coerce next
+            # to an int64 arange (ufunc type error)
+            bits = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int64)
             votes += 2 * bits - 1
         val = np.uint64(0)
         for b in range(64):

@@ -68,8 +68,11 @@ ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
 def test_rows_only_queries_run(spark, name):
     q = entry_mod.queries()[name]
     df = q(spark, SF_DIR)
-    n = df.count()
-    assert n >= 0
+    # noop write, NOT count(): count() lets Catalyst prune
+    # cardinality-preserving projections, so a UDF column could contain
+    # a crash that count() never executes (this caught a real simhash
+    # bug). The noop sink materializes every output column.
+    df.write.format("noop").mode("overwrite").save()
     assert len(df.columns) > 0
 
 
