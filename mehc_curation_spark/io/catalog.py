@@ -111,6 +111,38 @@ class SnapshotTable:
         os.replace(tmp, self._manifest_path(version))
         return version
 
+    def commit_files(self, rel_files: list[str], schema_json: str,
+                     mode: str = "append",
+                     properties: Optional[dict] = None) -> int:
+        """Publish a snapshot manifest over data files ALREADY inside
+        ``data/`` (e.g. bucket dirs moved in by the curation ledger's
+        atomic commit) without rewriting them. Entries may be relative
+        sub-paths like ``bucket=3/part-....parquet``; hive partition
+        columns survive reads via basePath. This is how `run_curate`
+        gets snapshot lineage: one snapshot per (resumable) commit.
+        """
+        assert mode in ("append", "overwrite")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        parent = self.current_version()
+        parent_manifest = self.manifest(parent)
+        files = list(rel_files) if mode == "overwrite" else \
+            parent_manifest["files"] + [f for f in rel_files
+                                        if f not in parent_manifest["files"]]
+        version = parent + 1
+        manifest = {
+            "version": version,
+            "parent": parent or None,
+            "ts": time.time(),
+            "files": files,
+            "schema": schema_json,
+            "properties": properties or {},
+        }
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(version))
+        return version
+
     # -- read ---------------------------------------------------------------
 
     def read(self, spark: SparkSession,
@@ -119,7 +151,9 @@ class SnapshotTable:
         if not m["files"]:
             raise FileNotFoundError(f"{self.path}: no committed snapshot")
         paths = [os.path.join(self.data_dir, f) for f in m["files"]]
-        return spark.read.parquet(*paths)
+        # basePath keeps hive-style partition columns (bucket=k) when
+        # manifests reference files inside partition dirs
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop manifests older than the newest `keep_last` and delete
@@ -131,10 +165,14 @@ class SnapshotTable:
             live_files.update(self.manifest(v)["files"])
         removed = 0
         if os.path.isdir(self.data_dir):
-            for f in list(os.listdir(self.data_dir)):
-                if f not in live_files:
-                    os.remove(os.path.join(self.data_dir, f))
-                    removed += 1
+            # walk relative paths: manifests may reference files inside
+            # hive partition dirs (bucket=k/part-...parquet)
+            for root, _dirs, fnames in os.walk(self.data_dir):
+                for f in fnames:
+                    rel = os.path.relpath(os.path.join(root, f), self.data_dir)
+                    if rel not in live_files:
+                        os.remove(os.path.join(root, f))
+                        removed += 1
         for v in range(1, max(1, cur - keep_last + 1)):
             p = self._manifest_path(v)
             if os.path.exists(p):

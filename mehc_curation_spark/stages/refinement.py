@@ -17,6 +17,7 @@ Two modes:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -150,12 +151,31 @@ def run_curate(
         )
     }
 
+    schema_json = staged.schema.json()
     ledger.commit_buckets(staging, per_bucket, elapsed)
     ledger.write_aux("lang_stats.json", lang_stats)
+
+    # Iceberg-analog snapshot over the committed bucket files: each
+    # (resumable) commit appends a manifest version, so consumers get
+    # snapshot isolation + time travel over successive curate runs
+    # (SnapshotTable.read(version=...)).
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    data_dir = os.path.join(output_path, "data")
+    rel_files = []
+    for b in sorted(per_bucket):
+        bdir = os.path.join(data_dir, f"bucket={b}")
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                rel_files.append(f"bucket={b}/{f}")
+    snapshot_version = SnapshotTable(output_path).commit_files(
+        rel_files, schema_json,
+        properties={"buckets": sorted(per_bucket), "elapsed_sec": elapsed})
 
     total_rows = sum(e["rows"] for e in per_bucket.values())
     return {
         "lang_stats": lang_stats,
+        "snapshot_version": snapshot_version,
         "buckets_done": sorted(done),
         "buckets_new": sorted(per_bucket),
         "rows": total_rows,

@@ -94,3 +94,28 @@ def test_report_golden(spark, input_path, tmp_path_factory):
     # deterministic: same fixture => identical report text
     rep2 = render_report(reasons, total, CFG)
     assert rep == rep2
+
+
+def test_snapshot_lineage_over_commits(spark, input_path, tmp_path_factory):
+    """Each run_curate commit publishes a SnapshotTable manifest:
+    time travel sees the partial-run state, the current snapshot sees
+    everything, and the bucket partition column survives reads."""
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    out = str(tmp_path_factory.mktemp("resume") / "snap")
+    sub_in = str(tmp_path_factory.mktemp("resume") / "snap_subset")
+    df = spark.read.parquet(input_path)
+    df.filter(F.pmod(F.col("phash"), F.lit(CFG.phash_buckets)) < 3) \
+      .write.parquet(sub_in)
+    m1 = run_curate(spark, sub_in, out, CFG)
+    m2 = run_curate(spark, input_path, out, CFG, resume=True)
+    assert m1["snapshot_version"] == 1 and m2["snapshot_version"] == 2
+
+    t = SnapshotTable(out)
+    v1 = t.read(spark, version=1)
+    v2 = t.read(spark)
+    assert set(r["bucket"] for r in v1.select("bucket").distinct().collect()) \
+        == {0, 1, 2}
+    assert v2.count() == 2000
+    assert set(r["bucket"] for r in v2.select("bucket").distinct().collect()) \
+        == set(range(CFG.phash_buckets))
