@@ -129,3 +129,27 @@ def run_stream_labels(spark, input_dir: str, output_dir: str,
             .trigger(availableNow=True)
             .outputMode("append")
             .start())
+
+
+def stream_lang_window_counts(labels_stream: DataFrame,
+                              ts_col: str = "ts",
+                              window_dur: str = "1 minute",
+                              watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked tumbling-window per-language keep/drop rates.
+
+    Standard Structured Streaming late-data handling: events later than
+    `watermark` behind the max seen ts are dropped and their window is
+    finalized — state stays bounded at
+    O(windows_in_horizon × languages). Output (append mode after
+    watermark close): window, lang, rows, kept, keep_rate.
+    """
+    return (
+        labels_stream
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_dur).alias("window"),
+                 F.col("lang"))
+        .agg(F.count("*").alias("rows"),
+             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"))
+        .select("window", "lang", "rows", "kept",
+                F.round(F.col("kept") / F.col("rows"), 4).alias("keep_rate"))
+    )
