@@ -230,7 +230,11 @@ def write_pairs_parquet(path: str, n: int, seed: int = 42,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):
+    if not path.endswith(".parquet"):
+        # directory (existing or not) → file inside it. Deciding by
+        # os.path.isdir alone once wrote the table AS the cache dir
+        # when the dir didn't exist yet.
+        os.makedirs(path, exist_ok=True)
         path = os.path.join(path, f"pairs_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
