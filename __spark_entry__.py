@@ -250,6 +250,22 @@ def doc_dedup_dropall(spark, sf_dir):
     return cleaned.select("doc_id")
 
 
+def doc_ngram_jaccard(spark, sf_dir):
+    """Exact word-trigram Jaccard for candidate pairs (same 30-char
+    prefix). Spark side verifies on 64-bit shingle hashes (collision
+    odds ~n²/2⁶⁴ per doc pair — values equal the string-set Jaccard);
+    the DuckDB oracle computes the string-set Jaccard directly."""
+    from mehc_curation_spark.operators.similarity import ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.substring("text", 1, 30).alias("k"))
+    a = keyed.select(F.col("doc_id").alias("id_a"), "k")
+    b = keyed.select(F.col("doc_id").alias("id_b"), "k")
+    pairs = a.join(b, "k").filter(F.col("id_a") < F.col("id_b")) \
+             .select("id_a", "id_b")
+    return ngram_jaccard(d, pairs, "doc_id", "text", shingle_k=3)
+
+
 def doc_fingerprint(spark, sf_dir):
     from mehc_curation_spark.operators.text_stats import fingerprint_col
 
@@ -419,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_stats": doc_lang_stats,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_dedup_dropall": doc_dedup_dropall,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_fingerprint": doc_fingerprint,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
@@ -590,6 +607,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM keyed GROUP BY k, text)
             SELECT f.doc_id
             FROM firsts f JOIN good g ON f.k = g.k
+        """,
+        "doc_ngram_jaccard": r"""
+            WITH sh AS (
+                SELECT doc_id, substr(text, 1, 30) AS k,
+                       list_distinct(list_transform(
+                           range(1, len(a)-1),
+                           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS grams
+                FROM (SELECT doc_id, text,
+                             string_split_regex(trim(lower(text)), '[ \t\n\r]+') AS a
+                      FROM documents)
+            )
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   ROUND(len(list_intersect(x.grams, y.grams))
+                         / GREATEST(len(list_distinct(x.grams || y.grams)), 1)::DOUBLE,
+                         6) AS jaccard
+            FROM sh x JOIN sh y ON x.k = y.k AND x.doc_id < y.doc_id
         """,
         "doc_fingerprint": r"""
             SELECT doc_id,
