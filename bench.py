@@ -175,7 +175,7 @@ def main() -> None:
     # local[32] Arrow job demands ~64 threads, so single samples
     # mis-state steady-state throughput by up to 5x.
     best = None
-    for i in range(3):
+    for i in range(4):
         curate_sec, curate_rows = run_curate_bench(spark, n_pairs,
                                                    warmup=(i == 0))
         if best is None or curate_sec < best:
