@@ -98,6 +98,10 @@ class CurationConfig:
     # they map to Spark partitioning instead of a process pool)
     phash_buckets: int = 64            # repartition key: pmod(phash, B)
     salt_factor: int = 8               # salt buckets for per-lang stats
+    # 'window' = one shared exchange + per-pass sorts (cheapest on
+    # balanced keys); 'agg' = partial-aggregate + join (skew-robust
+    # when single phashes are huge — see plan._dedup_pass_agg)
+    dedup_strategy: str = "window"
 
     def ppl_threshold_map(self) -> dict[str, float]:
         return dict(self.ppl_thresholds)

@@ -85,6 +85,57 @@ def _dedup_pass(df: DataFrame, caption_hash_col: str) -> DataFrame:
     )
 
 
+def _dedup_pass_agg(df: DataFrame, caption_hash_col: str) -> DataFrame:
+    """Skew-robust variant of :func:`_dedup_pass` — identical
+    semantics via two partial aggregations + joins instead of windows.
+
+    A window pass sends EVERY row of a phash to one task; a single
+    viral image (one phash with 10^7+ rows) hotspots that task at
+    corpus scale. Here both facts the pass needs are aggregates with
+    map-side partial combine:
+
+    - ``first_alive``  = min alive image_id per (phash, caption-hash)
+      → perfect-dup drop is ``alive AND id != first_alive``;
+    - ``n_alive_caps`` = countDistinct alive caption-hash per phash
+      → conflict drop is ``n_alive_caps > 1``.
+
+    The hot key collapses to ONE row per aggregate before the join, and
+    the join back to the big side is AQE-skew-splittable. Cost: two
+    extra shuffles per pass vs the shared-sort windows — use via
+    ``CurationConfig(dedup_strategy='agg')`` when key skew dominates;
+    the default 'window' strategy is cheaper on balanced keys.
+    """
+    alive = F.col("drop_reason").isNull()
+    h = F.col(caption_hash_col)
+    ha, hb = f"{caption_hash_col}.a", f"{caption_hash_col}.b"
+    firsts = (
+        df.groupBy(F.col(KEY_COL).alias("_jk"), F.col(ha).alias("_ja"),
+                   F.col(hb).alias("_jb"))
+        .agg(F.min(F.when(alive, F.col(ID_COL))).alias("_first_alive"))
+    )
+    ncaps = (
+        df.groupBy(F.col(KEY_COL).alias("_jk2"))
+        .agg(F.count_distinct(F.when(alive, h)).alias("_n_alive_caps"))
+    )
+    out = (
+        df.join(firsts, (F.col(KEY_COL) == F.col("_jk"))
+                & (F.col(ha) == F.col("_ja")) & (F.col(hb) == F.col("_jb")),
+                "left")
+        .drop("_jk", "_ja", "_jb")
+        .join(ncaps, F.col(KEY_COL) == F.col("_jk2"), "left")
+        .drop("_jk2")
+    )
+    return out.withColumn(
+        "drop_reason",
+        F.coalesce(
+            F.col("drop_reason"),
+            F.when(F.col("_n_alive_caps") > 1, F.lit("duplicate_conflict"))
+            .when(alive & (F.col(ID_COL) != F.col("_first_alive")),
+                  F.lit("duplicate_perfect")),
+        ),
+    ).drop("_first_alive", "_n_alive_caps")
+
+
 def _cap_hash(col_name: str) -> F.Column:
     """128-bit equality surrogate for a caption column: two xxhash64
     runs with independent seeds. At the 10^12-row design point a single
@@ -135,17 +186,20 @@ def build_labels_plan(df: DataFrame,
 
     # ======== phase B: the wide region (one exchange on phash) ==========
 
+    pass_fn = (_dedup_pass_agg if config.dedup_strategy == "agg"
+               else _dedup_pass)
+
     if gates[0]:
-        out = _dedup_pass(out, "_h_orig")
+        out = pass_fn(out, "_h_orig")
 
     out = out.withColumn(
         "drop_reason", F.coalesce(F.col("drop_reason"), F.col("scrub_reason")))
 
     if gates[1]:
-        out = _dedup_pass(out, "_h_scrub")
+        out = pass_fn(out, "_h_scrub")
 
     if gates[2]:
-        out = _dedup_pass(out, "_h_final")
+        out = pass_fn(out, "_h_final")
 
     alive = F.col("drop_reason").isNull()
     return out.select(

@@ -80,3 +80,19 @@ def test_partition_count_invariance(spark, pairs_df, pairs_pdf):
     b = (build_labels_plan(pairs_df.repartition(17), cfg)
          .toPandas().sort_values("image_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_agg_dedup_strategy_matches_window(spark, pairs_df):
+    """The skew-robust aggregate+join dedup formulation must produce
+    byte-identical labels to the window formulation (and hence to the
+    oracle)."""
+    from mehc_curation_spark.rules.registry import CurationConfig
+    from mehc_curation_spark.stages.plan import build_labels_plan
+
+    win = (build_labels_plan(pairs_df, CurationConfig()).toPandas()
+           .sort_values("image_id").reset_index(drop=True))
+    agg = (build_labels_plan(pairs_df, CurationConfig(dedup_strategy="agg"))
+           .toPandas().sort_values("image_id").reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(win, agg)
