@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="mask",
                    help="≅ the reference's neutralizing_method boyle|rdkit")
     c.add_argument("--phash_buckets", type=int, default=64)
+    c.add_argument("--dedup_strategy", choices=["window", "agg"],
+                   default="window",
+                   help="'agg' = skew-robust partial-aggregate+join "
+                        "dedup (use when single phashes are huge)")
     c.add_argument("--no_resume", dest="resume", action="store_false",
                    default=True)
 
@@ -127,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
                 normalize_canonical=args.normalize_canonical,
                 rm_dup_between_stages=args.rm_dup_between_stages,
                 phash_buckets=args.phash_buckets,
+                dedup_strategy=args.dedup_strategy,
             )
             metrics = run_curate(spark, args.input, args.output, cfg,
                                  resume=args.resume)
