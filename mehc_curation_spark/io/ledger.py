@@ -48,6 +48,14 @@ class Ledger:
         os.makedirs(d, exist_ok=True)
         return d
 
+    def read_aux(self, name: str):
+        """Read a previously published auxiliary JSON artifact, or None."""
+        path = os.path.join(self.ledger_dir, name)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     def write_aux(self, name: str, payload: dict) -> None:
         """Atomically publish an auxiliary JSON artifact (e.g. the
         salted per-language stats) next to the ledger."""

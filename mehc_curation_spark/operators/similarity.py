@@ -74,22 +74,84 @@ def word_shingles_col(c: Column, k: int = 3) -> Column:
     return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
 
 
-def _shingle_hashes_py(text, k: int):
-    """Distinct 64-bit shingle hashes of one document (blake2b-8)."""
+import re as _re
+
+_TOK_RX = _re.compile(r"[ \t\n\r]+")
+
+# Token-hash memo shared across batches within one Python worker: web
+# text has a heavy-tailed vocabulary, so most tokens in a batch have
+# been hashed before. Bounded to keep long-lived workers from growing
+# without limit (the cap is ~100 MB worst case).
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 2_000_000
+
+# Odd multipliers for position-dependent shingle mixing (any fixed odd
+# constants work: token hashes are already uniform blake2b bits, so a
+# cross-position collision is a single random 64-bit equation).
+_POS_MIX = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+            0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+            0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D)
+
+
+def _tokenize(text: str) -> list[str]:
+    """Byte-exact twin of the Catalyst tokenizer in
+    :func:`word_shingles_col` and the DuckDB oracle
+    (``string_split_regex(trim(lower(text)), '[ \\t\\n\\r]+')``):
+    lowercase, trim ASCII *spaces* only (Spark/DuckDB ``trim`` does not
+    strip tabs/newlines), split on runs of the 4-char blank set. A
+    leading tab therefore yields an empty first token in all three
+    engines; ``str.split()`` (all Unicode whitespace, drops empties)
+    would diverge on NBSP etc."""
+    return _TOK_RX.split(text.lower().strip(" "))
+
+
+def _token_hash_array(toks: list[str]) -> np.ndarray:
+    """uint64 blake2b-8 hash per token, memoized per worker."""
     import hashlib
 
+    cache = _TOKEN_HASH_CACHE
+    if len(cache) > _TOKEN_HASH_CACHE_MAX:
+        cache.clear()
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                "little")
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+def _shingle_hashes_np(text, k: int) -> np.ndarray:
+    """Distinct 64-bit shingle hashes of one document (uint64 array).
+
+    Each token is hashed ONCE (memoized blake2b-8); the k-gram hash is
+    a position-weighted XOR of the k token hashes computed with k
+    shifted NumPy slices — no per-shingle Python loop, no per-shingle
+    string join. Replaces the round-1 per-gram ``hashlib.blake2b(" "
+    .join(...))`` loop that dominated doc_minhash_neardup's wall time.
+    """
     if text is None:
-        return []
-    toks = text.lower().split()
-    if len(toks) < k:
-        return []
-    grams = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
-    return [
-        int.from_bytes(hashlib.blake2b(g.encode("utf-8"),
-                                       digest_size=8).digest(),
-                       "little", signed=True)
-        for g in grams
-    ]
+        return np.empty(0, dtype=np.uint64)
+    toks = _tokenize(text)
+    n = len(toks)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    th = _token_hash_array(toks)
+    m = n - k + 1
+    with np.errstate(over="ignore"):
+        acc = th[0:m] * np.uint64(_POS_MIX[0])
+        for j in range(1, k):
+            acc ^= th[j:m + j] * np.uint64(_POS_MIX[j % len(_POS_MIX)])
+    return np.unique(acc)
+
+
+def _shingle_hashes_py(text, k: int) -> list[int]:
+    """list[int64] wrapper of :func:`_shingle_hashes_np` (signed view,
+    the on-wire type of ``array<long>``)."""
+    return _shingle_hashes_np(text, k).view(np.int64).tolist()
 
 
 def make_shingle_hash_udf(k: int = 3):
@@ -120,12 +182,12 @@ def make_minhash_udf(num_hashes: int = 32, k: int = 3, seed: int = 42):
     def minhash_sig(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
-            hs = _shingle_hashes_py(t, k)
-            if not hs:
+            base = _shingle_hashes_np(t, k)
+            if base.size == 0:
                 out.append(None)
                 continue
-            base = np.array(hs, dtype=np.int64).view(np.uint64)
-            sig = (A[:, None] * base[None, :] + B[:, None]).min(axis=1)
+            with np.errstate(over="ignore"):
+                sig = (A[:, None] * base[None, :] + B[:, None]).min(axis=1)
             out.append(sig.view(np.int64).tolist())
         return pd.Series(out, dtype=object)
 

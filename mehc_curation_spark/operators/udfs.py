@@ -241,8 +241,11 @@ def curate_narrow_arrow(df, config):
                 scrub_reasons = ["scrub_emptied" if r[2] else None for r in res]
             cap3 = cap2
             if cfg.scrub_toxicity:
-                res = [scrub_toxicity(c, cfg.toxicity_method)
-                       if c is not None else (c, 0) for c in cap2]
+                # Called unconditionally: scrub_toxicity(None) returns
+                # (None, None), so an alive null-caption row gets
+                # scrub_unprocessable — exactly the oracle's
+                # `k and r[1] is None` behavior (oracle.py:111-117).
+                res = [scrub_toxicity(c, cfg.toxicity_method) for c in cap2]
                 cap3 = [r[0] for r in res]
                 scrub_reasons = [
                     s if s is not None else

@@ -143,9 +143,20 @@ def _cap_hash(col_name: str) -> F.Column:
     merges of distinct captions); 128 bits pushes that to ~10^-15.
     Collisions only matter WITHIN one phash group, so even 64 bits is
     safe in practice — 128 makes it a non-question for the price of one
-    extra long per row."""
-    return F.struct(F.xxhash64(F.col(col_name)).alias("a"),
-                    F.xxhash64(F.col(col_name), F.lit(1)).alias("b"))
+    extra long per row.
+
+    Null-preserving: a NULL caption maps to a NULL struct (xxhash64 of
+    an all-null input returns the seed, which would make NULL captions
+    count as a distinct caption in conflict detection — the oracle's
+    pandas ``nunique`` ignores nulls). With a NULL hash,
+    ``when(alive, h)`` stays NULL, so min/max/count_distinct skip null
+    captions, while the perfect-dup grouping (partitionBy / groupBy)
+    still groups the nulls together, matching pandas ``duplicated``
+    NaN-equality semantics."""
+    return F.when(
+        F.col(col_name).isNotNull(),
+        F.struct(F.xxhash64(F.col(col_name)).alias("a"),
+                 F.xxhash64(F.col(col_name), F.lit(1)).alias("b")))
 
 
 def build_labels_plan(df: DataFrame,

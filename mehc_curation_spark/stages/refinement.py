@@ -38,6 +38,10 @@ def bucket_col(config: CurationConfig) -> F.Column:
     return F.pmod(F.col(KEY_COL), F.lit(config.phash_buckets)).cast("int")
 
 
+def _published_lang_stats(ledger: Ledger) -> dict:
+    return ledger.read_aux("lang_stats.json") or {}
+
+
 class RefinementStage:
     def __init__(self, df: DataFrame, config: CurationConfig = CurationConfig()):
         self.df = df
@@ -86,7 +90,13 @@ def run_curate(
     if done:
         df = df.filter(~F.col(BUCKET_COL).isin(*sorted(done)))
         if df.isEmpty():  # nothing left to resume — no-op
-            return {"buckets_done": sorted(done), "buckets_new": [],
+            # Same metrics-dict schema as a real run: publish the
+            # already-committed lang_stats and latest snapshot version.
+            from mehc_curation_spark.io.catalog import SnapshotTable
+
+            return {"lang_stats": _published_lang_stats(ledger),
+                    "snapshot_version": SnapshotTable(output_path).current_version(),
+                    "buckets_done": sorted(done), "buckets_new": [],
                     "rows": 0, "kept": 0, "elapsed_sec": 0.0,
                     "rows_per_sec": None}
 
@@ -137,18 +147,33 @@ def run_curate(
              F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
              F.sum("ppl").alias("ppl_sum"))
     )
-    lang_stats = {
-        r["lang"]: {
-            "rows": int(r["n"]), "kept": int(r["kept"]),
-            "keep_rate": round(r["kept"] / r["n"], 4) if r["n"] else None,
-            "mean_ppl": round(r["ppl_sum"] / r["n"], 2) if r["n"] else None,
-        }
+    run_sums = {
+        r["lang"]: {"rows": int(r["n"]), "kept": int(r["kept"]),
+                    "ppl_sum": float(r["ppl_sum"])}
         for r in (
             partial.groupBy("lang")
             .agg(F.sum("n").alias("n"), F.sum("kept").alias("kept"),
                  F.sum("ppl_sum").alias("ppl_sum"))
             .collect()
         )
+    }
+    # On resume this run saw only the not-yet-committed buckets, but the
+    # published stats must describe the WHOLE committed table — merge
+    # the raw per-language sums with the previously published ones
+    # (exact: rows/kept/ppl_sum are all additive over disjoint buckets).
+    prior = ledger.read_aux("lang_stats.json") or {}
+    for lang, e in prior.items():
+        s = run_sums.setdefault(lang, {"rows": 0, "kept": 0, "ppl_sum": 0.0})
+        s["rows"] += int(e.get("rows", 0))
+        s["kept"] += int(e.get("kept", 0))
+        s["ppl_sum"] += float(e.get("ppl_sum", 0.0))
+    lang_stats = {
+        lang: {
+            "rows": s["rows"], "kept": s["kept"], "ppl_sum": s["ppl_sum"],
+            "keep_rate": round(s["kept"] / s["rows"], 4) if s["rows"] else None,
+            "mean_ppl": round(s["ppl_sum"] / s["rows"], 2) if s["rows"] else None,
+        }
+        for lang, s in run_sums.items()
     }
 
     schema_json = staged.schema.json()

@@ -82,6 +82,47 @@ def test_partition_count_invariance(spark, pairs_df, pairs_pdf):
     pd.testing.assert_frame_equal(a, b)
 
 
+@pytest.mark.parametrize("strategy", ["window", "agg"])
+def test_null_caption_parity(spark, strategy):
+    """Alive NULL captions must not perturb dedup or scrub labels.
+
+    Regression for two round-1 bugs: (a) _cap_hash mapped NULL to a
+    non-null struct so a phash group with one real caption + an alive
+    null-caption row got a spurious duplicate_conflict; (b) the fused
+    Arrow stage skipped scrub_toxicity for None, missing the oracle's
+    scrub_unprocessable on alive null-caption rows.
+    """
+    cfg = CurationConfig(validate=False, rm_low_quality=False,
+                         rm_unknown_lang=False, rm_high_ppl=False,
+                         dedup_strategy=strategy)
+    pdf = pd.DataFrame({
+        "image_id": [f"i{k:02d}" for k in range(8)],
+        "bytes": [None] * 8,
+        "w": pd.array([8] * 8, dtype="int32"),
+        "h": pd.array([8] * 8, dtype="int32"),
+        "fmt": ["raw"] * 8,
+        # phash 1: real + real-dup + null  -> keep, perfect, unprocessable
+        # phash 2: null + null             -> nulls group as one caption
+        # phash 3: real A + real B + null  -> conflict drops all
+        "caption": ["a cat sits", "a cat sits", None,
+                    None, None,
+                    "a dog runs", "a bird flies", None],
+        "phash": pd.array([1, 1, 1, 2, 2, 3, 3, 3], dtype="int64"),
+    })
+    df = spark.createDataFrame(
+        pdf, schema=("image_id string, bytes binary, w int, h int, "
+                     "fmt string, caption string, phash long"))
+    s = (build_labels_plan(df, cfg).toPandas()
+         .sort_values("image_id").reset_index(drop=True))
+    o = (curate_oracle(pdf, cfg)
+         .sort_values("image_id").reset_index(drop=True))
+    assert (s["keep"].to_numpy() == o["keep"].to_numpy()).all(), \
+        pd.concat([s[["image_id", "keep", "drop_reason"]],
+                   o[["keep", "drop_reason"]].add_suffix("_o")], axis=1)
+    assert (s["drop_reason"].fillna("<kept>")
+            == o["drop_reason"].fillna("<kept>")).all()
+
+
 def test_agg_dedup_strategy_matches_window(spark, pairs_df):
     """The skew-robust aggregate+join dedup formulation must produce
     byte-identical labels to the window formulation (and hence to the

@@ -73,9 +73,38 @@ def test_resume_after_partial_run(spark, input_path, tmp_path_factory):
 
 def test_resume_noop_when_complete(spark, input_path, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("resume") / "noop")
-    run_curate(spark, input_path, out, CFG)
+    m1 = run_curate(spark, input_path, out, CFG)
     m2 = run_curate(spark, input_path, out, CFG, resume=True)
     assert m2["rows"] == 0 and m2["buckets_new"] == []
+    # metrics dict schema is identical between a real run and a no-op
+    assert set(m2) == set(m1)
+    assert m2["snapshot_version"] == m1["snapshot_version"]
+    assert m2["lang_stats"] == m1["lang_stats"]
+
+
+def test_resume_lang_stats_cover_whole_table(spark, input_path,
+                                             tmp_path_factory):
+    """After a partial run + resume, the published lang_stats must
+    describe the WHOLE committed table, not just the resumed subset
+    (regression: write_aux used to overwrite with this-run-only sums)."""
+    full_out = str(tmp_path_factory.mktemp("resume") / "ls_full")
+    m_full = run_curate(spark, input_path, full_out, CFG)
+
+    part_out = str(tmp_path_factory.mktemp("resume") / "ls_part")
+    sub_in = str(tmp_path_factory.mktemp("resume") / "ls_subset")
+    df = spark.read.parquet(input_path)
+    df.filter(F.pmod(F.col("phash"), F.lit(CFG.phash_buckets)) < 3) \
+      .write.parquet(sub_in)
+    run_curate(spark, sub_in, part_out, CFG)
+    m_res = run_curate(spark, input_path, part_out, CFG, resume=True)
+
+    assert set(m_res["lang_stats"]) == set(m_full["lang_stats"])
+    for lang, e in m_full["lang_stats"].items():
+        r = m_res["lang_stats"][lang]
+        assert r["rows"] == e["rows"] and r["kept"] == e["kept"], (lang, r, e)
+        assert abs(r["ppl_sum"] - e["ppl_sum"]) <= 1e-6 * max(1.0, e["ppl_sum"])
+    # the published aux file carries the merged numbers too
+    assert Ledger(part_out).read_aux("lang_stats.json") == m_res["lang_stats"]
 
 
 def test_report_golden(spark, input_path, tmp_path_factory):
