@@ -374,11 +374,19 @@ def make_hyperplane_lsh_udf(dim: int, n_planes: int = 16, seed: int = 42):
 def ann_topk_lsh(df: DataFrame, vec_col: str, id_col: str,
                  query: Sequence[float], k: int = 10, dim: Optional[int] = None,
                  n_planes: int = 12, seed: int = 42,
-                 round_to: int = 4) -> DataFrame:
-    """ANN: restrict to the query's LSH bucket, then exact cosine.
+                 round_to: int = 4, probe_hamming: int = 0) -> DataFrame:
+    """ANN: restrict to the query's LSH bucket(s), then exact cosine.
 
-    At 100 TB the bucket filter prunes ~2^-n_planes of the corpus before
-    any ranking; brute-force `cosine_topk` is the recall baseline.
+    Multi-probe: `probe_hamming` = max sign-bit flips from the query's
+    signature — all buckets within that Hamming radius are scanned
+    (sum_{i<=r} C(n_planes, i) of 2^n_planes buckets). r=0 is the
+    classic single-bucket probe (prunes ~2^-n_planes of the corpus but
+    recall collapses when the bucket holds < k vectors); r=1-2 trades
+    a slightly larger candidate set for much better recall — the
+    standard multi-probe LSH recipe. The probed bucket ids are
+    enumerated explicitly (isin on a long column), so a layout
+    partitioned by bucket gets partition pruning for free; brute-force
+    `cosine_topk` is the recall baseline.
     """
     dim = dim or len(list(query))
     lsh = make_hyperplane_lsh_udf(dim, n_planes, seed)
@@ -386,8 +394,14 @@ def ann_topk_lsh(df: DataFrame, vec_col: str, id_col: str,
     planes = rng.standard_normal((dim, n_planes))
     qsig = int(((np.asarray(list(query), dtype=np.float64) @ planes) > 0)
                @ (1 << np.arange(n_planes)).astype(np.int64))
+    from itertools import combinations
+
+    probes = sorted(
+        qsig ^ sum(1 << p for p in flips)
+        for r in range(probe_hamming + 1)
+        for flips in combinations(range(n_planes), r))
     bucketed = df.withColumn("_bucket", lsh(F.col(vec_col)))
-    cand = bucketed.filter(F.col("_bucket") == qsig)
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
     return cosine_topk(cand, vec_col, id_col, query, k, round_to)
 
 
