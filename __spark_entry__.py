@@ -402,6 +402,50 @@ def emb_ann_ivf(spark, sf_dir):
                     q, k=10, n_cells=16, n_probe=4)
 
 
+def clips_audio_features(spark, sf_dir):
+    """Audio path of the multimodal operators, fully DuckDB-oracled:
+    clip payloads are deterministic int16-PCM renderings of the
+    embeddings table (trunc(x*32767)), the default fake codec decodes
+    them back, and RMS/n_samples are reproduced by SQL list lambdas.
+    The Spark plumbing (binary column batching, Arrow transfer,
+    mapInPandas) is the real production shape."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from mehc_curation_spark.operators.multimodal import audio_features
+
+    @pandas_udf(BinaryType())
+    def to_pcm(vec):
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series([
+            np.trunc(np.asarray(v, dtype=np.float64) * 32767)
+            .astype("<i2").tobytes() for v in vec])
+
+    e = _t(spark, sf_dir, "embeddings")
+    clips = e.select(F.col("vec_id").cast("string").alias("clip_id"),
+                     to_pcm("embedding").alias("bytes"))
+    return audio_features(clips)
+
+
+def videos_frame_sample(spark, sf_dir):
+    """Video path of the multimodal operators, fully DuckDB-oracled:
+    payloads are the documents' UTF-8 bytes, the default fake codec
+    slices them into 192-byte (8x8 RGB) frames, every 10th frame is
+    sampled inside the Arrow stage (payload crosses once, only sampled
+    frames come back) and reported as an md5 so the oracle can compare
+    frame content by value."""
+    from mehc_curation_spark.operators.multimodal import video_frame_sample
+
+    d = _t(spark, sf_dir, "documents")
+    vids = d.select(F.col("doc_id").cast("string").alias("video_id"),
+                    F.encode("text", "UTF-8").alias("bytes"))
+    frames = video_frame_sample(vids, every_n=10)
+    return frames.select("video_id", "frame_idx",
+                         F.md5("frame").alias("frame_md5"))
+
+
 def emb_ann_lsh_check(spark, sf_dir):
     """SQL-checkable quality assertion for the multi-probe ANN path
     (VERDICT r1 item 2): the query must return a full k rows (so the
@@ -532,6 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": doc_simhash,
         "doc_simhash_neardup": doc_simhash_neardup,
         "pairs_phash_neardup": pairs_phash_neardup,
+        "clips_audio_features": clips_audio_features,
+        "videos_frame_sample": videos_frame_sample,
         # property-assertion checks (oracle states the expected outcome)
         "emb_ann_lsh_check": emb_ann_lsh_check,
         "emb_ann_ivf_check": emb_ann_ivf_check,
@@ -831,6 +877,32 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_pairs_path()}') a
             JOIN read_parquet('{_pairs_path()}') b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 4
+        """,
+        # multimodal fake-codec paths: payloads are deterministic
+        # renderings of driver tables, so decode output is reproducible
+        # by SQL value-for-value.
+        "clips_audio_features": """
+            SELECT CAST(vec_id AS VARCHAR) AS clip_id,
+                   CAST(len(embedding) AS INTEGER) AS n_samples,
+                   ROUND(sqrt(list_avg(list_transform(
+                       CAST(embedding AS DOUBLE[]),
+                       x -> CAST(TRUNC(x * 32767) AS DOUBLE)
+                            * CAST(TRUNC(x * 32767) AS DOUBLE)))), 4) AS rms
+            FROM embeddings
+        """,
+        # (DuckDB lacks BLOB substring, so the slice runs on the VARCHAR;
+        # the driver corpus is pure ASCII — verified octet_length ==
+        # length at every SF — so char slices == byte slices and
+        # md5(varchar) hashes the same UTF-8 bytes Spark's md5(binary)
+        # sees.)
+        "videos_frame_sample": """
+            SELECT CAST(doc_id AS VARCHAR) AS video_id,
+                   CAST(f AS INTEGER) AS frame_idx,
+                   md5(substring(text, CAST(f AS INTEGER) * 192 + 1, 192)) AS frame_md5
+            FROM (SELECT doc_id, text
+                  FROM documents WHERE text IS NOT NULL) v,
+                 UNNEST(range(length(text) // 192)) AS u(f)
+            WHERE f % 10 = 0
         """,
         # property-assertion oracles: the SQL states the expected
         # outcome of a quality invariant the Spark side measures — a

@@ -37,6 +37,12 @@ def _add_io(p: argparse.ArgumentParser) -> None:
                    help="Spark master URL (omit under spark-submit)")
     p.add_argument("--get_report", action="store_true",
                    help="Render the text curation report")
+    p.add_argument("--get_output", action="store_true",
+                   help="Also export the rejected rows, partitioned by "
+                        "drop reason, under <output>/rejected/ (≅ the "
+                        "reference's per-step invalid-rows CSVs, "
+                        "validation/core/output_manager.py:16-59; "
+                        "normalization emits no rejects by design)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -136,6 +142,14 @@ def main(argv: list[str] | None = None) -> int:
             metrics = run_curate(spark, args.input, args.output, cfg,
                                  resume=args.resume)
             print(json.dumps(metrics))
+            if args.get_output:
+                from pyspark.sql import functions as F
+
+                labels = spark.read.parquet(
+                    os.path.join(args.output, "data"))
+                (labels.filter(~F.col("keep"))
+                 .write.mode("overwrite").partitionBy("drop_reason")
+                 .parquet(os.path.join(args.output, "rejected")))
             if args.get_report:
                 led = Ledger(args.output).read()
                 reasons: dict[str, int] = {}
@@ -173,6 +187,42 @@ def main(argv: list[str] | None = None) -> int:
             dups_info.write.mode("overwrite").parquet(
                 os.path.join(args.output, "dups_info"))
         out.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
+        if args.get_output and args.cmd != "normalize":
+            # per-reason rejected-row dumps (normalization rewrites
+            # captions but rejects nothing, so it has no dump).
+            from pyspark.sql import functions as F
+
+            if args.cmd == "dedup":
+                from mehc_curation_spark.operators.dedup import dup_reason_col
+
+                rej = (dup_reason_col(df)
+                       .filter(F.col("dup_reason").isNotNull())
+                       .drop("bytes"))
+                part_col = "dup_reason"
+            else:
+                # the fused labels plan with only this stage's gates on
+                # yields exactly this stage's per-rule drop reasons.
+                from mehc_curation_spark.rules.registry import CurationConfig
+                from mehc_curation_spark.stages.plan import build_labels_plan
+
+                if args.cmd == "validate":
+                    cfg = CurationConfig(
+                        scrub_pii=False, scrub_toxicity=False,
+                        validate_post_scrub=False, normalize_lossy=False,
+                        normalize_canonical=False,
+                        rm_dup_between_stages=False)
+                else:  # clean
+                    cfg = CurationConfig(
+                        validate=False, rm_low_quality=False,
+                        rm_unknown_lang=False, rm_high_ppl=False,
+                        toxicity_method=args.toxicity_method,
+                        validate_post_scrub=False, normalize_lossy=False,
+                        normalize_canonical=False,
+                        rm_dup_between_stages=False)
+                rej = build_labels_plan(df, cfg).filter(~F.col("keep"))
+                part_col = "drop_reason"
+            (rej.write.mode("overwrite").partitionBy(part_col)
+             .parquet(os.path.join(args.output, "rejected")))
         print(json.dumps(fmt))
         return 0
     finally:

@@ -61,6 +61,7 @@ def deduplicate(
     id_col: str = ID_COL,
     show_dup_info: bool = False,
     return_format_data: bool = False,
+    validate: bool = False,
 ):
     """Standalone dedup mirroring the reference's public
     ``deduplicate()`` return shapes (``common.py:20-39`` docstring):
@@ -71,8 +72,24 @@ def deduplicate(
     `partial_dup_cols` defaults to [KEY_COL] — the graft analog of the
     reference defaulting to the first (payload) column
     (``common.py:93-94``).
+
+    ``validate=True`` runs the image-decode gate first and dedups only
+    the survivors, mirroring the reference's pre-validation pass
+    (``common.py:66-83``: ValidationStage.validate_smi with
+    dedup disabled, counters folded into format_data under
+    'validation').
     """
     keys = list(partial_dup_cols) if partial_dup_cols else [KEY_COL]
+    validate_format_data = {}
+    if validate:
+        # local import mirrors the reference's circular-import guard
+        from mehc_curation_spark.stages.validation import ValidationStage
+
+        if return_format_data:
+            df, validate_format_data = ValidationStage(df).validate(
+                return_format_data=True)
+        else:
+            df = ValidationStage(df).validate()
     # id_col plays the pandas-index role (row identity, not a value
     # column) — it must not participate in conflict / full-row checks.
     others = [c for c in df.columns if c not in keys and c != id_col]
@@ -115,10 +132,13 @@ def deduplicate(
         flags = {r["is_perfect_dups"]: r["cnt"]
                  for r in dups_info.groupBy("is_perfect_dups")
                  .agg(F.count("*").alias("cnt")).collect()}
-        out.append({
+        fmt = {
             "duplicate_validation_input": n_in,
             "perfect_dups": int(flags.get(True, 0)),
             "partial_dups": int(flags.get(False, 0)),
             "validation_unique": n_unique,
-        })
+        }
+        if validate_format_data:
+            fmt["validation"] = validate_format_data
+        out.append(fmt)
     return tuple(out) if len(out) > 1 else out[0]

@@ -2,11 +2,15 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs
 over ``mapInPandas``.
 
-The image path is REAL (this repo ships NumPy codecs); audio decode
-and video frame-sampling are STUBS — the Spark-side plumbing (schema,
-batching, partitioning) is real and tested, while the codec call
-raises ``NotImplementedError`` unless the deterministic fake is
-requested (the decoder libraries are not in this container).
+The image path is REAL (this repo ships NumPy codecs). Audio decode
+and video frame-sampling run a DETERMINISTIC FAKE CODEC by default
+(raw int16-PCM / fixed-size raw-RGB frame interpretation of the
+payload bytes) because no audio/video decoder library ships in this
+container — the Spark-side plumbing (schema, batching, partitioning,
+per-frame explode) is real and tested end-to-end, and the fake is the
+single clearly-marked swap point: pass ``codec="real"`` once a real
+decoder (soundfile/PyAV/...) is installed, which today raises
+``NotImplementedError`` with that instruction.
 
 Batch-size note for binary payloads: cap
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (the session helper
@@ -115,27 +119,53 @@ def image_thumbnails(df: DataFrame, size: int = 16) -> DataFrame:
             .mapInPandas(run, THUMBNAIL_SCHEMA))
 
 
-def audio_features(df: DataFrame, clip_col: str = "bytes",
-                   id_col: str = "clip_id", use_fake: bool = False) -> DataFrame:
-    """STUB: audio decode + RMS features.
+def fake_decode_audio(data: bytes | None) -> np.ndarray:
+    """Deterministic fake audio decoder: the payload IS raw
+    little-endian int16 PCM (a trailing odd byte is ignored). This is
+    the default codec — swap point for a real decoder library."""
+    buf = bytes(data or b"")
+    return np.frombuffer(buf[:len(buf) // 2 * 2], dtype="<i2")
 
-    No audio codec library ships in this container; with
-    ``use_fake=True`` a deterministic fake decoder (bytes → int16 PCM
-    interpretation) exercises the full Spark plumbing; otherwise the
-    decode step raises ``NotImplementedError``.
+
+FAKE_FRAME_BYTES = 8 * 8 * 3  # fake video codec: 8x8 raw-RGB frames
+
+
+def fake_iter_frames(data: bytes | None):
+    """Deterministic fake video decoder: the payload is a sequence of
+    fixed-size raw-RGB frames (trailing partial frame ignored)."""
+    buf = bytes(data or b"")
+    for i in range(len(buf) // FAKE_FRAME_BYTES):
+        yield i, buf[i * FAKE_FRAME_BYTES:(i + 1) * FAKE_FRAME_BYTES]
+
+
+def _require_fake(codec: str, kind: str) -> None:
+    if codec == "fake":
+        return
+    raise NotImplementedError(
+        f"{kind} codec '{codec}' requires a decoder library not present "
+        "in this environment; the deterministic fake codec (codec='fake', "
+        "the default) exercises the full Spark plumbing")
+
+
+def audio_features(df: DataFrame, clip_col: str = "bytes",
+                   id_col: str = "clip_id", codec: str = "fake") -> DataFrame:
+    """Audio decode + RMS features over opaque clip payloads.
+
+    The default deterministic fake codec interprets the payload as raw
+    int16 PCM (see :func:`fake_decode_audio`); everything around it —
+    binary-column batching, Arrow transfer, per-clip aggregation — is
+    the real production shape. ``codec="soundfile"`` etc. raise
+    ``NotImplementedError`` until a decoder library is installed.
     """
+    _require_fake(codec, "audio")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                data = getattr(r, clip_col)
-                if not use_fake:
-                    raise NotImplementedError(
-                        "audio decode requires a codec library not present "
-                        "in this environment; pass use_fake=True to exercise "
-                        "the pipeline plumbing")
-                pcm = np.frombuffer(bytes(data or b""), dtype=np.int16)
-                rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if pcm.size else 0.0
+                pcm = fake_decode_audio(getattr(r, clip_col))
+                rms = (float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+                       if pcm.size else 0.0)
                 rows.append((getattr(r, id_col), int(pcm.size), round(rms, 4)))
             yield pd.DataFrame(rows, columns=["clip_id", "n_samples", "rms"])
 
@@ -145,29 +175,26 @@ def audio_features(df: DataFrame, clip_col: str = "bytes",
 
 def video_frame_sample(df: DataFrame, video_col: str = "bytes",
                        id_col: str = "video_id", every_n: int = 10,
-                       use_fake: bool = False) -> DataFrame:
-    """STUB: sample every Nth frame of a video payload.
+                       codec: str = "fake") -> DataFrame:
+    """Sample every Nth frame of a video payload (one output row per
+    sampled frame — the explode happens inside the Arrow stage, so
+    payload bytes cross the boundary once and only sampled frames come
+    back).
 
-    With ``use_fake=True`` the payload is treated as a deterministic
-    sequence of 8x8 raw-RGB frames so partitioning/explode shape is
-    real; otherwise raises ``NotImplementedError``.
+    The default deterministic fake codec treats the payload as a
+    sequence of 8x8 raw-RGB frames (see :func:`fake_iter_frames`);
+    ``codec="pyav"`` etc. raise ``NotImplementedError`` until a real
+    decoder is installed.
     """
-    frame_bytes = 8 * 8 * 3
+    _require_fake(codec, "video")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                data = bytes(getattr(r, video_col) or b"")
-                if not use_fake:
-                    raise NotImplementedError(
-                        "video decode requires a codec library not present "
-                        "in this environment; pass use_fake=True to exercise "
-                        "the pipeline plumbing")
-                n_frames = len(data) // frame_bytes
-                for i in range(0, n_frames, every_n):
-                    rows.append((getattr(r, id_col), i,
-                                 data[i * frame_bytes:(i + 1) * frame_bytes]))
+                for i, frame in fake_iter_frames(getattr(r, video_col)):
+                    if i % every_n == 0:
+                        rows.append((getattr(r, id_col), i, frame))
             yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "frame"])
 
     return df.select(df[id_col].alias(id_col), df[video_col].alias(video_col)) \

@@ -1,0 +1,83 @@
+"""CLI surface tests (subprocess — the CLI owns its SparkSession):
+per-step rejected-row exports (--get_output), mirroring the
+reference's per-step invalid-rows CSVs
+(/root/reference/mehc_curation/validation/core/output_manager.py:16-59).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def pairs_file(tmp_path_factory):
+    from mehc_curation_spark.fixtures import write_pairs_parquet
+
+    return write_pairs_parquet(
+        str(tmp_path_factory.mktemp("cli") / "pairs"), 2000, seed=7)
+
+
+def _run(args):
+    proc = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark", *args],
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return proc
+
+
+def test_curate_get_output_matches_ledger(pairs_file, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "curate_out")
+    _run(["curate", "-i", pairs_file, "-o", out, "--cores", "4",
+          "--get_output"])
+
+    rej_dir = os.path.join(out, "rejected")
+    parts = sorted(d for d in os.listdir(rej_dir)
+                   if d.startswith("drop_reason="))
+    assert parts, "no per-reason partitions written"
+
+    # per-reason counts must equal the ledger's dropped counters
+    with open(os.path.join(out, "_ledger", "ledger.json")) as f:
+        led = json.load(f)
+    exp: dict[str, int] = {}
+    for e in led["buckets"].values():
+        for k, v in e["dropped"].items():
+            exp[k] = exp.get(k, 0) + v
+    got = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT drop_reason, COUNT(*) FROM "
+            f"read_parquet('{rej_dir}/*/*.parquet', hive_partitioning=true) "
+            f"GROUP BY drop_reason").fetchall()
+    }
+    assert got == exp
+
+
+def test_validate_get_output_per_reason(pairs_file, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "val_out")
+    proc = _run(["validate", "-i", pairs_file, "-o", out, "--cores", "4",
+                 "--get_output"])
+    fmt = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    rej_dir = os.path.join(out, "rejected")
+    rows = duckdb.sql(
+        f"SELECT drop_reason, COUNT(*) FROM "
+        f"read_parquet('{rej_dir}/*/*.parquet', hive_partitioning=true) "
+        f"GROUP BY drop_reason").fetchall()
+    got = {r[0]: r[1] for r in rows}
+    assert got, "no rejected rows exported"
+
+    # every exported reason belongs to a validation-stage rule, and the
+    # total equals the sum of the stage counters' invalid counts
+    from mehc_curation_spark.rules.registry import RULES
+
+    stage1_reasons = {r for rule in RULES if rule.stage == 1
+                      for r in rule.drop_reasons}
+    assert set(got) <= stage1_reasons, set(got) - stage1_reasons
+    n_invalid = sum(step["invalid"] for step in fmt.values())
+    assert sum(got.values()) == n_invalid

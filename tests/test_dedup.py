@@ -90,3 +90,26 @@ def test_dedup_idempotent(spark, pairs_df):
     once = deduplicate(slim, partial_dup_cols=["phash"])
     twice = deduplicate(once, partial_dup_cols=["phash"])
     assert once.count() == twice.count()
+
+
+def test_deduplicate_with_validate(spark, pairs_df):
+    """validate=True runs the decode gate before dedup (reference
+    common.py:66-83): result equals validate-then-dedup composed by
+    hand, and the gate's counters ride along in format_data."""
+    from mehc_curation_spark.stages.validation import ValidationStage
+
+    got, fmt = deduplicate(pairs_df, validate=True, return_format_data=True)
+    manual_valid = ValidationStage(pairs_df).validate()
+    exp = deduplicate(manual_valid)
+
+    g = (got.select("image_id").toPandas()
+         .sort_values("image_id").reset_index(drop=True))
+    e = (exp.select("image_id").toPandas()
+         .sort_values("image_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(g, e)
+
+    v = fmt["validation"]
+    assert v["input"] == pairs_df.count()
+    assert v["valid"] == manual_valid.count()
+    assert v["input"] == v["valid"] + v["invalid"]
+    assert fmt["duplicate_validation_input"] == v["valid"]
