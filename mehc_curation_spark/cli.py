@@ -223,6 +223,20 @@ def main(argv: list[str] | None = None) -> int:
                 part_col = "drop_reason"
             (rej.write.mode("overwrite").partitionBy(part_col)
              .parquet(os.path.join(args.output, "rejected")))
+        if args.get_report and args.cmd != "dedup":
+            from mehc_curation_spark.io.reports import (
+                render_cleaning_report,
+                render_normalization_report,
+                render_validation_report,
+            )
+
+            render = {"validate": render_validation_report,
+                      "clean": render_cleaning_report,
+                      "normalize": render_normalization_report}[args.cmd]
+            report = render(fmt)
+            with open(os.path.join(args.output, "report.txt"), "w") as f:
+                f.write(report)
+            print(report)
         print(json.dumps(fmt))
         return 0
     finally:

@@ -57,6 +57,102 @@ conflicting phash:       {duplicate_conflict}
 }
 
 
+# ---------------------------------------------------------------------------
+# Stage-scoped reports — the reference renders one report per stage,
+# each step a {input, bad, good} triple under a numbered heading
+# (template_report/validation_title.txt + validity_check.txt etc.,
+# assembled by validation/core/template_manager.py). Same granularity
+# here with the graft's step names.
+# ---------------------------------------------------------------------------
+
+_STAGE_TITLE = """\
+*****************************************************************
+*                       {title}
+*****************************************************************
+"""
+
+_STEP = """\
+================================================
+{num}. {name}
+================================================
+Number of input captions: {input}
+Number of {bad_label}: {bad}
+Number of {good_label}: {good}
+"""
+
+
+def _step(num: str, name: str, fmt: dict, bad_key: str, bad_label: str,
+          good_label: str, good: int | None = None) -> str:
+    bad = fmt[bad_key]
+    return _STEP.format(num=num, name=name, input=fmt["input"],
+                        bad_label=bad_label, bad=bad,
+                        good_label=good_label,
+                        good=fmt["input"] - bad if good is None else good)
+
+
+def render_validation_report(metrics: dict,
+                             config: CurationConfig = CurationConfig()) -> str:
+    """Per-step validation report (≅ template_report/refining.txt:1-35:
+    VALIDITY CHECK / 1.1-1.3 removals, graft step names)."""
+    parts = [_STAGE_TITLE.format(title="1. VALIDATION")]
+    if config.validate and "validate" in metrics:
+        m = metrics["validate"]
+        parts.append(_step("0", "DECODE CHECK", m, "invalid",
+                           "undecodable images", "valid images",
+                           good=m["valid"]))
+    if config.rm_low_quality and "rm_low_quality" in metrics:
+        m = metrics["rm_low_quality"]
+        parts.append(_step("1.1", "LOW-QUALITY REMOVAL", m, "invalid",
+                           "low-quality captions", "quality captions",
+                           good=m["valid"]))
+    if config.rm_unknown_lang and "rm_unknown_lang" in metrics:
+        m = metrics["rm_unknown_lang"]
+        parts.append(_step("1.2", "UNKNOWN-LANGUAGE REMOVAL", m, "invalid",
+                           "unknown-language captions", "allowed-language captions",
+                           good=m["valid"]))
+    if config.rm_high_ppl and "rm_high_ppl" in metrics:
+        m = metrics["rm_high_ppl"]
+        parts.append(_step("1.3", "HIGH-PERPLEXITY REMOVAL", m, "invalid",
+                           "high-perplexity captions", "fluent captions",
+                           good=m["valid"]))
+    return "\n".join(parts)
+
+
+def render_cleaning_report(metrics: dict,
+                           config: CurationConfig = CurationConfig()) -> str:
+    """Per-step cleaning report (≅ salt_cleaning.txt + neutralization.txt
+    with the graft's PII/toxicity step names)."""
+    parts = [_STAGE_TITLE.format(title="2. CLEANING")]
+    if config.scrub_pii and "scrub_pii" in metrics:
+        m = metrics["scrub_pii"]
+        parts.append(_step("2.1", "PII SCRUB", m, "emptied",
+                           "captions emptied by scrub",
+                           "post-scrub captions"))
+        parts.append(f"Number of captions with PII hits: {m['pii_hits']}\n")
+    if config.scrub_toxicity and "scrub_toxicity" in metrics:
+        m = metrics["scrub_toxicity"]
+        parts.append(_step("2.2", "TOXICITY SCRUB", m, "unprocessable",
+                           "unprocessable captions",
+                           "post-scrub captions"))
+        parts.append(f"Number of scrubbed captions: {m['neutralized']}\n")
+    return "\n".join(parts)
+
+
+def render_normalization_report(metrics: dict,
+                                config: CurationConfig = CurationConfig()) -> str:
+    """Per-step normalization report (≅ destereoisomerization.txt +
+    detautomerization.txt; rewrites, no drops)."""
+    parts = [_STAGE_TITLE.format(title="3. NORMALIZATION"), """\
+================================================
+3. NORMALIZATION (rewrites, no drops)
+================================================
+Number of input captions: {input}
+Number of lossy-normalized captions: {normalized_lossy}
+Number of canonicalized captions: {normalized_canonical}
+""".format(**metrics)]
+    return "\n".join(parts)
+
+
 def render_report(reason_counts: dict[str, int], total: int,
                   config: CurationConfig = CurationConfig()) -> str:
     """Render the curation report from a {drop_reason: count} dict."""

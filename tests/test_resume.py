@@ -148,3 +148,45 @@ def test_snapshot_lineage_over_commits(spark, input_path, tmp_path_factory):
     assert v2.count() == 2000
     assert set(r["bucket"] for r in v2.select("bucket").distinct().collect()) \
         == set(range(CFG.phash_buckets))
+
+
+def test_stage_reports_golden(spark, pairs_df):
+    """Per-stage report renderers (reference template granularity:
+    one numbered {input, bad, good} section per step)."""
+    from mehc_curation_spark.io.reports import (
+        render_cleaning_report,
+        render_normalization_report,
+        render_validation_report,
+    )
+    from mehc_curation_spark.stages.cleaning import CleaningStage
+    from mehc_curation_spark.stages.normalization import NormalizationStage
+    from mehc_curation_spark.stages.validation import ValidationStage
+
+    _, vm = ValidationStage(pairs_df).complete_validation(True)
+    vr = render_validation_report(vm)
+    assert "1. VALIDATION" in vr and "0. DECODE CHECK" in vr
+    assert f"Number of input captions: {vm['validate']['input']}" in vr
+    assert f"Number of undecodable images: {vm['validate']['invalid']}" in vr
+    # chained: each step's input == previous step's valid
+    assert vm["rm_low_quality"]["input"] == vm["validate"]["valid"]
+    for num, key in (("1.1", "rm_low_quality"), ("1.2", "rm_unknown_lang"),
+                     ("1.3", "rm_high_ppl")):
+        assert f"{num}." in vr and str(vm[key]["invalid"]) in vr
+
+    _, cm = CleaningStage(pairs_df).complete_cleaning("mask", True)
+    cr = render_cleaning_report(cm)
+    assert "2. CLEANING" in cr and "2.1. PII SCRUB" in cr
+    assert "2.2. TOXICITY SCRUB" in cr
+    assert f"PII hits: {cm['scrub_pii']['pii_hits']}" in cr
+    assert f"unprocessable captions: {cm['scrub_toxicity']['unprocessable']}" in cr
+
+    _, nm = NormalizationStage(pairs_df).complete_normalization(True)
+    nr = render_normalization_report(nm)
+    assert "3. NORMALIZATION" in nr
+    assert f"lossy-normalized captions: {nm['normalized_lossy']}" in nr
+    assert f"canonicalized captions: {nm['normalized_canonical']}" in nr
+
+    # deterministic goldenness: same inputs -> byte-identical text
+    assert vr == render_validation_report(vm)
+    assert cr == render_cleaning_report(cm)
+    assert nr == render_normalization_report(nm)
