@@ -71,10 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="mask",
                    help="≅ the reference's neutralizing_method boyle|rdkit")
     c.add_argument("--phash_buckets", type=int, default=64)
-    c.add_argument("--dedup_strategy", choices=["window", "agg"],
-                   default="window",
+    c.add_argument("--dedup_strategy", choices=["auto", "window", "agg"],
+                   default="auto",
                    help="'agg' = skew-robust partial-aggregate+join "
-                        "dedup (use when single phashes are huge)")
+                        "dedup (use when single phashes are huge); "
+                        "'auto' (default) samples the phash histogram "
+                        "and picks 'agg' when one key exceeds 5%% share")
     c.add_argument("--no_resume", dest="resume", action="store_false",
                    default=True)
 

@@ -63,6 +63,39 @@ class SnapshotTable:
 
     # -- write ------------------------------------------------------------
 
+    def _commit_manifest(self, build, max_attempts: int = 64) -> int:
+        """Optimistic-concurrency manifest publish (Iceberg-style commit
+        CAS): compose the manifest against the current parent, then
+        claim the next version file with ``os.link`` — an atomic
+        create-exclusive on POSIX, so exactly ONE of two racing writers
+        wins a given version. The loser re-reads the new parent and
+        rebuilds (its file list then INCLUDES the winner's files in
+        append mode — no lost update) and retries.
+
+        ``build(parent, parent_manifest)`` returns the manifest dict
+        sans version/parent, re-evaluated per attempt.
+        """
+        os.makedirs(self.meta_dir, exist_ok=True)
+        for _ in range(max_attempts):
+            parent = self.current_version()
+            manifest = build(parent, self.manifest(parent))
+            version = parent + 1
+            manifest["version"] = version
+            manifest["parent"] = parent or None
+            tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            try:
+                os.link(tmp, self._manifest_path(version))
+                return version
+            except FileExistsError:
+                continue  # lost the race — rebuild against new parent
+            finally:
+                os.remove(tmp)
+        raise RuntimeError(
+            f"{self.path}: manifest commit contention exceeded "
+            f"{max_attempts} attempts")
+
     def write(self, df: DataFrame, mode: str = "append",
               properties: Optional[dict] = None) -> int:
         """Write a new snapshot; returns the committed version.
@@ -94,22 +127,21 @@ class SnapshotTable:
                 new_files.append(dst_name)
         shutil.rmtree(staging, ignore_errors=True)
 
-        files = new_files if mode == "overwrite" else \
-            parent_manifest["files"] + new_files
-        version = parent + 1
-        manifest = {
-            "version": version,
-            "parent": parent or None,
-            "ts": time.time(),
-            "files": files,
-            "schema": df.schema.json(),
-            "properties": properties or {},
-        }
-        tmp = self._manifest_path(version) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, self._manifest_path(version))
-        return version
+        def build(p, pm):
+            if p and pm["schema"] and mode == "append":
+                if json.loads(df.schema.json()) != json.loads(pm["schema"]):
+                    raise ValueError(
+                        f"schema mismatch appending to {self.path}: table "
+                        f"has {pm['schema']}")
+            return {
+                "ts": time.time(),
+                "files": (new_files if mode == "overwrite"
+                          else pm["files"] + new_files),
+                "schema": df.schema.json(),
+                "properties": properties or {},
+            }
+
+        return self._commit_manifest(build)
 
     def commit_files(self, rel_files: list[str], schema_json: str,
                      mode: str = "append",
@@ -122,26 +154,18 @@ class SnapshotTable:
         gets snapshot lineage: one snapshot per (resumable) commit.
         """
         assert mode in ("append", "overwrite")
-        os.makedirs(self.meta_dir, exist_ok=True)
-        parent = self.current_version()
-        parent_manifest = self.manifest(parent)
-        files = list(rel_files) if mode == "overwrite" else \
-            parent_manifest["files"] + [f for f in rel_files
-                                        if f not in parent_manifest["files"]]
-        version = parent + 1
-        manifest = {
-            "version": version,
-            "parent": parent or None,
-            "ts": time.time(),
-            "files": files,
-            "schema": schema_json,
-            "properties": properties or {},
-        }
-        tmp = self._manifest_path(version) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, self._manifest_path(version))
-        return version
+
+        def build(p, pm):
+            return {
+                "ts": time.time(),
+                "files": (list(rel_files) if mode == "overwrite"
+                          else pm["files"] + [f for f in rel_files
+                                              if f not in pm["files"]]),
+                "schema": schema_json,
+                "properties": properties or {},
+            }
+
+        return self._commit_manifest(build)
 
     # -- read ---------------------------------------------------------------
 

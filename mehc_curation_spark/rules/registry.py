@@ -100,8 +100,13 @@ class CurationConfig:
     salt_factor: int = 8               # salt buckets for per-lang stats
     # 'window' = one shared exchange + per-pass sorts (cheapest on
     # balanced keys); 'agg' = partial-aggregate + join (skew-robust
-    # when single phashes are huge — see plan._dedup_pass_agg)
-    dedup_strategy: str = "window"
+    # when single phashes are huge — see plan._dedup_pass_agg);
+    # 'auto' = sample the phash histogram at plan-build time and pick
+    # 'agg' when one key's share exceeds dedup_hot_key_share (a viral
+    # image at corpus scale), else 'window'.
+    dedup_strategy: str = "auto"
+    dedup_hot_key_share: float = 0.05   # max key share that 'auto' tolerates
+    dedup_sample_fraction: float = 0.05  # phash sample for the histogram
 
     def ppl_threshold_map(self) -> dict[str, float]:
         return dict(self.ppl_thresholds)

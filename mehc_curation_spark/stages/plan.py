@@ -30,6 +30,10 @@ Design rules (the 100 TB story):
   hash exchange on phash (asserted by tests/test_plan_shape.py).
 - **dedup sees only alive rows** via when(alive, …) inside the window
   aggregates — exact equivalent of the oracle deduping survivors only.
+- ``dedup_strategy='auto'`` (the default) runs one small eager
+  sampling job at plan-BUILD time (see :func:`choose_dedup_strategy`)
+  to pick the physical dedup formulation; the returned plan itself is
+  still one lazy lineage.
 
 The reason-priority order is exactly the oracle's stage order even
 though values are precomputed: stage-1 rules → dedup-1 → scrub drops →
@@ -159,6 +163,30 @@ def _cap_hash(col_name: str) -> F.Column:
                  F.xxhash64(F.col(col_name), F.lit(1)).alias("b")))
 
 
+def choose_dedup_strategy(df: DataFrame, config: CurationConfig) -> str:
+    """Resolve ``dedup_strategy='auto'``: sample the phash histogram
+    (slim single-column scan + map-side-combined count, a subsecond
+    job even at bench scale) and pick the skew-robust 'agg' formulation
+    when the hottest key's sample share exceeds
+    ``config.dedup_hot_key_share`` — the viral-image case where a
+    window pass would funnel one phash's 10^7+ rows into a single task.
+    Both strategies produce byte-identical labels (asserted by
+    tests/test_pipeline_oracle.py), so this is purely a physical-plan
+    choice."""
+    if config.dedup_strategy != "auto":
+        return config.dedup_strategy
+    sample = df.select(KEY_COL)
+    if config.dedup_sample_fraction < 1.0:
+        sample = sample.sample(fraction=config.dedup_sample_fraction, seed=42)
+    row = (sample.groupBy(KEY_COL).count()
+           .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+           .first())
+    if not row or not row["n"]:
+        return "window"
+    return ("agg" if row["mx"] / row["n"] >= config.dedup_hot_key_share
+            else "window")
+
+
 def build_labels_plan(df: DataFrame,
                       config: CurationConfig = CurationConfig()) -> DataFrame:
     """Build the (lazy) labels DataFrame:
@@ -197,8 +225,9 @@ def build_labels_plan(df: DataFrame,
 
     # ======== phase B: the wide region (one exchange on phash) ==========
 
-    pass_fn = (_dedup_pass_agg if config.dedup_strategy == "agg"
-               else _dedup_pass)
+    strategy = (choose_dedup_strategy(df, config)
+                if any(gates) else "window")
+    pass_fn = _dedup_pass_agg if strategy == "agg" else _dedup_pass
 
     if gates[0]:
         out = pass_fn(out, "_h_orig")

@@ -55,3 +55,78 @@ def test_load_table_fallback_paths(spark, tbl, tmp_path):
     plain = str(tmp_path / "plain")
     spark.range(6).toDF("id").write.parquet(plain)
     assert load_table(spark, plain).count() == 6
+
+
+def test_concurrent_manifest_commits(tmp_path):
+    """Two (here: eight) simultaneous committers must not lose updates:
+    the hard-link CAS gives each a unique version and the loser retries
+    against the winner's manifest, so the final file list is the union
+    (VERDICT r1 item 9)."""
+    import os
+    import threading
+
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "cc"))
+    os.makedirs(t.data_dir, exist_ok=True)
+    n = 8
+    for i in range(n):
+        open(os.path.join(t.data_dir, f"f{i}.parquet"), "w").close()
+
+    versions: list[int] = []
+    errs: list[Exception] = []
+    barrier = threading.Barrier(n)
+
+    def commit(i):
+        try:
+            barrier.wait()
+            versions.append(t.commit_files([f"f{i}.parquet"], "{}"))
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=commit, args=(i,)) for i in range(n)]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+
+    assert not errs, errs
+    assert sorted(versions) == list(range(1, n + 1))  # unique, gapless
+    final = t.manifest()
+    assert sorted(final["files"]) == [f"f{i}.parquet" for i in range(n)]
+    # lineage intact: every snapshot's parent is the previous version
+    for v in range(2, n + 1):
+        assert t.manifest(v)["parent"] == v - 1
+
+
+def test_concurrent_ledger_commits(tmp_path):
+    """Two simultaneous ledger committers (disjoint bucket ranges):
+    the commit lock serializes the read-modify-write, so the final
+    ledger holds BOTH writers' bucket entries."""
+    import os
+    import threading
+
+    from mehc_curation_spark.io.ledger import Ledger
+
+    led = Ledger(str(tmp_path / "lc"))
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def commit(buckets):
+        try:
+            staging = led.staging_dir()
+            for b in buckets:
+                os.makedirs(os.path.join(staging, f"bucket={b}"))
+            barrier.wait()
+            led.commit_buckets(
+                staging, {b: {"rows": 10, "kept": 5, "dropped": {}}
+                          for b in buckets}, 1.0)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    a = threading.Thread(target=commit, args=([0, 1, 2],))
+    b = threading.Thread(target=commit, args=([3, 4, 5],))
+    a.start(); b.start(); a.join(); b.join()
+
+    assert not errs, errs
+    state = led.read()
+    assert sorted(int(k) for k in state["buckets"]) == [0, 1, 2, 3, 4, 5]
+    assert state["version"] == 2 and len(state["runs"]) == 2

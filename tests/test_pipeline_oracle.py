@@ -123,6 +123,31 @@ def test_null_caption_parity(spark, strategy):
             == o["drop_reason"].fillna("<kept>")).all()
 
 
+def test_auto_dedup_strategy(spark, pairs_df):
+    """'auto' picks 'agg' on a corpus with a planted 10%-hot phash and
+    'window' on the balanced fixture — and the auto-built labels match
+    the forced-'window' labels byte-for-byte (VERDICT r1 item 10)."""
+    from pyspark.sql import functions as F
+
+    from mehc_curation_spark.stages.plan import choose_dedup_strategy
+
+    cfg = CurationConfig(dedup_strategy="auto", dedup_sample_fraction=1.0)
+    assert choose_dedup_strategy(pairs_df, cfg) == "window"
+
+    # plant a viral phash on 10% of rows
+    hot = pairs_df.withColumn(
+        "phash",
+        F.when(F.xxhash64("image_id") % 10 == 0, F.lit(424242))
+        .otherwise(F.col("phash")))
+    assert choose_dedup_strategy(hot, cfg) == "agg"
+
+    auto = (build_labels_plan(hot, cfg).toPandas()
+            .sort_values("image_id").reset_index(drop=True))
+    win = (build_labels_plan(hot, cfg.with_(dedup_strategy="window"))
+           .toPandas().sort_values("image_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(auto, win)
+
+
 def test_agg_dedup_strategy_matches_window(spark, pairs_df):
     """The skew-robust aggregate+join dedup formulation must produce
     byte-identical labels to the window formulation (and hence to the
