@@ -317,7 +317,10 @@ def emb_near_dup(spark, sf_dir):
 def doc_langid(spark, sf_dir):
     from mehc_curation_spark.operators.udfs import langid_udf
 
-    d = _t(spark, sf_dir, "documents")
+    # repartition: documents.parquet is one split at bench scale, which
+    # would serialize the Arrow UDF on a single task; at corpus scale
+    # the scan has thousands of splits and this is a no-op cost-wise.
+    d = _t(spark, sf_dir, "documents").repartition(64, "doc_id")
     return d.select(
         "doc_id", langid_udf(F.col("text")).alias("_l")
     ).select("doc_id", "_l.lang", F.round("_l.lang_conf", 6).alias("lang_conf"),

@@ -137,7 +137,13 @@ def _tri_buckets(cp: np.ndarray) -> np.ndarray:
 
 
 def _build_tables() -> np.ndarray:
-    """(n_langs, _B) float32 smoothed trigram log-probs."""
+    """(n_langs, _B) smoothed trigram log-probs.
+
+    Stored as float64-of-float32 (quantized once, then widened): the
+    scoring gather then yields float64 directly — bitwise identical to
+    the previous per-call ``float32_table[buckets].astype(float64)``,
+    which was the hottest line of classify_batch (a full copy of the
+    gathered trigram array per language per batch)."""
     tables = np.zeros((len(LANGS), _B), dtype=np.float64)
     for i, lang in enumerate(LANGS):
         counts = np.zeros(_B, dtype=np.float64)
@@ -145,7 +151,7 @@ def _build_tables() -> np.ndarray:
         np.add.at(counts, buckets, 1.0)
         total = counts.sum()
         tables[i] = np.log((counts + _ALPHA) / (total + _ALPHA * _B))
-    return tables.astype(np.float32)
+    return tables.astype(np.float32).astype(np.float64)
 
 
 _TABLES = _build_tables()
@@ -186,31 +192,27 @@ def classify_batch(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
     # Gather trigram buckets text-by-text boundaries: build a global
     # index of trigram start positions, skipping the 2 cross-boundary
-    # positions at each text end.
-    tri_total = int(tri_counts.sum())
-    pos = np.empty(tri_total, dtype=np.int64)
-    seg_starts = np.empty(int(valid.sum()), dtype=np.int64)
-    off = 0
-    si = 0
-    for i in range(n):
-        tc = tri_counts[i]
-        if tc == 0:
-            continue
-        pos[off : off + tc] = np.arange(starts[i], starts[i] + tc)
-        seg_starts[si] = off
-        si += 1
-        off += tc
+    # positions at each text end. Fully vectorized: pos = a global
+    # arange plus a per-segment offset repeated over each segment's
+    # trigram count (the former per-text Python loop was ~40% of batch
+    # wall time at 5k docs).
+    vtc = tri_counts[valid]
+    tri_total = int(vtc.sum())
+    seg_starts = np.concatenate(([0], np.cumsum(vtc)[:-1]))
+    pos = (np.arange(tri_total, dtype=np.int64)
+           + np.repeat(starts[valid] - seg_starts, vtc))
 
     c = cp.astype(np.uint64)
     h = c[pos] * _H1 + c[pos + 1] * _H2 + c[pos + 2]
     buckets = (h & np.uint64(_B - 1)).astype(np.int64)
 
-    # Segment-sum each language's log-probs over each text's trigrams.
+    # Segment-sum each language's log-probs over each text's trigrams
+    # (tables are float64 — the gather itself produces the accumulation
+    # dtype, no per-language copies).
     scores = np.empty((len(LANGS), int(valid.sum())), dtype=np.float64)
     for li in range(len(LANGS)):
-        lp = _TABLES[li][buckets].astype(np.float64)
-        scores[li] = np.add.reduceat(lp, seg_starts)
-    scores /= tri_counts[valid][None, :].astype(np.float64)
+        scores[li] = np.add.reduceat(_TABLES[li][buckets], seg_starts)
+    scores /= vtc[None, :].astype(np.float64)
 
     order = np.argsort(-scores, axis=0)
     top1 = order[0]

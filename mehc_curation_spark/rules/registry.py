@@ -99,12 +99,15 @@ class CurationConfig:
     phash_buckets: int = 64            # repartition key: pmod(phash, B)
     salt_factor: int = 8               # salt buckets for per-lang stats
     # 'window' = one shared exchange + per-pass sorts (cheapest on
-    # balanced keys); 'agg' = partial-aggregate + join (skew-robust
-    # when single phashes are huge — see plan._dedup_pass_agg);
-    # 'auto' = sample the phash histogram at plan-build time and pick
-    # 'agg' when one key's share exceeds dedup_hot_key_share (a viral
-    # image at corpus scale), else 'window'.
-    dedup_strategy: str = "auto"
+    # balanced keys; the library default — plan building stays fully
+    # lazy); 'agg' = partial-aggregate + join (skew-robust when single
+    # phashes are huge — see plan._dedup_pass_agg); 'auto' = sample the
+    # phash histogram at plan-build time and pick 'agg' when one key's
+    # share exceeds dedup_hot_key_share (a viral image at corpus
+    # scale). 'auto' pays one slim column-pruned sampling job per plan
+    # build (~2s at bench scale), so it is the default for the durable
+    # CLI/run_curate path where it amortizes, not for the library API.
+    dedup_strategy: str = "window"
     dedup_hot_key_share: float = 0.05   # max key share that 'auto' tolerates
     dedup_sample_fraction: float = 0.05  # phash sample for the histogram
 

@@ -30,10 +30,12 @@ Design rules (the 100 TB story):
   hash exchange on phash (asserted by tests/test_plan_shape.py).
 - **dedup sees only alive rows** via when(alive, …) inside the window
   aggregates — exact equivalent of the oracle deduping survivors only.
-- ``dedup_strategy='auto'`` (the default) runs one small eager
-  sampling job at plan-BUILD time (see :func:`choose_dedup_strategy`)
-  to pick the physical dedup formulation; the returned plan itself is
-  still one lazy lineage.
+- ``dedup_strategy='auto'`` (the CLI / run_curate default) runs one
+  small eager sampling job at plan-BUILD time (see
+  :func:`choose_dedup_strategy`) to pick the physical dedup
+  formulation; the returned plan itself is still one lazy lineage.
+  The library default stays 'window' so `build_labels_plan` is fully
+  lazy unless adaptivity is requested.
 
 The reason-priority order is exactly the oracle's stage order even
 though values are precomputed: stage-1 rules → dedup-1 → scrub drops →
