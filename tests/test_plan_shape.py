@@ -37,12 +37,15 @@ def test_exchange_is_on_phash(plan_str):
     assert "hashpartitioning(phash" in plan_str
 
 
-def test_one_python_eval_per_udf(plan_str):
-    """decode+langid fuse into one Arrow eval; toxicity and normalize
-    are one each — struct fields must not re-trigger evaluation."""
+def test_one_python_crossing(plan_str):
+    """The ENTIRE narrow phase (decode, langid+ppl, heuristics, PII +
+    toxicity scrubs, normalization) is ONE MapInArrow crossing — no
+    ArrowEvalPython nodes may appear (a pandas UDF sneaking into the
+    labels plan would add a second JVM<->Python round trip)."""
     tree = plan_str.split("\n\n")[0]
+    n_arrow = sum("MapInArrow" in ln for ln in tree.splitlines())
     n_py = sum("ArrowEvalPython" in ln for ln in tree.splitlines())
-    assert n_py <= 3, plan_str
+    assert n_arrow == 1 and n_py == 0, plan_str
 
 
 def test_bytes_not_read_when_validation_off(pairs_df):
@@ -79,3 +82,57 @@ def test_bucket_partition_pruning(spark, tmp_path, pairs_df):
     assert pf and "bucket" in pf[0], s
     # the filter reached the scan: no rows from other buckets survive
     assert df.select("bucket").distinct().collect()[0]["bucket"] == 3
+
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    """The shipdate predicate must reach the parquet scan as a
+    PushedFilter, and the scan must read only the 6 needed columns."""
+    import __spark_entry__ as entry_mod
+
+    s = _formatted(entry_mod.q1_pricing_summary(spark, SF_DIR))
+    pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
+    assert pushed and "l_shipdate" in pushed[0], s
+    rs = [ln for ln in s.splitlines() if "ReadSchema" in ln]
+    assert rs and "l_comment" not in rs[0] and "l_orderkey" not in rs[0], s
+
+
+def test_q3_q5_broadcast_small_dims(spark):
+    """Small dimension sides must broadcast (no shuffle of lineitem
+    for the dim joins): q3 broadcasts customer, q5 broadcasts
+    customer/nation/region."""
+    import __spark_entry__ as entry_mod
+
+    s3 = _formatted(entry_mod.q3_top_revenue_orders(spark, SF_DIR))
+    assert "BroadcastHashJoin" in s3, s3
+    s5 = _formatted(entry_mod.q5_region_revenue(spark, SF_DIR))
+    assert s5.count("BroadcastHashJoin") >= 3, s5
+
+
+def test_lsh_paths_have_no_cartesian(spark):
+    """Every LSH candidate generator must join through banded buckets —
+    a CartesianProduct/BroadcastNestedLoop in the plan means the
+    all-pairs scale-killer leaked in."""
+    import __spark_entry__ as entry_mod
+
+    for q in (entry_mod.doc_minhash_neardup, entry_mod.pairs_phash_neardup,
+              entry_mod.doc_simhash_neardup, entry_mod.emb_near_dup_lsh):
+        s = _formatted(q(spark, SF_DIR))
+        assert "CartesianProduct" not in s, (q.__name__, s)
+        assert "BroadcastNestedLoopJoin" not in s, (q.__name__, s)
+
+
+def test_curate_narrow_stage_before_exchange(pairs_df):
+    """The fused Arrow stage (ONE MapInArrow node — the whole narrow
+    phase) must sit below the single exchange: caption bytes are
+    consumed at the scan side, never shuffled."""
+    s = _formatted(build_labels_plan(pairs_df, CurationConfig()))
+    tree = s.split("\n\n")[0].splitlines()
+    arrow_idx = [i for i, ln in enumerate(tree) if "MapInArrow" in ln]
+    ex_idx = [i for i, ln in enumerate(tree) if "Exchange" in ln]
+    assert len(arrow_idx) == 1 and ex_idx, s
+    # formatted trees print top-down: the exchange appears ABOVE
+    # (smaller index than) the Arrow stage feeding it
+    assert min(ex_idx) < arrow_idx[0], s
