@@ -171,6 +171,45 @@ def q_rollup_order_counts(spark, sf_dir):
     )
 
 
+def q_cube_order_stats(spark, sf_dir):
+    """CUBE over (status, priority) — all 2^2 grouping sets in one
+    pass (partial aggregation per set, single shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total"))
+    )
+
+
+def q_lineitem_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per return flag (Spark
+    `percentile` == DuckDB `quantile_cont` semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+def q_running_revenue(spark, sf_dir):
+    """Per-customer running order total (cumulative window sum over an
+    ordered frame) — top spender surface for audits."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(_dec(F.col("o_totalprice"))).over(w)
+        .cast("double").alias("running_total"),
+    )
+
+
 def events_sessionize(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -561,6 +600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q18_large_orders": q18_large_orders,
         "q_rollup_order_counts": q_rollup_order_counts,
+        "q_cube_order_stats": q_cube_order_stats,
+        "q_lineitem_percentiles": q_lineitem_percentiles,
+        "q_running_revenue": q_running_revenue,
         "events_sessionize": events_sessionize,
         "doc_quality_filter": doc_quality_filter,
         "doc_pii_scrub": doc_pii_scrub,
@@ -701,6 +743,27 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup_order_counts": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
             FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "q_cube_order_stats": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "q_lineitem_percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS running_total
+            FROM orders
         """,
         "events_sessionize": """
             WITH g AS (
