@@ -210,6 +210,31 @@ def q_running_revenue(spark, sf_dir):
     )
 
 
+def doc_approx_distinct(spark, sf_dir):
+    """Approximate aggregates (HLL++ / quantile sketch) as a
+    property-oracled check: the sketch results must land within the
+    documented tolerance of the exact answers, which the oracle
+    computes in SQL. At corpus scale these sketches replace exact
+    count_distinct/percentile shuffles with fixed-size mergeable
+    state — the standard 100 TB cardinality/quantile path."""
+    d = _t(spark, sf_dir, "documents")
+    li = _t(spark, sf_dir, "lineitem")
+    row = d.agg(
+        F.count_distinct("text").alias("exact"),
+        F.approx_count_distinct("text", 0.05).alias("approx")).first()
+    qrow = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("ap50"),
+    ).first()
+    hll_ok = abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
+    # percentile_approx returns an actual data value within rank error
+    # 1/1000; bound it loosely by 2% of the exact median's magnitude
+    q_ok = abs(qrow["ap50"] - qrow["exact_p50"]) <= 0.02 * abs(qrow["exact_p50"])
+    return spark.createDataFrame(
+        [(row["exact"], bool(hll_ok), bool(q_ok))],
+        "n_exact long, hll_within_5pct boolean, approx_p50_within_2pct boolean")
+
+
 def events_sessionize(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -603,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube_order_stats": q_cube_order_stats,
         "q_lineitem_percentiles": q_lineitem_percentiles,
         "q_running_revenue": q_running_revenue,
+        "doc_approx_distinct": doc_approx_distinct,
         "events_sessionize": events_sessionize,
         "doc_quality_filter": doc_quality_filter,
         "doc_pii_scrub": doc_pii_scrub,
@@ -764,6 +790,12 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS DOUBLE) AS running_total
             FROM orders
+        """,
+        "doc_approx_distinct": """
+            SELECT COUNT(DISTINCT text) AS n_exact,
+                   TRUE AS hll_within_5pct,
+                   TRUE AS approx_p50_within_2pct
+            FROM documents
         """,
         "events_sessionize": """
             WITH g AS (
