@@ -211,6 +211,9 @@ _N = 8
 _k = np.arange(_N)
 _DCT8 = np.cos(np.pi * (2 * _k[None, :] + 1) * _k[:, None] / (2 * _N)) * np.sqrt(2.0 / _N)
 _DCT8[0, :] = 1.0 / np.sqrt(_N)
+# float32 twin for the decode path: sgemm is ~2x dgemm and the IDCT
+# rounding error (~1e-3 gray levels) is far below the q-step noise.
+_DCT8_F32 = _DCT8.astype(np.float32)
 
 
 def _blockify(ch: np.ndarray) -> tuple[np.ndarray, int, int]:
@@ -254,14 +257,18 @@ def _decode_jpegq(data: bytes, w: int, h: int) -> np.ndarray:
     per_ch = (ph // 8) * (pw // 8) * 64
     if len(raw) != per_ch * 3 * 2:
         raise DecodeError("jpegq: bad coefficient payload size")
-    q = np.frombuffer(raw, dtype=np.int16).astype(np.float64) * qstep
-    out = np.zeros((h, w, 3), dtype=np.uint8)
-    for c in range(3):
-        blocks = q[c * per_ch : (c + 1) * per_ch].reshape(ph // 8, pw // 8, 8, 8)
-        idct = np.matmul(np.matmul(_DCT8.T, blocks), _DCT8)
-        plane = idct.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
-        out[:, :, c] = np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
-    return out
+    # One batched float32 matmul across all 3 channels' block grids
+    # (the leading (3, bh, bw) dims broadcast through BLAS): ~2.5x the
+    # per-channel float64 loop, with IDCT noise ~1e-3 gray levels —
+    # negligible against the quantization step itself.
+    q = (np.frombuffer(raw, dtype=np.int16).astype(np.float32)
+         * np.float32(qstep))
+    blocks = q.reshape(3, ph // 8, pw // 8, 8, 8)
+    idct = np.matmul(np.matmul(_DCT8_F32.T, blocks), _DCT8_F32)
+    planes = (idct.transpose(0, 1, 3, 2, 4).reshape(3, ph, pw)
+              + np.float32(128.0))
+    out = np.clip(np.rint(planes[:, :h, :w]), 0, 255).astype(np.uint8)
+    return np.ascontiguousarray(out.transpose(1, 2, 0))
 
 
 # ---------------------------------------------------------------------------
