@@ -127,16 +127,21 @@ class SnapshotTable:
                 new_files.append(dst_name)
         shutil.rmtree(staging, ignore_errors=True)
 
+        new_stats = self._collect_file_stats(new_files)
+
         def build(p, pm):
             if p and pm["schema"] and mode == "append":
                 if json.loads(df.schema.json()) != json.loads(pm["schema"]):
                     raise ValueError(
                         f"schema mismatch appending to {self.path}: table "
                         f"has {pm['schema']}")
+            stats = {} if mode == "overwrite" else dict(pm.get("stats", {}))
+            stats.update(new_stats)
             return {
                 "ts": time.time(),
                 "files": (new_files if mode == "overwrite"
                           else pm["files"] + new_files),
+                "stats": stats,
                 "schema": df.schema.json(),
                 "properties": properties or {},
             }
@@ -154,29 +159,125 @@ class SnapshotTable:
         gets snapshot lineage: one snapshot per (resumable) commit.
         """
         assert mode in ("append", "overwrite")
+        new_stats = self._collect_file_stats(list(rel_files))
 
         def build(p, pm):
+            stats = {} if mode == "overwrite" else dict(pm.get("stats", {}))
+            stats.update(new_stats)
             return {
                 "ts": time.time(),
                 "files": (list(rel_files) if mode == "overwrite"
                           else pm["files"] + [f for f in rel_files
                                               if f not in pm["files"]]),
+                "stats": stats,
                 "schema": schema_json,
                 "properties": properties or {},
             }
 
         return self._commit_manifest(build)
 
+    def _collect_file_stats(self, rel_files: list[str],
+                            cols: tuple[str, ...] = ("phash",)) -> dict:
+        """Per-file min/max for `cols` from the parquet FOOTERS only
+        (no data read) — the Iceberg-manifest-stats analog enabling
+        file-level data skipping at read time."""
+        import pyarrow.parquet as pq
+
+        stats: dict = {}
+        for rel in rel_files:
+            p = os.path.join(self.data_dir, rel)
+            try:
+                meta = pq.ParquetFile(p).metadata
+            except Exception:
+                continue
+            names = {meta.schema.column(i).name: i
+                     for i in range(meta.num_columns)}
+            entry = {}
+            for col in cols:
+                ci = names.get(col)
+                if ci is None:
+                    continue
+                mins, maxs = [], []
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    entry[col] = [min(mins), max(maxs)]
+            if entry:
+                stats[rel] = entry
+        return stats
+
     # -- read ---------------------------------------------------------------
 
     def read(self, spark: SparkSession,
-             version: Optional[int] = None) -> DataFrame:
+             version: Optional[int] = None,
+             between: Optional[tuple[str, float, float]] = None) -> DataFrame:
+        """Read a snapshot; `between=(col, lo, hi)` additionally prunes
+        at the FILE level using the manifest's per-file min/max stats
+        (files whose range cannot overlap are never opened — the
+        Iceberg data-skipping analog) and applies the row-level filter
+        on what remains. Files without recorded stats are always read
+        (skipping must be sound, never lossy)."""
         m = self.manifest(version)
         if not m["files"]:
             raise FileNotFoundError(f"{self.path}: no committed snapshot")
-        paths = [os.path.join(self.data_dir, f) for f in m["files"]]
+        files = m["files"]
+        if between is not None:
+            col, lo, hi = between
+            stats = m.get("stats", {})
+            files = [
+                f for f in files
+                if col not in stats.get(f, {})
+                or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+            ]
+            if not files:
+                # empty selection: preserve schema via a no-row filter
+                full = spark.read.option("basePath", self.data_dir).parquet(
+                    *[os.path.join(self.data_dir, f) for f in m["files"]])
+                from pyspark.sql import functions as F
+
+                return full.filter(F.lit(False))
+        paths = [os.path.join(self.data_dir, f) for f in files]
         # basePath keeps hive-style partition columns (bucket=k) when
         # manifests reference files inside partition dirs
+        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+        if between is not None:
+            from pyspark.sql import functions as F
+
+            col, lo, hi = between
+            df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        return df
+
+    def files_pruned(self, between: tuple[str, float, float],
+                     version: Optional[int] = None) -> tuple[int, int]:
+        """(selected, total) file counts for a range read — the
+        observable data-skipping ratio (used by tests/monitoring)."""
+        m = self.manifest(version)
+        col, lo, hi = between
+        stats = m.get("stats", {})
+        sel = [f for f in m["files"]
+               if col not in stats.get(f, {})
+               or not (stats[f][col][1] < lo or stats[f][col][0] > hi)]
+        return len(sel), len(m["files"])
+
+    def read_incremental(self, spark: SparkSession, since_version: int,
+                         to_version: Optional[int] = None) -> DataFrame:
+        """Rows appended AFTER `since_version` up to `to_version`
+        (default current) — the incremental/CDC-append read: exactly
+        the files newer manifests added, never a rescan of the old
+        snapshot."""
+        to_m = self.manifest(to_version)
+        base = set(self.manifest(since_version)["files"]) if since_version else set()
+        new_files = [f for f in to_m["files"] if f not in base]
+        if not new_files:
+            raise FileNotFoundError(
+                f"{self.path}: no files added between v{since_version} "
+                f"and v{to_m['version']}")
+        paths = [os.path.join(self.data_dir, f) for f in new_files]
         return spark.read.option("basePath", self.data_dir).parquet(*paths)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:

@@ -131,6 +131,50 @@ def run_stream_labels(spark, input_dir: str, output_dir: str,
             .start())
 
 
+def run_stream_to_snapshot_table(spark, input_dir: str, table_path: str,
+                                 checkpoint_dir: str,
+                                 config: CurationConfig = CurationConfig()):
+    """Streaming ingestion INTO the Iceberg-analog snapshot table:
+    each micro-batch commits one snapshot via ``foreachBatch``, so
+    consumers get snapshot isolation + time travel over the stream's
+    progress and can time-travel to any micro-batch boundary.
+
+    Exactly-once across restarts: Structured Streaming replays a
+    failed micro-batch under the SAME ``batch_id``; the commit
+    callback records the id in the manifest properties and skips ids
+    already committed, making the snapshot append idempotent (the
+    standard foreachBatch idempotent-sink recipe, here backed by the
+    catalog's CAS manifest commit so a concurrent writer can't
+    interleave)."""
+    from mehc_curation_spark.io.catalog import SnapshotTable
+    from mehc_curation_spark.schema import PAIRS_SCHEMA
+
+    table = SnapshotTable(table_path)
+
+    def _committed_batch_ids() -> set:
+        ids = set()
+        for v in range(1, table.current_version() + 1):
+            bid = table.manifest(v).get("properties", {}).get("stream_batch_id")
+            if bid is not None:
+                ids.add(int(bid))
+        return ids
+
+    def commit_batch(batch_df, batch_id: int):
+        if int(batch_id) in _committed_batch_ids():
+            return  # replay after failure — snapshot already committed
+        table.write(batch_df, mode="append",
+                    properties={"stream_batch_id": int(batch_id)})
+
+    stream = spark.readStream.schema(PAIRS_SCHEMA).parquet(input_dir)
+    labels = streaming_rule_labels(stream, config)
+    return (labels.writeStream
+            .foreachBatch(commit_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
+
+
 def stream_lang_window_counts(labels_stream: DataFrame,
                               ts_col: str = "ts",
                               window_dur: str = "1 minute",

@@ -130,3 +130,77 @@ def test_concurrent_ledger_commits(tmp_path):
     state = led.read()
     assert sorted(int(k) for k in state["buckets"]) == [0, 1, 2, 3, 4, 5]
     assert state["version"] == 2 and len(state["runs"]) == 2
+
+
+def test_file_stats_skipping_and_incremental(spark, pairs_df, tmp_path):
+    """Iceberg-analog manifest stats: a phash-range read must prune at
+    the FILE level (footer min/max recorded at commit) and still return
+    exactly the rows a full-scan filter would; incremental read returns
+    only the files the newer snapshot added."""
+    from pyspark.sql import functions as F
+
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "skip"))
+    # two commits of phash-disjoint halves, each range-partitioned into
+    # several files so min/max ranges are tight per file
+    lo_half = pairs_df.filter(F.col("phash") < 0).repartitionByRange(4, "phash")
+    hi_half = pairs_df.filter(F.col("phash") >= 0).repartitionByRange(4, "phash")
+    v1 = t.write(lo_half, mode="append")
+    v2 = t.write(hi_half, mode="append")
+    assert (v1, v2) == (1, 2)
+    assert t.manifest()["stats"], "no file stats recorded at commit"
+
+    lo, hi = -(2**62), -1  # negative-phash range only
+    sel, total = t.files_pruned(("phash", lo, hi))
+    assert sel < total, (sel, total)
+
+    got = t.read(spark, between=("phash", lo, hi))
+    exp = t.read(spark).filter((F.col("phash") >= lo) & (F.col("phash") <= hi))
+    assert got.count() == exp.count() > 0
+
+    inc = t.read_incremental(spark, since_version=1)
+    assert inc.count() == hi_half.count()
+    assert inc.filter(F.col("phash") < 0).count() == 0
+
+
+def test_stream_to_snapshot_table_exactly_once(spark, pairs_df, tmp_path):
+    """foreachBatch streaming ingestion into the snapshot table: the
+    stream's rows land exactly once (restart with the same checkpoint
+    adds only NEW input), every micro-batch is a snapshot, and replayed
+    batch ids are skipped idempotently."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mehc_curation_spark.io.catalog import SnapshotTable
+    from mehc_curation_spark.streaming.curate_stream import (
+        run_stream_to_snapshot_table,
+    )
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "tbl")
+    a = pairs_df.filter(F.col("image_id") < "img_001000")
+    b = pairs_df.filter(F.col("image_id") >= "img_001000")
+    a.write.parquet(os.path.join(inp, "part_a"))
+
+    q = run_stream_to_snapshot_table(spark, os.path.join(inp, "*"), table, ckpt)
+    q.awaitTermination(120)
+    t = SnapshotTable(table)
+    n1 = t.read(spark).count()
+    assert n1 == a.count()
+    assert t.manifest()["properties"]["stream_batch_id"] == 0
+
+    # restart with the same checkpoint: only the new file is processed
+    b.write.parquet(os.path.join(inp, "part_b"))
+    q2 = run_stream_to_snapshot_table(spark, os.path.join(inp, "*"), table, ckpt)
+    q2.awaitTermination(120)
+    assert t.read(spark).count() == a.count() + b.count()
+
+    # idempotence: re-running with nothing new commits nothing
+    v = t.current_version()
+    q3 = run_stream_to_snapshot_table(spark, os.path.join(inp, "*"), table, ckpt)
+    q3.awaitTermination(120)
+    assert t.current_version() == v
