@@ -1,17 +1,27 @@
 """Snapshot-table layer — a thin Iceberg-semantics emulation over
 Parquet (no Iceberg runtime jars in this environment; SURVEY.md §7).
 
-Gives the pipeline the three Iceberg behaviors it depends on, behind an
+Gives the pipeline the Iceberg behaviors it depends on, behind an
 interface that switches to real Iceberg when a runtime is present:
 
 1. **atomic snapshot commit** — data files are written to a staging
    dir, then a JSON snapshot manifest listing exactly those files is
-   published via write-temp-then-rename; readers only ever see a
-   committed manifest;
+   published via a hard-link CAS (create-exclusive) with optimistic
+   retry, so concurrent committers cannot lose updates; readers only
+   ever see a committed manifest;
 2. **snapshot lineage / time travel** — every commit records a parent
-   snapshot id; `read(version=...)` reads any historical snapshot;
-3. **pinned schema** — the declared schema is stored in table metadata
-   and asserted on append.
+   snapshot id; `read(version=...)` reads any historical snapshot, and
+   `read_incremental(since_version)` reads only the files newer
+   snapshots added (CDC-append);
+3. **pinned schema + additive evolution** — the declared schema is
+   stored in table metadata and asserted on append;
+   `allow_schema_evolution=True` accepts add-column appends, old files
+   reading NULL for new columns;
+4. **manifest column stats / data skipping** — per-file min/max read
+   from parquet footers at commit; `read(between=(col, lo, hi))`
+   prunes non-overlapping files before Spark opens them;
+5. **snapshot expiry** — `expire_snapshots(keep_last)` drops old
+   manifests and unreferenced data files.
 
 Stage barriers in the curation job (`complete_refinement`'s
 materialization points, ``refinement/core/pipeline.py:157-269``) map to
@@ -96,13 +106,31 @@ class SnapshotTable:
             f"{self.path}: manifest commit contention exceeded "
             f"{max_attempts} attempts")
 
+    @staticmethod
+    def _schema_compatible(new_json: str, old_json: str) -> bool:
+        """Additive evolution check: every OLD column must exist in the
+        new schema with an identical type/nullability entry; brand-new
+        trailing columns are allowed (Iceberg add-column analog — old
+        files read as NULL for them via mergeSchema)."""
+        new_fields = {json.dumps(f, sort_keys=True)
+                      for f in json.loads(new_json)["fields"]}
+        return all(json.dumps(f, sort_keys=True) in new_fields
+                   for f in json.loads(old_json)["fields"])
+
     def write(self, df: DataFrame, mode: str = "append",
-              properties: Optional[dict] = None) -> int:
+              properties: Optional[dict] = None,
+              allow_schema_evolution: bool = False) -> int:
         """Write a new snapshot; returns the committed version.
 
         mode='append' keeps prior files in the new manifest;
         mode='overwrite' starts the file list fresh (old files stay on
         disk for time travel until `expire_snapshots`).
+
+        ``allow_schema_evolution=True`` accepts an ADDITIVE schema
+        change on append (new columns appended; every existing column
+        unchanged): the manifest schema advances to the superset and
+        reads reconcile old files to NULL for the new columns. Any
+        non-additive change still raises.
         """
         assert mode in ("append", "overwrite")
         os.makedirs(self.meta_dir, exist_ok=True)
@@ -110,7 +138,12 @@ class SnapshotTable:
         parent_manifest = self.manifest(parent)
 
         if parent and parent_manifest["schema"] and mode == "append":
-            if json.loads(df.schema.json()) != json.loads(parent_manifest["schema"]):
+            same = (json.loads(df.schema.json())
+                    == json.loads(parent_manifest["schema"]))
+            if not same and not (
+                    allow_schema_evolution
+                    and self._schema_compatible(df.schema.json(),
+                                                parent_manifest["schema"])):
                 raise ValueError(
                     f"schema mismatch appending to {self.path}: table has "
                     f"{parent_manifest['schema']}")
@@ -131,7 +164,11 @@ class SnapshotTable:
 
         def build(p, pm):
             if p and pm["schema"] and mode == "append":
-                if json.loads(df.schema.json()) != json.loads(pm["schema"]):
+                same = json.loads(df.schema.json()) == json.loads(pm["schema"])
+                if not same and not (
+                        allow_schema_evolution
+                        and self._schema_compatible(df.schema.json(),
+                                                    pm["schema"])):
                     raise ValueError(
                         f"schema mismatch appending to {self.path}: table "
                         f"has {pm['schema']}")
@@ -243,8 +280,10 @@ class SnapshotTable:
                 return full.filter(F.lit(False))
         paths = [os.path.join(self.data_dir, f) for f in files]
         # basePath keeps hive-style partition columns (bucket=k) when
-        # manifests reference files inside partition dirs
-        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+        # manifests reference files inside partition dirs; mergeSchema
+        # reconciles pre-evolution files (missing columns read as NULL)
+        df = (spark.read.option("basePath", self.data_dir)
+              .option("mergeSchema", "true").parquet(*paths))
         if between is not None:
             from pyspark.sql import functions as F
 

@@ -204,3 +204,36 @@ def test_stream_to_snapshot_table_exactly_once(spark, pairs_df, tmp_path):
     q3 = run_stream_to_snapshot_table(spark, os.path.join(inp, "*"), table, ckpt)
     q3.awaitTermination(120)
     assert t.current_version() == v
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg add-column analog: an append with an additive schema is
+    accepted under allow_schema_evolution; old files read as NULL for
+    the new column, time travel preserves the old schema, and a
+    non-additive change (dropped column) still raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "evo"))
+    v1_df = spark.range(5).select(F.col("id").alias("image_id"),
+                                  (F.col("id") * 10).alias("phash"))
+    t.write(v1_df, mode="append")
+
+    v2_df = v1_df.withColumn("quality", F.lit(0.9))
+    with pytest.raises(ValueError):  # default: pinned schema
+        t.write(v2_df, mode="append")
+    v2 = t.write(v2_df, mode="append", allow_schema_evolution=True)
+    assert v2 == 2
+
+    cur = t.read(spark)
+    assert "quality" in cur.columns
+    assert cur.count() == 10
+    assert cur.filter(F.col("quality").isNull()).count() == 5  # old files
+    assert "quality" not in t.read(spark, version=1).columns
+
+    # non-additive (column dropped) is rejected even with the flag
+    with pytest.raises(ValueError):
+        t.write(v1_df.select("image_id"), mode="append",
+                allow_schema_evolution=True)
