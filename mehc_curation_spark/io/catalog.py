@@ -319,6 +319,44 @@ class SnapshotTable:
         paths = [os.path.join(self.data_dir, f) for f in new_files]
         return spark.read.option("basePath", self.data_dir).parquet(*paths)
 
+    def compact(self, spark: SparkSession, target_files: int = 8,
+                properties: Optional[dict] = None) -> int:
+        """Rewrite-data-files analog (the small-files cure): read the
+        current snapshot, coalesce into ``target_files`` right-sized
+        files, and commit them as a NEW overwrite snapshot with the
+        same rows. Streaming ingestion commits one file set per
+        micro-batch, so a long-lived table accumulates many small
+        files — at corpus scale each tiny file costs a scheduler task
+        and a footer read; periodic compaction keeps scan parallelism
+        matched to data volume. Time travel still sees the
+        pre-compaction snapshots until ``expire_snapshots``.
+        """
+        df = self.read(spark).coalesce(max(1, target_files))
+        return self.write(
+            df, mode="overwrite",
+            properties={**(properties or {}), "compaction": True})
+
+    def remove_orphan_files(self) -> int:
+        """Delete data files referenced by NO manifest — leftovers of
+        writers that crashed after moving files but before winning the
+        manifest CAS. Returns files removed. Safe because every
+        committed file appears in some manifest and CAS losers re-list
+        their files in the retried manifest."""
+        live: set[str] = set()
+        for v in range(1, self.current_version() + 1):
+            p = self._manifest_path(v)
+            if os.path.exists(p):
+                live.update(self.manifest(v)["files"])
+        removed = 0
+        if os.path.isdir(self.data_dir):
+            for root, _dirs, fnames in os.walk(self.data_dir):
+                for f in fnames:
+                    rel = os.path.relpath(os.path.join(root, f), self.data_dir)
+                    if rel not in live:
+                        os.remove(os.path.join(root, f))
+                        removed += 1
+        return removed
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop manifests older than the newest `keep_last` and delete
         data files no newer manifest references. Returns files removed."""

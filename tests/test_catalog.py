@@ -237,3 +237,43 @@ def test_schema_evolution_add_column(spark, tmp_path):
     with pytest.raises(ValueError):
         t.write(v1_df.select("image_id"), mode="append",
                 allow_schema_evolution=True)
+
+
+def test_compaction_and_orphan_cleanup(spark, tmp_path):
+    """compact(): many-small-file table -> one overwrite snapshot with
+    few right-sized files, identical rows, pre-compaction versions
+    still time-travelable; remove_orphan_files() deletes only
+    unreferenced leftovers."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "cp"))
+    # 6 appends x 4 files = 24 small files (streaming-ingestion shape)
+    for i in range(6):
+        t.write(spark.range(i * 100, (i + 1) * 100)
+                .select(F.col("id").alias("image_id"),
+                        (F.col("id") * 7).alias("phash"))
+                .repartition(4), mode="append")
+    pre = t.manifest()
+    assert len(pre["files"]) == 24
+
+    v = t.compact(spark, target_files=2)
+    post = t.manifest()
+    assert post["properties"]["compaction"] is True
+    assert len(post["files"]) <= 2
+    assert t.read(spark).count() == 600
+    # time travel to the pre-compaction snapshot still works
+    assert t.read(spark, version=v - 1).count() == 600
+    assert len(t.manifest(v - 1)["files"]) == 24
+
+    # plant an orphan (crashed writer's moved-but-uncommitted file)
+    orphan = os.path.join(t.data_dir, "deadbeef-orphan.parquet")
+    open(orphan, "w").close()
+    removed = t.remove_orphan_files()
+    assert removed == 1 and not os.path.exists(orphan)
+    # nothing referenced was touched
+    assert t.read(spark).count() == 600
+    assert t.read(spark, version=v - 1).count() == 600
