@@ -89,6 +89,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     pk = sub.add_parser("package", help="build the --py-files zip")
     pk.add_argument("-o", "--output", default="mehc_curation_spark.zip")
+
+    tm = sub.add_parser(
+        "table", help="snapshot-table maintenance (compact / expire / "
+                      "orphans / history)")
+    tm.add_argument("action",
+                    choices=["compact", "expire", "orphans", "history"])
+    tm.add_argument("-o", "--output", required=True,
+                    help="table path (a run_curate/SnapshotTable output)")
+    tm.add_argument("--target_files", type=int, default=8,
+                    help="compact: files to coalesce into")
+    tm.add_argument("--keep_last", type=int, default=2,
+                    help="expire: snapshots to keep")
+    tm.add_argument("--cores", type=int, default=-1)
+    tm.add_argument("--master", default=None)
     return p
 
 
@@ -116,10 +130,43 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"py_files": path}))
         return 0
 
+    if args.cmd == "table" and args.action in ("orphans", "history"):
+        # metadata-only actions need no SparkSession
+        from mehc_curation_spark.io.catalog import SnapshotTable
+
+        t = SnapshotTable(args.output)
+        if args.action == "orphans":
+            print(json.dumps({"orphans_removed": t.remove_orphan_files()}))
+        else:
+            hist = [
+                {"version": v,
+                 "files": len(t.manifest(v)["files"]),
+                 "properties": t.manifest(v).get("properties", {})}
+                for v in range(1, t.current_version() + 1)
+                if os.path.exists(t._manifest_path(v))
+            ]
+            print(json.dumps({"current": t.current_version(),
+                              "snapshots": hist}))
+        return 0
+
     from mehc_curation_spark.session import get_spark
 
     spark = get_spark(f"mehc-{args.cmd}", master=args.master, cores=args.cores)
     try:
+        if args.cmd == "table":
+            from mehc_curation_spark.io.catalog import SnapshotTable
+
+            t = SnapshotTable(args.output)
+            if args.action == "compact":
+                v = t.compact(spark, target_files=args.target_files)
+                print(json.dumps({"compacted_version": v,
+                                  "files": len(t.manifest(v)["files"])}))
+            else:  # expire
+                removed = t.expire_snapshots(keep_last=args.keep_last)
+                print(json.dumps({"files_removed": removed,
+                                  "current": t.current_version()}))
+            return 0
+
         if args.cmd == "curate":
             from mehc_curation_spark.io.ledger import Ledger
             from mehc_curation_spark.io.reports import render_report

@@ -347,14 +347,34 @@ class SnapshotTable:
             p = self._manifest_path(v)
             if os.path.exists(p):
                 live.update(self.manifest(v)["files"])
+        return self._sweep_unreferenced(live)
+
+    def _sweep_unreferenced(self, live: set[str]) -> int:
+        """Delete data files referenced by no manifest in `live`.
+        Hadoop sidecar files (`.crc` checksums, `_SUCCESS` markers) are
+        not data: a sidecar is removed only when its TARGET parquet is
+        itself gone/unreferenced, so live files keep their checksums.
+        Walks relative paths — manifests may reference files inside
+        hive partition dirs (bucket=k/part-...parquet)."""
         removed = 0
-        if os.path.isdir(self.data_dir):
-            for root, _dirs, fnames in os.walk(self.data_dir):
-                for f in fnames:
-                    rel = os.path.relpath(os.path.join(root, f), self.data_dir)
-                    if rel not in live:
-                        os.remove(os.path.join(root, f))
+        if not os.path.isdir(self.data_dir):
+            return 0
+        for root, _dirs, fnames in os.walk(self.data_dir):
+            for f in fnames:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.data_dir)
+                if f.startswith(".") or f.startswith("_"):
+                    target = f.lstrip(".")
+                    if target.endswith(".crc"):
+                        target = target[:-4]
+                    target_rel = os.path.join(os.path.dirname(rel), target) \
+                        if os.path.dirname(rel) else target
+                    if f == "_SUCCESS" or target_rel not in live:
+                        os.remove(full)
                         removed += 1
+                elif rel not in live:
+                    os.remove(full)
+                    removed += 1
         return removed
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
@@ -365,16 +385,7 @@ class SnapshotTable:
         live_files: set[str] = set()
         for v in keep_versions:
             live_files.update(self.manifest(v)["files"])
-        removed = 0
-        if os.path.isdir(self.data_dir):
-            # walk relative paths: manifests may reference files inside
-            # hive partition dirs (bucket=k/part-...parquet)
-            for root, _dirs, fnames in os.walk(self.data_dir):
-                for f in fnames:
-                    rel = os.path.relpath(os.path.join(root, f), self.data_dir)
-                    if rel not in live_files:
-                        os.remove(os.path.join(root, f))
-                        removed += 1
+        removed = self._sweep_unreferenced(live_files)
         for v in range(1, max(1, cur - keep_last + 1)):
             p = self._manifest_path(v)
             if os.path.exists(p):

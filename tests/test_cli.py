@@ -81,3 +81,26 @@ def test_validate_get_output_per_reason(pairs_file, tmp_path_factory):
     assert set(got) <= stage1_reasons, set(got) - stage1_reasons
     n_invalid = sum(step["invalid"] for step in fmt.values())
     assert sum(got.values()) == n_invalid
+
+
+def test_table_maintenance_cli(pairs_file, tmp_path_factory):
+    """table compact/expire/orphans/history over a curate output."""
+    out = str(tmp_path_factory.mktemp("cli") / "tbl_out")
+    _run(["curate", "-i", pairs_file, "-o", out, "--cores", "4"])
+
+    hist = json.loads(_run(["table", "history", "-o", out])
+                      .stdout.strip().splitlines()[-1])
+    assert hist["current"] == 1 and hist["snapshots"][0]["files"] > 0
+
+    comp = json.loads(_run(["table", "compact", "-o", out, "--cores", "4",
+                            "--target_files", "2"])
+                      .stdout.strip().splitlines()[-1])
+    assert comp["compacted_version"] == 2 and comp["files"] <= 2
+
+    orph = json.loads(_run(["table", "orphans", "-o", out])
+                      .stdout.strip().splitlines()[-1])
+    assert orph["orphans_removed"] == 0  # nothing dangling after compact
+
+    exp = json.loads(_run(["table", "expire", "-o", out, "--keep_last", "1"])
+                     .stdout.strip().splitlines()[-1])
+    assert exp["files_removed"] > 0 and exp["current"] == 2
