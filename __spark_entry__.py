@@ -513,6 +513,40 @@ def videos_frame_sample(spark, sf_dir):
                          F.md5("frame").alias("frame_md5"))
 
 
+def pairs_curate_check(spark, sf_dir):
+    """The north_rule acceptance gate AS a driver-checked query: the
+    Spark labels pipeline must match the single-process pandas oracle
+    exactly on keep/drop labels, drop reasons and scrubbed captions
+    (target F1 >= 0.99; both engines share the rule implementations so
+    the expected result is exact equality). The Spark side runs BOTH
+    engines over the seed-deterministic pairs corpus and emits the
+    comparison; the DuckDB oracle states the expected outcome, so any
+    parity regression turns a CORRECTNESS row red."""
+    import numpy as np
+
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+    from mehc_curation_spark.oracle import curate_oracle
+    from mehc_curation_spark.stages.plan import build_labels_plan
+
+    s = (build_labels_plan(spark.read.parquet(_pairs_path())).toPandas()
+         .sort_values("image_id").reset_index(drop=True))
+    o = (curate_oracle(make_pairs_pdf(2000, seed=42))
+         .sort_values("image_id").reset_index(drop=True))
+    keep_eq = bool((s["keep"].to_numpy() == o["keep"].to_numpy()).all())
+    tp = int((s["keep"] & o["keep"]).sum())
+    fp = int((s["keep"] & ~o["keep"]).sum())
+    fn = int((~s["keep"] & o["keep"]).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    cap_eq = bool((s["caption_scrubbed"].fillna("#")
+                   == o["caption_scrubbed"].fillna("#")).all())
+    reason_eq = bool((s["drop_reason"].fillna("#")
+                      == o["drop_reason"].fillna("#")).all())
+    return spark.createDataFrame(
+        [(len(s), bool(f1 >= 0.99), keep_eq, reason_eq, cap_eq)],
+        "n_rows long, f1_ge_099 boolean, keep_labels_equal boolean, "
+        "drop_reasons_equal boolean, captions_byte_equal boolean")
+
+
 def emb_ann_lsh_check(spark, sf_dir):
     """SQL-checkable quality assertion for the multi-probe ANN path
     (VERDICT r1 item 2): the query must return a full k rows (so the
@@ -650,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_audio_features": clips_audio_features,
         "videos_frame_sample": videos_frame_sample,
         # property-assertion checks (oracle states the expected outcome)
+        "pairs_curate_check": pairs_curate_check,
         "emb_ann_lsh_check": emb_ann_lsh_check,
         "emb_ann_ivf_check": emb_ann_ivf_check,
         "emb_near_dup_lsh_check": emb_near_dup_lsh_check,
@@ -1007,6 +1042,13 @@ def oracle_sql() -> dict[str, str]:
         # recall/soundness regression flips a boolean and the value
         # hash goes red. n_exact in the last one is genuinely computed
         # by SQL (brute-force pair count).
+        "pairs_curate_check": """
+            SELECT CAST(2000 AS BIGINT) AS n_rows,
+                   TRUE AS f1_ge_099,
+                   TRUE AS keep_labels_equal,
+                   TRUE AS drop_reasons_equal,
+                   TRUE AS captions_byte_equal
+        """,
         "emb_ann_lsh_check": """
             SELECT CAST(10 AS BIGINT) AS k,
                    TRUE AS returned_full_k,
