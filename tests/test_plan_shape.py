@@ -136,3 +136,30 @@ def test_curate_narrow_stage_before_exchange(pairs_df):
     # formatted trees print top-down: the exchange appears ABOVE
     # (smaller index than) the Arrow stage feeding it
     assert min(ex_idx) < arrow_idx[0], s
+
+
+def test_bench_replicate_preserves_dup_structure(spark):
+    """The scaling bench's deterministic row replication must keep the
+    planted-duplicate structure per replica (equal phashes stay equal
+    within a replica, ids stay globally distinct) — the property that
+    makes the replicated corpus a fair proxy workload."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    df = spark.read.parquet(bench.pairs_path(4096))
+    rep = bench._load_pairs(spark, 4096, replicate=3)
+    n = df.count()
+    assert rep.count() == 3 * n
+    assert rep.select("image_id").distinct().count() == 3 * n
+    # per-replica phash group sizes match the original's
+    from pyspark.sql import functions as F
+
+    orig_hist = sorted(r["c"] for r in df.groupBy("phash")
+                       .agg(F.count("*").alias("c")).collect())
+    for k in range(3):
+        sub = rep.filter(F.col("image_id").endswith(f"_{k}"))
+        hist = sorted(r["c"] for r in sub.groupBy("phash")
+                      .agg(F.count("*").alias("c")).collect())
+        assert hist == orig_hist, k
