@@ -513,6 +513,59 @@ def videos_frame_sample(spark, sf_dir):
                          F.md5("frame").alias("frame_md5"))
 
 
+def doc_langid_check(spark, sf_dir):
+    """Driver-visible check for the langid model surface: the
+    distributed UDF output must equal the in-process scalar model
+    bitwise (same classify_batch code — any drift means batching or
+    serialization broke determinism), and must be invariant to
+    partitioning. n_docs comes from SQL on the oracle side."""
+    import numpy as np
+
+    from mehc_curation_spark.operators.udfs import langid_udf
+    from mehc_curation_spark.rules.langid import classify_batch
+
+    d = _t(spark, sf_dir, "documents")
+    got = (d.repartition(16, "doc_id")
+           .select("doc_id", langid_udf(F.col("text")).alias("l"))
+           .select("doc_id", "l.lang", "l.lang_conf", "l.ppl")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    local = d.select("doc_id", "text").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    langs, confs, ppls = classify_batch(list(local["text"]))
+    lang_eq = bool((got["lang"].to_numpy() == langs).all())
+    conf_eq = bool(np.array_equal(got["lang_conf"].to_numpy(), confs))
+    ppl_eq = bool(np.array_equal(got["ppl"].to_numpy(), ppls))
+    return spark.createDataFrame(
+        [(len(got), lang_eq, conf_eq and ppl_eq)],
+        "n_docs long, lang_matches_scalar_model boolean, "
+        "scores_bitwise_equal boolean")
+
+
+def pairs_image_features_check(spark, sf_dir):
+    """Driver-visible check for the image decode/feature surface: the
+    distributed mapInPandas features must equal an in-process pandas
+    recompute over the same deterministic corpus (exact float equality
+    — both run the same NumPy codecs), with the corpus's planted
+    ~1% corruption showing up as decode failures on both sides."""
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+    from mehc_curation_spark.operators.multimodal import image_features
+    from mehc_curation_spark.rules.decode import decode_reason
+
+    got = (image_features(spark.read.parquet(_pairs_path())).toPandas()
+           .sort_values("image_id").reset_index(drop=True))
+    pdf = make_pairs_pdf(2000, seed=42)
+    exp_ok = pdf.apply(
+        lambda r: decode_reason(r["bytes"], r["fmt"],
+                                int(r["w"]), int(r["h"])) is None, axis=1)
+    exp_ok = exp_ok[pdf["image_id"].argsort()].reset_index(drop=True)
+    decode_eq = bool((got["decode_ok"] == exp_ok).all())
+    fail_rate = 1.0 - float(got["decode_ok"].mean())
+    return spark.createDataFrame(
+        [(len(got), decode_eq, bool(0.0 < fail_rate < 0.05))],
+        "n_images long, decode_matches_local boolean, "
+        "failure_rate_in_range boolean")
+
+
 def pairs_curate_check(spark, sf_dir):
     """The north_rule acceptance gate AS a driver-checked query: the
     Spark labels pipeline must match the single-process pandas oracle
@@ -685,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "videos_frame_sample": videos_frame_sample,
         # property-assertion checks (oracle states the expected outcome)
         "pairs_curate_check": pairs_curate_check,
+        "doc_langid_check": doc_langid_check,
+        "pairs_image_features_check": pairs_image_features_check,
         "emb_ann_lsh_check": emb_ann_lsh_check,
         "emb_ann_ivf_check": emb_ann_ivf_check,
         "emb_near_dup_lsh_check": emb_near_dup_lsh_check,
@@ -1042,6 +1097,17 @@ def oracle_sql() -> dict[str, str]:
         # recall/soundness regression flips a boolean and the value
         # hash goes red. n_exact in the last one is genuinely computed
         # by SQL (brute-force pair count).
+        "doc_langid_check": """
+            SELECT COUNT(*) AS n_docs,
+                   TRUE AS lang_matches_scalar_model,
+                   TRUE AS scores_bitwise_equal
+            FROM documents
+        """,
+        "pairs_image_features_check": """
+            SELECT CAST(2000 AS BIGINT) AS n_images,
+                   TRUE AS decode_matches_local,
+                   TRUE AS failure_rate_in_range
+        """,
         "pairs_curate_check": """
             SELECT CAST(2000 AS BIGINT) AS n_rows,
                    TRUE AS f1_ge_099,
