@@ -1,4 +1,24 @@
-"""Near-duplicate detection and similarity search at corpus scale:
+"""Near-duplicate detection and similarity search at corpus scale.
+
+Public-literature basis (all techniques here are standard):
+
+- MinHash + banded LSH: Broder, "On the resemblance and containment
+  of documents" (1997); banding analysis as in Leskovec/Rajaraman/
+  Ullman, *Mining of Massive Datasets* ch. 3.
+- SimHash: Charikar, "Similarity estimation techniques from rounding
+  algorithms" (STOC 2002); per-bit majority vote over token hashes.
+- Random-hyperplane LSH for cosine: Charikar 2002 (sign-random-
+  projection family, collision prob 1-θ/π per plane); multi-probe
+  variant after Lv et al., "Multi-Probe LSH" (VLDB 2007).
+- IVF coarse quantization: the inverted-file ANN scheme popularized
+  by Jégou et al., "Product Quantization for Nearest Neighbor
+  Search" (TPAMI 2011) — here the coarse quantizer only, KMeans
+  cells + n_probe.
+- Pigeonhole-exact Hamming banding: d bit-flips cannot touch all d+1
+  disjoint bands, so candidates(d) is lossless — folklore, see e.g.
+  the PQ/Hamming literature above.
+
+Operators:
 
 - exact dedup              (hash groupBy, keep min-id)
 - MinHash + LSH near-dup   (shingle → K minhashes → bands → bucket join)
