@@ -133,7 +133,11 @@ def run_curate_bench(spark, n_rows: int, replicate: int = 1,
     return time.time() - t0, n
 
 
-def run_headline(spark, sf_dir: str) -> dict[str, float]:
+def run_headline(spark, sf_dir: str
+                 ) -> tuple[dict[str, float], dict[str, list[float]], int]:
+    """Run the headline queries best-of-K over interleaved rounds.
+
+    Returns (best_sec_per_query, all_samples_per_query, K)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
 

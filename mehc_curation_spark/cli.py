@@ -130,21 +130,25 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"py_files": path}))
         return 0
 
-    if args.cmd == "table" and args.action in ("orphans", "history"):
-        # metadata-only actions need no SparkSession
+    if args.cmd == "table" and args.action in ("orphans", "history", "expire"):
+        # metadata/filesystem-only actions need no SparkSession
         from mehc_curation_spark.io.catalog import SnapshotTable
 
         t = SnapshotTable(args.output)
         if args.action == "orphans":
             print(json.dumps({"orphans_removed": t.remove_orphan_files()}))
+        elif args.action == "expire":
+            removed = t.expire_snapshots(keep_last=args.keep_last)
+            print(json.dumps({"files_removed": removed,
+                              "current": t.current_version()}))
         else:
-            hist = [
-                {"version": v,
-                 "files": len(t.manifest(v)["files"]),
-                 "properties": t.manifest(v).get("properties", {})}
-                for v in range(1, t.current_version() + 1)
-                if os.path.exists(t._manifest_path(v))
-            ]
+            hist = []
+            for v in range(1, t.current_version() + 1):
+                if not os.path.exists(t._manifest_path(v)):
+                    continue
+                m = t.manifest(v)
+                hist.append({"version": v, "files": len(m["files"]),
+                             "properties": m.get("properties", {})})
             print(json.dumps({"current": t.current_version(),
                               "snapshots": hist}))
         return 0
@@ -153,18 +157,13 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(f"mehc-{args.cmd}", master=args.master, cores=args.cores)
     try:
-        if args.cmd == "table":
+        if args.cmd == "table":  # compact (the only Spark-needing action)
             from mehc_curation_spark.io.catalog import SnapshotTable
 
             t = SnapshotTable(args.output)
-            if args.action == "compact":
-                v = t.compact(spark, target_files=args.target_files)
-                print(json.dumps({"compacted_version": v,
-                                  "files": len(t.manifest(v)["files"])}))
-            else:  # expire
-                removed = t.expire_snapshots(keep_last=args.keep_last)
-                print(json.dumps({"files_removed": removed,
-                                  "current": t.current_version()}))
+            v = t.compact(spark, target_files=args.target_files)
+            print(json.dumps({"compacted_version": v,
+                              "files": len(t.manifest(v)["files"])}))
             return 0
 
         if args.cmd == "curate":
@@ -231,8 +230,9 @@ def main(argv: list[str] | None = None) -> int:
         else:  # dedup
             from mehc_curation_spark.operators.dedup import deduplicate
 
-            out, dups_info, fmt = deduplicate(
-                df, show_dup_info=True, return_format_data=True)
+            out, dups_info, fmt, rejected = deduplicate(
+                df, show_dup_info=True, return_format_data=True,
+                return_rejected=True)
             dups_info.write.mode("overwrite").parquet(
                 os.path.join(args.output, "dups_info"))
         out.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
@@ -242,11 +242,11 @@ def main(argv: list[str] | None = None) -> int:
             from pyspark.sql import functions as F
 
             if args.cmd == "dedup":
-                from mehc_curation_spark.operators.dedup import dup_reason_col
-
-                rej = (dup_reason_col(df)
-                       .filter(F.col("dup_reason").isNotNull())
-                       .drop("bytes"))
+                # `rejected` comes from deduplicate() itself (same
+                # all-column conflict semantics as data/), so the
+                # export always reconciles with what was dropped.
+                rej = rejected.drop("bytes") if "bytes" in rejected.columns \
+                    else rejected
                 part_col = "dup_reason"
             else:
                 # the fused labels plan with only this stage's gates on

@@ -330,32 +330,63 @@ class SnapshotTable:
         and a footer read; periodic compaction keeps scan parallelism
         matched to data volume. Time travel still sees the
         pre-compaction snapshots until ``expire_snapshots``.
+
+        Refused on LEDGER-managed tables (a run_curate output): their
+        layout is already one right-sized file per phash bucket, the
+        ledger's resume bookkeeping assumes that hive layout, and
+        writing flat compacted files beside ``bucket=k/`` dirs would
+        leave mixed-depth leaves that break raw directory reads.
         """
+        if os.path.exists(os.path.join(self.path, "_ledger", "ledger.json")):
+            raise ValueError(
+                f"{self.path} is a ledger-managed curate table: its "
+                "bucket=k layout is already compacted (one file per "
+                "bucket) and is owned by the resume ledger; compaction "
+                "applies to snapshot-native (e.g. streaming-ingested) "
+                "tables")
         df = self.read(spark).coalesce(max(1, target_files))
         return self.write(
             df, mode="overwrite",
             properties={**(properties or {}), "compaction": True})
 
-    def remove_orphan_files(self) -> int:
+    def remove_orphan_files(self, older_than_sec: float = 86400.0) -> int:
         """Delete data files referenced by NO manifest — leftovers of
         writers that crashed after moving files but before winning the
-        manifest CAS. Returns files removed. Safe because every
-        committed file appears in some manifest and CAS losers re-list
-        their files in the retried manifest."""
+        manifest CAS. Returns files removed.
+
+        ``older_than_sec`` closes the in-flight window: a LIVE writer
+        has the same no-manifest-yet signature between its file move
+        and its CAS win, so only files older than the cutoff are
+        swept (Iceberg's remove_orphan_files ships the same guard,
+        default 3 days; ours defaults to 1 day)."""
         live: set[str] = set()
         for v in range(1, self.current_version() + 1):
             p = self._manifest_path(v)
             if os.path.exists(p):
                 live.update(self.manifest(v)["files"])
-        return self._sweep_unreferenced(live)
+        return self._sweep_unreferenced(live, known_committed=live,
+                                        older_than_sec=older_than_sec)
 
-    def _sweep_unreferenced(self, live: set[str]) -> int:
-        """Delete data files referenced by no manifest in `live`.
+    def _sweep_unreferenced(self, live: set[str],
+                            known_committed: Optional[set[str]] = None,
+                            older_than_sec: float = 0.0) -> int:
+        """Delete data files not referenced by `live`.
+
+        In-flight-writer guard: a file absent from `known_committed`
+        (the union of ALL manifests — expired ones included) may belong
+        to a writer that moved it but has not yet won the manifest CAS;
+        such files are only swept when older than ``older_than_sec``.
+        Files that WERE committed somewhere (e.g. listed by an expired
+        manifest) are deleted regardless of age — they are deliberate
+        expiry targets, never in-flight.
+
         Hadoop sidecar files (`.crc` checksums, `_SUCCESS` markers) are
         not data: a sidecar is removed only when its TARGET parquet is
         itself gone/unreferenced, so live files keep their checksums.
         Walks relative paths — manifests may reference files inside
         hive partition dirs (bucket=k/part-...parquet)."""
+        known = known_committed if known_committed is not None else live
+        now = time.time()
         removed = 0
         if not os.path.isdir(self.data_dir):
             return 0
@@ -373,6 +404,12 @@ class SnapshotTable:
                         os.remove(full)
                         removed += 1
                 elif rel not in live:
+                    if rel not in known:
+                        try:  # possible in-flight writer — age guard
+                            if now - os.path.getmtime(full) < older_than_sec:
+                                continue
+                        except OSError:
+                            continue
                     os.remove(full)
                     removed += 1
         return removed
@@ -383,9 +420,14 @@ class SnapshotTable:
         cur = self.current_version()
         keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
         live_files: set[str] = set()
-        for v in keep_versions:
-            live_files.update(self.manifest(v)["files"])
-        removed = self._sweep_unreferenced(live_files)
+        known: set[str] = set()
+        for v in range(1, cur + 1):
+            if os.path.exists(self._manifest_path(v)):
+                known.update(self.manifest(v)["files"])
+                if v in keep_versions:
+                    live_files.update(self.manifest(v)["files"])
+        removed = self._sweep_unreferenced(live_files, known_committed=known,
+                                           older_than_sec=86400.0)
         for v in range(1, max(1, cur - keep_last + 1)):
             p = self._manifest_path(v)
             if os.path.exists(p):

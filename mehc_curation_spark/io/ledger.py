@@ -66,31 +66,30 @@ class Ledger:
             json.dump(payload, f, indent=2, sort_keys=True)
         os.replace(tmp, path)
 
-    def _acquire_lock(self, timeout_sec: float = 120.0,
-                      stale_sec: float = 600.0) -> str:
-        """Exclusive commit lock (O_CREAT|O_EXCL — atomic on POSIX and
-        on shared filesystems that honor exclusive create). Serializes
-        the ledger's read-modify-write so two simultaneous `run_curate`
-        committers cannot lose each other's bucket entries. A lock older
-        than `stale_sec` is treated as left by a dead committer and
-        broken."""
+    def _acquire_lock(self, timeout_sec: float = 120.0) -> int:
+        """Exclusive commit lock via ``flock(LOCK_EX)`` on a lockfile:
+        kernel-owned, so it is released automatically when the holding
+        process dies (no stale-lock breaking, and none of the
+        check-then-remove races a breakable O_EXCL lockfile has — a
+        round-2 review found exactly that TOCTOU in the previous
+        implementation). Serializes the ledger's read-modify-write so
+        two simultaneous `run_curate` committers cannot lose each
+        other's bucket entries. Caveat: flock semantics on NFS depend
+        on the server/mount (local and most cluster filesystems are
+        fine); returns the held fd — close it to release."""
+        import fcntl
+
         os.makedirs(self.ledger_dir, exist_ok=True)
         lock = os.path.join(self.ledger_dir, "COMMIT.lock")
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         deadline = time.time() + timeout_sec
         while True:
             try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
-                os.close(fd)
-                return lock
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > stale_sec:
-                        os.remove(lock)  # dead committer — break the lock
-                        continue
-                except OSError:
-                    continue  # lock vanished between check and stat
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                return fd
+            except (BlockingIOError, OSError):
                 if time.time() > deadline:
+                    os.close(fd)
                     raise TimeoutError(
                         f"ledger commit lock held too long: {lock}")
                 time.sleep(0.05)
@@ -100,11 +99,11 @@ class Ledger:
         """Move staged bucket dirs into the table, then atomically
         publish the updated ledger (tmp + os.replace), under the
         exclusive commit lock (see :meth:`_acquire_lock`)."""
-        lock = self._acquire_lock()
+        fd = self._acquire_lock()
         try:
             self._commit_buckets_locked(staging, per_bucket, elapsed_sec)
         finally:
-            os.remove(lock)
+            os.close(fd)  # releases the flock
 
     def _commit_buckets_locked(self, staging: str, per_bucket: dict[int, dict],
                                elapsed_sec: float) -> None:

@@ -62,6 +62,7 @@ def deduplicate(
     show_dup_info: bool = False,
     return_format_data: bool = False,
     validate: bool = False,
+    return_rejected: bool = False,
 ):
     """Standalone dedup mirroring the reference's public
     ``deduplicate()`` return shapes (``common.py:20-39`` docstring):
@@ -78,6 +79,12 @@ def deduplicate(
     (``common.py:66-83``: ValidationStage.validate_smi with
     dedup disabled, counters folded into format_data under
     'validation').
+
+    ``return_rejected=True`` appends the dropped rows labeled with a
+    ``dup_reason`` column — computed from the SAME all-column conflict
+    semantics as the cleaned output, so a rejected-row export always
+    reconciles with it (a caption-only labeling would disagree when
+    rows share a key+caption but differ in another column).
     """
     keys = list(partial_dup_cols) if partial_dup_cols else [KEY_COL]
     validate_format_data = {}
@@ -108,7 +115,14 @@ def deduplicate(
         labeled.filter(~F.col("_conflict") & (F.col("_rn") == 1))
         .drop("_conflict", "_rn")
     )
-    if not (show_dup_info or return_format_data):
+    rejected = (
+        labeled.filter(F.col("_conflict") | (F.col("_rn") > 1))
+        .withColumn(DUP_REASON_COL,
+                    F.when(F.col("_conflict"), F.lit("duplicate_conflict"))
+                    .otherwise(F.lit("duplicate_perfect")))
+        .drop("_conflict", "_rn")
+    )
+    if not (show_dup_info or return_format_data or return_rejected):
         return cleaned
 
     dup_rows = labeled.filter(F.col("_conflict") | (F.col("_rn") > 1))
@@ -141,4 +155,6 @@ def deduplicate(
         if validate_format_data:
             fmt["validation"] = validate_format_data
         out.append(fmt)
+    if return_rejected:
+        out.append(rejected)
     return tuple(out) if len(out) > 1 else out[0]

@@ -161,7 +161,11 @@ def run_curate(
     # published stats must describe the WHOLE committed table — merge
     # the raw per-language sums with the previously published ones
     # (exact: rows/kept/ppl_sum are all additive over disjoint buckets).
-    prior = ledger.read_aux("lang_stats.json") or {}
+    # Merge ONLY when buckets were actually skipped: with resume=False
+    # (or a fresh table) this run recomputed every bucket, and adding
+    # the prior sums — which describe those same buckets — would
+    # double-count every language.
+    prior = (ledger.read_aux("lang_stats.json") or {}) if done else {}
     for lang, e in prior.items():
         s = run_sums.setdefault(lang, {"rows": 0, "kept": 0, "ppl_sum": 0.0})
         s["rows"] += int(e.get("rows", 0))

@@ -151,16 +151,25 @@ def run_stream_to_snapshot_table(spark, input_dir: str, table_path: str,
 
     table = SnapshotTable(table_path)
 
-    def _committed_batch_ids() -> set:
-        ids = set()
-        for v in range(1, table.current_version() + 1):
+    def _batch_committed(batch_id: int) -> bool:
+        """Walk manifests DESCENDING and stop at the first stream batch
+        id below the candidate: batch ids are monotone in snapshot
+        order for a given stream, so the check is O(1) amortized — a
+        long-lived table with thousands of micro-batch snapshots does
+        not re-parse every manifest per batch (a review found the
+        previous all-versions scan was O(V^2) over the stream's life)."""
+        for v in range(table.current_version(), 0, -1):
             bid = table.manifest(v).get("properties", {}).get("stream_batch_id")
-            if bid is not None:
-                ids.add(int(bid))
-        return ids
+            if bid is None:
+                continue  # non-stream snapshot interleaved — keep looking
+            if int(bid) == batch_id:
+                return True
+            if int(bid) < batch_id:
+                return False
+        return False
 
     def commit_batch(batch_df, batch_id: int):
-        if int(batch_id) in _committed_batch_ids():
+        if _batch_committed(int(batch_id)):
             return  # replay after failure — snapshot already committed
         table.write(batch_df, mode="append",
                     properties={"stream_batch_id": int(batch_id)})

@@ -269,10 +269,14 @@ def test_compaction_and_orphan_cleanup(spark, tmp_path):
     assert t.read(spark, version=v - 1).count() == 600
     assert len(t.manifest(v - 1)["files"]) == 24
 
-    # plant an orphan (crashed writer's moved-but-uncommitted file)
+    # plant an orphan (crashed writer's moved-but-uncommitted file):
+    # a FRESH unreferenced file is spared by the default age guard
+    # (it could be an in-flight writer racing the CAS)...
     orphan = os.path.join(t.data_dir, "deadbeef-orphan.parquet")
     open(orphan, "w").close()
-    removed = t.remove_orphan_files()
+    assert t.remove_orphan_files() == 0 and os.path.exists(orphan)
+    # ...and swept once past the cutoff
+    removed = t.remove_orphan_files(older_than_sec=0.0)
     assert removed == 1 and not os.path.exists(orphan)
     # nothing referenced was touched
     assert t.read(spark).count() == 600

@@ -92,15 +92,21 @@ def test_table_maintenance_cli(pairs_file, tmp_path_factory):
                       .stdout.strip().splitlines()[-1])
     assert hist["current"] == 1 and hist["snapshots"][0]["files"] > 0
 
-    comp = json.loads(_run(["table", "compact", "-o", out, "--cores", "4",
-                            "--target_files", "2"])
-                      .stdout.strip().splitlines()[-1])
-    assert comp["compacted_version"] == 2 and comp["files"] <= 2
+    # compact REFUSES on a ledger-managed curate table: its layout is
+    # already one file per bucket and the resume ledger owns it
+    # (compaction applies to snapshot-native tables, covered by
+    # test_catalog.py::test_compaction_and_orphan_cleanup)
+    proc = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark",
+         "table", "compact", "-o", out, "--cores", "4"],
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert proc.returncode != 0
+    assert "ledger-managed" in (proc.stderr + proc.stdout)
 
     orph = json.loads(_run(["table", "orphans", "-o", out])
                       .stdout.strip().splitlines()[-1])
-    assert orph["orphans_removed"] == 0  # nothing dangling after compact
+    assert orph["orphans_removed"] == 0  # nothing dangling
 
     exp = json.loads(_run(["table", "expire", "-o", out, "--keep_last", "1"])
                      .stdout.strip().splitlines()[-1])
-    assert exp["files_removed"] > 0 and exp["current"] == 2
+    assert exp["files_removed"] == 0 and exp["current"] == 1

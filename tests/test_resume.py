@@ -190,3 +190,16 @@ def test_stage_reports_golden(spark, pairs_df):
     assert vr == render_validation_report(vm)
     assert cr == render_cleaning_report(cm)
     assert nr == render_normalization_report(nm)
+
+
+def test_no_resume_rerun_does_not_double_lang_stats(spark, input_path,
+                                                    tmp_path_factory):
+    """Re-running with resume=False over an existing output recomputes
+    every bucket; the published lang_stats must describe the table
+    once, not prior+current summed (round-2 review regression)."""
+    out = str(tmp_path_factory.mktemp("resume") / "norsum")
+    m1 = run_curate(spark, input_path, out, CFG)
+    m2 = run_curate(spark, input_path, out, CFG, resume=False)
+    for lang, e in m1["lang_stats"].items():
+        r = m2["lang_stats"][lang]
+        assert r["rows"] == e["rows"] and r["kept"] == e["kept"], (lang, r, e)
