@@ -957,7 +957,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN (SELECT text, MIN(doc_id) AS doc_id
                   FROM documents GROUP BY text) w
-              ON d.text = w.text AND d.doc_id = w.doc_id
+              ON d.text IS NOT DISTINCT FROM w.text AND d.doc_id = w.doc_id
         """,
         "doc_dedup_dropall": """
             WITH keyed AS (

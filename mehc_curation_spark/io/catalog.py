@@ -187,25 +187,39 @@ class SnapshotTable:
 
     def commit_files(self, rel_files: list[str], schema_json: str,
                      mode: str = "append",
-                     properties: Optional[dict] = None) -> int:
+                     properties: Optional[dict] = None,
+                     replace_prefixes: Optional[list[str]] = None) -> int:
         """Publish a snapshot manifest over data files ALREADY inside
         ``data/`` (e.g. bucket dirs moved in by the curation ledger's
         atomic commit) without rewriting them. Entries may be relative
         sub-paths like ``bucket=3/part-....parquet``; hive partition
         columns survive reads via basePath. This is how `run_curate`
         gets snapshot lineage: one snapshot per (resumable) commit.
+
+        ``replace_prefixes``: parent entries under any of these
+        relative prefixes are DROPPED before the new files append —
+        the physical-replacement commit a bucket recompute needs
+        (the old bucket dirs were just overwritten on disk, so keeping
+        their stale entries would make the snapshot reference deleted
+        files).
         """
         assert mode in ("append", "overwrite")
         new_stats = self._collect_file_stats(list(rel_files))
+        prefixes = tuple(replace_prefixes or ())
 
         def build(p, pm):
-            stats = {} if mode == "overwrite" else dict(pm.get("stats", {}))
+            if mode == "overwrite":
+                kept = []
+            else:
+                kept = [f for f in pm["files"]
+                        if not f.startswith(prefixes)] if prefixes                     else list(pm["files"])
+            stats = {} if mode == "overwrite" else {
+                f: v for f, v in pm.get("stats", {}).items()
+                if not (prefixes and f.startswith(prefixes))}
             stats.update(new_stats)
             return {
                 "ts": time.time(),
-                "files": (list(rel_files) if mode == "overwrite"
-                          else pm["files"] + [f for f in rel_files
-                                              if f not in pm["files"]]),
+                "files": kept + [f for f in rel_files if f not in kept],
                 "stats": stats,
                 "schema": schema_json,
                 "properties": properties or {},

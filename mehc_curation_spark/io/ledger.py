@@ -101,15 +101,17 @@ class Ledger:
         exclusive commit lock (see :meth:`_acquire_lock`)."""
         fd = self._acquire_lock()
         try:
-            self._commit_buckets_locked(staging, per_bucket, elapsed_sec)
+            self.move_buckets(staging, per_bucket)
+            self.publish_buckets(per_bucket, elapsed_sec)
         finally:
             os.close(fd)  # releases the flock
 
-    def _commit_buckets_locked(self, staging: str, per_bucket: dict[int, dict],
-                               elapsed_sec: float) -> None:
+    def move_buckets(self, staging: str, per_bucket: dict[int, dict]) -> None:
+        """Move staged bucket dirs into ``data/`` (replacing any prior
+        version of those buckets). Call under the commit lock; the
+        buckets only become resume-visible at :meth:`publish_buckets`,
+        so a crash between the two steps simply recomputes them."""
         os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.ledger_dir, exist_ok=True)
-        state = self.read()
         for b in sorted(per_bucket):
             src = os.path.join(staging, f"bucket={b}")
             dst = os.path.join(self.data_dir, f"bucket={b}")
@@ -117,6 +119,17 @@ class Ledger:
                 if os.path.exists(dst):
                     shutil.rmtree(dst)
                 shutil.move(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def publish_buckets(self, per_bucket: dict[int, dict],
+                        elapsed_sec: float) -> None:
+        """Atomically publish the bucket entries (tmp + os.replace).
+        This is the LAST step of a durable commit — everything it
+        makes resume-visible (data files, snapshot manifest, aux
+        stats) must already be on disk."""
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        state = self.read()
+        for b in sorted(per_bucket):
             entry = dict(per_bucket[b])
             entry["committed_at"] = time.time()
             state["buckets"][str(b)] = entry
@@ -130,4 +143,3 @@ class Ledger:
         with open(tmp, "w") as f:
             json.dump(state, f, indent=1, sort_keys=True)
         os.replace(tmp, self.ledger_file)
-        shutil.rmtree(staging, ignore_errors=True)

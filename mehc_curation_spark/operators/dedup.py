@@ -100,27 +100,46 @@ def deduplicate(
     # id_col plays the pandas-index role (row identity, not a value
     # column) — it must not participate in conflict / full-row checks.
     others = [c for c in df.columns if c not in keys and c != id_col]
+    # 128-bit equality surrogates (same trick as plan._cap_hash,
+    # null-preserving): the window aggregation state and sort keys are
+    # 16-byte structs instead of raw payloads, so a viral key's
+    # collect_set buffers megabytes of hashes instead of gigabytes of
+    # image bytes and the row_number sort never compares binary blobs.
+    # (The payload rows themselves still cross the exchange exactly
+    # once — they have to reach the output — but no payload enters any
+    # aggregation buffer or comparator.) Two distinct payloads
+    # colliding in 128 bits is ~2^-128 per pair — a non-question.
     labeled = df
+    hcols = []
+    for i, c in enumerate(others):
+        h = f"_h{i}"
+        labeled = labeled.withColumn(h, F.when(
+            F.col(c).isNotNull(),
+            F.struct(F.xxhash64(F.col(c)).alias("a"),
+                     F.xxhash64(F.col(c), F.lit(1)).alias("b"))))
+        hcols.append(h)
     # conflicting keys: any non-key column with >1 distinct value
     w_key = Window.partitionBy(*keys)
     conflict = F.lit(False)
-    for c in others:
-        conflict = conflict | (F.size(F.collect_set(c).over(w_key)) > 1)
-    w_row = Window.partitionBy(*keys, *others).orderBy(id_col if id_col in df.columns else keys[0])
+    for h in hcols:
+        conflict = conflict | (F.size(F.collect_set(F.col(h)).over(w_key)) > 1)
+    w_row = Window.partitionBy(*keys, *hcols).orderBy(
+        id_col if id_col in df.columns else keys[0])
     labeled = (
         labeled.withColumn("_conflict", conflict)
         .withColumn("_rn", F.row_number().over(w_row))
     )
+    drop_cols = ["_conflict", "_rn", *hcols]
     cleaned = (
         labeled.filter(~F.col("_conflict") & (F.col("_rn") == 1))
-        .drop("_conflict", "_rn")
+        .drop(*drop_cols)
     )
     rejected = (
         labeled.filter(F.col("_conflict") | (F.col("_rn") > 1))
         .withColumn(DUP_REASON_COL,
                     F.when(F.col("_conflict"), F.lit("duplicate_conflict"))
                     .otherwise(F.lit("duplicate_perfect")))
-        .drop("_conflict", "_rn")
+        .drop(*drop_cols)
     )
     if not (show_dup_info or return_format_data or return_rejected):
         return cleaned
@@ -130,10 +149,14 @@ def deduplicate(
     # (≅ common.py:115-121); indexes = member ids (≅ common.py:123-131)
     idx_agg = (F.sort_array(F.collect_list(id_col)).alias("indexes")
                if id_col in df.columns else F.count("*").alias("indexes"))
+    # is_perfect_dups follows the reference exactly (common.py:121:
+    # `isin(perfect_dups)`): a key is flagged perfect when it has ANY
+    # full-row duplicate beyond the first — even if it is ALSO
+    # conflicting (mixed keys like (k,a),(k,a),(k,b) count as perfect).
     dups_info = (
         dup_rows.groupBy(*keys)
         .agg(
-            (~F.max(F.col("_conflict"))).alias("is_perfect_dups"),
+            F.max(F.col("_rn") > 1).alias("is_perfect_dups"),
         )
         .join(df.groupBy(*keys).agg(idx_agg), on=keys, how="left")
     )

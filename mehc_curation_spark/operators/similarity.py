@@ -59,9 +59,17 @@ from pyspark.sql.types import LongType
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the min-id row per exact text value (hash aggregate —
-    partial map-side combine, one shuffle of (text_hash, id))."""
+    partial map-side combine, one shuffle of (text_hash, id)).
+
+    NULL texts form ONE group and keep-first like any other value
+    (null-safe join below — a plain equi-join would silently drop
+    every NULL-text row because NULL never equals NULL)."""
     wins = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    return df.join(wins, on=[text_col, id_col], how="left_semi")
+    return df.join(
+        wins,
+        df[text_col].eqNullSafe(wins[text_col])
+        & (df[id_col] == wins[id_col]),
+        how="left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -373,6 +381,24 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
 
+def _stack_embeddings(vec: pd.Series, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """(matrix, valid_mask) for a batch of embedding cells: NULL or
+    wrong-length vectors become zero rows with valid=False instead of
+    crashing np.stack (a NULL embedding must map to a NULL bucket, not
+    abort the whole job)."""
+    n = len(vec)
+    m = np.zeros((n, dim), dtype=np.float64)
+    valid = np.zeros(n, dtype=bool)
+    for i, v in enumerate(vec):
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if a.shape == (dim,):
+            m[i] = a
+            valid[i] = True
+    return m, valid
+
+
 def make_hyperplane_lsh_udf(dim: int, n_planes: int = 16, seed: int = 42):
     """Bucket id from signs of random-hyperplane projections — the ANN
     scale path: equal-bucket candidates only, then exact cosine."""
@@ -382,11 +408,13 @@ def make_hyperplane_lsh_udf(dim: int, n_planes: int = 16, seed: int = 42):
     @pandas_udf(LongType())
     def lsh_bucket(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
-            return pd.Series([], dtype="int64")
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+            return pd.Series([], dtype="Int64")
+        m, valid = _stack_embeddings(vec, dim)
         signs = (m @ planes) > 0
         weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series((signs @ weights).astype(np.int64))
+        out = pd.array((signs @ weights).astype(np.int64), dtype="Int64")
+        out[~valid] = pd.NA  # NULL bucket -> row never matches a probe
+        return pd.Series(out)
 
     return lsh_bucket
 
@@ -486,14 +514,16 @@ def make_hyperplane_bands_udf(dim: int, n_planes: int = 16, bands: int = 4,
     def band_keys(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype=object)
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        m, valid = _stack_embeddings(vec, dim)
         signs = ((m @ planes) > 0).astype(np.int64)        # (n, n_planes)
         w = (1 << np.arange(rows)).astype(np.int64)
         # key per band = band index in the high bits | packed sign bits
         keys = np.stack(
             [(signs[:, b * rows:(b + 1) * rows] @ w) | (np.int64(b) << 56)
              for b in range(bands)], axis=1)
-        return pd.Series(list(keys))
+        # NULL key array -> explode() drops the row from candidates
+        return pd.Series([k if ok else None
+                          for k, ok in zip(list(keys), valid)], dtype=object)
 
     return band_keys
 

@@ -36,11 +36,6 @@ _LANGID_T = StructType([
     StructField("lang_conf", DoubleType()),
     StructField("ppl", DoubleType()),
 ])
-_PII_T = StructType([
-    StructField("caption_scrubbed", StringType()),
-    StructField("pii_hit", BooleanType()),
-    StructField("became_empty", BooleanType()),
-])
 _TOX_T = StructType([
     StructField("caption", StringType()),
     StructField("diff", IntegerType()),
@@ -51,7 +46,7 @@ _NORM_T = StructType([
     StructField("changed_canon", BooleanType()),
 ])
 
-from mehc_curation_spark.rules.pii import PII_PATTERNS, scrub_pii
+from mehc_curation_spark.rules.pii import PII_PATTERNS
 
 
 # ---------------------------------------------------------------------------
@@ -70,65 +65,6 @@ def decode_reason_udf(data: pd.Series, fmt: pd.Series,
          for b, f, ww, hh in zip(data, fmt, w, h)],
         dtype=object,
     )
-
-
-ROW_LABELS_SCHEMA = StructType([
-    StructField("image_id", StringType()),
-    StructField("phash", LongType()),
-    StructField("caption", StringType()),
-    StructField("drop_reason", StringType()),
-    StructField("lang", StringType()),
-    StructField("lang_conf", DoubleType()),
-    StructField("ppl", DoubleType()),
-])
-
-
-def decode_langid_arrow(df, validate: bool = True):
-    """Fused decode-gate + langid/ppl as ONE mapInArrow stage.
-
-    The binary column crosses the JVM↔Python boundary exactly once and
-    never becomes a pandas object column (Arrow buffers → per-row
-    memoryview slices). Measured on this box: a trivial pandas UDF over
-    the bytes column costs ~80 s / 400k rows while the mapInArrow path
-    is ~2.4x cheaper — the boundary has a large per-batch fixed cost,
-    so the two models share one crossing.
-
-    Input: pairs-shaped DataFrame. Output: slim labeled rows
-    (ROW_LABELS_SCHEMA) — `bytes` is consumed and dropped here.
-    """
-    import pyarrow as pa
-
-    cols = (["image_id", "phash", "caption", "bytes", "fmt", "w", "h"]
-            if validate else ["image_id", "phash", "caption"])
-
-    def run(batches):
-        from mehc_curation_spark.rules.decode import decode_reason
-        from mehc_curation_spark.rules.langid import classify_batch
-
-        for batch in batches:
-            captions = batch.column("caption").to_pylist()
-            langs, confs, ppls = classify_batch(captions)
-            if validate:
-                data = batch.column("bytes").to_pylist()
-                fmts = batch.column("fmt").to_pylist()
-                ws = batch.column("w").to_pylist()
-                hs = batch.column("h").to_pylist()
-                reasons = [decode_reason(b, f, w, h)
-                           for b, f, w, h in zip(data, fmts, ws, hs)]
-            else:
-                reasons = [None] * batch.num_rows
-            yield pa.RecordBatch.from_arrays(
-                [batch.column("image_id"), batch.column("phash"),
-                 batch.column("caption"),
-                 pa.array(reasons, type=pa.string()),
-                 pa.array(list(langs), type=pa.string()),
-                 pa.array(confs, type=pa.float64()),
-                 pa.array(ppls, type=pa.float64())],
-                ["image_id", "phash", "caption", "drop_reason",
-                 "lang", "lang_conf", "ppl"],
-            )
-
-    return df.select(*cols).mapInArrow(run, ROW_LABELS_SCHEMA)
 
 
 NARROW_LABELS_SCHEMA = StructType([
@@ -307,12 +243,6 @@ def pii_scrub_col(c: Column) -> Column:
     for _, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
-
-
-@pandas_udf(_PII_T)
-def pii_scrub_udf(caption: pd.Series) -> pd.DataFrame:
-    rows = [scrub_pii(c) for c in caption]
-    return pd.DataFrame(rows, columns=["caption_scrubbed", "pii_hit", "became_empty"])
 
 
 # ---------------------------------------------------------------------------

@@ -123,9 +123,15 @@ def _dedup_pass_agg(df: DataFrame, caption_hash_col: str) -> DataFrame:
         df.groupBy(F.col(KEY_COL).alias("_jk2"))
         .agg(F.count_distinct(F.when(alive, h)).alias("_n_alive_caps"))
     )
+    # eqNullSafe on the hash fields: NULL captions hash to a NULL
+    # struct (see _cap_hash) and must join back to their own firsts
+    # group — plain equality would leave _first_alive NULL for them,
+    # silently skipping the perfect-dup drop and diverging from the
+    # window strategy / pandas oracle.
     out = (
         df.join(firsts, (F.col(KEY_COL) == F.col("_jk"))
-                & (F.col(ha) == F.col("_ja")) & (F.col(hb) == F.col("_jb")),
+                & F.col(ha).eqNullSafe(F.col("_ja"))
+                & F.col(hb).eqNullSafe(F.col("_jb")),
                 "left")
         .drop("_jk", "_ja", "_jb")
         .join(ncaps, F.col(KEY_COL) == F.col("_jk2"), "left")

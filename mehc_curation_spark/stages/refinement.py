@@ -181,25 +181,40 @@ def run_curate(
     }
 
     schema_json = staged.schema.json()
-    ledger.commit_buckets(staging, per_bucket, elapsed)
-    ledger.write_aux("lang_stats.json", lang_stats)
 
-    # Iceberg-analog snapshot over the committed bucket files: each
-    # (resumable) commit appends a manifest version, so consumers get
-    # snapshot isolation + time travel over successive curate runs
-    # (SnapshotTable.read(version=...)).
+    # Durable commit, ordered so the LEDGER publish comes LAST (it is
+    # what resume consults): files -> snapshot manifest -> aux stats ->
+    # ledger. A crash anywhere before the final step leaves the
+    # recomputed buckets un-published, so the next resume simply redoes
+    # them — no state can go permanently stale (a crash AFTER the old
+    # order's ledger publish left lang_stats/snapshot stale forever,
+    # because the resume no-op path never republishes them). The whole
+    # sequence holds the ledger's flock so two committers serialize.
     from mehc_curation_spark.io.catalog import SnapshotTable
 
-    data_dir = os.path.join(output_path, "data")
-    rel_files = []
-    for b in sorted(per_bucket):
-        bdir = os.path.join(data_dir, f"bucket={b}")
-        for f in sorted(os.listdir(bdir)):
-            if f.endswith(".parquet"):
-                rel_files.append(f"bucket={b}/{f}")
-    snapshot_version = SnapshotTable(output_path).commit_files(
-        rel_files, schema_json,
-        properties={"buckets": sorted(per_bucket), "elapsed_sec": elapsed})
+    lock_fd = ledger._acquire_lock()
+    try:
+        ledger.move_buckets(staging, per_bucket)
+
+        data_dir = os.path.join(output_path, "data")
+        rel_files = []
+        for b in sorted(per_bucket):
+            bdir = os.path.join(data_dir, f"bucket={b}")
+            for f in sorted(os.listdir(bdir)):
+                if f.endswith(".parquet"):
+                    rel_files.append(f"bucket={b}/{f}")
+        # replace_prefixes: a resume=False rerun recomputes buckets the
+        # parent snapshot already lists — their old files were just
+        # deleted, so their entries must be replaced, not appended-to.
+        snapshot_version = SnapshotTable(output_path).commit_files(
+            rel_files, schema_json,
+            properties={"buckets": sorted(per_bucket), "elapsed_sec": elapsed},
+            replace_prefixes=[f"bucket={b}/" for b in per_bucket])
+
+        ledger.write_aux("lang_stats.json", lang_stats)
+        ledger.publish_buckets(per_bucket, elapsed)
+    finally:
+        os.close(lock_fd)
 
     total_rows = sum(e["rows"] for e in per_bucket.values())
     return {

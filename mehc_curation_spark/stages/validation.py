@@ -86,14 +86,63 @@ class ValidationStage:
 
     def complete_validation(self, return_format_data: bool = False):
         """All four gates in registry order (≅ complete_validation,
-        ``validation/core/pipeline.py:95-195``)."""
-        df = self.df
-        metrics = {}
-        for name in ("validate", "rm_low_quality", "rm_unknown_lang", "rm_high_ppl"):
-            stage = ValidationStage(df, self.config)
+        ``validation/core/pipeline.py:95-195``).
+
+        Two stage-API efficiencies vs naive gate chaining (a round-2
+        review finding): the langid model runs ONCE and feeds both the
+        language and the perplexity gate, and with
+        ``return_format_data`` each intermediate is persisted so the
+        four metric jobs do not re-execute the decode UDF over the
+        whole upstream lineage four times. (The fused labels plan in
+        ``stages/plan.py`` remains the flagship path; this is the
+        reference-parity per-stage API.)"""
+        c = self.config
+        metrics: dict = {}
+        cached: list[DataFrame] = []
+
+        def _cache(d: DataFrame) -> DataFrame:
+            if not return_format_data:
+                return d
+            from pyspark.storagelevel import StorageLevel
+
+            d = d.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(d)
+            return d
+
+        def _gate(d: DataFrame, name: str, bad) -> DataFrame:
+            res = _split(d, bad, return_format_data)
             if return_format_data:
-                df, fmt = getattr(stage, name)(return_format_data=True)
-                metrics[name] = fmt
-            else:
-                df = getattr(stage, name)()
-        return (df, metrics) if return_format_data else df
+                kept, metrics[name] = res
+                return _cache(kept)
+            return res
+
+        try:
+            df = _cache(self.df)
+            reason = decode_reason_udf(F.col("bytes"), F.col("fmt"),
+                                       F.col("w"), F.col("h"))
+            df = _gate(df, "validate", reason.isNotNull())
+            df = _gate(df, "rm_low_quality",
+                       heuristic_reason_col(F.col(CAPTION_COL)).isNotNull())
+
+            lid = _cache(df.withColumn("_lid", langid_udf(F.col(CAPTION_COL))))
+            bad_lang = (
+                (F.col("_lid.lang") == UNKNOWN)
+                | (F.col("_lid.lang_conf") < c.min_lang_margin)
+                | ~F.col("_lid.lang").isin(*c.allowed_langs)
+            )
+            lid = _gate(lid, "rm_unknown_lang", bad_lang)
+            mapping = F.create_map(*[F.lit(x)
+                                     for kv in c.ppl_threshold_map().items()
+                                     for x in kv])
+            thr = F.coalesce(F.element_at(mapping, F.col("_lid.lang")),
+                             F.lit(4000.0))
+            lid = _gate(lid, "rm_high_ppl", F.col("_lid.ppl") > thr)
+            out = lid.drop("_lid")
+            if return_format_data:
+                # materialize while the caches are alive; the caller
+                # gets a lazy frame over the ORIGINAL lineage
+                out = out.localCheckpoint(eager=True)
+            return (out, metrics) if return_format_data else out
+        finally:
+            for d in cached:
+                d.unpersist()

@@ -56,15 +56,18 @@ def test_deduplicate_report_and_counters(dedup_df):
             for r in dups_info.collect()}
     # one report row per duplicated key (common.py:115-121), flagged,
     # with the member-id list (common.py:123-131)
+    # key 400 is MIXED ((k,X),(k,X),(k,Y)): the reference flags it
+    # perfect (common.py:121 `isin(perfect_dups)` — any full-row dup
+    # wins the flag even for a conflicting key)
     assert info == {
         100: (True, ["i1", "i2"]),
         200: (False, ["i3", "i4"]),
-        400: (False, ["i6", "i7", "i8"]),
+        400: (True, ["i6", "i7", "i8"]),
     }
     assert fmt == {
         "duplicate_validation_input": 8,
-        "perfect_dups": 1,
-        "partial_dups": 2,
+        "perfect_dups": 2,
+        "partial_dups": 1,
         "validation_unique": 2,
     }
 

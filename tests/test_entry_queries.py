@@ -82,3 +82,17 @@ def test_entry_smoke(spark):
     assert rows > 0
     assert set(df.columns) >= {"image_id", "keep", "drop_reason",
                                "caption_scrubbed", "lang", "ppl"}
+
+
+def test_exact_dedup_null_text_keep_first(spark):
+    """NULL texts form one group and keep-first like any value
+    (regression: the null-unsafe semi join silently dropped every
+    NULL-text row)."""
+    from mehc_curation_spark.operators.similarity import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x"), (5, "y")],
+        "doc_id long, text string")
+    got = sorted(r["doc_id"]
+                 for r in exact_dedup(df, "text", "doc_id").collect())
+    assert got == [1, 3, 5]

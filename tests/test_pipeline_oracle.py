@@ -162,3 +162,36 @@ def test_agg_dedup_strategy_matches_window(spark, pairs_df):
     import pandas as pd
 
     pd.testing.assert_frame_equal(win, agg)
+
+
+def test_agg_strategy_null_caption_dedup1(spark):
+    """Null captions ALIVE at dedup-1 (decode gate on, decodable
+    bytes, text gates off): the agg strategy must drop the second
+    null-caption row as duplicate_perfect exactly like the window
+    strategy — regression for the null-unsafe firsts join (a plain
+    equi-join on the NULL hash struct never matched, silently skipping
+    the perfect-dup drop)."""
+    import numpy as np
+
+    from mehc_curation_spark.codecs.image import encode_image
+
+    rng = np.random.default_rng(0)
+    raw = encode_image(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), "raw")
+    pdf = pd.DataFrame({
+        "image_id": ["i0", "i1", "i2"],
+        "bytes": [raw] * 3, "w": [8] * 3, "h": [8] * 3, "fmt": ["raw"] * 3,
+        "caption": [None, None, "a cat sits on the mat today"],
+        "phash": [1, 1, 2]})
+    df = spark.createDataFrame(
+        pdf, schema=("image_id string, bytes binary, w int, h int, "
+                     "fmt string, caption string, phash long"))
+    cfg = CurationConfig(rm_low_quality=False, rm_unknown_lang=False,
+                         rm_high_ppl=False, scrub_pii=False,
+                         scrub_toxicity=False, validate_post_scrub=False,
+                         normalize_lossy=False, normalize_canonical=False)
+    res = {}
+    for strat in ("window", "agg"):
+        s = build_labels_plan(df, cfg.with_(dedup_strategy=strat)).toPandas()
+        res[strat] = dict(zip(s["image_id"], s["drop_reason"]))
+    assert res["window"] == res["agg"], res
+    assert res["agg"]["i1"] == "duplicate_perfect", res

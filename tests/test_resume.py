@@ -203,3 +203,23 @@ def test_no_resume_rerun_does_not_double_lang_stats(spark, input_path,
     for lang, e in m1["lang_stats"].items():
         r = m2["lang_stats"][lang]
         assert r["rows"] == e["rows"] and r["kept"] == e["kept"], (lang, r, e)
+
+
+def test_no_resume_rerun_snapshot_readable(spark, input_path,
+                                           tmp_path_factory):
+    """A resume=False rerun physically replaces every bucket's files;
+    the new snapshot must replace (not append to) the parent's entries
+    for those buckets, or it references deleted files (regression for
+    the stale-entry append)."""
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    out = str(tmp_path_factory.mktemp("resume") / "snapread")
+    run_curate(spark, input_path, out, CFG)
+    m2 = run_curate(spark, input_path, out, CFG, resume=False)
+    assert m2["snapshot_version"] == 2
+    t = SnapshotTable(out)
+    # the latest snapshot reads cleanly and covers the whole table
+    assert t.read(spark).count() == 2000
+    # and no manifest entry points at a missing file
+    for f in t.manifest()["files"]:
+        assert os.path.exists(os.path.join(out, "data", f)), f
