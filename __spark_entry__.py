@@ -465,8 +465,11 @@ def emb_ann_ivf(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    # n_probe=8 — the SAME parameters emb_ann_ivf_check validates, so
+    # the check genuinely covers this surface (a check at different
+    # params would stay green through a recall regression here).
     return ivf_topk(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
-                    q, k=10, n_cells=16, n_probe=4)
+                    q, k=10, n_cells=16, n_probe=8)
 
 
 def clips_audio_features(spark, sf_dir):
@@ -667,6 +670,18 @@ def emb_near_dup_lsh_check(spark, sf_dir):
         [(n_exact, n_outside == 0,
           bool(n_exact > 0 and n_hit / n_exact >= 0.5))],
         "n_exact long, lsh_subset_of_exact boolean, recall_ge_half boolean")
+
+
+def _pairs_cache_file(n: int = 2000, seed: int = 42) -> str:
+    """Deterministic cache path WITHOUT generating the fixture —
+    oracle_sql() embeds this string and must stay side-effect-free
+    (building SQL text should never run minutes of codec work or
+    touch an unwritable /tmp)."""
+    from mehc_curation_spark.fixtures import FIXTURE_VERSION
+
+    cache = os.environ.get("SPARK_GRAFT_PAIRS_CACHE", "/tmp/mehc_pairs_cache")
+    return os.path.join(cache,
+                        f"pairs_n{n}_s{seed}_fv{FIXTURE_VERSION}.parquet")
 
 
 def _pairs_path(n: int = 2000, seed: int = 42) -> str:
@@ -1062,8 +1077,8 @@ def oracle_sql() -> dict[str, str]:
         "pairs_phash_neardup": f"""
             SELECT a.image_id AS id_a, b.image_id AS id_b,
                    CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
-            FROM read_parquet('{_pairs_path()}') a
-            JOIN read_parquet('{_pairs_path()}') b ON a.image_id < b.image_id
+            FROM read_parquet('{_pairs_cache_file()}') a
+            JOIN read_parquet('{_pairs_cache_file()}') b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 4
         """,
         # multimodal fake-codec paths: payloads are deterministic

@@ -220,6 +220,14 @@ def make_pairs_pdf(n: int, seed: int = 42) -> pd.DataFrame:
     return pdf
 
 
+# Bump when ANY generation logic that affects fixture CONTENT changes
+# (codec output, corruption rates, caption text, phash derivation):
+# the version is part of every cache filename, so stale caches written
+# by an older generator can never be silently reused against a freshly
+# generated oracle (fv2 = post float32-IDCT decode).
+FIXTURE_VERSION = 2
+
+
 def write_pairs_parquet(path: str, n: int, seed: int = 42,
                         row_group_size: int = 2048) -> str:
     """Materialize the pairs table as a parquet file; returns the path.
@@ -235,7 +243,8 @@ def write_pairs_parquet(path: str, n: int, seed: int = 42,
         # os.path.isdir alone once wrote the table AS the cache dir
         # when the dir didn't exist yet.
         os.makedirs(path, exist_ok=True)
-        path = os.path.join(path, f"pairs_n{n}_s{seed}.parquet")
+        path = os.path.join(
+            path, f"pairs_n{n}_s{seed}_fv{FIXTURE_VERSION}.parquet")
     if os.path.exists(path):
         return path
     pdf = make_pairs_pdf(n, seed)

@@ -57,8 +57,9 @@ class SnapshotTable:
         """Highest committed snapshot version (0 = empty table)."""
         if not os.path.isdir(self.meta_dir):
             return 0
-        versions = [int(f[1:7]) for f in os.listdir(self.meta_dir)
-                    if f.startswith("v") and f.endswith(".json")]
+        versions = [int(f[1:-5]) for f in os.listdir(self.meta_dir)
+                    if f.startswith("v") and f.endswith(".json")
+                    and f[1:-5].isdigit()]
         return max(versions, default=0)
 
     def manifest(self, version: Optional[int] = None) -> dict:
@@ -287,8 +288,10 @@ class SnapshotTable:
             ]
             if not files:
                 # empty selection: preserve schema via a no-row filter
-                full = spark.read.option("basePath", self.data_dir).parquet(
-                    *[os.path.join(self.data_dir, f) for f in m["files"]])
+                full = (spark.read.option("basePath", self.data_dir)
+                        .option("mergeSchema", "true").parquet(
+                            *[os.path.join(self.data_dir, f)
+                              for f in m["files"]]))
                 from pyspark.sql import functions as F
 
                 return full.filter(F.lit(False))
@@ -358,10 +361,42 @@ class SnapshotTable:
                 "bucket) and is owned by the resume ledger; compaction "
                 "applies to snapshot-native (e.g. streaming-ingested) "
                 "tables")
+        base = self.manifest()
+        base_files = set(base["files"])
         df = self.read(spark).coalesce(max(1, target_files))
-        return self.write(
-            df, mode="overwrite",
-            properties={**(properties or {}), "compaction": True})
+
+        staging = os.path.join(self.path, "_staging", uuid.uuid4().hex[:12])
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(self.data_dir, exist_ok=True)
+        new_files = []
+        for f in sorted(os.listdir(staging)):
+            if f.endswith(".parquet"):
+                dst = f"{uuid.uuid4().hex[:8]}-{f}"
+                shutil.move(os.path.join(staging, f),
+                            os.path.join(self.data_dir, dst))
+                new_files.append(dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        new_stats = self._collect_file_stats(new_files)
+
+        def build(p, pm):
+            # Concurrency-safe rewrite: the compacted files REPLACE the
+            # base snapshot's files, but anything a concurrent append
+            # committed since the base is carried forward untouched —
+            # a plain overwrite would silently drop those rows (real
+            # Iceberg rewrite_data_files validates the same conflict).
+            extra = [f for f in pm["files"] if f not in base_files]
+            stats = {f: v for f, v in pm.get("stats", {}).items()
+                     if f in extra}
+            stats.update(new_stats)
+            return {
+                "ts": time.time(),
+                "files": new_files + extra,
+                "stats": stats,
+                "schema": base["schema"],
+                "properties": {**(properties or {}), "compaction": True},
+            }
+
+        return self._commit_manifest(build)
 
     def remove_orphan_files(self, older_than_sec: float = 86400.0) -> int:
         """Delete data files referenced by NO manifest — leftovers of
@@ -437,16 +472,20 @@ class SnapshotTable:
         known: set[str] = set()
         for v in range(1, cur + 1):
             if os.path.exists(self._manifest_path(v)):
-                known.update(self.manifest(v)["files"])
+                m = self.manifest(v)
+                known.update(m["files"])
                 if v in keep_versions:
-                    live_files.update(self.manifest(v)["files"])
-        removed = self._sweep_unreferenced(live_files, known_committed=known,
-                                           older_than_sec=86400.0)
+                    live_files.update(m["files"])
+        # Manifests are removed BEFORE the data sweep: a crash between
+        # the two steps then leaves only unreferenced files (cleaned on
+        # the next expire), never a readable manifest that references
+        # deleted data.
         for v in range(1, max(1, cur - keep_last + 1)):
             p = self._manifest_path(v)
             if os.path.exists(p):
                 os.remove(p)
-        return removed
+        return self._sweep_unreferenced(live_files, known_committed=known,
+                                        older_than_sec=86400.0)
 
 
 def load_table(spark: SparkSession, identifier: str) -> DataFrame:

@@ -81,13 +81,21 @@ class Ledger:
 
         os.makedirs(self.ledger_dir, exist_ok=True)
         lock = os.path.join(self.ledger_dir, "COMMIT.lock")
+        import errno
+
         fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         deadline = time.time() + timeout_sec
         while True:
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 return fd
-            except (BlockingIOError, OSError):
+            except OSError as e:
+                if e.errno not in (errno.EWOULDBLOCK, errno.EAGAIN,
+                                   errno.EACCES):
+                    # e.g. ENOLCK on an NFS mount without lockd: a real,
+                    # immediately-diagnosable failure — do not spin on it
+                    os.close(fd)
+                    raise
                 if time.time() > deadline:
                     os.close(fd)
                     raise TimeoutError(

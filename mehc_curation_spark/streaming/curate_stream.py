@@ -78,6 +78,15 @@ def _conflict_fn(key: Tuple[int], pdfs: Iterator[pd.DataFrame],
         pdf = pdf.sort_values("image_id")
         out_flags = []
         for cap in pdf["caption"]:
+            # NULL captions never participate in conflict detection —
+            # exactly the batch dedup's null semantics (nulls are
+            # excluded from the distinct-caption count); treating
+            # null-after-non-null as a conflict made the flag
+            # arrival-order-dependent and diverged from the
+            # authoritative batch pass.
+            if cap is None:
+                out_flags.append(bool(conflicted))
+                continue
             if caption0 is None:
                 caption0 = cap
             elif cap != caption0:
@@ -158,7 +167,11 @@ def run_stream_to_snapshot_table(spark, input_dir: str, table_path: str,
         long-lived table with thousands of micro-batch snapshots does
         not re-parse every manifest per batch (a review found the
         previous all-versions scan was O(V^2) over the stream's life)."""
+        import os as _os
+
         for v in range(table.current_version(), 0, -1):
+            if not _os.path.exists(table._manifest_path(v)):
+                continue  # expired by expire_snapshots — keep looking
             bid = table.manifest(v).get("properties", {}).get("stream_batch_id")
             if bid is None:
                 continue  # non-stream snapshot interleaved — keep looking
