@@ -472,6 +472,65 @@ def emb_ann_ivf(spark, sf_dir):
                     q, k=10, n_cells=16, n_probe=8)
 
 
+def _ann_join_frames(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    idx = e.filter(F.col("vec_id") >= 8)
+    return qdf, idx
+
+
+def emb_ann_join(spark, sf_dir):
+    """Batched ANN kNN JOIN — top-10 index neighbors for EVERY query
+    row in one bucket-key equi-join (no driver-side .first() loop):
+    the production shape of dedup-against-reference-corpus at 100 TB.
+    probe_hamming=3 of 8 planes: measured worst brute-rank 27 at
+    sf0.01 (full k for all queries), so the _check margin of brute
+    top-50 has ~2x headroom."""
+    from mehc_curation_spark.operators.similarity import ann_join
+
+    qdf, idx = _ann_join_frames(spark, sf_dir)
+    return ann_join(qdf, idx, "embedding", "query_id", "vec_id",
+                    k=10, n_planes=8, probe_hamming=3)
+
+
+def emb_ann_join_check(spark, sf_dir):
+    """Per-query quality assertion for the kNN join: every query gets
+    its full k=10 rows, and every returned neighbor sits inside that
+    query's brute-force top-50 (subset-of-exact). n_queries comes from
+    SQL on the oracle side."""
+    from pyspark.sql import Window as W
+
+    from mehc_curation_spark.operators.similarity import ann_join
+
+    qdf, idx = _ann_join_frames(spark, sf_dir)
+    ann = ann_join(qdf, idx, "embedding", "query_id", "vec_id",
+                   k=10, n_planes=8, probe_hamming=3)
+    # brute top-50 per query: normalized cross join + one window
+    from mehc_curation_spark.operators.similarity import (
+        _dot_col,
+        _normalized_vec,
+    )
+
+    qn = qdf.select("query_id", _normalized_vec(F.col("embedding")).alias("_q"))
+    xn = idx.select("vec_id", _normalized_vec(F.col("embedding")).alias("_x"))
+    scored = qn.crossJoin(xn).select(
+        "query_id", "vec_id",
+        F.round(_dot_col(F.col("_q"), F.col("_x")), 4).alias("cos"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    brute50 = scored.withColumn("r", F.row_number().over(w)) \
+        .filter(F.col("r") <= 50).select("query_id", "vec_id")
+    n_queries = qdf.count()
+    per_q = ann.groupBy("query_id").agg(F.count("*").alias("n"))
+    all_full_k = (per_q.filter(F.col("n") == 10).count() == n_queries
+                  and per_q.count() == n_queries)
+    n_outside = ann.join(brute50, ["query_id", "vec_id"], "left_anti").count()
+    return spark.createDataFrame(
+        [(n_queries, bool(all_full_k), n_outside == 0)],
+        "n_queries long, all_queries_full_k boolean, "
+        "all_within_brute_top50 boolean")
+
+
 def clips_audio_features(spark, sf_dir):
     """Audio path of the multimodal operators, fully DuckDB-oracled:
     clip payloads are deterministic int16-PCM renderings of the
@@ -757,12 +816,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_image_features_check": pairs_image_features_check,
         "emb_ann_lsh_check": emb_ann_lsh_check,
         "emb_ann_ivf_check": emb_ann_ivf_check,
+        "emb_ann_join_check": emb_ann_join_check,
         "emb_near_dup_lsh_check": emb_near_dup_lsh_check,
         # model/UDF-backed (rows-only: langid model scoring, image
         # decode, and the raw ANN/LSH surfaces checked via *_check)
         "emb_near_dup_lsh": emb_near_dup_lsh,
         "doc_langid": doc_langid,
         "emb_ann_lsh": emb_ann_lsh,
+        "emb_ann_join": emb_ann_join,
         "emb_ann_ivf": emb_ann_ivf,
         "pairs_curate_labels": pairs_curate_labels,
         "pairs_image_features": pairs_image_features,
@@ -1139,6 +1200,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    TRUE AS returned_full_k,
                    TRUE AS topk_within_brute_top25
+        """,
+        "emb_ann_join_check": """
+            SELECT COUNT(*) AS n_queries,
+                   TRUE AS all_queries_full_k,
+                   TRUE AS all_within_brute_top50
+            FROM embeddings WHERE vec_id < 8
         """,
         "emb_near_dup_lsh_check": """
             SELECT COUNT(*) AS n_exact,

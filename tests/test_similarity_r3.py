@@ -1,0 +1,233 @@
+"""Round-3 similarity additions: arbitrary-k shingle mixing, vectorized
+simhash, the O(n^2) guard, single-pass shingling, deterministic IVF and
+the batched ANN kNN join."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mehc_curation_spark.operators.similarity import (
+    _pos_mix,
+    _shingle_hashes_np,
+    ann_join,
+    embedding_near_dups_exact,
+    ivf_index,
+    ivf_topk,
+    minhash_near_dups,
+    minhash_signatures,
+    shingle_table,
+    simhash64_udf,
+)
+
+
+# ---------------------------------------------------------------------------
+# _pos_mix (ADVICE r2: k > 8 reused multipliers every 8 positions)
+# ---------------------------------------------------------------------------
+
+def test_pos_mix_k_le_8_unchanged():
+    # hash stability: default/typical k keeps the original constants
+    assert _pos_mix(3) == _pos_mix(8)[:3]
+    assert _pos_mix(1)[0] == 0x9E3779B97F4A7C15
+
+
+def test_pos_mix_k_gt_8_all_distinct_and_odd():
+    mix = _pos_mix(32)
+    assert len(set(mix)) == 32
+    assert all(m % 2 == 1 for m in mix)
+
+
+def test_k10_swap_8_apart_no_longer_collides():
+    toks = [f"t{i}" for i in range(10)]
+    swapped = toks[:]
+    swapped[0], swapped[8] = swapped[8], swapped[0]
+    ha = _shingle_hashes_np(" ".join(toks), 10)
+    hb = _shingle_hashes_np(" ".join(swapped), 10)
+    assert ha[0] != hb[0]
+
+
+# ---------------------------------------------------------------------------
+# vectorized simhash == scalar reference implementation
+# ---------------------------------------------------------------------------
+
+def _simhash_scalar(t):
+    """The r2 per-token-loop implementation, kept as the test oracle."""
+    import hashlib
+
+    if not isinstance(t, str) or not t.strip():
+        return 0
+    votes = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for tok in t.lower().split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        bits = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int64)
+        votes += 2 * bits - 1
+    val = np.uint64(0)
+    for b in range(64):
+        if votes[b] > 0:
+            val |= np.uint64(1) << np.uint64(b)
+    return int(val.astype(np.int64))
+
+
+def test_simhash_vectorized_matches_scalar(spark):
+    import random
+    import string
+
+    random.seed(11)
+    texts = [None, "", "   ", "\t\n", "a", "a a a", "Hello WORLD hello"]
+    for _ in range(200):
+        n = random.randint(0, 30)
+        texts.append(" ".join(
+            "".join(random.choices(string.ascii_letters + "09", k=random.randint(1, 6)))
+            for _ in range(n)))
+    # batch ending in an EMPTY doc: the shape that broke the first
+    # vectorization attempt (clipped reduceat start truncated the
+    # preceding doc's segment)
+    texts += ["tail doc one two three", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    got = {r["i"]: r["s"] for r in
+           df.select("i", simhash64_udf("t").alias("s")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _simhash_scalar(t), (i, t)
+
+
+# ---------------------------------------------------------------------------
+# O(n^2) guard
+# ---------------------------------------------------------------------------
+
+def test_exact_near_dup_guard_fires(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="embedding_near_dups_lsh"):
+        embedding_near_dups_exact(df, "embedding", "vec_id", max_rows=5)
+    # None disables; small inputs under the cap pass untouched
+    assert embedding_near_dups_exact(
+        df, "embedding", "vec_id", threshold=1.1, max_rows=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# single-pass shingling (VERDICT r2 item 4)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [(i, f"alpha beta gamma delta epsilon zeta token{i % 7} "
+                f"eta theta iota kappa word{i % 3}") for i in range(60)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact dups
+    rows += [(200, None), (201, "one two")]            # shingle-less
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_single_sig_eval_and_cached_shingles(docs_df):
+    out = minhash_near_dups(docs_df, "doc_id", "text", threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE minhash eval node (the r2 filter-on-UDF-output shape
+    # extracted it twice), and every shingle UDF occurrence sits inside
+    # a cached InMemoryRelation (one shingling pass at runtime)
+    assert plan.count("ArrowEvalPython [minhash_sig") == 1
+    assert plan.count("shingle_hashes") == plan.count("InMemoryRelation")
+    assert plan.count("InMemoryRelation") >= 1
+
+
+def test_sig_paths_bit_equal(docs_df):
+    sh = shingle_table(docs_df, "doc_id", "text", 3)
+    a = minhash_signatures(docs_df, "doc_id", "text", 16, 3) \
+        .toPandas().sort_values("_id").reset_index(drop=True)
+    b = minhash_signatures(docs_df, "doc_id", "text", 16, 3, shingles=sh) \
+        .toPandas().sort_values("_id").reset_index(drop=True)
+    assert a.equals(b)
+    # shingle-less rows (NULL text, < k tokens) drop out of signatures
+    assert not set(a["_id"]) & {200, 201}
+
+
+def test_minhash_near_dups_finds_planted_dups(docs_df):
+    got = {(r["id_a"], r["id_b"]) for r in
+           minhash_near_dups(docs_df, "doc_id", "text",
+                             threshold=0.99).collect()}
+    assert {(i, 100 + i) for i in range(5)} <= got
+
+
+# ---------------------------------------------------------------------------
+# deterministic IVF (VERDICT r2 item 5)
+# ---------------------------------------------------------------------------
+
+def test_ivf_partition_invariant(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    results, centers_list = [], []
+    for parts in (1, 7, 32):
+        d = df.repartition(parts)
+        _, centers = ivf_index(d, "embedding", n_cells=8, id_col="vec_id")
+        centers_list.append(centers)
+        res = ivf_topk(d, "embedding", "vec_id", q, k=5,
+                       n_cells=8, n_probe=3).collect()
+        results.append([(r["vec_id"], r["cos"]) for r in res])
+    assert np.array_equal(centers_list[0], centers_list[1])
+    assert np.array_equal(centers_list[0], centers_list[2])
+    assert results[0] == results[1] == results[2]
+
+
+def test_ivf_recall_vs_brute(spark):
+    from mehc_curation_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    rest = df.filter(F.col("vec_id") != 0)
+    ann = {r["vec_id"] for r in
+           ivf_topk(rest, "embedding", "vec_id", q, k=10,
+                    n_cells=8, n_probe=4).collect()}
+    brute = [r["vec_id"] for r in
+             cosine_topk(rest, "embedding", "vec_id", q, k=10).collect()]
+    assert len(ann & set(brute)) >= 8  # n_probe=4 of 8 cells
+
+
+# ---------------------------------------------------------------------------
+# batched ANN kNN join
+# ---------------------------------------------------------------------------
+
+def test_ann_join_full_k_and_subset_of_brute(spark):
+    from mehc_curation_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(9)
+    dim = 16
+    idx_rows = [(i, rng.standard_normal(dim).tolist()) for i in range(500)]
+    idx = spark.createDataFrame(idx_rows, "vec_id long, embedding array<double>")
+    # queries = perturbed copies of index rows → a clear true neighbor
+    q_rows = [(qi, (np.asarray(idx_rows[qi * 50][1])
+                    + 0.05 * rng.standard_normal(dim)).tolist())
+              for qi in range(6)]
+    qdf = spark.createDataFrame(q_rows, "query_id long, embedding array<double>")
+
+    got = ann_join(qdf, idx, "embedding", "query_id", "vec_id",
+                   k=5, n_planes=8, probe_hamming=3).toPandas()
+    counts = got.groupby("query_id").size()
+    assert len(counts) == 6 and (counts == 5).all()
+    # ranks are 1..5 per query, cos descending
+    for qid, grp in got.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == [1, 2, 3, 4, 5]
+        assert list(grp["cos"]) == sorted(grp["cos"], reverse=True)
+        # the planted near-identical vector is the rank-1 neighbor
+        assert grp.iloc[0]["vec_id"] == qid * 50
+        # subset-of-brute: every hit inside that query's brute top-25
+        brute = {r["vec_id"] for r in cosine_topk(
+            idx, "embedding", "vec_id", q_rows[int(qid)][1], k=25).collect()}
+        assert set(grp["vec_id"]) <= brute
+
+
+def test_ann_join_null_embeddings_ignored(spark):
+    rng = np.random.default_rng(1)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(50)]
+    rows += [(900, None), (901, [1.0])]  # NULL + ragged index vectors
+    idx = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame([(0, rows[3][1])],
+                                "query_id long, embedding array<double>")
+    got = ann_join(qdf, idx, "embedding", "query_id", "vec_id",
+                   k=5, n_planes=6, probe_hamming=2).toPandas()
+    assert not set(got["vec_id"]) & {900, 901}
+    assert len(got) == 5
