@@ -40,6 +40,13 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent commit invalidated this operation's base snapshot
+    (e.g. an overwrite landed while a compaction was rewriting the
+    files it read) — the operation must be retried against the new
+    table state, mirroring Iceberg's validation-failure aborts."""
+
+
 class SnapshotTable:
     """A Parquet-backed table with atomic JSON snapshot manifests."""
 
@@ -120,7 +127,8 @@ class SnapshotTable:
 
     def write(self, df: DataFrame, mode: str = "append",
               properties: Optional[dict] = None,
-              allow_schema_evolution: bool = False) -> int:
+              allow_schema_evolution: bool = False,
+              stats_cols: Optional[tuple[str, ...]] = None) -> int:
         """Write a new snapshot; returns the committed version.
 
         mode='append' keeps prior files in the new manifest;
@@ -132,6 +140,11 @@ class SnapshotTable:
         unchanged): the manifest schema advances to the superset and
         reads reconcile old files to NULL for the new columns. Any
         non-additive change still raises.
+
+        ``stats_cols`` selects which columns get per-file min/max
+        stats recorded for data skipping (default
+        ``DEFAULT_STATS_COLS``) — a labels table can skip on e.g.
+        ``lang`` or a bucket id, not just ``phash``.
         """
         assert mode in ("append", "overwrite")
         os.makedirs(self.meta_dir, exist_ok=True)
@@ -161,7 +174,7 @@ class SnapshotTable:
                 new_files.append(dst_name)
         shutil.rmtree(staging, ignore_errors=True)
 
-        new_stats = self._collect_file_stats(new_files)
+        new_stats = self._collect_file_stats(new_files, stats_cols)
 
         def build(p, pm):
             if p and pm["schema"] and mode == "append":
@@ -189,7 +202,8 @@ class SnapshotTable:
     def commit_files(self, rel_files: list[str], schema_json: str,
                      mode: str = "append",
                      properties: Optional[dict] = None,
-                     replace_prefixes: Optional[list[str]] = None) -> int:
+                     replace_prefixes: Optional[list[str]] = None,
+                     stats_cols: Optional[tuple[str, ...]] = None) -> int:
         """Publish a snapshot manifest over data files ALREADY inside
         ``data/`` (e.g. bucket dirs moved in by the curation ledger's
         atomic commit) without rewriting them. Entries may be relative
@@ -205,7 +219,7 @@ class SnapshotTable:
         files).
         """
         assert mode in ("append", "overwrite")
-        new_stats = self._collect_file_stats(list(rel_files))
+        new_stats = self._collect_file_stats(list(rel_files), stats_cols)
         prefixes = tuple(replace_prefixes or ())
 
         def build(p, pm):
@@ -228,11 +242,15 @@ class SnapshotTable:
 
         return self._commit_manifest(build)
 
+    DEFAULT_STATS_COLS: tuple[str, ...] = ("phash",)
+
     def _collect_file_stats(self, rel_files: list[str],
-                            cols: tuple[str, ...] = ("phash",)) -> dict:
-        """Per-file min/max for `cols` from the parquet FOOTERS only
-        (no data read) — the Iceberg-manifest-stats analog enabling
-        file-level data skipping at read time."""
+                            cols: Optional[tuple[str, ...]] = None) -> dict:
+        """Per-file min/max for `cols` (default ``DEFAULT_STATS_COLS``)
+        from the parquet FOOTERS only (no data read) — the
+        Iceberg-manifest-stats analog enabling file-level data skipping
+        at read time."""
+        cols = cols if cols is not None else self.DEFAULT_STATS_COLS
         import pyarrow.parquet as pq
 
         stats: dict = {}
@@ -384,6 +402,22 @@ class SnapshotTable:
             # committed since the base is carried forward untouched —
             # a plain overwrite would silently drop those rows (real
             # Iceberg rewrite_data_files validates the same conflict).
+            #
+            # Conflict ABORT (ADVICE r2): if a concurrent overwrite /
+            # replace commit removed base files from the current
+            # manifest, committing the compacted rewrite would
+            # RESURRECT rows the overwrite logically deleted — real
+            # Iceberg rewrite_data_files fails validation here, and so
+            # do we. (Carrying forward only appends is sound ONLY while
+            # every base file is still referenced.)
+            if base_files - set(pm["files"]):
+                missing = sorted(base_files - set(pm["files"]))[:3]
+                raise CommitConflictError(
+                    f"{self.path}: compaction base snapshot "
+                    f"v{base['version']} was invalidated by a concurrent "
+                    f"overwrite/replace commit (base files no longer "
+                    f"referenced, e.g. {missing}); re-run compact() "
+                    f"against the current snapshot")
             extra = [f for f in pm["files"] if f not in base_files]
             stats = {f: v for f, v in pm.get("stats", {}).items()
                      if f in extra}
@@ -432,10 +466,20 @@ class SnapshotTable:
         Hadoop sidecar files (`.crc` checksums, `_SUCCESS` markers) are
         not data: a sidecar is removed only when its TARGET parquet is
         itself gone/unreferenced, so live files keep their checksums.
+        Sidecars whose target was never committed anywhere get the
+        SAME in-flight age guard as plain data files (ADVICE r2: a
+        live writer that has moved files but not yet won the manifest
+        CAS must not lose its checksums/markers), while sidecars of
+        deliberately expired files are removed regardless of age.
         Walks relative paths — manifests may reference files inside
         hive partition dirs (bucket=k/part-...parquet)."""
         known = known_committed if known_committed is not None else live
-        now = time.time()
+
+        def _too_young(full: str) -> bool:
+            try:
+                return time.time() - os.path.getmtime(full) < older_than_sec
+            except OSError:
+                return True  # vanished/unreadable: do not sweep
         removed = 0
         if not os.path.isdir(self.data_dir):
             return 0
@@ -449,16 +493,20 @@ class SnapshotTable:
                         target = target[:-4]
                     target_rel = os.path.join(os.path.dirname(rel), target) \
                         if os.path.dirname(rel) else target
-                    if f == "_SUCCESS" or target_rel not in live:
-                        os.remove(full)
-                        removed += 1
-                elif rel not in live:
-                    if rel not in known:
-                        try:  # possible in-flight writer — age guard
-                            if now - os.path.getmtime(full) < older_than_sec:
-                                continue
-                        except OSError:
+                    if f == "_SUCCESS":
+                        # no single target: may belong to an in-flight
+                        # writer — sweep only past the age guard
+                        if _too_young(full):
                             continue
+                    elif target_rel in live:
+                        continue  # live file keeps its checksum
+                    elif target_rel not in known and _too_young(full):
+                        continue  # possible in-flight writer's sidecar
+                    os.remove(full)
+                    removed += 1
+                elif rel not in live:
+                    if rel not in known and _too_young(full):
+                        continue  # possible in-flight writer — age guard
                     os.remove(full)
                     removed += 1
         return removed

@@ -153,6 +153,39 @@ Number of canonicalized captions: {normalized_canonical}
     return "\n".join(parts)
 
 
+_DEDUP_REPORT = """\
+*****************************************************************
+*                       DEDUPLICATION
+*****************************************************************
+================================================
+Duplicate validation
+================================================
+Number of input rows:          {duplicate_validation_input}
+Keys with perfect duplicates:  {perfect_dups}
+Keys with conflicting values:  {partial_dups}
+Number of unique rows kept:    {validation_unique}
+"""
+
+
+def render_dedup_report(format_data: dict) -> str:
+    """Standalone dedup report — the reference's ``deduplicate()``
+    renders its own template with a fallback when the template file is
+    missing (``/root/reference/mehc_curation/utils/common.py:140-174``);
+    this is the graft's equivalent over the counters dict that
+    ``operators.dedup.deduplicate(return_format_data=True)`` returns.
+    A nested ``validation`` block (validate=True) is appended as one
+    extra line per counter."""
+    out = _DEDUP_REPORT.format(**{
+        k: format_data.get(k, 0)
+        for k in ("duplicate_validation_input", "perfect_dups",
+                  "partial_dups", "validation_unique")})
+    val = format_data.get("validation")
+    if val:
+        out += ("-- pre-dedup image validation ----------\n"
+                + "".join(f"{k}: {v}\n" for k, v in val.items()))
+    return out
+
+
 def render_report(reason_counts: dict[str, int], total: int,
                   config: CurationConfig = CurationConfig()) -> str:
     """Render the curation report from a {drop_reason: count} dict."""

@@ -84,19 +84,46 @@ def deduplicate(
     ``dup_reason`` column — computed from the SAME all-column conflict
     semantics as the cleaned output, so a rejected-row export always
     reconciles with it (a caption-only labeling would disagree when
-    rows share a key+caption but differ in another column).
+    rows share a key+caption but differ in another column). With
+    ``validate=True`` the export ALSO carries the rows the decode gate
+    dropped, labeled with their decode reason (ADVICE r2: they
+    previously appeared in neither output).
     """
     keys = list(partial_dup_cols) if partial_dup_cols else [KEY_COL]
     validate_format_data = {}
+    validation_rejected = None
     if validate:
-        # local import mirrors the reference's circular-import guard
-        from mehc_curation_spark.stages.validation import ValidationStage
+        if return_rejected:
+            # explicit reason column so the gate's drops can be
+            # exported with their cause (ValidationStage applies the
+            # same decode_reason_udf predicate; one lazy plan, the UDF
+            # is not an extra pass per branch action)
+            from mehc_curation_spark.operators.udfs import decode_reason_udf
 
-        if return_format_data:
-            df, validate_format_data = ValidationStage(df).validate(
-                return_format_data=True)
+            base = df.withColumn("_vreason", decode_reason_udf(
+                F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h")))
+            if return_format_data:
+                row = base.select(
+                    F.count("*").alias("n"),
+                    F.sum(F.when(F.col("_vreason").isNotNull(), 1)
+                          .otherwise(0)).alias("bad")).first()
+                bad = int(row["bad"] or 0)
+                validate_format_data = {"input": row["n"], "invalid": bad,
+                                        "valid": row["n"] - bad}
+            validation_rejected = (
+                base.filter(F.col("_vreason").isNotNull())
+                .withColumn(DUP_REASON_COL, F.col("_vreason"))
+                .drop("_vreason"))
+            df = base.filter(F.col("_vreason").isNull()).drop("_vreason")
         else:
-            df = ValidationStage(df).validate()
+            # local import mirrors the reference's circular-import guard
+            from mehc_curation_spark.stages.validation import ValidationStage
+
+            if return_format_data:
+                df, validate_format_data = ValidationStage(df).validate(
+                    return_format_data=True)
+            else:
+                df = ValidationStage(df).validate()
     # id_col plays the pandas-index role (row identity, not a value
     # column) — it must not participate in conflict / full-row checks.
     others = [c for c in df.columns if c not in keys and c != id_col]
@@ -141,6 +168,8 @@ def deduplicate(
                     .otherwise(F.lit("duplicate_perfect")))
         .drop(*drop_cols)
     )
+    if validation_rejected is not None:
+        rejected = rejected.unionByName(validation_rejected)
     if not (show_dup_info or return_format_data or return_rejected):
         return cleaned
 

@@ -1,0 +1,57 @@
+"""Round-3 dedup fixes: the rejected export reconciles with
+validate=True, and the standalone dedup report renders."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mehc_curation_spark.io.reports import render_dedup_report
+from mehc_curation_spark.operators.dedup import DUP_REASON_COL, deduplicate
+
+
+def test_rejected_export_includes_validation_drops(spark, pairs_df):
+    """ADVICE r2: with validate=True + return_rejected=True, rows the
+    decode gate dropped must appear in the rejected export (labeled
+    with their decode reason) — previously they were in neither
+    output."""
+    from mehc_curation_spark.stages.validation import ValidationStage
+
+    cleaned, fmt, rejected = deduplicate(
+        pairs_df, validate=True, return_format_data=True,
+        return_rejected=True)
+    n_in = pairs_df.count()
+    n_valid = ValidationStage(pairs_df).validate().count()
+    n_cleaned, n_rejected = cleaned.count(), rejected.count()
+    # full reconciliation: every input row lands in exactly one output
+    assert n_cleaned + n_rejected == n_in
+    reasons = {r[DUP_REASON_COL] for r in
+               rejected.select(DUP_REASON_COL).distinct().collect()}
+    decode_reasons = reasons - {"duplicate_perfect", "duplicate_conflict"}
+    assert decode_reasons  # the gate's drops are present, with causes
+    n_gate = rejected.filter(
+        ~F.col(DUP_REASON_COL).isin("duplicate_perfect",
+                                    "duplicate_conflict")).count()
+    assert n_gate == n_in - n_valid == fmt["validation"]["invalid"]
+    # and the dedup-labeled part matches the validate-then-dedup path
+    assert fmt["duplicate_validation_input"] == n_valid
+
+
+def test_rejected_export_without_validate_unchanged(spark, pairs_df):
+    slim = pairs_df.select("image_id", "phash", "caption")
+    cleaned, rejected = deduplicate(slim, partial_dup_cols=["phash"],
+                                    return_rejected=True)
+    assert cleaned.count() + rejected.count() == slim.count()
+    reasons = {r[DUP_REASON_COL] for r in
+               rejected.select(DUP_REASON_COL).distinct().collect()}
+    assert reasons <= {"duplicate_perfect", "duplicate_conflict"}
+
+
+def test_render_dedup_report(spark):
+    rows = [(1, 7, "a"), (2, 7, "a"), (3, 8, "b"), (4, 8, "c"), (5, 9, "d")]
+    df = spark.createDataFrame(rows, "image_id long, phash long, caption string")
+    cleaned, fmt = deduplicate(df, partial_dup_cols=["phash"],
+                               return_format_data=True)
+    report = render_dedup_report(fmt)
+    assert "DEDUPLICATION" in report
+    assert f"Number of input rows:          {fmt['duplicate_validation_input']}" in report
+    assert f"Number of unique rows kept:    {fmt['validation_unique']}" in report
+    assert str(fmt["perfect_dups"]) in report

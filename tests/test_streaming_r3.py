@@ -1,0 +1,127 @@
+"""Round-3 streaming hardening: conflict-state processing-time timeout
+and the stream high-watermark that survives snapshot expiry."""
+
+import os
+import time
+
+from mehc_curation_spark.io.catalog import SnapshotTable
+from mehc_curation_spark.schema import PAIRS_SCHEMA
+from mehc_curation_spark.streaming.curate_stream import (
+    _advance_stream_hwm,
+    _batch_committed,
+    _read_stream_hwm,
+    _stream_scope,
+    flag_conflicts_stream,
+    run_stream_to_snapshot_table,
+)
+
+
+def _conflict_rows(spark, tmp_path, timeout_ms, tag):
+    """ONE long-lived free-running query over a growing parquet dir,
+    stepped by POLLING the sink. With ProcessingTimeTimeout the
+    stateful operator answers shouldRunAnotherBatch=true on every tick
+    (processing time always advances), so BOTH trigger(availableNow)
+    and processAllAvailable() block forever while timers are live —
+    polling the output is the only synchronization that works."""
+    in_dir = str(tmp_path / f"in_{tag}")
+    out_dir = str(tmp_path / f"out_{tag}")
+    ck_dir = str(tmp_path / f"ck_{tag}")
+    os.makedirs(in_dir)
+
+    def write(rows):
+        spark.createDataFrame(rows, PAIRS_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    def read_out():
+        try:
+            return {r["image_id"]: r["conflict_suspect"]
+                    for r in spark.read.parquet(out_dir).collect()}
+        except Exception:  # sink metadata not created yet
+            return {}
+
+    def wait_for(image_id, deadline_sec=120):
+        end = time.time() + deadline_sec
+        while time.time() < end:
+            got = read_out()
+            if image_id in got:
+                return got
+            time.sleep(0.5)
+        raise AssertionError(f"{image_id} never reached the sink; "
+                             f"have {sorted(read_out())}")
+
+    # batch 1 must exist before the stream starts (an empty dir makes
+    # the first trigger a no-op)
+    write([("a1", None, None, None, "raw", "one", 7)])
+    stream = (spark.readStream.schema(PAIRS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out = flag_conflicts_stream(stream, state_timeout_ms=timeout_ms)
+    q = (out.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", ck_dir)
+         .outputMode("append").start())
+    try:
+        wait_for("a1")  # batch 1: phash 7 sees caption "one"
+        time.sleep(3.0)  # past the 500ms processing-time deadline;
+        # timer-driven empty batches fire the timeout for idle key 7
+        write([("b1", None, None, None, "raw", "other", 8)])
+        wait_for("b1")
+        # phash 7 returns with a DIFFERENT caption
+        write([("a2", None, None, None, "raw", "two", 7)])
+        got = wait_for("a2")
+    finally:
+        q.stop()
+    return got
+
+
+def test_conflict_state_expires_after_timeout(spark, tmp_path):
+    got = _conflict_rows(spark, tmp_path, timeout_ms=500, tag="t")
+    # state for phash 7 expired between batches -> caption "two" starts
+    # a FRESH state and is not flagged
+    assert got["a2"] is False
+
+
+def test_conflict_state_persists_without_timeout(spark, tmp_path):
+    got = _conflict_rows(spark, tmp_path, timeout_ms=None, tag="n")
+    # control: with NoTimeout the same sequence IS a conflict
+    assert got["a2"] is True
+
+
+# ---------------------------------------------------------------------------
+# stream high-watermark survives snapshot expiry (ADVICE r2)
+# ---------------------------------------------------------------------------
+
+def test_hwm_survives_snapshot_expiry(spark, pairs_df, tmp_path):
+    in_dir = str(tmp_path / "sin")
+    tbl_dir = str(tmp_path / "stbl")
+    ck_dir = str(tmp_path / "sck")
+    os.makedirs(in_dir)
+
+    pairs_df.limit(50).coalesce(1).write.mode("append").parquet(in_dir)
+    run_stream_to_snapshot_table(spark, in_dir, tbl_dir, ck_dir) \
+        .awaitTermination(300)
+    pairs_df.limit(80).coalesce(1).write.mode("append").parquet(in_dir)
+    run_stream_to_snapshot_table(spark, in_dir, tbl_dir, ck_dir) \
+        .awaitTermination(300)
+
+    table = SnapshotTable(tbl_dir)
+    scope = _stream_scope(ck_dir)
+    assert _read_stream_hwm(table, scope) >= 1
+    # expire everything but the newest snapshot: the manifest that
+    # recorded batch 0 is gone...
+    table.expire_snapshots(keep_last=1)
+    # ...but a replay of batch 0 is STILL detected as committed (the
+    # manifest walk alone would say False here and duplicate the rows)
+    assert _batch_committed(table, scope, 0) is True
+    assert _batch_committed(table, scope, 1) is True
+    assert _batch_committed(table, scope, 2) is False
+
+
+def test_hwm_monotone_and_scoped(tmp_path):
+    table = SnapshotTable(str(tmp_path / "t"))
+    s1, s2 = _stream_scope("/ck/one"), _stream_scope("/ck/two")
+    _advance_stream_hwm(table, s1, 5)
+    _advance_stream_hwm(table, s1, 3)  # lower id never regresses it
+    assert _read_stream_hwm(table, s1) == 5
+    assert _read_stream_hwm(table, s2) == -1  # other stream unaffected
+    assert _batch_committed(table, s1, 4) is True
+    assert _batch_committed(table, s2, 4) is False
