@@ -26,6 +26,17 @@ import sys
 import time
 
 
+def _load1() -> float:
+    """1-min load average — recorded per bench sample so every number
+    is self-describing about ambient multi-tenant host load (VERDICT
+    r2 items 1+8: a slow sample with load1 ~20 is the host, not a
+    regression)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - getloadavg exists on linux
+        return -1.0
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -133,14 +144,7 @@ def run_curate_bench(spark, n_rows: int, replicate: int = 1,
     return time.time() - t0, n
 
 
-def run_headline(spark, sf_dir: str
-                 ) -> tuple[dict[str, float], dict[str, list[float]], int]:
-    """Run the headline queries best-of-K over interleaved rounds.
-
-    Returns (best_sec_per_query, all_samples_per_query, K)."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __spark_entry__ as entry_mod
-
+def warmup_session(spark, sf_dir: str) -> None:
     # Session warmup so the first timed query doesn't absorb JVM JIT,
     # codegen-compiler and parquet-footer costs (~5s measured): touch
     # every table and run one tiny codegen'd aggregate.
@@ -159,44 +163,53 @@ def run_headline(spark, sf_dir: str
      .select(langid_udf(F.concat(F.lit("warm "), F.col("id"))).alias("x"))
      .write.format("noop").mode("overwrite").save())
 
-    qs = entry_mod.queries()
-    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
-    # Best-of-K over INTERLEAVED rounds: ambient multi-tenant load on
-    # this host is one-sided noise (a single sample can read 3-8x
-    # slow), and interleaving spreads any load burst across all
-    # queries instead of poisoning one query's every sample.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(reps):
-        for name in HEADLINE:
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples[name].append(round(time.time() - t0, 3))
-    return ({name: min(s) for name, s in samples.items()},
-            {name: s for name, s in samples.items()}, reps)
-
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pairs = int(os.environ.get("SPARK_GRAFT_PAIRS_N", "400000"))
+    load1_start = _load1()
 
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries, query_runs, reps = run_headline(spark, sf_dir)
-    # best-of-K with a warmup pass: this box's ambient multi-tenant
-    # load is one-sided noise (see scaling() docstring), and a
-    # local[32] Arrow job demands ~64 threads, so single samples
-    # mis-state steady-state throughput by up to 5x.
-    curate_samples = []
-    for i in range(4):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+
+    warmup_session(spark, sf_dir)
+    qs = entry_mod.queries()
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "4"))
+    # ONE best-of-K protocol for EVERYTHING (VERDICT r2 item 1): each
+    # round runs every headline query AND one curate rep, so the
+    # curate samples carry the same interleaved noise shield as the
+    # headline samples — ambient multi-tenant load on this host is
+    # one-sided noise (a single sample can read 3-8x slow), and
+    # interleaving spreads any load burst across all queries instead
+    # of poisoning one query's every sample. Per-sample 1-min loadavg
+    # (taken as the sample finishes) makes each number self-describing.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    loads: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    curate_samples: list[float] = []
+    curate_loads: list[float] = []
+    for i in range(reps):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.time() - t0, 3))
+            loads[name].append(_load1())
         sec, curate_rows = run_curate_bench(spark, n_pairs,
                                             warmup=(i == 0))
         curate_samples.append(round(sec, 3))
+        curate_loads.append(_load1())
+
+    queries = {name: min(s) for name, s in samples.items()}
+    query_runs = dict(samples)
+    query_loads = dict(loads)
     curate_sec = min(curate_samples)
     queries["curate_pairs"] = round(curate_sec, 3)
     query_runs["curate_pairs"] = curate_samples
+    query_loads["curate_pairs"] = curate_loads
 
     total = round(sum(queries.values()), 3)
     result = {
@@ -216,9 +229,15 @@ def main() -> None:
         # round-over-round comparability (VERDICT r1 item 7): per-query
         # best-of-K with every sample recorded; 'queries' above carries
         # the per-query best.
-        "bench_protocol": {"stat": "best-of-K interleaved",
-                           "headline_reps": reps, "curate_reps": 4},
+        "bench_protocol": {
+            "stat": "best-of-K, curate interleaved with headline",
+            "headline_reps": reps, "curate_reps": reps},
         "query_runs": query_runs,
+        # 1-min loadavg sampled as each run finishes (plus the value
+        # before the session started): slow samples with load1 >> cpus
+        # in use are ambient host load, not regressions.
+        "query_loads": query_loads,
+        "host": {"cpu_count": os.cpu_count(), "load1_start": load1_start},
     }
     spark.stop()
     print(json.dumps(result))
@@ -269,10 +288,13 @@ def scaling() -> None:
             "spark.stop(); "
             "print(json.dumps({'sec': sec, 'rows': rows}))"
         )
+        l0 = _load1()
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)), check=True)
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        r["load1_before"], r["load1_after"] = l0, _load1()
+        return r
 
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(repeats):
@@ -289,6 +311,10 @@ def scaling() -> None:
     eff = (t_hi / t_lo) / (hi / lo)
     all_lo = ", ".join(f"{r['sec']:.1f}" for r in runs[lo])
     all_hi = ", ".join(f"{r['sec']:.1f}" for r in runs[hi])
+    loads_lo = ", ".join(f"{r['load1_before']:.0f}->{r['load1_after']:.0f}"
+                         for r in runs[lo])
+    loads_hi = ", ".join(f"{r['load1_before']:.0f}->{r['load1_after']:.0f}"
+                         for r in runs[hi])
     md = f"""# BENCH — scaling evidence (N → 4N parallelism)
 
 Protocol (BASELINE.md): identical curation job (full labels pipeline:
@@ -310,10 +336,10 @@ pure-Python multiprocessing burn measured the MACHINE's own 8→32
 scaling at only ~0.79 under ambient load, so {lo}→{hi} is the largest
 N→4N pair whose upper level fits inside the machine's spare capacity.
 
-| parallelism | best wall sec | all runs (sec) | best rows/sec |
-|---|---|---|---|
-| local[{lo}]  | {sec_lo:.1f} | {all_lo} | {t_lo:,.0f} |
-| local[{hi}] | {sec_hi:.1f} | {all_hi} | {t_hi:,.0f} |
+| parallelism | best wall sec | all runs (sec) | ambient load1 before->after | best rows/sec |
+|---|---|---|---|---|
+| local[{lo}]  | {sec_lo:.1f} | {all_lo} | {loads_lo} | {t_lo:,.0f} |
+| local[{hi}] | {sec_hi:.1f} | {all_hi} | {loads_hi} | {t_hi:,.0f} |
 
 **Scaling efficiency: {eff:.3f}** (target >= 0.8)
 
