@@ -11,6 +11,17 @@ Patterns are written in the common subset of Java (Spark
 ``regexp_replace``) and Python ``re`` regex syntax so the Catalyst
 fast path and this reference implementation produce byte-identical
 output. No backreferences (keeps them DuckDB/RE2-friendly too).
+
+Semantics contract: ONE pass of the ordered pattern chain — the same
+single application the reference makes of its salt stripper
+(``cleaning_utils.py:32-73``) and the only semantics expressible
+identically in Python ``re``, Catalyst ``regexp_replace`` and the
+DuckDB oracle. A single pass is deliberately NOT a fixpoint on
+adversarial chained spans (property-tested characterization:
+``"@alice@bob"`` → removing ``@alice`` exposes ``@bob``, which was not
+standalone in the original text); corpora where chained PII matters
+should run the scrub stage twice — every twin is deterministic and
+composes.
 """
 
 from __future__ import annotations
