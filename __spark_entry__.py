@@ -531,6 +531,71 @@ def emb_ann_join_check(spark, sf_dir):
         "all_within_brute_top50 boolean")
 
 
+def _cross_dedup_frames(spark, sf_dir):
+    """Deterministic two-corpus split of the embeddings table:
+    reference corpus = vec_id % 5 == 0 (the 'eval set' / already-
+    curated corpus), candidates = the rest (the 'incoming web data')."""
+    e = _t(spark, sf_dir, "embeddings")
+    ref = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("ref_id"), "embedding")
+    cand = e.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("cand_id"), "embedding")
+    return cand, ref
+
+
+def emb_cross_dedup(spark, sf_dir):
+    """Cross-corpus near-dup (decontamination shape): flag candidate
+    rows whose embedding clears cosine 0.4 against ANY reference-
+    corpus row, each with its best-found reference neighbor. The
+    candidate side shuffles on the LSH bucket key (production
+    direction: incoming corpus huge, reference corpus large). Rows-
+    only surface; the paired _check carries the value oracle."""
+    from mehc_curation_spark.operators.similarity import (
+        cross_corpus_near_dups,
+    )
+
+    cand, ref = _cross_dedup_frames(spark, sf_dir)
+    return cross_corpus_near_dups(
+        cand, ref, "embedding", "cand_id", "ref_id",
+        threshold=0.4, n_planes=8, probe_hamming=3).orderBy("cand_id")
+
+
+def emb_cross_dedup_check(spark, sf_dir):
+    """Soundness + recall oracle for the cross-corpus path: n_exact
+    (flagged-candidate count from brute force) comes from SQL on the
+    oracle side; the Spark side proves every flagged (cand, ref) pair
+    is a true >=0.4 pair (soundness is by construction — the verify
+    stage computes exact cosine — so a violation means a bug) and that
+    candidate-level recall clears the measured margin."""
+    from mehc_curation_spark.operators.similarity import (
+        _dot_col,
+        _normalized_vec,
+        cross_corpus_near_dups,
+    )
+
+    cand, ref = _cross_dedup_frames(spark, sf_dir)
+    flagged = cross_corpus_near_dups(
+        cand, ref, "embedding", "cand_id", "ref_id",
+        threshold=0.4, n_planes=8, probe_hamming=3)
+    cn = cand.select("cand_id", _normalized_vec(F.col("embedding")).alias("_c"))
+    rn = ref.select("ref_id", _normalized_vec(F.col("embedding")).alias("_r"))
+    exact_pairs = cn.crossJoin(rn).select(
+        "cand_id", "ref_id",
+        F.round(_dot_col(F.col("_c"), F.col("_r")), 4).alias("cos")) \
+        .filter(F.col("cos") >= 0.4)
+    exact_cands = exact_pairs.select("cand_id").distinct()
+    n_exact = exact_cands.count()
+    n_outside = flagged.join(exact_pairs, ["cand_id", "ref_id"],
+                             "left_anti").count()
+    n_hit = flagged.select("cand_id").distinct() \
+        .join(exact_cands, "cand_id", "left_semi").count()
+    return spark.createDataFrame(
+        [(n_exact, n_outside == 0,
+          bool(n_exact > 0 and n_hit / n_exact >= 0.5))],
+        "n_exact_cands long, flagged_subset_of_exact boolean, "
+        "recall_ge_half boolean")
+
+
 def clips_audio_features(spark, sf_dir):
     """Audio path of the multimodal operators, fully DuckDB-oracled:
     clip payloads are deterministic int16-PCM renderings of the
@@ -817,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh_check": emb_ann_lsh_check,
         "emb_ann_ivf_check": emb_ann_ivf_check,
         "emb_ann_join_check": emb_ann_join_check,
+        "emb_cross_dedup_check": emb_cross_dedup_check,
         "emb_near_dup_lsh_check": emb_near_dup_lsh_check,
         # model/UDF-backed (rows-only: langid model scoring, image
         # decode, and the raw ANN/LSH surfaces checked via *_check)
@@ -824,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": doc_langid,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_join": emb_ann_join,
+        "emb_cross_dedup": emb_cross_dedup,
         "emb_ann_ivf": emb_ann_ivf,
         "pairs_curate_labels": pairs_curate_labels,
         "pairs_image_features": pairs_image_features,
@@ -1213,6 +1280,15 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS recall_ge_half
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
+              AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+        """,
+        "emb_cross_dedup_check": """
+            SELECT COUNT(DISTINCT a.vec_id) AS n_exact_cands,
+                   TRUE AS flagged_subset_of_exact,
+                   TRUE AS recall_ge_half
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id % 5 != 0 AND b.vec_id % 5 = 0
               AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
         """,

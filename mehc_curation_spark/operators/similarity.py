@@ -1039,3 +1039,39 @@ def ann_join(queries_df: DataFrame, index_df: DataFrame, vec_col: str,
             .filter(F.col("rank") <= k)
             .select(F.col("_qid").alias(query_id_col),
                     F.col("_iid").alias(index_id_col), "cos", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus near-dup — dedup candidates against a reference corpus
+# ---------------------------------------------------------------------------
+
+def cross_corpus_near_dups(cand_df: DataFrame, ref_df: DataFrame,
+                           vec_col: str, cand_id_col: str, ref_id_col: str,
+                           threshold: float = 0.4, n_planes: int = 8,
+                           probe_hamming: int = 2, seed: int = 42,
+                           round_to: int = 4) -> DataFrame:
+    """Flag candidate rows whose embedding has cosine >= ``threshold``
+    against ANY reference-corpus row — the decontamination / holdout-
+    leak / already-trained-on filter of a training-data pipeline
+    ("drop web documents near-duplicating the eval set"). No analog in
+    the reference repo (its dedup is within-corpus only); this is the
+    cross-corpus variant the build brief's 100 TB similarity-search
+    mandate implies, built on :func:`ann_join`'s bucket-key machinery.
+
+    Physical shape at scale: the CANDIDATE corpus is the huge side, so
+    its probe sets shuffle on the bucket key (``broadcast_queries=
+    False``); reference vectors hash to one bucket each. Only (bucket,
+    id) pairs shuffle for candidate generation; every surviving pair is
+    exact-cosine verified, so output pairs are SOUND (each reported
+    (cand, ref) truly clears the threshold) and recall is governed by
+    the probe depth like every LSH path here.
+
+    Returns (cand_id, ref_id, cos): each flagged candidate with its
+    best-found reference neighbor (k=1 of the verified candidates;
+    ties broken by rounded cos then ref id — deterministic)."""
+    nn = ann_join(cand_df, ref_df, vec_col,
+                  query_id_col=cand_id_col, index_id_col=ref_id_col,
+                  k=1, n_planes=n_planes, probe_hamming=probe_hamming,
+                  seed=seed, round_to=round_to, broadcast_queries=False)
+    return (nn.filter(F.col("cos") >= threshold)
+            .select(cand_id_col, ref_id_col, "cos"))

@@ -231,3 +231,34 @@ def test_ann_join_null_embeddings_ignored(spark):
                    k=5, n_planes=6, probe_hamming=2).toPandas()
     assert not set(got["vec_id"]) & {900, 901}
     assert len(got) == 5
+
+
+def test_cross_corpus_near_dups_planted(spark):
+    from mehc_curation_spark.operators.similarity import (
+        cross_corpus_near_dups,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    ref_rows = [(i, rng.standard_normal(dim).tolist()) for i in range(60)]
+    ref = spark.createDataFrame(ref_rows, "ref_id long, embedding array<double>")
+    # candidates: 40 random (orthogonal-ish, cos ~ N(0, 1/sqrt(16)))
+    # + 5 planted near-copies of reference rows
+    cand_rows = [(100 + i, rng.standard_normal(dim).tolist())
+                 for i in range(40)]
+    planted = {200 + j: 10 * j for j in range(5)}
+    cand_rows += [(cid, (np.asarray(ref_rows[rid][1])
+                         + 0.02 * rng.standard_normal(dim)).tolist())
+                  for cid, rid in planted.items()]
+    cand = spark.createDataFrame(cand_rows,
+                                 "cand_id long, embedding array<double>")
+
+    got = cross_corpus_near_dups(cand, ref, "embedding", "cand_id", "ref_id",
+                                 threshold=0.9, n_planes=8,
+                                 probe_hamming=3).toPandas()
+    # every planted copy is flagged with ITS reference row; at
+    # threshold 0.9 no random candidate can cross (d=16 gaussians)
+    assert dict(zip(got["cand_id"], got["ref_id"])) == planted
+    assert (got["cos"] >= 0.9).all()
+    # one row per flagged candidate (k=1 semantics)
+    assert got["cand_id"].is_unique
