@@ -472,6 +472,74 @@ def emb_ann_ivf(spark, sf_dir):
                     q, k=10, n_cells=16, n_probe=8)
 
 
+def _ivf_table_path(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    return os.path.join("/tmp/mehc_ivf_index", tag)
+
+
+def _build_ivf_table(spark, sf_dir):
+    """(path, query_vec): persist the IVF index for the embeddings
+    table (idempotent overwrite — a few hundred rows at driver SFs)
+    and return the probe vector the ANN surfaces share."""
+    from mehc_curation_spark.operators.ann_index import save_ivf_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    path = _ivf_table_path(sf_dir)
+    save_ivf_index(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
+                   path, n_cells=16, seed=42)
+    return path, q
+
+
+def emb_ann_ivf_persisted(spark, sf_dir):
+    """ANN against a PERSISTED IVF index (snapshot table, rows
+    range-partitioned by cell with per-file cell stats): the
+    build-once / query-many production shape — query-side probing
+    reads only the files whose cell band overlaps the probed cells
+    (manifest data skipping), no retraining, no full scan. Same
+    params as emb_ann_ivf, whose in-memory result it must equal
+    (asserted by the paired _check)."""
+    from mehc_curation_spark.operators.ann_index import ivf_topk_from_table
+
+    path, q = _build_ivf_table(spark, sf_dir)
+    return ivf_topk_from_table(spark, path, q, k=10, n_probe=8)
+
+
+def emb_ann_ivf_persisted_check(spark, sf_dir):
+    """Persisted-vs-in-memory parity + data-skipping proof: the
+    persisted read must return EXACTLY the in-memory ivf_topk rows
+    (same deterministic centroids → same cells → same exact-cosine
+    ranking), and at least one probed cell must skip files (the
+    range-partitioned layout + cell stats actually prune)."""
+    from mehc_curation_spark.io.catalog import SnapshotTable
+    from mehc_curation_spark.operators.ann_index import (
+        CELL_COL,
+        ivf_topk_from_table,
+        load_ivf_centers,
+        probe_cells,
+    )
+    from mehc_curation_spark.operators.similarity import ivf_topk
+
+    path, q = _build_ivf_table(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    got = ivf_topk_from_table(spark, path, q, k=10, n_probe=8).collect()
+    exp = ivf_topk(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
+                   q, k=10, n_cells=16, n_probe=8).collect()
+    same = ([(r["vec_id"], r["cos"]) for r in got]
+            == [(r["vec_id"], r["cos"]) for r in exp])
+    table = SnapshotTable(path)
+    skipped = False
+    for c in probe_cells(load_ivf_centers(table), q, 8):
+        sel, total = table.files_pruned((CELL_COL, c, c))
+        skipped = skipped or sel < total
+    return spark.createDataFrame(
+        [(len(got), bool(same), bool(skipped))],
+        "k long, persisted_equals_in_memory boolean, "
+        "files_skipped boolean")
+
+
 def _ann_join_frames(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qdf = e.filter(F.col("vec_id") < 8).select(
@@ -881,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_image_features_check": pairs_image_features_check,
         "emb_ann_lsh_check": emb_ann_lsh_check,
         "emb_ann_ivf_check": emb_ann_ivf_check,
+        "emb_ann_ivf_persisted_check": emb_ann_ivf_persisted_check,
         "emb_ann_join_check": emb_ann_join_check,
         "emb_cross_dedup_check": emb_cross_dedup_check,
         "emb_near_dup_lsh_check": emb_near_dup_lsh_check,
@@ -892,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_join": emb_ann_join,
         "emb_cross_dedup": emb_cross_dedup,
         "emb_ann_ivf": emb_ann_ivf,
+        "emb_ann_ivf_persisted": emb_ann_ivf_persisted,
         "pairs_curate_labels": pairs_curate_labels,
         "pairs_image_features": pairs_image_features,
     }
@@ -1267,6 +1337,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    TRUE AS returned_full_k,
                    TRUE AS topk_within_brute_top25
+        """,
+        "emb_ann_ivf_persisted_check": """
+            SELECT CAST(10 AS BIGINT) AS k,
+                   TRUE AS persisted_equals_in_memory,
+                   TRUE AS files_skipped
         """,
         "emb_ann_join_check": """
             SELECT COUNT(*) AS n_queries,

@@ -907,8 +907,17 @@ def ivf_index(df: DataFrame, vec_col: str, n_cells: int = 16,
     else:
         train_df = df.orderBy(F.col(vec_col).cast("array<double>")) \
             .limit(target).select(vec_col)
-    sample = [r[0] for r in train_df.collect() if r[0] is not None]
-    X = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    sample = [np.asarray(r[0], dtype=np.float64)
+              for r in train_df.collect() if r[0] is not None]
+    if sample:
+        # ragged/corrupt vectors must not crash training: keep the
+        # modal dimensionality (ties resolve by sample order, which is
+        # deterministic — the sample is id-ordered)
+        from collections import Counter
+
+        dim = Counter(len(v) for v in sample).most_common(1)[0][0]
+        sample = [v for v in sample if len(v) == dim]
+    X = np.asarray(sample)
     centers = _train_kmeans_np(X, n_cells, seed)
     assigned = df.withColumn("_ivf_cell",
                              make_cell_assign_udf(centers)(F.col(vec_col)))
