@@ -56,6 +56,10 @@ HEADLINE = [
     "doc_minhash_neardup",
     "doc_langid",
     "emb_cosine_topk",
+    # round-3 batched ANN shapes (additive keys; earlier rounds
+    # lacked these surfaces)
+    "emb_ann_join",
+    "emb_cross_dedup",
 ]
 
 
