@@ -1024,23 +1024,39 @@ def ann_join(queries_df: DataFrame, index_df: DataFrame, vec_col: str,
         F.col(query_id_col).alias("_qid"),
         _normalized_vec(F.col(vec_col)).alias("_qv"))
     if broadcast_queries:
-        q_probes = F.broadcast(q_probes)
-        q_vecs = F.broadcast(q_vecs)
+        # broadcast hash joins STREAM the index side (no exchange on
+        # it), so carrying the normalized vector through the bucket
+        # join is free — ONE scan of the huge index instead of a
+        # buckets scan plus a join-back-by-id vectors scan.
+        idx_all = index_df.select(
+            F.col(index_id_col).alias("_iid"),
+            bucket(F.col(vec_col)).alias("_bucket"),
+            _normalized_vec(F.col(vec_col)).alias("_iv"))
+        scored = (
+            idx_all.join(F.broadcast(q_probes), "_bucket")
+            .join(F.broadcast(q_vecs), "_qid")
+            .select("_qid", "_iid",
+                    F.round(_dot_col(F.col("_qv"), F.col("_iv")),
+                            round_to).alias("cos"))
+        )
+    else:
+        # shuffle bucket join: keep the shuffled payload SLIM —
+        # only (bucket, id) pairs move for candidate generation,
+        # vectors join back by id afterwards.
+        idx_buckets = index_df.select(
+            F.col(index_id_col).alias("_iid"),
+            bucket(F.col(vec_col)).alias("_bucket"))
+        cand = idx_buckets.join(q_probes, "_bucket").select("_qid", "_iid")
 
-    idx_buckets = index_df.select(
-        F.col(index_id_col).alias("_iid"),
-        bucket(F.col(vec_col)).alias("_bucket"))
-    cand = idx_buckets.join(q_probes, "_bucket").select("_qid", "_iid")
-
-    idx_vecs = index_df.select(
-        F.col(index_id_col).alias("_iid"),
-        _normalized_vec(F.col(vec_col)).alias("_iv"))
-    scored = (
-        cand.join(idx_vecs, "_iid").join(q_vecs, "_qid")
-        .select("_qid", "_iid",
-                F.round(_dot_col(F.col("_qv"), F.col("_iv")),
-                        round_to).alias("cos"))
-    )
+        idx_vecs = index_df.select(
+            F.col(index_id_col).alias("_iid"),
+            _normalized_vec(F.col(vec_col)).alias("_iv"))
+        scored = (
+            cand.join(idx_vecs, "_iid").join(q_vecs, "_qid")
+            .select("_qid", "_iid",
+                    F.round(_dot_col(F.col("_qv"), F.col("_iv")),
+                            round_to).alias("cos"))
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("_qid").orderBy(F.desc("cos"), F.col("_iid"))
