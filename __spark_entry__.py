@@ -483,11 +483,17 @@ def _build_ivf_table(spark, sf_dir):
     """(path, query_vec): persist the IVF index for the embeddings
     table (idempotent overwrite — a few hundred rows at driver SFs)
     and return the probe vector the ANN surfaces share."""
+    import shutil
+
     from mehc_curation_spark.operators.ann_index import save_ivf_index
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     path = _ivf_table_path(sf_dir)
+    # fresh table per build: overwrite snapshots keep their
+    # predecessors' files/manifests by design, so repeated bench
+    # invocations would grow /tmp without bound otherwise
+    shutil.rmtree(path, ignore_errors=True)
     save_ivf_index(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
                    path, n_cells=16, seed=42)
     return path, q

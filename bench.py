@@ -133,8 +133,11 @@ def run_curate_bench(spark, n_rows: int, replicate: int = 1,
         # steady-state compute, not JIT/startup. Uses a separate tiny
         # cached corpus: limit() on the big table still schedules a
         # LocalLimit task per parquet split (174 tasks), which made the
-        # warmup cost a third of the measured run.
-        (build_labels_plan(spark.read.parquet(pairs_path(4096)))
+        # warmup cost a third of the measured run. Replicated 8x
+        # (~32k rows, still ~1s): a width probe measured fresh-JVM
+        # local[32] runs 3x slower than local[16] when the warmup was
+        # too small to drive every task slot through JIT/C2.
+        (build_labels_plan(_load_pairs(spark, 4096, replicate=8))
          .write.format("noop").mode("overwrite").save())
     df = _load_pairs(spark, n_rows, replicate)
     n = df.count()

@@ -381,6 +381,12 @@ class SnapshotTable:
                 "tables")
         base = self.manifest()
         base_files = set(base["files"])
+        # stats columns follow the base snapshot's recorded stats (a
+        # table skipping on e.g. ivf_cell keeps skipping after
+        # compaction — defaulting to DEFAULT_STATS_COLS here silently
+        # destroyed data skipping for non-default tables)
+        base_stat_cols = tuple(sorted(
+            {c for entry in base.get("stats", {}).values() for c in entry}))
         df = self.read(spark).coalesce(max(1, target_files))
 
         staging = os.path.join(self.path, "_staging", uuid.uuid4().hex[:12])
@@ -394,7 +400,8 @@ class SnapshotTable:
                             os.path.join(self.data_dir, dst))
                 new_files.append(dst)
         shutil.rmtree(staging, ignore_errors=True)
-        new_stats = self._collect_file_stats(new_files)
+        new_stats = self._collect_file_stats(
+            new_files, base_stat_cols or None)
 
         def build(p, pm):
             # Concurrency-safe rewrite: the compacted files REPLACE the
@@ -427,7 +434,12 @@ class SnapshotTable:
                 "files": new_files + extra,
                 "stats": stats,
                 "schema": base["schema"],
-                "properties": {**(properties or {}), "compaction": True},
+                # CURRENT manifest's properties carry forward (merged
+                # under caller overrides): compacting a table whose
+                # properties hold application state — e.g. a persisted
+                # IVF index's centroid matrix — must not brick it
+                "properties": {**pm.get("properties", {}),
+                               **(properties or {}), "compaction": True},
             }
 
         return self._commit_manifest(build)

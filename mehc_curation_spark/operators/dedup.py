@@ -93,37 +93,25 @@ def deduplicate(
     validate_format_data = {}
     validation_rejected = None
     if validate:
+        # local import mirrors the reference's circular-import guard
+        from mehc_curation_spark.stages.validation import ValidationStage
+
+        stage = ValidationStage(df)
         if return_rejected:
-            # explicit reason column so the gate's drops can be
-            # exported with their cause (ValidationStage applies the
-            # same decode_reason_udf predicate; one lazy plan, the UDF
-            # is not an extra pass per branch action)
-            from mehc_curation_spark.operators.udfs import decode_reason_udf
-
-            base = df.withColumn("_vreason", decode_reason_udf(
-                F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h")))
+            # one shared implementation of gate + export + counters
+            # (validate_with_rejected) so the keep-only and export
+            # paths cannot drift
             if return_format_data:
-                row = base.select(
-                    F.count("*").alias("n"),
-                    F.sum(F.when(F.col("_vreason").isNotNull(), 1)
-                          .otherwise(0)).alias("bad")).first()
-                bad = int(row["bad"] or 0)
-                validate_format_data = {"input": row["n"], "invalid": bad,
-                                        "valid": row["n"] - bad}
-            validation_rejected = (
-                base.filter(F.col("_vreason").isNotNull())
-                .withColumn(DUP_REASON_COL, F.col("_vreason"))
-                .drop("_vreason"))
-            df = base.filter(F.col("_vreason").isNull()).drop("_vreason")
-        else:
-            # local import mirrors the reference's circular-import guard
-            from mehc_curation_spark.stages.validation import ValidationStage
-
-            if return_format_data:
-                df, validate_format_data = ValidationStage(df).validate(
-                    return_format_data=True)
+                df, validation_rejected, validate_format_data = \
+                    stage.validate_with_rejected(DUP_REASON_COL, True)
             else:
-                df = ValidationStage(df).validate()
+                df, validation_rejected = \
+                    stage.validate_with_rejected(DUP_REASON_COL)
+        elif return_format_data:
+            df, validate_format_data = stage.validate(
+                return_format_data=True)
+        else:
+            df = stage.validate()
     # id_col plays the pandas-index role (row identity, not a value
     # column) — it must not participate in conflict / full-row checks.
     others = [c for c in df.columns if c not in keys and c != id_col]

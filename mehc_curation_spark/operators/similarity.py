@@ -418,6 +418,11 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
     )
 
 
+# previous call's persisted shingle table (bounded-cache contract,
+# see minhash_near_dups docstring)
+_SHINGLE_CACHE_HOLDER: list = []
+
+
 def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5, num_hashes: int = 32,
                       bands: int = 8, shingle_k: int = 3,
@@ -431,11 +436,24 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     The r2 shape re-ran the shingle UDF over the full corpus in the
     verify stage — a second full pass over the text at 100 TB. At real
     corpus scale the same pattern writes the shingle table to storage
-    once instead of persisting."""
+    once instead of persisting.
+
+    Cache lifecycle: each call unpersists the PREVIOUS call's shingle
+    table (repeated bench/driver invocations would otherwise pin one
+    dead cache entry per call for the session's life). Unpersisting is
+    recomputation-safe, so holding two results from different calls
+    alive at once still yields correct values — the older one just
+    loses its cache."""
     from pyspark.storagelevel import StorageLevel
 
     sh = shingle_table(df, id_col, text_col, shingle_k) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    while _SHINGLE_CACHE_HOLDER:
+        try:
+            _SHINGLE_CACHE_HOLDER.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # stopped session / already unpersisted
+    _SHINGLE_CACHE_HOLDER.append(sh)
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
                                   shingle_k, max_bucket, shingles=sh)
     return (ngram_jaccard(df, cand, id_col, text_col, shingle_k, shingles=sh)
@@ -898,7 +916,7 @@ def ivf_index(df: DataFrame, vec_col: str, n_cells: int = 16,
     row (small inputs only), still ordered deterministically by the
     vector bytes."""
     # sample cap ~1k points/cell: enough for a coarse quantizer
-    target = min(max_train, max(n_cells * 1024, n_cells * 8))
+    target = min(max_train, n_cells * 1024)
     if id_col is not None:
         n = df.count()
         denom = max(1, n // target)
@@ -917,6 +935,10 @@ def ivf_index(df: DataFrame, vec_col: str, n_cells: int = 16,
 
         dim = Counter(len(v) for v in sample).most_common(1)[0][0]
         sample = [v for v in sample if len(v) == dim]
+    if not sample:
+        raise ValueError(
+            "ivf_index: no trainable vectors (input empty or every "
+            f"sampled '{vec_col}' is NULL/empty)")
     X = np.asarray(sample)
     centers = _train_kmeans_np(X, n_cells, seed)
     assigned = df.withColumn("_ivf_cell",
@@ -1012,8 +1034,14 @@ def ann_join(queries_df: DataFrame, index_df: DataFrame, vec_col: str,
     Returns (query_id, index_id, cos, rank) with rank 1..k per query
     (ties broken by rounded cos then index id — reproducible)."""
     if dim is None:
-        first = index_df.select(F.size(vec_col).alias("d")).first()
-        dim = int(first["d"])
+        # max over non-null rows: robust to an empty index or a NULL
+        # leading vector (a bare .first() crashed on both)
+        probe_row = index_df.agg(F.max(F.size(vec_col)).alias("d")).first()
+        if probe_row is None or probe_row["d"] is None:
+            raise ValueError(
+                "ann_join: cannot infer vector dim (index empty or all "
+                f"'{vec_col}' NULL) — pass dim= explicitly")
+        dim = int(probe_row["d"])
     bucket = make_hyperplane_lsh_udf(dim, n_planes, seed)
     probes = make_probe_buckets_udf(dim, n_planes, probe_hamming, seed)
 

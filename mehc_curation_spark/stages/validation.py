@@ -53,6 +53,26 @@ class ValidationStage:
                                    F.col("w"), F.col("h"))
         return _split(self.df, reason.isNotNull(), return_format_data)
 
+    def validate_with_rejected(self, reason_col: str,
+                               return_format_data: bool = False):
+        """Decode gate returning BOTH sides: ``(kept, rejected)`` with
+        the rejected rows carrying their decode reason in
+        ``reason_col`` (plus ``(..., fmt)`` when requested) — the
+        single implementation behind every rejected-row export, so the
+        gate's predicate and counter shape cannot drift between the
+        keep-only and export paths (a round-3 review finding)."""
+        base = self.df.withColumn(
+            "_vreason", decode_reason_udf(F.col("bytes"), F.col("fmt"),
+                                          F.col("w"), F.col("h")))
+        rejected = (base.filter(F.col("_vreason").isNotNull())
+                    .withColumn(reason_col, F.col("_vreason"))
+                    .drop("_vreason"))
+        res = _split(base, F.col("_vreason").isNotNull(),
+                     return_format_data)
+        if return_format_data:
+            return res[0].drop("_vreason"), rejected, res[1]
+        return res.drop("_vreason"), rejected
+
     def rm_low_quality(self, return_format_data: bool = False):
         """Heuristic caption-quality gate (pure Catalyst expressions)."""
         reason = heuristic_reason_col(F.col(CAPTION_COL))

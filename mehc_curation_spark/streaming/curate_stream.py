@@ -233,9 +233,20 @@ def _batch_committed(table, scope: str, batch_id: int) -> bool:
     for v in range(table.current_version(), 0, -1):
         if not _os.path.exists(table._manifest_path(v)):
             continue  # expired by expire_snapshots — keep looking
-        bid = table.manifest(v).get("properties", {}).get("stream_batch_id")
+        props = table.manifest(v).get("properties", {})
+        bid = props.get("stream_batch_id")
         if bid is None:
             continue  # non-stream snapshot interleaved — keep looking
+        if props.get("stream_scope") != scope:
+            # ANOTHER stream's commit: its batch-id sequence is
+            # unrelated to ours — matching on the bare id here either
+            # silently dropped a batch (our id happens to equal one of
+            # theirs) or re-appended a replay (their lower id ended the
+            # walk early). Monotonicity only holds per scope, so skip.
+            # (Manifests from pre-scope versions of this writer lack
+            # the field and are likewise skipped — the hwm sidecar
+            # still answers for anything at or below its value.)
+            continue
         if int(bid) == batch_id:
             return True
         if int(bid) < batch_id:
@@ -268,7 +279,8 @@ def run_stream_to_snapshot_table(spark, input_dir: str, table_path: str,
         if _batch_committed(table, scope, int(batch_id)):
             return  # replay after failure — snapshot already committed
         table.write(batch_df, mode="append",
-                    properties={"stream_batch_id": int(batch_id)})
+                    properties={"stream_batch_id": int(batch_id),
+                                "stream_scope": scope})
         # high-watermark AFTER the snapshot commit: a crash in between
         # leaves the manifest walk to answer the replay (the manifest
         # exists, so the walk returns True and the hwm catches up).

@@ -97,3 +97,37 @@ def test_null_and_ragged_vectors_survive_persistence(spark, tmp_path):
     got = ivf_topk_from_table(spark, path, rows[0][1], k=3, n_probe=2)
     ids = [r["vec_id"] for r in got.collect()]
     assert ids[0] == 0 and 900 not in ids and 901 not in ids
+
+
+def test_compact_preserves_index_properties_and_stats(spark, tmp_path):
+    """compact() must not brick a persisted index: centroids (manifest
+    properties) and the ivf_cell stats columns survive the rewrite."""
+    rows, df = _vec_df(spark, 200)
+    path = str(tmp_path / "ivf")
+    table, centers = save_ivf_index(df, "embedding", "vec_id", path,
+                                    n_cells=8, seed=42)
+    # a couple of appends -> the small-files case compaction exists for
+    for j in range(2):
+        extra = spark.createDataFrame(
+            [(5000 + j, rows[j][1])], "vec_id long, embedding array<double>")
+        append_to_ivf_index(extra, path)
+    table.compact(spark, target_files=2)
+    assert np.array_equal(load_ivf_centers(table), centers)
+    m = table.manifest()
+    assert m["properties"].get("compaction") is True
+    assert any(CELL_COL in e for e in m["stats"].values())
+    # queries still work and still match pre-compaction semantics
+    got = ivf_topk_from_table(spark, path, rows[0][1], k=3, n_probe=2)
+    assert [r["vec_id"] for r in got.collect()][0] == 0
+
+
+def test_ivf_index_empty_input_raises(spark):
+    from mehc_curation_spark.operators.similarity import ivf_index
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no trainable vectors"):
+        ivf_index(empty, "embedding", n_cells=4, id_col="vec_id")
+    nulls = spark.createDataFrame([(1, None), (2, None)],
+                                  "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no trainable vectors"):
+        ivf_index(nulls, "embedding", n_cells=4, id_col="vec_id")

@@ -262,3 +262,33 @@ def test_cross_corpus_near_dups_planted(spark):
     assert (got["cos"] >= 0.9).all()
     # one row per flagged candidate (k=1 semantics)
     assert got["cand_id"].is_unique
+
+
+def test_ann_join_empty_index_raises(spark):
+    from mehc_curation_spark.operators.similarity import ann_join
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame([(0, [1.0] * 8)],
+                                "query_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="cannot infer vector dim"):
+        ann_join(qdf, empty, "embedding", "query_id", "vec_id")
+    # all-NULL index: same clear error instead of a TypeError
+    nulls = spark.createDataFrame([(1, None)],
+                                  "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="cannot infer vector dim"):
+        ann_join(qdf, nulls, "embedding", "query_id", "vec_id")
+
+
+def test_minhash_shingle_cache_bounded(docs_df):
+    """Repeated minhash_near_dups calls must not accumulate pinned
+    shingle caches — each call releases its predecessor's."""
+    import mehc_curation_spark.operators.similarity as sim
+
+    r1 = sim.minhash_near_dups(docs_df, "doc_id", "text")
+    n1 = r1.count()
+    first_cached = sim._SHINGLE_CACHE_HOLDER[0]
+    r2 = sim.minhash_near_dups(docs_df, "doc_id", "text")
+    assert len(sim._SHINGLE_CACHE_HOLDER) == 1
+    assert sim._SHINGLE_CACHE_HOLDER[0] is not first_cached
+    # the older result is still CORRECT (recomputes without its cache)
+    assert r1.count() == n1 == r2.count()

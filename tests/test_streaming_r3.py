@@ -125,3 +125,44 @@ def test_hwm_monotone_and_scoped(tmp_path):
     assert _read_stream_hwm(table, s2) == -1  # other stream unaffected
     assert _batch_committed(table, s1, 4) is True
     assert _batch_committed(table, s2, 4) is False
+
+
+def test_batch_committed_is_scope_isolated(spark, tmp_path):
+    """Two streams feeding ONE table must not cross-match batch ids:
+    stream B's fresh batch 0 is NOT 'already committed' because stream
+    A once committed a batch 0, and A's replay detection ignores B's
+    interleaved commits (monotonicity only holds per scope)."""
+    from mehc_curation_spark.io.catalog import SnapshotTable
+    from mehc_curation_spark.streaming.curate_stream import (
+        _advance_stream_hwm,
+        _batch_committed,
+        _stream_scope,
+    )
+
+    table = SnapshotTable(str(tmp_path / "t"))
+    scope_a = _stream_scope("/ck/a")
+    scope_b = _stream_scope("/ck/b")
+    one = spark.range(1).toDF("n")
+
+    # stream A commits batches 0..2 (hwm advanced only to 1 —
+    # simulating a crash after committing bid 2's snapshot)
+    for bid in (0, 1, 2):
+        table.write(one, mode="append",
+                    properties={"stream_batch_id": bid,
+                                "stream_scope": scope_a})
+    _advance_stream_hwm(table, scope_a, 1)
+
+    # B is brand new: nothing of A's may answer for it
+    assert not _batch_committed(table, scope_b, 0)
+    assert not _batch_committed(table, scope_b, 2)
+    # B commits its own batch 0; A's ids stay invisible to B and
+    # B's to A
+    table.write(one, mode="append",
+                properties={"stream_batch_id": 0,
+                            "stream_scope": scope_b})
+    assert _batch_committed(table, scope_b, 0)
+    assert not _batch_committed(table, scope_b, 1)
+    # A's replay of bid 2 (above its hwm) still found via the walk,
+    # even though B's bid-0 commit sits above it in snapshot order
+    assert _batch_committed(table, scope_a, 2)
+    assert not _batch_committed(table, scope_a, 3)
