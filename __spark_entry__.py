@@ -412,6 +412,30 @@ def doc_minhash_neardup(spark, sf_dir):
                              num_hashes=32, bands=8, shingle_k=3)
 
 
+def doc_cross_dedup(spark, sf_dir):
+    """TEXT decontamination, FULLY DuckDB-oracled: candidate documents
+    (doc_id % 5 != 0) whose shingle-Jaccard against any reference
+    document (doc_id % 5 == 0) clears 0.3, via the banded cross-corpus
+    MinHash join. Value-for-value equality vs the brute-force SQL
+    cross Jaccard holds by the same recall-1 argument as
+    doc_minhash_neardup: identical signatures and banding (bands=8 /
+    rows=4), and the cross pairs are a SUBSET of the all-pairs
+    population whose banded recall is measured 1 at this config."""
+    from mehc_curation_spark.operators.similarity import (
+        cross_corpus_text_near_dups,
+    )
+
+    d = _t(spark, sf_dir, "documents").repartition(64, "doc_id")
+    ref = d.filter(F.col("doc_id") % 5 == 0) \
+        .select(F.col("doc_id").alias("ref_id"), "text")
+    cand = d.filter(F.col("doc_id") % 5 != 0) \
+        .select(F.col("doc_id").alias("cand_id"), "text")
+    return cross_corpus_text_near_dups(cand, ref, "cand_id", "ref_id",
+                                       "text", threshold=0.3,
+                                       num_hashes=32, bands=8,
+                                       shingle_k=3)
+
+
 def doc_simhash(spark, sf_dir):
     from mehc_curation_spark.operators.similarity import simhash64_udf
 
@@ -944,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": emb_near_dup,
         # UDF-backed but still fully DuckDB-oracled (value-for-value)
         "doc_minhash_neardup": doc_minhash_neardup,
+        "doc_cross_dedup": doc_cross_dedup,
         "doc_simhash": doc_simhash,
         "doc_simhash_neardup": doc_simhash_neardup,
         "pairs_phash_neardup": pairs_phash_neardup,
@@ -1255,6 +1280,29 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(len(list_distinct(x.grams || y.grams)), 1)::DOUBLE,
                          6) AS jaccard
             FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            WHERE ROUND(len(list_intersect(x.grams, y.grams))
+                        / GREATEST(len(list_distinct(x.grams || y.grams)), 1)::DOUBLE,
+                        6) >= 0.3
+        """,
+        # cross-corpus text decontamination: brute-force Jaccard
+        # between the candidate (doc_id % 5 != 0) and reference
+        # (doc_id % 5 == 0) corpora — full value oracle (see
+        # doc_cross_dedup docstring for the recall-1 argument)
+        "doc_cross_dedup": r"""
+            WITH sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                           range(1, len(a)-1),
+                           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS grams
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(lower(text)), '[ \t\n\r]+') AS a
+                      FROM documents)
+            )
+            SELECT x.doc_id AS cand_id, y.doc_id AS ref_id,
+                   ROUND(len(list_intersect(x.grams, y.grams))
+                         / GREATEST(len(list_distinct(x.grams || y.grams)), 1)::DOUBLE,
+                         6) AS jaccard
+            FROM sh x JOIN sh y
+              ON x.doc_id % 5 != 0 AND y.doc_id % 5 = 0
             WHERE ROUND(len(list_intersect(x.grams, y.grams))
                         / GREATEST(len(list_distinct(x.grams || y.grams)), 1)::DOUBLE,
                         6) >= 0.3

@@ -344,6 +344,22 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                  for i in range(num_hashes)])
 
 
+def _band_entries(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(_id, band, bh): one banded-signature bucket key per band —
+    bh = xxhash64 of the band's `rows` minhash values. Shared by the
+    within-corpus and cross-corpus candidate generators so both join
+    on identical keys."""
+    return sig.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col(f"h{b * rows + r}")
+                                  for r in range(rows)]).alias("bh"))
+            for b in range(bands)
+        ])).alias("e"),
+    ).select("_id", "e.band", "e.bh")
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 32, bands: int = 8,
                            shingle_k: int = 3,
@@ -363,15 +379,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k,
                              shingles=shingles)
-    band_entries = sig.select(
-        "_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col(f"h{b * rows + r}")
-                                  for r in range(rows)]).alias("bh"))
-            for b in range(bands)
-        ])).alias("e"),
-    ).select("_id", "e.band", "e.bh")
+    band_entries = _band_entries(sig, bands, rows)
     grouped = (
         band_entries.groupBy("band", "bh")
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
@@ -1128,3 +1136,63 @@ def cross_corpus_near_dups(cand_df: DataFrame, ref_df: DataFrame,
                   seed=seed, round_to=round_to, broadcast_queries=False)
     return (nn.filter(F.col("cos") >= threshold)
             .select(cand_id_col, ref_id_col, "cos"))
+
+
+def cross_corpus_text_near_dups(cand_df: DataFrame, ref_df: DataFrame,
+                                cand_id_col: str, ref_id_col: str,
+                                text_col: str, threshold: float = 0.3,
+                                num_hashes: int = 32, bands: int = 8,
+                                shingle_k: int = 3,
+                                max_bucket: int = 64) -> DataFrame:
+    """TEXT decontamination: (cand_id, ref_id, jaccard) for every
+    candidate document whose shingle-Jaccard against a reference-
+    corpus document clears ``threshold`` — the text twin of
+    :func:`cross_corpus_near_dups` (eval-set leak / already-curated
+    filtering by n-gram overlap rather than embedding cosine).
+
+    Same banded-MinHash machinery as :func:`minhash_near_dups`: both
+    corpora shingle ONCE, signatures derive from the shingle arrays,
+    band keys (:func:`_band_entries`) join cand↔ref bucket-to-bucket —
+    only (band, hash, id) shuffles for candidates — and every
+    candidate pair is exact-Jaccard verified against the same arrays.
+    Candidate recall follows the within-corpus banding maths (a pair
+    with jaccard >= t band-matches at 1-(1-t^rows)^bands); at any
+    config where the within-corpus path achieves recall 1 on a corpus,
+    this path achieves it too (cross pairs are a subset of all pairs
+    under identical signatures).
+
+    ``max_bucket`` caps each side's membership in one (band, hash)
+    bucket before the bucket join — a degenerate bucket with hundreds
+    of members on both sides would expand quadratically; such buckets
+    are SKIPPED (documented trade-off, same as the within-corpus
+    generator)."""
+    rows = num_hashes // bands
+    sh_c = shingle_table(cand_df, cand_id_col, text_col, shingle_k)
+    sh_r = shingle_table(ref_df, ref_id_col, text_col, shingle_k)
+    sig_c = minhash_signatures(cand_df, cand_id_col, text_col, num_hashes,
+                               shingle_k, shingles=sh_c)
+    sig_r = minhash_signatures(ref_df, ref_id_col, text_col, num_hashes,
+                               shingle_k, shingles=sh_r)
+
+    def _capped(entries: DataFrame, id_alias: str) -> DataFrame:
+        w_counts = entries.groupBy("band", "bh").agg(
+            F.count("*").alias("_n")).filter(F.col("_n") <= max_bucket)
+        return (entries.join(w_counts.select("band", "bh"), ["band", "bh"])
+                .select(F.col("_id").alias(id_alias), "band", "bh"))
+
+    bc = _capped(_band_entries(sig_c, bands, rows), "_cid")
+    br = _capped(_band_entries(sig_r, bands, rows), "_rid")
+    pairs = bc.join(br, ["band", "bh"]).select("_cid", "_rid").distinct()
+
+    a = sh_c.select(F.col("_id").alias("_cid"), F.col("_sh").alias("_sha"))
+    b = sh_r.select(F.col("_id").alias("_rid"), F.col("_sh").alias("_shb"))
+    return (
+        pairs.join(a, "_cid").join(b, "_rid")
+        .select(F.col("_cid").alias(cand_id_col),
+                F.col("_rid").alias(ref_id_col),
+                F.round(
+                    F.size(F.array_intersect("_sha", "_shb")) /
+                    F.greatest(F.size(F.array_union("_sha", "_shb")),
+                               F.lit(1)).cast("double"), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -292,3 +292,28 @@ def test_minhash_shingle_cache_bounded(docs_df):
     assert sim._SHINGLE_CACHE_HOLDER[0] is not first_cached
     # the older result is still CORRECT (recomputes without its cache)
     assert r1.count() == n1 == r2.count()
+
+
+def test_cross_corpus_text_near_dups_planted(spark):
+    from mehc_curation_spark.operators.similarity import (
+        cross_corpus_text_near_dups,
+        ngram_jaccard,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river bank today")
+    ref_rows = [(i, f"reference document number {i} about topic {i % 7} "
+                    f"with unique filler words alpha{i} beta{i} gamma{i}")
+                for i in range(20)] + [(100, base)]
+    cand_rows = [(200 + i, f"candidate text {i} wholly different tokens "
+                           f"delta{i} epsilon{i} zeta{i} eta{i} theta{i}")
+                 for i in range(20)]
+    # near-copy of ref 100: one word changed -> high but < 1 jaccard
+    cand_rows += [(300, base.replace("today", "tonight"))]
+    ref = spark.createDataFrame(ref_rows, "ref_id long, text string")
+    cand = spark.createDataFrame(cand_rows, "cand_id long, text string")
+
+    got = cross_corpus_text_near_dups(cand, ref, "cand_id", "ref_id",
+                                      "text", threshold=0.5).toPandas()
+    assert list(zip(got["cand_id"], got["ref_id"])) == [(300, 100)]
+    assert (got["jaccard"] > 0.5).all() and (got["jaccard"] < 1.0).all()
