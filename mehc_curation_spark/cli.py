@@ -87,6 +87,33 @@ def build_parser() -> argparse.ArgumentParser:
             s.add_argument("--toxicity_method",
                            choices=["mask", "drop_sentence"], default="mask")
 
+    cd = sub.add_parser(
+        "crossdedup",
+        help="decontaminate candidates against a reference corpus "
+             "(eval-set leak / already-curated filter); graft-only "
+             "capability, no reference-CLI analog")
+    cd.add_argument("-i", "--input", required=True,
+                    help="candidate corpus parquet (the incoming data)")
+    cd.add_argument("-r", "--reference", required=True,
+                    help="reference corpus parquet (eval set / corpus "
+                         "already trained on)")
+    cd.add_argument("-o", "--output", required=True)
+    cd.add_argument("--mode", choices=["text", "embedding"],
+                    default="text",
+                    help="text = shingle-Jaccard MinHash bands; "
+                         "embedding = cosine hyperplane-LSH kNN join")
+    cd.add_argument("--threshold", type=float, default=None,
+                    help="similarity threshold (default 0.5 text "
+                         "Jaccard / 0.85 embedding cosine)")
+    cd.add_argument("--id_col", default="doc_id")
+    cd.add_argument("--text_col", default="text")
+    cd.add_argument("--vec_col", default="embedding")
+    cd.add_argument("--drop", action="store_true",
+                    help="also write the decontaminated candidates "
+                         "(flagged rows removed) under <output>/data/")
+    cd.add_argument("--cores", type=int, default=-1)
+    cd.add_argument("--master", default=None)
+
     pk = sub.add_parser("package", help="build the --py-files zip")
     pk.add_argument("-o", "--output", default="mehc_curation_spark.zip")
 
@@ -164,6 +191,46 @@ def main(argv: list[str] | None = None) -> int:
             v = t.compact(spark, target_files=args.target_files)
             print(json.dumps({"compacted_version": v,
                               "files": len(t.manifest(v)["files"])}))
+            return 0
+
+        if args.cmd == "crossdedup":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators.similarity import (
+                cross_corpus_near_dups,
+                cross_corpus_text_near_dups,
+            )
+
+            cand = spark.read.parquet(args.input) \
+                .withColumnRenamed(args.id_col, "cand_id")
+            ref = spark.read.parquet(args.reference) \
+                .withColumnRenamed(args.id_col, "ref_id")
+            if args.mode == "text":
+                thr = 0.5 if args.threshold is None else args.threshold
+                matches = cross_corpus_text_near_dups(
+                    cand, ref, "cand_id", "ref_id", args.text_col,
+                    threshold=thr)
+            else:
+                thr = 0.85 if args.threshold is None else args.threshold
+                matches = cross_corpus_near_dups(
+                    cand, ref, args.vec_col, "cand_id", "ref_id",
+                    threshold=thr)
+            matches.write.mode("overwrite").parquet(
+                os.path.join(args.output, "matches"))
+            matches = spark.read.parquet(
+                os.path.join(args.output, "matches"))
+            n_cand = cand.count()
+            flagged_ids = matches.select("cand_id").distinct()
+            n_flagged = flagged_ids.count()
+            if args.drop:
+                (cand.join(flagged_ids, "cand_id", "left_anti")
+                 .withColumnRenamed("cand_id", args.id_col)
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(args.output, "data")))
+            print(json.dumps({"mode": args.mode, "threshold": thr,
+                              "candidates": n_cand,
+                              "flagged": n_flagged,
+                              "kept": n_cand - n_flagged}))
             return 0
 
         if args.cmd == "curate":

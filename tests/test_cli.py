@@ -110,3 +110,66 @@ def test_table_maintenance_cli(pairs_file, tmp_path_factory):
     exp = json.loads(_run(["table", "expire", "-o", out, "--keep_last", "1"])
                      .stdout.strip().splitlines()[-1])
     assert exp["files_removed"] == 0 and exp["current"] == 1
+
+
+def test_crossdedup_cli_text_and_embedding(tmp_path_factory):
+    """crossdedup subcommand: decontaminate candidates vs a reference
+    corpus via both engines (text MinHash bands, embedding LSH kNN).
+    Counts in the printed JSON must reconcile with the written data."""
+    base = tmp_path_factory.mktemp("cli_xd")
+    cand_p = str(base / "cand.parquet")
+    ref_p = str(base / "ref.parquet")
+    # deterministic split of the shared docs corpus: odd ids are the
+    # candidates, even ids the reference; exact dups across the split
+    # don't exist, but near-dups do (fixture mutation pairs)
+    duckdb.sql(
+        "COPY (SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        f"WHERE doc_id % 2 = 1) TO '{cand_p}' (FORMAT PARQUET)")
+    duckdb.sql(
+        "COPY (SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        f"WHERE doc_id % 2 = 0) TO '{ref_p}' (FORMAT PARQUET)")
+
+    out = str(base / "out_text")
+    res = json.loads(_run(
+        ["crossdedup", "-i", cand_p, "-r", ref_p, "-o", out,
+         "--mode", "text", "--threshold", "0.3", "--drop",
+         "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert res["mode"] == "text"
+    assert res["candidates"] == 250
+    assert res["kept"] == res["candidates"] - res["flagged"]
+    kept_rows = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/data/*.parquet')"
+    ).fetchone()[0]
+    assert kept_rows == res["kept"]
+    # every flagged candidate id appears in matches; none in data/
+    overlap = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/data/*.parquet') d "
+        f"JOIN read_parquet('{out}/matches/*.parquet') m "
+        f"ON d.doc_id = m.cand_id").fetchone()[0]
+    assert overlap == 0
+
+    out_e = str(base / "out_emb")
+    cand_e = str(base / "cand_e.parquet")
+    ref_e = str(base / "ref_e.parquet")
+    duckdb.sql(
+        "COPY (SELECT vec_id, embedding FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet') "
+        f"WHERE vec_id % 2 = 1) TO '{cand_e}' (FORMAT PARQUET)")
+    duckdb.sql(
+        "COPY (SELECT vec_id, embedding FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet') "
+        f"WHERE vec_id % 2 = 0) TO '{ref_e}' (FORMAT PARQUET)")
+    res_e = json.loads(_run(
+        ["crossdedup", "-i", cand_e, "-r", ref_e, "-o", out_e,
+         "--mode", "embedding", "--threshold", "0.8",
+         "--id_col", "vec_id", "--cores", "4"]).stdout.strip()
+        .splitlines()[-1])
+    assert res_e["mode"] == "embedding"
+    assert res_e["kept"] + res_e["flagged"] == res_e["candidates"]
+    # soundness: every reported pair truly clears the threshold
+    bad = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out_e}/matches/*.parquet') "
+        "WHERE cos < 0.8").fetchone()[0]
+    assert bad == 0
