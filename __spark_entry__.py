@@ -923,6 +923,62 @@ def pairs_curate_labels(spark, sf_dir):
     return build_labels_plan(df)
 
 
+def pairs_curate_incremental_check(spark, sf_dir):
+    """Batch-equivalence gate for INCREMENTAL curation
+    (stages/incremental.py): feed the seed-deterministic pairs corpus
+    as two interleaved increments and assert the resulting labels
+    table is exactly what one batch run over the union produces —
+    including retractions (previously-kept rows flipped by a later
+    increment's arrival), which must actually OCCUR for the check to
+    be non-vacuous. The DuckDB oracle states the expected booleans."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from mehc_curation_spark.io.catalog import SnapshotTable
+    from mehc_curation_spark.rules.registry import CurationConfig
+    from mehc_curation_spark.stages.incremental import run_curate_increment
+    from mehc_curation_spark.stages.plan import build_labels_plan
+
+    cfg = CurationConfig(phash_buckets=8)
+    full = pq.read_table(_pairs_path())
+    tmp = tempfile.mkdtemp(prefix="mehc_inc_check_")
+    try:
+        out = os.path.join(tmp, "out")
+        relabeled = retracted = 0
+        for i in range(2):
+            # interleaved split: later increment carries smaller ids
+            # than earlier rows of the same phash groups, exercising
+            # both retraction kinds (conflict + keep-first takeover)
+            part = full.take(list(range(i, full.num_rows, 2)))
+            p = os.path.join(tmp, f"inc{i}.parquet")
+            pq.write_table(part, p)
+            m = run_curate_increment(spark, p, out, cfg)
+            relabeled += m["relabeled_old"]
+            retracted += m["retracted"]
+
+        cols = ["image_id", "keep", "drop_reason", "caption_scrubbed"]
+        got = (SnapshotTable(out).read(spark).select(*cols).toPandas()
+               .sort_values("image_id").reset_index(drop=True))
+        exp = (build_labels_plan(spark.read.parquet(_pairs_path()), cfg)
+               .select(*cols).toPandas()
+               .sort_values("image_id").reset_index(drop=True))
+        eq = bool(
+            len(got) == len(exp)
+            and (got["keep"].to_numpy() == exp["keep"].to_numpy()).all()
+            and (got["drop_reason"].fillna("#")
+                 == exp["drop_reason"].fillna("#")).all()
+            and (got["caption_scrubbed"].fillna("#")
+                 == exp["caption_scrubbed"].fillna("#")).all())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(len(exp), eq, relabeled > 0, retracted > 0)],
+        "n_rows long, labels_equal_batch boolean, "
+        "old_rows_relabeled boolean, retractions_occurred boolean")
+
+
 def pairs_image_features(spark, sf_dir):
     from mehc_curation_spark.operators.multimodal import image_features
 
@@ -976,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "videos_frame_sample": videos_frame_sample,
         # property-assertion checks (oracle states the expected outcome)
         "pairs_curate_check": pairs_curate_check,
+        "pairs_curate_incremental_check": pairs_curate_incremental_check,
         "doc_langid_check": doc_langid_check,
         "pairs_image_features_check": pairs_image_features_check,
         "emb_ann_lsh_check": emb_ann_lsh_check,
@@ -1381,6 +1438,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS keep_labels_equal,
                    TRUE AS drop_reasons_equal,
                    TRUE AS captions_byte_equal
+        """,
+        "pairs_curate_incremental_check": """
+            SELECT CAST(2000 AS BIGINT) AS n_rows,
+                   TRUE AS labels_equal_batch,
+                   TRUE AS old_rows_relabeled,
+                   TRUE AS retractions_occurred
         """,
         "emb_ann_lsh_check": """
             SELECT CAST(10 AS BIGINT) AS k,

@@ -79,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "and picks 'agg' when one key exceeds 5%% share")
     c.add_argument("--no_resume", dest="resume", action="store_false",
                    default=True)
+    c.add_argument("--incremental", action="store_true",
+                   help="treat -i as an INCREMENT (rows not seen "
+                        "before) and merge it into an existing output "
+                        "table, replaying dedup only for the phash "
+                        "groups the new rows touch (retracting "
+                        "previously-kept rows their arrival conflicts "
+                        "with); the first call bootstraps the table")
 
     for name in ("validate", "clean", "normalize", "dedup"):
         s = sub.add_parser(name)
@@ -254,8 +261,16 @@ def main(argv: list[str] | None = None) -> int:
                 phash_buckets=args.phash_buckets,
                 dedup_strategy=args.dedup_strategy,
             )
-            metrics = run_curate(spark, args.input, args.output, cfg,
-                                 resume=args.resume)
+            if args.incremental:
+                from mehc_curation_spark.stages.incremental import (
+                    run_curate_increment,
+                )
+
+                metrics = run_curate_increment(
+                    spark, args.input, args.output, cfg)
+            else:
+                metrics = run_curate(spark, args.input, args.output, cfg,
+                                     resume=args.resume)
             print(json.dumps(metrics))
             if args.get_output:
                 from pyspark.sql import functions as F

@@ -195,48 +195,50 @@ def choose_dedup_strategy(df: DataFrame, config: CurationConfig) -> str:
             else "window")
 
 
-def build_labels_plan(df: DataFrame,
-                      config: CurationConfig = CurationConfig()) -> DataFrame:
-    """Build the (lazy) labels DataFrame:
+def narrow_state(df: DataFrame,
+                 config: CurationConfig = CurationConfig()) -> DataFrame:
+    """Phase A: the narrow per-row computation (no shuffle) — the
+    pre-dedup "state" frame every dedup pass keys on.
 
-    ``image_id, phash, keep, drop_reason, caption_scrubbed,
-    lang, lang_conf, ppl``
+    ONE fused Arrow stage: decode gate + langid + ppl + heuristics +
+    PII/toxicity scrub + post-scrub re-validation + normalization in a
+    single JVM↔Python crossing; `bytes` is consumed and dropped there,
+    before anything wide. See curate_narrow_arrow for the measured
+    rationale. Emits drop_reason (stage 1), scrub_reason (stage 2,
+    folded in AFTER dedup-1 by :func:`apply_dedup_passes`) and the
+    caption variants the dedup passes key on.
 
-    Mirrors ``complete_refinement``'s stage chain and dedup gates
-    (``refinement/core/pipeline.py:73-269``) with the graft rules.
+    Shuffle hygiene: the original and post-scrub captions are ONLY
+    dedup keys from here on (the output carries just cap_final), so
+    they are replaced by 128-bit hashes before the exchange — the
+    window sorts compare longs, and ~2 caption strings per row never
+    shuffle. Computed JVM-side (xxhash64 codegen) right after the
+    Arrow stage.
+
+    This frame is also what incremental curation persists per row
+    (stages/incremental.py): it is everything needed to REPLAY the
+    dedup passes for a phash group when later-arriving rows join the
+    group, without touching the original bytes again.
     """
-    gates = config.dedup_gates()
-
-    # ======== phase A: narrow per-row computation (no shuffle) ==========
-
-    # ONE fused Arrow stage: decode gate + langid + ppl + heuristics +
-    # PII/toxicity scrub + post-scrub re-validation + normalization in a
-    # single JVM↔Python crossing; `bytes` is consumed and dropped there,
-    # before anything wide. See curate_narrow_arrow for the measured
-    # rationale. Emits drop_reason (stage 1), scrub_reason (stage 2,
-    # folded in AFTER dedup-1 below) and the three caption variants the
-    # dedup passes key on.
     out = curate_narrow_arrow(df, config)
-
-    # Shuffle hygiene: the original and post-scrub captions are ONLY
-    # dedup keys from here on (the output carries just cap_final), so
-    # they are replaced by 128-bit hashes before the exchange — the
-    # window sorts compare longs, and ~2 caption strings per row never
-    # shuffle. Computed JVM-side (xxhash64 codegen) right after the
-    # Arrow stage.
-    out = (
+    return (
         out.withColumn("_h_orig", _cap_hash(CAPTION_COL))
         .withColumn("_h_scrub", _cap_hash("cap_scrub"))
         .withColumn("_h_final", _cap_hash("cap_final"))
         .drop(CAPTION_COL, "cap_scrub")
     )
 
-    # ======== phase B: the wide region (one exchange on phash) ==========
 
-    strategy = (choose_dedup_strategy(df, config)
-                if any(gates) else "window")
+def apply_dedup_passes(state: DataFrame, config: CurationConfig,
+                       strategy: str = "window") -> DataFrame:
+    """Phase B: the wide region (one exchange on phash) — the three
+    gated dedup passes over a :func:`narrow_state` frame, with the
+    scrub drops folded in between dedup-1 and dedup-2 (the oracle's
+    stage order)."""
+    gates = config.dedup_gates()
     pass_fn = _dedup_pass_agg if strategy == "agg" else _dedup_pass
 
+    out = state
     if gates[0]:
         out = pass_fn(out, "_h_orig")
 
@@ -248,7 +250,13 @@ def build_labels_plan(df: DataFrame,
 
     if gates[2]:
         out = pass_fn(out, "_h_final")
+    return out
 
+
+def project_labels(out: DataFrame, *extra_cols: str) -> DataFrame:
+    """Final labels projection over a post-dedup frame. ``extra_cols``
+    lets callers carry bookkeeping columns (e.g. the phash bucket)
+    through the projection."""
     alive = F.col("drop_reason").isNull()
     return out.select(
         ID_COL,
@@ -259,4 +267,25 @@ def build_labels_plan(df: DataFrame,
         "lang",
         "lang_conf",
         "ppl",
+        *extra_cols,
     )
+
+
+def build_labels_plan(df: DataFrame,
+                      config: CurationConfig = CurationConfig()) -> DataFrame:
+    """Build the (lazy) labels DataFrame:
+
+    ``image_id, phash, keep, drop_reason, caption_scrubbed,
+    lang, lang_conf, ppl``
+
+    Mirrors ``complete_refinement``'s stage chain and dedup gates
+    (``refinement/core/pipeline.py:73-269``) with the graft rules.
+    Composition of :func:`narrow_state` → :func:`apply_dedup_passes` →
+    :func:`project_labels` (one lazy lineage; the split exists so
+    incremental curation can persist and replay the middle).
+    """
+    gates = config.dedup_gates()
+    strategy = (choose_dedup_strategy(df, config)
+                if any(gates) else "window")
+    return project_labels(
+        apply_dedup_passes(narrow_state(df, config), config, strategy))

@@ -173,3 +173,41 @@ def test_crossdedup_cli_text_and_embedding(tmp_path_factory):
         f"SELECT COUNT(*) FROM read_parquet('{out_e}/matches/*.parquet') "
         "WHERE cos < 0.8").fetchone()[0]
     assert bad == 0
+
+
+def test_curate_incremental_cli(tmp_path_factory):
+    """--incremental: two chunks through the CLI must land the same
+    rows-per-reason totals as one batch CLI run over the union."""
+    import pyarrow.parquet as pq
+
+    from mehc_curation_spark.fixtures import write_pairs_parquet
+
+    base = tmp_path_factory.mktemp("cli_inc")
+    full = pq.read_table(write_pairs_parquet(str(base), 2000, seed=7))
+    for i in range(2):
+        pq.write_table(full.take(list(range(i, full.num_rows, 2))),
+                       str(base / f"inc{i}.parquet"))
+
+    out = str(base / "out")
+    m0 = json.loads(_run(["curate", "-i", str(base / "inc0.parquet"),
+                          "-o", out, "--incremental", "--cores", "4"])
+                    .stdout.strip().splitlines()[-1])
+    m1 = json.loads(_run(["curate", "-i", str(base / "inc1.parquet"),
+                          "-o", out, "--incremental", "--cores", "4"])
+                    .stdout.strip().splitlines()[-1])
+    assert m0["rows_new"] + m1["rows_new"] == 2000
+    assert m1["relabeled_old"] > 0  # interleaved split must retract
+
+    out_b = str(base / "out_batch")
+    pq.write_table(full, str(base / "full.parquet"))
+    _run(["curate", "-i", str(base / "full.parquet"), "-o", out_b,
+          "--cores", "4"])
+
+    def reason_totals(path):
+        rows = duckdb.sql(
+            f"SELECT coalesce(drop_reason,'#'), COUNT(*) FROM "
+            f"read_parquet('{path}/data/*/*.parquet') GROUP BY 1"
+        ).fetchall()
+        return dict(rows)
+
+    assert reason_totals(out) == reason_totals(out_b)

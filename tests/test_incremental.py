@@ -1,0 +1,179 @@
+"""Incremental curation (stages/incremental.py) — the invariant under
+test is BATCH EQUIVALENCE: after any sequence of increments, the
+labels table must equal run_curate over the union of all increments,
+including retractions of previously-kept rows whose phash group a
+later increment made conflicted (or out-keep-first'd)."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mehc_curation_spark.io.catalog import SnapshotTable
+from mehc_curation_spark.io.ledger import Ledger
+from mehc_curation_spark.rules.registry import CurationConfig
+from mehc_curation_spark.stages.incremental import run_curate_increment
+from mehc_curation_spark.stages.plan import build_labels_plan
+
+CFG = CurationConfig(phash_buckets=8)
+
+_SCHEMA = pa.schema([
+    ("image_id", pa.string()), ("bytes", pa.binary()),
+    ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+    ("caption", pa.string()), ("phash", pa.int64()),
+])
+
+
+def _write(pdf: pd.DataFrame, path: str) -> str:
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=_SCHEMA, preserve_index=False),
+        path)
+    return path
+
+
+def _labels_pdf(df) -> pd.DataFrame:
+    cols = ["image_id", "phash", "keep", "drop_reason",
+            "caption_scrubbed", "lang", "lang_conf", "ppl"]
+    return (df.select(*cols).toPandas()
+            .sort_values("image_id").reset_index(drop=True))
+
+
+def _assert_batch_equal(spark, out: str, full_pdf: pd.DataFrame):
+    got = _labels_pdf(SnapshotTable(out).read(spark))
+    full_p = os.path.join(os.path.dirname(out), "full_ref.parquet")
+    _write(full_pdf, full_p)
+    exp = _labels_pdf(build_labels_plan(spark.read.parquet(full_p), CFG))
+    assert len(got) == len(exp)
+    for c in exp.columns:
+        g, e = got[c], exp[c]
+        if g.dtype == object:
+            g, e = g.fillna("#"), e.fillna("#")
+        assert (g == e).all(), f"column {c} diverges from batch"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+
+    return make_pairs_pdf(3000, seed=42)
+
+
+def test_bootstrap_equals_batch(spark, corpus, tmp_path):
+    inp = _write(corpus, str(tmp_path / "full.parquet"))
+    out = str(tmp_path / "out")
+    m = run_curate_increment(spark, inp, out, CFG)
+    assert m["rows_new"] == 3000
+    assert m["relabeled_old"] == 0 and m["buckets_rewritten"] == []
+    _assert_batch_equal(spark, out, corpus)
+    # state sidecar seeded, one row per input row
+    st = SnapshotTable(os.path.join(out, "_state"))
+    assert st.read(spark).count() == 3000
+
+
+def test_three_increments_equal_batch_with_retractions(
+        spark, corpus, tmp_path):
+    # interleaved split (row index mod 3): later increments carry
+    # SMALLER image_ids than some earlier rows for the same phash
+    # groups, so both retraction kinds occur (keep-first takeover →
+    # duplicate_perfect flip; new alive caption → duplicate_conflict)
+    out = str(tmp_path / "out")
+    metrics = []
+    for i in range(3):
+        chunk = corpus.iloc[i::3].reset_index(drop=True)
+        inp = _write(chunk, str(tmp_path / f"inc{i}.parquet"))
+        metrics.append(run_curate_increment(spark, inp, out, CFG))
+
+    assert sum(m["rows_new"] for m in metrics) == 3000
+    # the fixture plants phash dup/conflict groups densely enough that
+    # an interleaved split MUST relabel old rows — if this ever reads
+    # 0 the mechanism under test did not run
+    assert sum(m["relabeled_old"] for m in metrics[1:]) > 0
+    assert sum(m["retracted"] for m in metrics[1:]) > 0
+    assert any(m["buckets_rewritten"] for m in metrics[1:])
+    for m in metrics:
+        assert not (set(m["buckets_rewritten"])
+                    & set(m["buckets_appended"]))
+    _assert_batch_equal(spark, out, corpus)
+
+
+def test_ledger_and_lang_stats_match_batch(spark, corpus, tmp_path):
+    from mehc_curation_spark.stages.refinement import run_curate
+
+    out_inc = str(tmp_path / "inc_out")
+    for i in range(2):
+        chunk = corpus.iloc[i::2].reset_index(drop=True)
+        inp = _write(chunk, str(tmp_path / f"i{i}.parquet"))
+        last = run_curate_increment(spark, inp, out_inc, CFG)
+
+    inp_full = _write(corpus, str(tmp_path / "full.parquet"))
+    out_batch = str(tmp_path / "batch_out")
+    batch = run_curate(spark, inp_full, out_batch, CFG)
+
+    assert set(last["lang_stats"]) == set(batch["lang_stats"])
+    for lang, e in batch["lang_stats"].items():
+        g = last["lang_stats"][lang]
+        assert (g["rows"], g["kept"], g["keep_rate"]) == (
+            e["rows"], e["kept"], e["keep_rate"])
+        # ppl_sum differs only by float summation order
+        assert abs(g["ppl_sum"] - e["ppl_sum"]) < 1e-6 * max(
+            1.0, abs(e["ppl_sum"]))
+
+    def totals(path):
+        led = Ledger(path).read()
+        rows = kept = 0
+        dropped: dict[str, int] = {}
+        for e in led["buckets"].values():
+            rows += e["rows"]
+            kept += e["kept"]
+            for k, v in e["dropped"].items():
+                dropped[k] = dropped.get(k, 0) + v
+        return rows, kept, dropped
+
+    assert totals(out_inc) == totals(out_batch)
+
+
+def test_fresh_phashes_touch_nothing_old(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    base = corpus.iloc[:1500].reset_index(drop=True)
+    run_curate_increment(
+        spark, _write(base, str(tmp_path / "b.parquet")), out, CFG)
+
+    fresh = corpus.iloc[1500:1700].reset_index(drop=True).copy()
+    # phashes disjoint from every existing group → no replayed old rows
+    fresh["phash"] = [10**15 + 7919 * i for i in range(len(fresh))]
+    m = run_curate_increment(
+        spark, _write(fresh, str(tmp_path / "f.parquet")), out, CFG)
+    assert m["relabeled_old"] == 0 and m["retracted"] == 0
+    assert m["buckets_rewritten"] == []
+    assert m["rows_new"] == 200
+    full = pd.concat([base, fresh], ignore_index=True)
+    _assert_batch_equal(spark, out, full)
+
+
+def test_refuses_stateless_table(spark, corpus, tmp_path):
+    from mehc_curation_spark.stages.refinement import run_curate
+
+    out = str(tmp_path / "out")
+    run_curate(spark, _write(corpus.iloc[:500], str(tmp_path / "a.parquet")),
+               out, CFG)
+    with pytest.raises(ValueError, match="_state"):
+        run_curate_increment(
+            spark, _write(corpus.iloc[500:600].reset_index(drop=True),
+                          str(tmp_path / "b.parquet")), out, CFG)
+
+
+def test_raw_data_dir_matches_snapshot_after_rewrites(
+        spark, corpus, tmp_path):
+    """Replaced files are unlinked post-commit, so a plain
+    spark.read.parquet(out/data) sees exactly the live snapshot."""
+    out = str(tmp_path / "out")
+    for i in range(2):
+        chunk = corpus.iloc[i::2].reset_index(drop=True)
+        run_curate_increment(
+            spark, _write(chunk, str(tmp_path / f"c{i}.parquet")), out, CFG)
+    raw = spark.read.parquet(os.path.join(out, "data"))
+    snap = SnapshotTable(out).read(spark)
+    assert raw.count() == snap.count() == 3000
+    assert raw.select("image_id").distinct().count() == 3000
