@@ -295,6 +295,74 @@ def doc_quality_scores(spark, sf_dir):
     return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
+def doc_quality_model(spark, sf_dir):
+    """Model-based quality scoring with the FROZEN distilled weights
+    (operators/quality_model.py): sigma(w.x+b) over pure-Catalyst text
+    features — scoring 10^12 rows is a scan, no ML runtime. Fully
+    value-oracled: the DuckDB SQL states the identical closed form
+    (same rounded features, same dot-product association order)."""
+    from mehc_curation_spark.operators.quality_model import score_quality
+
+    d = _t(spark, sf_dir, "documents")
+    return score_quality(d, "text").select("doc_id", "q_score", "q_keep")
+
+
+def doc_quality_model_check(spark, sf_dir):
+    """Train-at-runtime check for the distillation loop: fit the
+    linear quality model on the heuristic length-band labels, then
+    assert (a) pyspark.ml's own transform() probabilities match the
+    closed-form Catalyst serving expression with the extracted
+    coefficients (the train→serve handoff loses nothing), and (b) the
+    distilled model reproduces the seed labels at F1 >= 0.97."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    from mehc_curation_spark.operators.quality_model import (
+        FEATURES,
+        heuristic_labels,
+        quality_feature_cols,
+        train_quality_model,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lab = heuristic_labels(d, "text")
+    coef = train_quality_model(lab, "text")
+
+    feats = quality_feature_cols(F.col("text"))
+    base = lab.select("label",
+                      *[v.alias(k) for k, v in feats.items()]).na.drop()
+    vec = VectorAssembler(inputCols=list(FEATURES), outputCol="features")
+    lr = LogisticRegression(featuresCol="features", labelCol="label",
+                            maxIter=100, regParam=0.001,
+                            standardization=False)
+    model = lr.fit(vec.transform(base))
+    # closed-form z with the UNROUNDED extracted coefficients, same
+    # association order as serving
+    z = F.lit(float(model.intercept))
+    for name, w in zip(FEATURES, model.coefficients):
+        z = z + F.lit(float(w)) * F.col(name)
+    closed = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    scored = model.transform(vec.transform(base)).withColumn(
+        "p_ml", vector_to_array("probability")[1]).withColumn(
+        "p_closed", closed)
+    row = scored.agg(
+        F.max(F.abs(F.col("p_ml") - F.col("p_closed"))).alias("maxdiff"),
+        F.sum(((F.col("p_closed") >= 0.5) & (F.col("label") == 1.0))
+              .cast("int")).alias("tp"),
+        F.sum(((F.col("p_closed") >= 0.5) & (F.col("label") == 0.0))
+              .cast("int")).alias("fp"),
+        F.sum(((F.col("p_closed") < 0.5) & (F.col("label") == 1.0))
+              .cast("int")).alias("fn"),
+        F.count("*").alias("n")).first()
+    f1 = (2 * row["tp"] / (2 * row["tp"] + row["fp"] + row["fn"])
+          if row["tp"] else 0.0)
+    return spark.createDataFrame(
+        [(row["n"], bool(row["maxdiff"] < 1e-9), bool(f1 >= 0.97))],
+        "n_docs long, ml_matches_closed_form boolean, "
+        "distill_f1_ge_097 boolean")
+
+
 def doc_lang_stats(spark, sf_dir):
     from mehc_curation_spark.operators.text_stats import salted_lang_stats
 
@@ -1014,6 +1082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": doc_pii_scrub,
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
+        "doc_quality_model": doc_quality_model,
+        "doc_quality_model_check": doc_quality_model_check,
         "doc_lang_stats": doc_lang_stats,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_dedup_dropall": doc_dedup_dropall,
@@ -1245,6 +1315,53 @@ def oracle_sql() -> dict[str, str]:
                          / NULLIF(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
                                   ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
                                   END, 0)::DOUBLE, 6) AS mean_token_len
+            FROM documents
+        """,
+        "doc_quality_model": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       ROUND(LN(1.0 + LENGTH(text)::DOUBLE), 6) AS ln1p_chars,
+                       ROUND(LEN(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]'))
+                             / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS punct_ratio,
+                       ROUND(LEN(regexp_extract_all(text, '[0-9]'))
+                             / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS digit_ratio,
+                       ROUND(LEN(regexp_extract_all(text, '[ ]'))
+                             / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS space_ratio,
+                       COALESCE(ROUND(
+                           LEN(regexp_extract_all(text, '[A-Za-z0-9]'))
+                           / NULLIF(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                                    ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
+                                    END, 0)::DOUBLE, 6), 0.0) AS mean_tok_len,
+                       ROUND(LN(1.0 + (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                                ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
+                                END)::DOUBLE), 6) AS ln1p_tokens
+                FROM documents
+            ), g AS (
+                SELECT doc_id, ln1p_chars, punct_ratio, digit_ratio,
+                       space_ratio, mean_tok_len, ln1p_tokens,
+                       ROUND((ln1p_chars - 5.53) * (ln1p_chars - 5.53), 6)
+                           AS len_band
+                FROM f
+            ), z AS (
+                SELECT doc_id,
+                       9.0238 + (-0.34) * ln1p_chars
+                              + (-12.4405) * len_band
+                              + (0.0) * punct_ratio
+                              + (0.0) * digit_ratio
+                              + (0.0299) * space_ratio
+                              + (-0.4267) * mean_tok_len
+                              + (-0.399) * ln1p_tokens AS zz
+                FROM g
+            )
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + EXP(-zz)), 6) AS q_score,
+                   ROUND(1.0 / (1.0 + EXP(-zz)), 6) >= 0.5 AS q_keep
+            FROM z
+        """,
+        "doc_quality_model_check": """
+            SELECT COUNT(*) AS n_docs,
+                   TRUE AS ml_matches_closed_form,
+                   TRUE AS distill_f1_ge_097
             FROM documents
         """,
         "doc_lang_stats": """
