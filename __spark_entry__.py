@@ -314,8 +314,6 @@ def doc_quality_model_check(spark, sf_dir):
     closed-form Catalyst serving expression with the extracted
     coefficients (the train→serve handoff loses nothing), and (b) the
     distilled model reproduces the seed labels at F1 >= 0.97."""
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
     from mehc_curation_spark.operators.quality_model import (
@@ -327,21 +325,18 @@ def doc_quality_model_check(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     lab = heuristic_labels(d, "text")
-    coef = train_quality_model(lab, "text")
+    # ONE training job: the returned model/assembler serve the
+    # transform() side, the coef dict the closed-form side
+    coef, model, vec = train_quality_model(lab, "text", return_model=True)
 
     feats = quality_feature_cols(F.col("text"))
     base = lab.select("label",
                       *[v.alias(k) for k, v in feats.items()]).na.drop()
-    vec = VectorAssembler(inputCols=list(FEATURES), outputCol="features")
-    lr = LogisticRegression(featuresCol="features", labelCol="label",
-                            maxIter=100, regParam=0.001,
-                            standardization=False)
-    model = lr.fit(vec.transform(base))
     # closed-form z with the UNROUNDED extracted coefficients, same
     # association order as serving
-    z = F.lit(float(model.intercept))
-    for name, w in zip(FEATURES, model.coefficients):
-        z = z + F.lit(float(w)) * F.col(name)
+    z = F.lit(coef["intercept"])
+    for name in FEATURES:
+        z = z + F.lit(coef[name]) * F.col(name)
     closed = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     scored = model.transform(vec.transform(base)).withColumn(
         "p_ml", vector_to_array("probability")[1]).withColumn(
@@ -1359,10 +1354,13 @@ def oracle_sql() -> dict[str, str]:
             FROM z
         """,
         "doc_quality_model_check": """
+            -- the trainer drops rows with NULL features, i.e. NULL or
+            -- empty text (ratio denominators go NULL there)
             SELECT COUNT(*) AS n_docs,
                    TRUE AS ml_matches_closed_form,
                    TRUE AS distill_f1_ge_097
             FROM documents
+            WHERE text IS NOT NULL AND LENGTH(text) > 0
         """,
         "doc_lang_stats": """
             SELECT lang, COUNT(*) AS n_docs,

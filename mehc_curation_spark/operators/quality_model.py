@@ -129,7 +129,8 @@ def heuristic_labels(df: DataFrame, text_col: str) -> DataFrame:
 def train_quality_model(df: DataFrame, text_col: str,
                         label_col: str = "label",
                         max_iter: int = 100,
-                        reg_param: float = 0.001) -> dict[str, float]:
+                        reg_param: float = 0.001,
+                        return_model: bool = False):
     """Fit the linear quality model; returns {feature: weight} +
     'intercept' (plain doubles — the model IS its coefficient dict).
     Lightly ridge-regularized (the heuristic labels are linearly
@@ -151,4 +152,7 @@ def train_quality_model(df: DataFrame, text_col: str,
     out = {"intercept": float(model.intercept)}
     for name, w in zip(FEATURES, model.coefficients):
         out[name] = float(w)
-    return out
+    # return_model exposes the fitted pyspark.ml object (and the
+    # assembler) so callers comparing transform() against the closed
+    # form don't pay a second training job
+    return (out, model, vec) if return_model else out

@@ -57,13 +57,29 @@ Physical shape at scale (the 100 TB story):
   stats are rebuilt from the labels table (slim columns, ~1% of input
   size) because retractions change kept-counts in ways per-run deltas
   cannot describe.
+
+Durability & concurrency contract:
+
+- The ENTIRE increment holds the ledger's flock — increments on one
+  table serialize (single-writer semantics; an optimistic-retry
+  protocol would have to re-stage everything on conflict anyway, since
+  the staged rewrite content embeds the base snapshot).
+- Labels and state live in two snapshot tables but commit as one
+  logical transaction via write-ahead properties: the labels commit
+  records ``inc_id`` + the staged-state location; the state commit
+  records the same ``inc_id``. :func:`_heal` runs under the lock at
+  the start of every increment and ROLLS FORWARD a crash between the
+  two commits (staged state files have deterministic ``inc<k>-``
+  names, so a half-finished move is resumable and the full file list
+  reconstructible). A crash before the labels commit leaves only
+  staging garbage, which the next run clears.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import time
-import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,15 +91,45 @@ from mehc_curation_spark.rules.registry import CurationConfig
 from mehc_curation_spark.schema import ID_COL, KEY_COL
 from mehc_curation_spark.stages.plan import (
     apply_dedup_passes,
+    choose_dedup_strategy,
     narrow_state,
     project_labels,
 )
-from mehc_curation_spark.stages.refinement import BUCKET_COL, bucket_col
+from mehc_curation_spark.stages.refinement import (
+    BUCKET_COL,
+    bucket_col,
+    finalize_lang_stats,
+    per_bucket_counters,
+    salted_lang_sums,
+)
 
 STATE_DIR = "_state"
 
 LABEL_COLS = (ID_COL, KEY_COL, "keep", "drop_reason", "caption_scrubbed",
               "lang", "lang_conf", "ppl")
+
+# config fields that change label semantics or the bucket layout — a
+# drift between increments would silently break batch equivalence
+# (stored state filtered by the wrong bucket ids, or rules disagreeing
+# across increments), so the bootstrap pins them and later calls must
+# match.
+_CONFIG_FP_FIELDS = (
+    "validate", "rm_low_quality", "rm_unknown_lang", "rm_high_ppl",
+    "scrub_pii", "scrub_toxicity", "toxicity_method",
+    "validate_post_scrub", "normalize_lossy", "normalize_canonical",
+    "rm_dup_between_stages", "allowed_langs", "min_lang_margin",
+    "ppl_thresholds", "phash_buckets",
+)
+
+
+def _config_fp(config: CurationConfig) -> dict:
+    fp = {}
+    for k in _CONFIG_FP_FIELDS:
+        v = getattr(config, k)
+        fp[k] = list(map(list, v)) if isinstance(v, tuple) and v and \
+            isinstance(v[0], tuple) else (list(v) if isinstance(v, tuple)
+                                          else v)
+    return fp
 
 
 def _state_table(output_path: str) -> SnapshotTable:
@@ -92,9 +138,11 @@ def _state_table(output_path: str) -> SnapshotTable:
 
 def _move_in(staging: str, data_dir: str, tag: str) -> list[str]:
     """Move staged ``bucket=k/part-*.parquet`` files into the table's
-    data dir under collision-free names; returns the relative paths.
-    Non-destructive: existing files in the target dirs are untouched
-    (the manifest swap decides what is live)."""
+    data dir under DETERMINISTIC ``<tag>-<partname>`` names (Spark part
+    filenames embed a per-job uuid, so they never collide; determinism
+    makes a half-finished move resumable — see :func:`_heal`); returns
+    the relative paths. Non-destructive: existing files in the target
+    dirs are untouched (the manifest swap decides what is live)."""
     rel = []
     for b in sorted(os.listdir(staging)):
         if not b.startswith(f"{BUCKET_COL}="):
@@ -103,65 +151,67 @@ def _move_in(staging: str, data_dir: str, tag: str) -> list[str]:
         os.makedirs(dst_dir, exist_ok=True)
         for f in sorted(os.listdir(os.path.join(staging, b))):
             if f.endswith(".parquet"):
-                name = f"{tag}-{uuid.uuid4().hex[:8]}-{f}"
+                name = f"{tag}-{f}"
                 os.replace(os.path.join(staging, b, f),
                            os.path.join(dst_dir, name))
                 rel.append(f"{b}/{name}")
     return rel
 
 
-def _publish_lang_stats(spark: SparkSession, ledger: Ledger,
-                        labels_tbl: SnapshotTable,
-                        config: CurationConfig) -> dict:
-    """Rebuild the per-language stats from the committed labels table
-    (salted two-phase agg, same shape run_curate publishes). Retraction
-    flips change kept-counts of PAST increments, so the published stats
-    are recomputed absolute rather than merged as deltas."""
-    labels = labels_tbl.read(spark)
-    salt = F.pmod(F.xxhash64(ID_COL), F.lit(config.salt_factor))
-    partial = (
-        labels.groupBy("lang", salt.alias("_salt"))
-        .agg(F.count("*").alias("n"),
-             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
-             F.sum("ppl").alias("ppl_sum"))
-    )
-    rows = (partial.groupBy("lang")
-            .agg(F.sum("n").alias("n"), F.sum("kept").alias("kept"),
-                 F.sum("ppl_sum").alias("ppl_sum"))
-            .collect())
-    lang_stats = {
-        r["lang"]: {
-            "rows": int(r["n"]), "kept": int(r["kept"]),
-            "ppl_sum": float(r["ppl_sum"]),
-            "keep_rate": round(int(r["kept"]) / int(r["n"]), 4)
-            if r["n"] else None,
-            "mean_ppl": round(float(r["ppl_sum"]) / int(r["n"]), 2)
-            if r["n"] else None,
-        }
-        for r in rows
-    }
-    ledger.write_aux("lang_stats.json", lang_stats)
-    return lang_stats
+def _collect_tagged(data_dir: str, tag: str) -> list[str]:
+    """All ``bucket=k/<tag>-*.parquet`` files already inside the data
+    dir — the recovery half of :func:`_move_in`'s determinism."""
+    rel = []
+    if not os.path.isdir(data_dir):
+        return rel
+    for b in sorted(os.listdir(data_dir)):
+        if not b.startswith(f"{BUCKET_COL}="):
+            continue
+        for f in sorted(os.listdir(os.path.join(data_dir, b))):
+            if f.startswith(f"{tag}-") and f.endswith(".parquet"):
+                rel.append(f"{b}/{f}")
+    return rel
 
 
-def _bucket_counters(spark: SparkSession, labels_tbl: SnapshotTable,
-                     buckets: list[int]) -> dict[int, dict]:
-    """Absolute per-bucket (rows, kept, dropped-by-reason) counters for
-    the given buckets, from the committed snapshot."""
-    labels = labels_tbl.read(spark).filter(
-        F.col(BUCKET_COL).isin([int(b) for b in buckets]))
-    stats = (labels.groupBy(BUCKET_COL, "drop_reason")
-             .agg(F.count("*").alias("n")).collect())
-    per_bucket: dict[int, dict] = {
-        int(b): {"rows": 0, "kept": 0, "dropped": {}} for b in buckets}
-    for r in stats:
-        e = per_bucket[int(r[BUCKET_COL])]
-        e["rows"] += r["n"]
-        if r["drop_reason"] is None:
-            e["kept"] += r["n"]
-        else:
-            e["dropped"][r["drop_reason"]] = r["n"]
-    return per_bucket
+def _heal(labels_tbl: SnapshotTable, state_tbl: SnapshotTable) -> None:
+    """Roll forward a crash between the labels commit and the state
+    commit (call under the commit lock). The labels manifest is the
+    write-ahead record: if its inc_id is ahead of the state table's,
+    finish moving the staged state files (resumable — deterministic
+    names) and publish the missing state snapshot."""
+    if not labels_tbl.exists():
+        return
+    props = labels_tbl.manifest().get("properties") or {}
+    inc_id = props.get("inc_id")
+    if inc_id is None:
+        return  # not an incremental table — caller's guard handles it
+    state_inc = 0
+    if state_tbl.exists():
+        state_inc = (state_tbl.manifest().get("properties") or {}) \
+            .get("inc_id", 0)
+    if state_inc == inc_id:
+        return
+    if state_inc > inc_id or state_inc < inc_id - 1:
+        raise RuntimeError(
+            f"{labels_tbl.path}: labels inc_id={inc_id} vs state "
+            f"inc_id={state_inc} — unrecoverable divergence")
+    tag = f"inc{inc_id}"
+    stg = props.get("state_staging")
+    if stg and os.path.isdir(stg):
+        _move_in(stg, state_tbl.data_dir, tag)
+    moved = _collect_tagged(state_tbl.data_dir, tag)
+    if not moved:
+        raise RuntimeError(
+            f"{labels_tbl.path}: crash recovery failed — staged state "
+            f"for inc_id={inc_id} is gone ({stg}); the labels commit "
+            "cannot be matched by a state commit")
+    state_tbl.commit_files(
+        moved, props["state_schema"],
+        properties={"inc_id": inc_id, "rows": props.get("rows_new"),
+                    "config_fp": props.get("config_fp"),
+                    "healed": True})
+    if stg:
+        shutil.rmtree(stg, ignore_errors=True)
 
 
 def run_curate_increment(
@@ -176,12 +226,14 @@ def run_curate_increment(
     ``output_path``, preserving batch equivalence (module docstring).
 
     The first call on an empty output is the bootstrap: a full curate
-    that also seeds the `_state/` sidecar. Later calls require the
-    sidecar (a table created by plain ``run_curate`` has no state to
-    replay — start it with this function instead).
+    that also seeds the `_state/` sidecar and pins the config
+    fingerprint (label-semantics fields + phash_buckets); later calls
+    must pass a matching config or they raise. A table created by
+    plain ``run_curate`` has no state to replay and is refused.
 
     image_id values must be unique across ALL increments (they are the
     keep-first tiebreaker; a duplicate id is two claims to one row).
+    An empty increment is a no-op, not an error.
 
     Returns a metrics dict: ``rows_new/kept_new`` describe this
     increment's rows, ``relabeled_old`` counts previously-committed
@@ -192,112 +244,153 @@ def run_curate_increment(
     ledger = Ledger(output_path)
     labels_tbl = SnapshotTable(output_path)
     state_tbl = _state_table(output_path)
-    first = not state_tbl.exists()
-    if first and labels_tbl.exists():
-        raise ValueError(
-            f"{output_path}: labels table exists but has no {STATE_DIR}/ "
-            "sidecar (created by run_curate?) — incremental curation "
-            "needs the pre-dedup state; bootstrap the table with "
-            "run_curate_increment from the start")
 
-    t0 = time.time()
-    df_new = spark.read.parquet(new_input_path)
-
-    # ---- 1. narrow phase on the increment, staged ONCE ----------------
-    stg_state = ledger.staging_dir()
-    (narrow_state(df_new, config)
-     .withColumn(BUCKET_COL, bucket_col(config))
-     .repartition(F.col(BUCKET_COL))
-     .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stg_state))
-    state_new = spark.read.option("basePath", stg_state).parquet(stg_state)
-
-    aff_buckets = sorted(
-        r[0] for r in state_new.select(BUCKET_COL).distinct().collect())
-    if not aff_buckets:
-        raise ValueError(f"{new_input_path}: increment is empty")
-    aff_ph = state_new.select(KEY_COL).distinct()
-
-    # ---- 2. replay dedup over the affected phash groups ---------------
-    if first:
-        combined = state_new.withColumn("_is_new", F.lit(True))
-    else:
-        old_state = (
-            state_tbl.read(spark)
-            .filter(F.col(BUCKET_COL).isin(aff_buckets))
-            .join(aff_ph, KEY_COL, "left_semi"))
-        combined = (
-            old_state.withColumn("_is_new", F.lit(False))
-            .unionByName(state_new.withColumn("_is_new", F.lit(True))))
-
-    # the replay set is increment-sized — the window strategy's shared
-    # sort is the right physical plan here regardless of corpus skew
-    relabeled = project_labels(
-        apply_dedup_passes(combined, config, strategy="window"),
-        BUCKET_COL, "_is_new")
-    stg_lab = ledger.staging_dir()
-    relabeled.write.mode("overwrite").parquet(stg_lab)
-    la = spark.read.parquet(stg_lab)
-
-    new_labels = la.filter(F.col("_is_new")).drop("_is_new")
-
-    # ---- 3. diff old labels → retractions / relabels ------------------
-    n_changed = n_retracted = 0
-    rewrite_buckets: list[int] = []
-    if not first:
-        cur = labels_tbl.read(spark)
-        cur_aff = (cur.filter(F.col(BUCKET_COL).isin(aff_buckets))
-                   .join(aff_ph, KEY_COL, "left_semi"))
-        old_relabel = la.filter(~F.col("_is_new")).drop("_is_new")
-        same = (
-            (F.col("n.keep") == F.col("o.keep"))
-            & F.col("n.drop_reason").eqNullSafe(F.col("o.drop_reason"))
-            & F.col("n.caption_scrubbed").eqNullSafe(
-                F.col("o.caption_scrubbed")))
-        changed = (
-            old_relabel.alias("n")
-            .join(cur_aff.alias("o"), ID_COL)
-            .filter(~same)
-            .select("n.*",
-                    F.col("o.keep").alias("_was_kept")))
-        changed = changed.cache()
-        n_changed = changed.count()
-        n_retracted = changed.filter(
-            F.col("_was_kept") & ~F.col("keep")).count()
-        rewrite_buckets = sorted(
-            r[0] for r in changed.select(BUCKET_COL).distinct().collect())
-
-    append_buckets = sorted(set(aff_buckets) - set(rewrite_buckets))
-
-    # ---- 4. stage the final bucket contents ---------------------------
-    stg_app = stg_rw = None
-    if append_buckets:
-        stg_app = ledger.staging_dir()
-        (new_labels.filter(F.col(BUCKET_COL).isin(append_buckets))
-         .repartition(F.col(BUCKET_COL))
-         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stg_app))
-    if rewrite_buckets:
-        # surviving old rows + relabeled rows + this increment's rows
-        changed_ids = changed.select(ID_COL)
-        survivors = (cur.filter(F.col(BUCKET_COL).isin(rewrite_buckets))
-                     .join(changed_ids, ID_COL, "left_anti"))
-        content = (
-            survivors.select(*LABEL_COLS, BUCKET_COL)
-            .unionByName(changed.select(*LABEL_COLS, BUCKET_COL))
-            .unionByName(
-                new_labels.filter(F.col(BUCKET_COL).isin(rewrite_buckets))
-                .select(*LABEL_COLS, BUCKET_COL)))
-        stg_rw = ledger.staging_dir()
-        (content.repartition(F.col(BUCKET_COL))
-         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stg_rw))
-
-    n_new = state_new.count()
-    kept_new = int(new_labels.filter("keep").count())
-    elapsed = time.time() - t0
-
-    # ---- 5. durable commit (flock; manifest swap is the atomic step) --
-    lock_fd = ledger._acquire_lock()
+    # single-writer: the whole increment (snapshot reads included)
+    # serializes under the commit lock — see the module contract
+    lock_fd = ledger._acquire_lock(timeout_sec=600.0)
+    staged_dirs: list[str] = []
+    labels_committed = False
+    changed = None
     try:
-        ver = labels_tbl.current_version() + 1
+        _heal(labels_tbl, state_tbl)
+
+        first = not state_tbl.exists()
+        if first and labels_tbl.exists():
+            raise ValueError(
+                f"{output_path}: labels table exists but has no "
+                f"{STATE_DIR}/ sidecar (created by run_curate?) — "
+                "incremental curation needs the pre-dedup state; "
+                "bootstrap the table with run_curate_increment from "
+                "the start")
+        fp = _config_fp(config)
+        prev_inc = 0
+        if not first:
+            sprops = state_tbl.manifest().get("properties") or {}
+            prev_inc = sprops.get("inc_id", 0)
+            stored_fp = sprops.get("config_fp")
+            if stored_fp is not None and stored_fp != fp:
+                diff = sorted(k for k in fp
+                              if stored_fp.get(k) != fp[k])
+                raise ValueError(
+                    f"{output_path}: config drift vs bootstrap on "
+                    f"{diff} — incremental labels would silently "
+                    "diverge from batch; pass the original config")
+        inc_id = prev_inc + 1
+        tag = f"inc{inc_id}"
+
+        t0 = time.time()
+        df_new = spark.read.parquet(new_input_path)
+        if df_new.isEmpty():
+            return {"rows_new": 0, "kept_new": 0, "relabeled_old": 0,
+                    "retracted": 0, "buckets_appended": [],
+                    "buckets_rewritten": [],
+                    "snapshot_version": labels_tbl.current_version(),
+                    "state_version": state_tbl.current_version(),
+                    "lang_stats": ledger.read_aux("lang_stats.json") or {},
+                    "elapsed_sec": 0.0, "rows_per_sec": None}
+
+        # ---- 1. narrow phase on the increment, staged ONCE ------------
+        stg_state = ledger.staging_dir()
+        staged_dirs.append(stg_state)
+        (narrow_state(df_new, config)
+         .withColumn(BUCKET_COL, bucket_col(config))
+         .repartition(F.col(BUCKET_COL))
+         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stg_state))
+        state_new = spark.read.option("basePath", stg_state).parquet(stg_state)
+
+        aff_buckets = sorted(
+            r[0] for r in state_new.select(BUCKET_COL).distinct().collect())
+        aff_ph = state_new.select(KEY_COL).distinct()
+
+        # ---- 2. replay dedup over the affected phash groups -----------
+        if first:
+            combined = state_new.withColumn("_is_new", F.lit(True))
+            # the bootstrap is corpus-sized: honor the configured
+            # (possibly skew-adaptive) dedup strategy
+            strategy = (choose_dedup_strategy(state_new, config)
+                        if any(config.dedup_gates()) else "window")
+        else:
+            old_state = (
+                state_tbl.read(spark)
+                .filter(F.col(BUCKET_COL).isin(aff_buckets))
+                .join(aff_ph, KEY_COL, "left_semi"))
+            combined = (
+                old_state.withColumn("_is_new", F.lit(False))
+                .unionByName(state_new.withColumn("_is_new", F.lit(True))))
+            # the replay set is increment-sized — the window strategy's
+            # shared sort is the right physical plan regardless of
+            # corpus-level skew
+            strategy = "window"
+
+        relabeled = project_labels(
+            apply_dedup_passes(combined, config, strategy=strategy),
+            BUCKET_COL, "_is_new")
+        stg_lab = ledger.staging_dir()
+        staged_dirs.append(stg_lab)
+        relabeled.write.mode("overwrite").parquet(stg_lab)
+        la = spark.read.parquet(stg_lab)
+
+        new_labels = la.filter(F.col("_is_new")).drop("_is_new")
+
+        # ---- 3. diff old labels → retractions / relabels --------------
+        n_changed = n_retracted = 0
+        rewrite_buckets: list[int] = []
+        if not first:
+            cur = labels_tbl.read(spark)
+            cur_aff = (cur.filter(F.col(BUCKET_COL).isin(aff_buckets))
+                       .join(aff_ph, KEY_COL, "left_semi"))
+            old_relabel = la.filter(~F.col("_is_new")).drop("_is_new")
+            same = (
+                (F.col("n.keep") == F.col("o.keep"))
+                & F.col("n.drop_reason").eqNullSafe(F.col("o.drop_reason"))
+                & F.col("n.caption_scrubbed").eqNullSafe(
+                    F.col("o.caption_scrubbed")))
+            changed = (
+                old_relabel.alias("n")
+                .join(cur_aff.alias("o"), ID_COL)
+                .filter(~same)
+                .select("n.*", F.col("o.keep").alias("_was_kept"))
+                .cache())
+            n_changed = changed.count()
+            n_retracted = changed.filter(
+                F.col("_was_kept") & ~F.col("keep")).count()
+            rewrite_buckets = sorted(
+                r[0] for r in changed.select(BUCKET_COL).distinct().collect())
+
+        append_buckets = sorted(set(aff_buckets) - set(rewrite_buckets))
+
+        # ---- 4. stage the final bucket contents -----------------------
+        stg_app = stg_rw = None
+        if append_buckets:
+            stg_app = ledger.staging_dir()
+            staged_dirs.append(stg_app)
+            (new_labels.filter(F.col(BUCKET_COL).isin(append_buckets))
+             .repartition(F.col(BUCKET_COL))
+             .write.mode("overwrite").partitionBy(BUCKET_COL)
+             .parquet(stg_app))
+        if rewrite_buckets:
+            # surviving old rows + relabeled rows + this increment's rows
+            changed_ids = changed.select(ID_COL)
+            survivors = (cur.filter(F.col(BUCKET_COL).isin(rewrite_buckets))
+                         .join(changed_ids, ID_COL, "left_anti"))
+            content = (
+                survivors.select(*LABEL_COLS, BUCKET_COL)
+                .unionByName(changed.select(*LABEL_COLS, BUCKET_COL))
+                .unionByName(
+                    new_labels.filter(
+                        F.col(BUCKET_COL).isin(rewrite_buckets))
+                    .select(*LABEL_COLS, BUCKET_COL)))
+            stg_rw = ledger.staging_dir()
+            staged_dirs.append(stg_rw)
+            (content.repartition(F.col(BUCKET_COL))
+             .write.mode("overwrite").partitionBy(BUCKET_COL)
+             .parquet(stg_rw))
+
+        n_new = state_new.count()
+        kept_new = int(new_labels.filter("keep").count())
+        elapsed = time.time() - t0
+
+        # ---- 5. durable commit (manifest swap is the atomic step) -----
         data_dir = os.path.join(output_path, "data")
         os.makedirs(data_dir, exist_ok=True)
         replaced = []
@@ -307,17 +400,24 @@ def run_curate_increment(
             replaced = [f for f in m["files"] if f.startswith(pref)]
         rel_files = []
         if stg_app:
-            rel_files += _move_in(stg_app, data_dir, f"inc{ver}")
+            rel_files += _move_in(stg_app, data_dir, tag)
         if stg_rw:
-            rel_files += _move_in(stg_rw, data_dir, f"inc{ver}")
+            rel_files += _move_in(stg_rw, data_dir, tag)
 
+        # write-ahead for the state commit: inc_id + where the staged
+        # state lives + its schema, so _heal can roll forward
         snapshot_version = labels_tbl.commit_files(
             rel_files, la.drop("_is_new").schema.json(),
-            properties={"increment": True, "rows_new": n_new,
+            properties={"inc_id": inc_id, "rows_new": n_new,
                         "relabeled_old": n_changed,
                         "rewrite_buckets": rewrite_buckets,
+                        "state_staging": stg_state,
+                        "state_schema": state_new.schema.json(),
+                        "config_fp": fp,
                         "elapsed_sec": elapsed},
-            replace_prefixes=[f"{BUCKET_COL}={b}/" for b in rewrite_buckets])
+            replace_prefixes=[f"{BUCKET_COL}={b}/"
+                              for b in rewrite_buckets])
+        labels_committed = True
 
         # replaced files are no longer referenced by the NEW snapshot;
         # reclaim now (parent-snapshot time travel for these buckets
@@ -329,18 +429,36 @@ def run_curate_increment(
                 except FileNotFoundError:
                     pass
 
-        state_rel = _move_in(stg_state, state_tbl.data_dir, f"inc{ver}")
+        state_rel = _move_in(stg_state, state_tbl.data_dir, tag)
         state_version = state_tbl.commit_files(
             state_rel, state_new.schema.json(),
-            properties={"increment": True, "rows": n_new})
+            properties={"inc_id": inc_id, "rows": n_new,
+                        "config_fp": fp})
 
-        per_bucket = _bucket_counters(spark, labels_tbl, aff_buckets)
-        lang_stats = _publish_lang_stats(spark, ledger, labels_tbl, config)
+        per_bucket = per_bucket_counters(
+            labels_tbl.read(spark).filter(
+                F.col(BUCKET_COL).isin([int(b) for b in aff_buckets])))
+        # absolute recompute over the whole labels table: retractions
+        # change kept-counts of PAST increments, so per-run deltas
+        # cannot describe the published stats
+        lang_stats = finalize_lang_stats(
+            salted_lang_sums(labels_tbl.read(spark), config.salt_factor))
+        ledger.write_aux("lang_stats.json", lang_stats)
         ledger.publish_buckets(per_bucket, elapsed)
+
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    except BaseException:
+        if not labels_committed:
+            # nothing published — staging is garbage, clear it
+            for d in staged_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+        # else: leave stg_state for _heal's roll-forward
+        raise
     finally:
         os.close(lock_fd)
-    if not first:
-        changed.unpersist()
+        if changed is not None:
+            changed.unpersist()
 
     return {
         "rows_new": n_new,

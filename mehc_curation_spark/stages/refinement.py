@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from mehc_curation_spark.io.ledger import Ledger
 from mehc_curation_spark.rules.registry import CurationConfig
-from mehc_curation_spark.schema import KEY_COL
+from mehc_curation_spark.schema import ID_COL, KEY_COL
 from mehc_curation_spark.stages.plan import build_labels_plan
 
 BUCKET_COL = "bucket"
@@ -40,6 +40,65 @@ def bucket_col(config: CurationConfig) -> F.Column:
 
 def _published_lang_stats(ledger: Ledger) -> dict:
     return ledger.read_aux("lang_stats.json") or {}
+
+
+def per_bucket_counters(labels: DataFrame) -> dict[int, dict]:
+    """Per-bucket {rows, kept, dropped-by-reason} from a labels-shaped
+    frame carrying BUCKET_COL — the ledger's metric unit (shared by the
+    batch and incremental committers so the two can never drift)."""
+    stats = (
+        labels.groupBy(BUCKET_COL, "drop_reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    per_bucket: dict[int, dict] = {}
+    for r in stats:
+        b = int(r[BUCKET_COL])
+        e = per_bucket.setdefault(b, {"rows": 0, "kept": 0, "dropped": {}})
+        e["rows"] += r["n"]
+        if r["drop_reason"] is None:
+            e["kept"] += r["n"]
+        else:
+            e["dropped"][r["drop_reason"]] = r["n"]
+    return per_bucket
+
+
+def salted_lang_sums(labels: DataFrame, salt_factor: int) -> dict:
+    """Raw per-language additive sums (rows/kept/ppl_sum) via the
+    salted two-phase aggregation (north_rule: 'salted aggregation for
+    per-language quality stats'): en is ~55% of a web corpus, so a
+    single groupBy(lang) would send half the table to one reducer; the
+    salt spreads the partial aggregation over S sub-keys and the final
+    pass combines S rows per language."""
+    salt = F.pmod(F.xxhash64(ID_COL), F.lit(salt_factor))
+    partial = (
+        labels.groupBy("lang", salt.alias("_salt"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+             F.sum("ppl").alias("ppl_sum"))
+    )
+    return {
+        r["lang"]: {"rows": int(r["n"]), "kept": int(r["kept"]),
+                    "ppl_sum": float(r["ppl_sum"])}
+        for r in (
+            partial.groupBy("lang")
+            .agg(F.sum("n").alias("n"), F.sum("kept").alias("kept"),
+                 F.sum("ppl_sum").alias("ppl_sum"))
+            .collect()
+        )
+    }
+
+
+def finalize_lang_stats(run_sums: dict) -> dict:
+    """Derive the published keep_rate/mean_ppl view from raw sums."""
+    return {
+        lang: {
+            "rows": s["rows"], "kept": s["kept"], "ppl_sum": s["ppl_sum"],
+            "keep_rate": round(s["kept"] / s["rows"], 4) if s["rows"] else None,
+            "mean_ppl": round(s["ppl_sum"] / s["rows"], 2) if s["rows"] else None,
+        }
+        for lang, s in run_sums.items()
+    }
 
 
 class RefinementStage:
@@ -118,45 +177,12 @@ def run_curate(
 
     # per-bucket metrics from the staged output (slim read)
     staged = spark.read.parquet(staging)
-    stats = (
-        staged.groupBy(BUCKET_COL, "drop_reason")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )
-    per_bucket: dict[int, dict] = {}
-    for r in stats:
-        b = int(r[BUCKET_COL])
-        e = per_bucket.setdefault(b, {"rows": 0, "kept": 0, "dropped": {}})
-        e["rows"] += r["n"]
-        if r["drop_reason"] is None:
-            e["kept"] += r["n"]
-        else:
-            e["dropped"][r["drop_reason"]] = r["n"]
+    per_bucket = per_bucket_counters(staged)
 
-    # Per-language quality stats via salted two-phase aggregation
-    # (north_rule: 'salted aggregation for per-language quality stats'):
-    # en is ~55% of a web corpus, so a single groupBy(lang) would send
-    # half the table to one reducer; the salt spreads the partial
-    # aggregation over S sub-keys and the final pass combines S rows
-    # per language. Computed from the staging read — commit_buckets
-    # below MOVES the staged files into the table.
-    salt = F.pmod(F.xxhash64("image_id"), F.lit(config.salt_factor))
-    partial = (
-        staged.groupBy("lang", salt.alias("_salt"))
-        .agg(F.count("*").alias("n"),
-             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
-             F.sum("ppl").alias("ppl_sum"))
-    )
-    run_sums = {
-        r["lang"]: {"rows": int(r["n"]), "kept": int(r["kept"]),
-                    "ppl_sum": float(r["ppl_sum"])}
-        for r in (
-            partial.groupBy("lang")
-            .agg(F.sum("n").alias("n"), F.sum("kept").alias("kept"),
-                 F.sum("ppl_sum").alias("ppl_sum"))
-            .collect()
-        )
-    }
+    # Per-language stats (salted — see salted_lang_sums). Computed from
+    # the staging read — commit_buckets below MOVES the staged files
+    # into the table.
+    run_sums = salted_lang_sums(staged, config.salt_factor)
     # On resume this run saw only the not-yet-committed buckets, but the
     # published stats must describe the WHOLE committed table — merge
     # the raw per-language sums with the previously published ones
@@ -171,14 +197,7 @@ def run_curate(
         s["rows"] += int(e.get("rows", 0))
         s["kept"] += int(e.get("kept", 0))
         s["ppl_sum"] += float(e.get("ppl_sum", 0.0))
-    lang_stats = {
-        lang: {
-            "rows": s["rows"], "kept": s["kept"], "ppl_sum": s["ppl_sum"],
-            "keep_rate": round(s["kept"] / s["rows"], 4) if s["rows"] else None,
-            "mean_ppl": round(s["ppl_sum"] / s["rows"], 2) if s["rows"] else None,
-        }
-        for lang, s in run_sums.items()
-    }
+    lang_stats = finalize_lang_stats(run_sums)
 
     schema_json = staged.schema.json()
 

@@ -177,3 +177,82 @@ def test_raw_data_dir_matches_snapshot_after_rewrites(
     snap = SnapshotTable(out).read(spark)
     assert raw.count() == snap.count() == 3000
     assert raw.select("image_id").distinct().count() == 3000
+
+
+def test_config_drift_refused(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    run_curate_increment(
+        spark, _write(corpus.iloc[:500], str(tmp_path / "a.parquet")),
+        out, CFG)
+    with pytest.raises(ValueError, match="config drift.*phash_buckets"):
+        run_curate_increment(
+            spark, _write(corpus.iloc[500:600].reset_index(drop=True),
+                          str(tmp_path / "b.parquet")),
+            out, CurationConfig(phash_buckets=16))
+
+
+def test_empty_increment_is_noop(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    m0 = run_curate_increment(
+        spark, _write(corpus.iloc[:500], str(tmp_path / "a.parquet")),
+        out, CFG)
+    empty = corpus.iloc[0:0]
+    m1 = run_curate_increment(
+        spark, _write(empty, str(tmp_path / "e.parquet")), out, CFG)
+    assert m1["rows_new"] == 0 and m1["relabeled_old"] == 0
+    assert m1["snapshot_version"] == m0["snapshot_version"]
+    assert m1["state_version"] == m0["state_version"]
+    assert m1["lang_stats"] == m0["lang_stats"]
+
+
+def test_crash_between_commits_heals_forward(
+        spark, corpus, tmp_path, monkeypatch):
+    """Kill the run between the labels commit and the state commit;
+    the next increment must roll the state forward (write-ahead
+    properties + deterministic staged names) and preserve batch
+    equivalence."""
+    out = str(tmp_path / "out")
+    chunks = [corpus.iloc[i::3].reset_index(drop=True) for i in range(3)]
+    run_curate_increment(
+        spark, _write(chunks[0], str(tmp_path / "c0.parquet")), out, CFG)
+
+    orig = SnapshotTable.commit_files
+    armed = {"on": True}
+
+    def failing(self, *a, **k):
+        if armed["on"] and self.path.rstrip("/").endswith("_state"):
+            armed["on"] = False
+            raise RuntimeError("simulated crash before state commit")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(SnapshotTable, "commit_files", failing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_curate_increment(
+            spark, _write(chunks[1], str(tmp_path / "c1.parquet")),
+            out, CFG)
+    monkeypatch.setattr(SnapshotTable, "commit_files", orig)
+
+    # labels are one inc ahead of state on disk right now
+    lab_inc = (SnapshotTable(out).manifest().get("properties") or {})["inc_id"]
+    st = SnapshotTable(os.path.join(out, "_state"))
+    st_inc = (st.manifest().get("properties") or {}).get("inc_id", 0) \
+        if st.exists() else 0
+    assert lab_inc == st_inc + 1
+
+    m = run_curate_increment(
+        spark, _write(chunks[2], str(tmp_path / "c2.parquet")), out, CFG)
+    assert m["rows_new"] == len(chunks[2])
+    # healed: state now covers every row ever ingested
+    assert st.read(spark).count() == 3000
+    _assert_batch_equal(spark, out, corpus)
+
+
+def test_staging_cleaned_after_success(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    for i in range(2):
+        run_curate_increment(
+            spark, _write(corpus.iloc[i::2].reset_index(drop=True),
+                          str(tmp_path / f"s{i}.parquet")), out, CFG)
+    stg = os.path.join(out, "_staging")
+    leftovers = os.listdir(stg) if os.path.isdir(stg) else []
+    assert leftovers == []
