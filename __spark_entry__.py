@@ -295,6 +295,17 @@ def doc_quality_scores(spark, sf_dir):
     return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher/RefinedWeb-family repetition signals (word + bigram
+    duplicate fractions) as pure Catalyst array lambdas; full value
+    oracle via DuckDB list functions."""
+    from mehc_curation_spark.operators.text_stats import repetition_stats_cols
+
+    d = _t(spark, sf_dir, "documents")
+    cols = repetition_stats_cols(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
 def doc_quality_model(spark, sf_dir):
     """Model-based quality scoring with the FROZEN distilled weights
     (operators/quality_model.py): sigma(w.x+b) over pure-Catalyst text
@@ -1077,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": doc_pii_scrub,
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
+        "doc_repetition_stats": doc_repetition_stats,
         "doc_quality_model": doc_quality_model,
         "doc_quality_model_check": doc_quality_model_check,
         "doc_lang_stats": doc_lang_stats,
@@ -1311,6 +1323,29 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
                                   END, 0)::DOUBLE, 6) AS mean_token_len
             FROM documents
+        """,
+        "doc_repetition_stats": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN LENGTH(TRIM(text)) > 0
+                            THEN regexp_split_to_array(LOWER(TRIM(text)),
+                                                       '[ \t\n\r]+')
+                       END AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, toks, LEN(toks) AS n FROM t
+            )
+            SELECT doc_id,
+                   n AS n_words,
+                   ROUND(1.0 - LEN(list_distinct(toks))
+                         / (CASE WHEN n > 0 THEN n END)::DOUBLE, 6)
+                       AS dup_word_frac,
+                   ROUND(1.0 - LEN(list_distinct(
+                             list_transform(range(1, n),
+                                 i -> toks[i] || ' ' || toks[i + 1])))
+                         / (CASE WHEN n >= 2 THEN n - 1 END)::DOUBLE, 6)
+                       AS dup_bigram_frac
+            FROM s
         """,
         "doc_quality_model": r"""
             WITH f AS (

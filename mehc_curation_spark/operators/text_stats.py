@@ -52,6 +52,41 @@ def fingerprint_col(c: Column, n_hex: int = 16) -> Column:
     return F.substring(F.md5(canon.cast("binary")), 1, n_hex)
 
 
+def repetition_stats_cols(c: Column) -> dict[str, Column]:
+    """Repetition-based quality signals (the Gopher / RefinedWeb rule
+    family — Rae et al. 2021 §A1.1, Penedo et al. 2023 — adapted to
+    word units): boilerplate and template spam repeat tokens and token
+    pairs far above natural prose rates.
+
+    - ``n_words``          whitespace-token count (lowercased)
+    - ``dup_word_frac``    1 - distinct/total words
+    - ``dup_bigram_frac``  1 - distinct/total adjacent word pairs
+                           (NULL when fewer than 2 words)
+
+    Pure Catalyst array/lambda expressions — no UDF, whole-stage
+    codegen, and exactly mirrorable in the DuckDB oracle's list
+    functions. Ratios rounded to 6 decimals (cross-engine contract).
+    """
+    toks = F.split(F.lower(F.trim(c)), "[ \t\n\r]+")
+    toks = F.when(F.length(F.trim(c)) > 0, toks)
+    n = F.size(toks)
+    nz = F.when(n > 0, n.cast("double"))
+    # the when-guard matters: sequence(1, n-1) DESCENDS for n < 2
+    # (Spark infers step -1), which would feed element_at(toks, 0)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1))))
+    nb = F.when(n >= 2, (n - 1).cast("double"))
+    return {
+        "n_words": n,
+        "dup_word_frac": F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / nz, 6),
+        "dup_bigram_frac": F.round(
+            F.lit(1.0) - F.size(F.array_distinct(bigrams)) / nb, 6),
+    }
+
+
 def salted_lang_stats(df: DataFrame, lang_col: str = "lang",
                       len_col: str = "n_chars", salt: int = 8) -> DataFrame:
     """Per-language stats via two-phase salted aggregation.
