@@ -195,6 +195,15 @@ def main(argv: list[str] | None = None) -> int:
             from mehc_curation_spark.io.catalog import SnapshotTable
 
             t = SnapshotTable(args.output)
+            if os.path.isdir(os.path.join(args.output, "_state")):
+                # incrementally-curated table: bucket-aware compaction
+                # of the labels table + its state sidecar
+                from mehc_curation_spark.stages.incremental import (
+                    compact_increments,
+                )
+
+                print(json.dumps(compact_increments(spark, args.output)))
+                return 0
             v = t.compact(spark, target_files=args.target_files)
             print(json.dumps({"compacted_version": v,
                               "files": len(t.manifest(v)["files"])}))

@@ -214,6 +214,91 @@ def _heal(labels_tbl: SnapshotTable, state_tbl: SnapshotTable) -> None:
         shutil.rmtree(stg, ignore_errors=True)
 
 
+def _compact_bucketed(spark: SparkSession, tbl: SnapshotTable,
+                      keep_replaced_files: bool) -> dict:
+    """Rewrite every multi-file bucket of a bucket-partitioned
+    snapshot table into one file per bucket (manifest swap atomic,
+    replaced files reclaimed post-commit). Properties that the
+    incremental protocol depends on (inc_id, config_fp) are carried
+    forward unchanged."""
+    m = tbl.manifest()
+    by_bucket: dict[str, list[str]] = {}
+    for f in m["files"]:
+        b = f.split("/", 1)[0]
+        by_bucket.setdefault(b, []).append(f)
+    multi = {b: fs for b, fs in by_bucket.items() if len(fs) > 1}
+    out = {"files_before": len(m["files"]),
+           "buckets_compacted": len(multi)}
+    if not multi:
+        out["files_after"] = len(m["files"])
+        out["version"] = tbl.current_version()
+        return out
+
+    paths = [os.path.join(tbl.data_dir, f)
+             for fs in multi.values() for f in fs]
+    df = (spark.read.option("basePath", tbl.data_dir)
+          .option("mergeSchema", "true").parquet(*paths))
+    staging = os.path.join(tbl.path, "_staging",
+                           f"compact{tbl.current_version() + 1}")
+    (df.repartition(F.col(BUCKET_COL))
+     .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging))
+    tag = f"cmp{tbl.current_version() + 1}"
+    rel = _move_in(staging, tbl.data_dir, tag)
+    props = dict(m.get("properties") or {})
+    props.pop("state_staging", None)
+    props["compaction"] = True
+    version = tbl.commit_files(
+        rel, m["schema"], properties=props,
+        replace_prefixes=[f"{b}/" for b in multi])
+    if not keep_replaced_files:
+        for fs in multi.values():
+            for f in fs:
+                try:
+                    os.unlink(os.path.join(tbl.data_dir, f))
+                except FileNotFoundError:
+                    pass
+    shutil.rmtree(staging, ignore_errors=True)
+    out["files_after"] = len(tbl.manifest(version)["files"])
+    out["version"] = version
+    return out
+
+
+def compact_increments(spark: SparkSession, output_path: str,
+                       keep_replaced_files: bool = False) -> dict:
+    """Small-files maintenance for an incrementally-curated table:
+    every increment appends (and every retraction rewrite adds) files
+    per bucket, so a long-lived table accumulates one file per bucket
+    per increment — at corpus scale each tiny file costs a scheduler
+    task and a footer read. This rewrites every multi-file bucket of
+    BOTH the labels table and its `_state/` sidecar back to one file
+    per bucket, preserving rows, the hive bucket layout the ledger
+    owns, and the incremental protocol's properties (inc_id /
+    config_fp), so increments continue seamlessly afterwards.
+
+    (SnapshotTable.compact refuses ledger-managed tables because it
+    writes FLAT files; this is the bucket-aware variant that keeps the
+    layout contract.)"""
+    ledger = Ledger(output_path)
+    labels_tbl = SnapshotTable(output_path)
+    state_tbl = _state_table(output_path)
+    lock_fd = ledger._acquire_lock(timeout_sec=600.0)
+    try:
+        _heal(labels_tbl, state_tbl)
+        if not state_tbl.exists():
+            raise ValueError(
+                f"{output_path}: not an incremental table (no "
+                f"{STATE_DIR}/ sidecar) — for streaming/snapshot-native "
+                "tables use SnapshotTable.compact")
+        return {
+            "labels": _compact_bucketed(spark, labels_tbl,
+                                        keep_replaced_files),
+            "state": _compact_bucketed(spark, state_tbl,
+                                       keep_replaced_files),
+        }
+    finally:
+        os.close(lock_fd)
+
+
 def run_curate_increment(
     spark: SparkSession,
     new_input_path: str,

@@ -211,3 +211,10 @@ def test_curate_incremental_cli(tmp_path_factory):
         return dict(rows)
 
     assert reason_totals(out) == reason_totals(out_b)
+
+    # table compact routes incremental tables to the bucket-aware
+    # compactor (labels + state) instead of refusing
+    res = json.loads(_run(["table", "compact", "-o", out, "--cores", "4"])
+                     .stdout.strip().splitlines()[-1])
+    assert res["labels"]["files_after"] <= res["labels"]["files_before"]
+    assert reason_totals(out) == reason_totals(out_b)

@@ -256,3 +256,44 @@ def test_staging_cleaned_after_success(spark, corpus, tmp_path):
     stg = os.path.join(out, "_staging")
     leftovers = os.listdir(stg) if os.path.isdir(stg) else []
     assert leftovers == []
+
+
+def test_compact_increments_preserves_everything(spark, corpus, tmp_path):
+    from mehc_curation_spark.stages.incremental import compact_increments
+
+    out = str(tmp_path / "out")
+    for i in range(3):
+        run_curate_increment(
+            spark, _write(corpus.iloc[i::3].reset_index(drop=True),
+                          str(tmp_path / f"k{i}.parquet")), out, CFG)
+
+    t = SnapshotTable(out)
+    before = t.manifest()["files"]
+    assert any(  # the thing compaction fixes must exist first
+        sum(1 for f in before if f.startswith(f"bucket={b}/")) > 1
+        for b in range(8))
+    pre_ledger = Ledger(out).read()["buckets"]
+
+    res = compact_increments(spark, out)
+    assert res["labels"]["buckets_compacted"] > 0
+    after = t.manifest()["files"]
+    per_bucket = {}
+    for f in after:
+        per_bucket[f.split("/", 1)[0]] = \
+            per_bucket.get(f.split("/", 1)[0], 0) + 1
+    assert all(v == 1 for v in per_bucket.values())
+    # rows + labels identical; raw dir clean; ledger untouched
+    _assert_batch_equal(spark, out, corpus)
+    raw = spark.read.parquet(os.path.join(out, "data"))
+    assert raw.count() == 3000
+    assert Ledger(out).read()["buckets"] == pre_ledger
+    st = SnapshotTable(os.path.join(out, "_state"))
+    assert st.read(spark).count() == 3000
+
+    # the protocol survives: another increment after compaction works
+    extra = corpus.iloc[:100].copy()
+    extra["image_id"] = ["zz_" + str(i) for i in range(100)]
+    m = run_curate_increment(
+        spark, _write(extra, str(tmp_path / "k3.parquet")), out, CFG)
+    assert m["rows_new"] == 100
+    assert t.read(spark).count() == 3100
