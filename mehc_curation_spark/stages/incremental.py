@@ -209,6 +209,9 @@ def _heal(labels_tbl: SnapshotTable, state_tbl: SnapshotTable) -> None:
         moved, props["state_schema"],
         properties={"inc_id": inc_id, "rows": props.get("rows_new"),
                     "config_fp": props.get("config_fp"),
+                    "input_table": props.get("input_table"),
+                    "input_version_consumed":
+                        props.get("input_version_consumed", 0),
                     "healed": True})
     if stg:
         shutil.rmtree(stg, ignore_errors=True)
@@ -316,6 +319,15 @@ def run_curate_increment(
     must pass a matching config or they raise. A table created by
     plain ``run_curate`` has no state to replay and is refused.
 
+    ``new_input_path`` is either a plain parquet path whose rows ARE
+    the increment, or a :class:`SnapshotTable` path (e.g. the target
+    of streaming ingestion, `streaming/curate_stream.py`), in which
+    case the increment is the table's CDC-append DELTA since the last
+    consumed version — the consumed watermark is recorded in the
+    output's properties, so the loop `stream → ingest table →
+    run_curate_increment` is drivable on a schedule with no bookkeeping
+    by the caller. Calling with an already-consumed version is a no-op.
+
     image_id values must be unique across ALL increments (they are the
     keep-first tiebreaker; a duplicate id is two claims to one row).
     An empty increment is a no-op, not an error.
@@ -349,10 +361,11 @@ def run_curate_increment(
                 "the start")
         fp = _config_fp(config)
         prev_inc = 0
+        prev_props: dict = {}
         if not first:
-            sprops = state_tbl.manifest().get("properties") or {}
-            prev_inc = sprops.get("inc_id", 0)
-            stored_fp = sprops.get("config_fp")
+            prev_props = state_tbl.manifest().get("properties") or {}
+            prev_inc = prev_props.get("inc_id", 0)
+            stored_fp = prev_props.get("config_fp")
             if stored_fp is not None and stored_fp != fp:
                 diff = sorted(k for k in fp
                               if stored_fp.get(k) != fp[k])
@@ -363,9 +376,7 @@ def run_curate_increment(
         inc_id = prev_inc + 1
         tag = f"inc{inc_id}"
 
-        t0 = time.time()
-        df_new = spark.read.parquet(new_input_path)
-        if df_new.isEmpty():
+        def _noop():
             return {"rows_new": 0, "kept_new": 0, "relabeled_old": 0,
                     "retracted": 0, "buckets_appended": [],
                     "buckets_rewritten": [],
@@ -373,6 +384,36 @@ def run_curate_increment(
                     "state_version": state_tbl.current_version(),
                     "lang_stats": ledger.read_aux("lang_stats.json") or {},
                     "elapsed_sec": 0.0, "rows_per_sec": None}
+
+        t0 = time.time()
+        src_tbl = SnapshotTable(new_input_path)
+        consumed_version = None
+        if src_tbl.exists():
+            # snapshot-table input: the increment is the CDC-append
+            # delta since the last consumed version (watermark kept in
+            # the output's own properties)
+            stored_src = prev_props.get("input_table")
+            if stored_src is not None and stored_src != new_input_path:
+                raise ValueError(
+                    f"{output_path}: bound to input table {stored_src}; "
+                    f"got {new_input_path} — per-table delta tracking "
+                    "cannot mix sources (feed extra corpora as plain "
+                    "parquet increments instead)")
+            since = prev_props.get("input_version_consumed", 0)
+            to = src_tbl.current_version()
+            if to <= since:
+                return _noop()
+            df_new = src_tbl.read_incremental(spark, since, to)
+            consumed_version = to
+        else:
+            df_new = spark.read.parquet(new_input_path)
+        if df_new.isEmpty():
+            return _noop()
+        # watermark bookkeeping survives parquet-path increments too
+        input_table = (new_input_path if consumed_version is not None
+                       else prev_props.get("input_table"))
+        input_ver = (consumed_version if consumed_version is not None
+                     else prev_props.get("input_version_consumed", 0))
 
         # ---- 1. narrow phase on the increment, staged ONCE ------------
         stg_state = ledger.staging_dir()
@@ -499,6 +540,8 @@ def run_curate_increment(
                         "state_staging": stg_state,
                         "state_schema": state_new.schema.json(),
                         "config_fp": fp,
+                        "input_table": input_table,
+                        "input_version_consumed": input_ver,
                         "elapsed_sec": elapsed},
             replace_prefixes=[f"{BUCKET_COL}={b}/"
                               for b in rewrite_buckets])
@@ -518,7 +561,9 @@ def run_curate_increment(
         state_version = state_tbl.commit_files(
             state_rel, state_new.schema.json(),
             properties={"inc_id": inc_id, "rows": n_new,
-                        "config_fp": fp})
+                        "config_fp": fp,
+                        "input_table": input_table,
+                        "input_version_consumed": input_ver})
 
         per_bucket = per_bucket_counters(
             labels_tbl.read(spark).filter(

@@ -297,3 +297,39 @@ def test_compact_increments_preserves_everything(spark, corpus, tmp_path):
         spark, _write(extra, str(tmp_path / "k3.parquet")), out, CFG)
     assert m["rows_new"] == 100
     assert t.read(spark).count() == 3100
+
+
+def test_snapshot_table_input_consumes_deltas(spark, corpus, tmp_path):
+    """The stream→ingest-table→increment loop: each call consumes
+    exactly the ingest table's CDC delta, tracked by a watermark in
+    the output's properties; an already-consumed version no-ops."""
+    ingest = SnapshotTable(str(tmp_path / "ingest"))
+    out = str(tmp_path / "out")
+
+    c0 = corpus.iloc[0::2].reset_index(drop=True)
+    c1 = corpus.iloc[1::2].reset_index(drop=True)
+    _write(c0, str(tmp_path / "w0.parquet"))
+    ingest.write(spark.read.parquet(str(tmp_path / "w0.parquet")),
+                 mode="append")
+    m0 = run_curate_increment(spark, ingest.path, out, CFG)
+    assert m0["rows_new"] == 1500
+
+    # nothing new yet → no-op
+    mn = run_curate_increment(spark, ingest.path, out, CFG)
+    assert mn["rows_new"] == 0
+    assert mn["snapshot_version"] == m0["snapshot_version"]
+
+    _write(c1, str(tmp_path / "w1.parquet"))
+    ingest.write(spark.read.parquet(str(tmp_path / "w1.parquet")),
+                 mode="append")
+    m1 = run_curate_increment(spark, ingest.path, out, CFG)
+    assert m1["rows_new"] == 1500
+    _assert_batch_equal(spark, out, corpus)
+
+    # a different snapshot-table source is refused (watermarks are
+    # per-table); plain parquet increments remain allowed
+    other = SnapshotTable(str(tmp_path / "other"))
+    other.write(spark.read.parquet(str(tmp_path / "w0.parquet")),
+                mode="append")
+    with pytest.raises(ValueError, match="bound to input table"):
+        run_curate_increment(spark, other.path, out, CFG)
