@@ -256,7 +256,8 @@ def _batch_committed(table, scope: str, batch_id: int) -> bool:
 
 def run_stream_to_snapshot_table(spark, input_dir: str, table_path: str,
                                  checkpoint_dir: str,
-                                 config: CurationConfig = CurationConfig()):
+                                 config: CurationConfig = CurationConfig(),
+                                 transform=None):
     """Streaming ingestion INTO the Iceberg-analog snapshot table:
     each micro-batch commits one snapshot via ``foreachBatch``, so
     consumers get snapshot isolation + time travel over the stream's
@@ -287,13 +288,31 @@ def run_stream_to_snapshot_table(spark, input_dir: str, table_path: str,
         _advance_stream_hwm(table, scope, int(batch_id))
 
     stream = spark.readStream.schema(PAIRS_SCHEMA).parquet(input_dir)
-    labels = streaming_rule_labels(stream, config)
+    if transform is None:
+        transform = lambda s: streaming_rule_labels(s, config)  # noqa: E731
+    labels = transform(stream)
     return (labels.writeStream
             .foreachBatch(commit_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .outputMode("append")
             .start())
+
+
+def run_stream_ingest_raw(spark, input_dir: str, table_path: str,
+                          checkpoint_dir: str):
+    """Raw LANDING ingestion (the 'bronze table' of a medallion
+    layout): micro-batches append the unmodified pairs rows into the
+    snapshot table — same exactly-once foreachBatch commit machinery
+    as :func:`run_stream_to_snapshot_table`, no per-row labeling.
+    Downstream, a scheduled ``run_curate_increment(spark,
+    <this table>, out)`` consumes exactly the CDC delta each time
+    (stages/incremental.py), which is where the full batch-equivalent
+    curation — including cross-batch dedup retraction the streaming
+    operators cannot express — actually happens."""
+    return run_stream_to_snapshot_table(
+        spark, input_dir, table_path, checkpoint_dir,
+        transform=lambda s: s)
 
 
 def stream_lang_window_counts(labels_stream: DataFrame,

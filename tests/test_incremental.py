@@ -333,3 +333,34 @@ def test_snapshot_table_input_consumes_deltas(spark, corpus, tmp_path):
                 mode="append")
     with pytest.raises(ValueError, match="bound to input table"):
         run_curate_increment(spark, other.path, out, CFG)
+
+
+def test_stream_to_bronze_to_incremental_end_to_end(
+        spark, corpus, tmp_path):
+    """The full continuous pipeline: streaming raw ingestion lands
+    micro-batches in a bronze snapshot table (exactly-once), and
+    scheduled run_curate_increment calls consume its CDC deltas —
+    final labels must equal one batch run over everything streamed."""
+    from mehc_curation_spark.streaming.curate_stream import (
+        run_stream_ingest_raw,
+    )
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    ckpt = str(tmp_path / "ckpt")
+    bronze = str(tmp_path / "bronze")
+    out = str(tmp_path / "out")
+
+    for i in range(2):
+        chunk = corpus.iloc[i::2].reset_index(drop=True)
+        _write(chunk, str(tmp_path / f"w{i}.parquet"))
+        spark.read.parquet(str(tmp_path / f"w{i}.parquet")) \
+            .write.parquet(os.path.join(inp, f"part_{i}"))
+        q = run_stream_ingest_raw(spark, os.path.join(inp, "*"),
+                                  bronze, ckpt)
+        q.awaitTermination(120)
+        m = run_curate_increment(spark, bronze, out, CFG)
+        assert m["rows_new"] == 1500
+
+    assert SnapshotTable(bronze).read(spark).count() == 3000
+    _assert_batch_equal(spark, out, corpus)
