@@ -306,6 +306,19 @@ def doc_repetition_stats(spark, sf_dir):
     return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
+def doc_stratified_sample(spark, sf_dir):
+    """Deterministic corpus-mixture rebalancing (operators/sampling.py):
+    keep 25% of en, 50% of de, everything else — keyed on
+    u48 = little-endian first-6-bytes of md5(doc_id), so the exact
+    same rows are selected on any engine/partitioning. Full value
+    oracle: DuckDB computes the identical byte assembly."""
+    from mehc_curation_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "doc_id", "lang",
+                             {"en": 0.25, "de": 0.5}).select("doc_id", "lang")
+
+
 def doc_quality_model(spark, sf_dir):
     """Model-based quality scoring with the FROZEN distilled weights
     (operators/quality_model.py): sigma(w.x+b) over pure-Catalyst text
@@ -1089,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
         "doc_repetition_stats": doc_repetition_stats,
+        "doc_stratified_sample": doc_stratified_sample,
         "doc_quality_model": doc_quality_model,
         "doc_quality_model_check": doc_quality_model_check,
         "doc_lang_stats": doc_lang_stats,
@@ -1346,6 +1360,24 @@ def oracle_sql() -> dict[str, str]:
                          / (CASE WHEN n >= 2 THEN n - 1 END)::DOUBLE, 6)
                        AS dup_bigram_frac
             FROM s
+        """,
+        "doc_stratified_sample": """
+            WITH u AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::BIGINT
+                       + ('0x' || substr(md5(doc_id::VARCHAR), 3, 2))::BIGINT * 256
+                       + ('0x' || substr(md5(doc_id::VARCHAR), 5, 2))::BIGINT * 65536
+                       + ('0x' || substr(md5(doc_id::VARCHAR), 7, 2))::BIGINT * 16777216
+                       + ('0x' || substr(md5(doc_id::VARCHAR), 9, 2))::BIGINT * 4294967296
+                       + ('0x' || substr(md5(doc_id::VARCHAR), 11, 2))::BIGINT * 1099511627776
+                       AS u48
+                FROM documents
+            )
+            SELECT doc_id, lang FROM u
+            WHERE u48 < CASE lang
+                        WHEN 'en' THEN 70368744177664
+                        WHEN 'de' THEN 140737488355328
+                        ELSE 281474976710656 END
         """,
         "doc_quality_model": r"""
             WITH f AS (

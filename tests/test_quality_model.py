@@ -64,3 +64,33 @@ def test_pretrained_matches_module_constants():
     # here silently breaks the value oracle, so pin them
     assert PRETRAINED["intercept"] == 9.0238
     assert PRETRAINED["len_band"] == -12.4405
+
+
+# -- deterministic sampling (operators/sampling.py) ---------------------
+
+def test_hash_sample_superset_and_partition_invariance(spark):
+    from mehc_curation_spark.operators.sampling import hash_sample
+
+    d = spark.read.parquet(DOCS)
+    s10 = {r[0] for r in hash_sample(d, "doc_id", 0.10)
+           .select("doc_id").collect()}
+    s30 = {r[0] for r in hash_sample(d, "doc_id", 0.30)
+           .select("doc_id").collect()}
+    assert s10 <= s30                      # growing f never drops rows
+    assert 0.04 < len(s10) / 500 < 0.18    # ~Bernoulli(0.1) on n=500
+    # partition-layout invariance: same rows from any layout
+    s10b = {r[0] for r in hash_sample(d.repartition(13), "doc_id", 0.10)
+            .select("doc_id").collect()}
+    assert s10 == s10b
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark):
+    from pyspark.sql import functions as F
+
+    from mehc_curation_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(DOCS)
+    out = stratified_sample(d, "doc_id", "lang", {"en": 0.0}, 1.0)
+    assert out.filter(F.col("lang") == "en").count() == 0
+    n_other = d.filter(F.col("lang") != "en").count()
+    assert out.count() == n_other          # default 1.0 keeps the rest
