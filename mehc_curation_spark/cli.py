@@ -202,6 +202,10 @@ def main(argv: list[str] | None = None) -> int:
                     compact_increments,
                 )
 
+                if args.target_files != 8:
+                    print("note: --target_files does not apply to "
+                          "incremental tables (always one file per "
+                          "bucket)", file=sys.stderr)
                 print(json.dumps(compact_increments(spark, args.output)))
                 return 0
             v = t.compact(spark, target_files=args.target_files)

@@ -173,6 +173,18 @@ def _collect_tagged(data_dir: str, tag: str) -> list[str]:
     return rel
 
 
+def _sweep_staging(output_path: str) -> None:
+    """Clear leftover ``_staging/`` dirs from crashed prior runs.
+    Call under the commit lock and AFTER :func:`_heal` — by then the
+    one staging dir a crash can leave load-bearing (the write-ahead
+    staged state) has been consumed, so everything left is garbage."""
+    root = os.path.join(output_path, "_staging")
+    if not os.path.isdir(root):
+        return
+    for d in os.listdir(root):
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 def _heal(labels_tbl: SnapshotTable, state_tbl: SnapshotTable) -> None:
     """Roll forward a crash between the labels commit and the state
     commit (call under the commit lock). The labels manifest is the
@@ -243,16 +255,22 @@ def _compact_bucketed(spark: SparkSession, tbl: SnapshotTable,
           .option("mergeSchema", "true").parquet(*paths))
     staging = os.path.join(tbl.path, "_staging",
                            f"compact{tbl.current_version() + 1}")
-    (df.repartition(F.col(BUCKET_COL))
-     .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging))
-    tag = f"cmp{tbl.current_version() + 1}"
-    rel = _move_in(staging, tbl.data_dir, tag)
-    props = dict(m.get("properties") or {})
-    props.pop("state_staging", None)
-    props["compaction"] = True
-    version = tbl.commit_files(
-        rel, m["schema"], properties=props,
-        replace_prefixes=[f"{b}/" for b in multi])
+    try:
+        (df.repartition(F.col(BUCKET_COL))
+         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging))
+        tag = f"cmp{tbl.current_version() + 1}"
+        rel = _move_in(staging, tbl.data_dir, tag)
+        props = dict(m.get("properties") or {})
+        props.pop("state_staging", None)
+        props["compaction"] = True
+        version = tbl.commit_files(
+            rel, m["schema"], properties=props,
+            replace_prefixes=[f"{b}/" for b in multi])
+    finally:
+        # a failed write/commit must not strand a corpus-sized staging
+        # copy (moved-in files are harmless: unreferenced by any
+        # manifest, re-tagged next attempt, swept as orphans)
+        shutil.rmtree(staging, ignore_errors=True)
     if not keep_replaced_files:
         for fs in multi.values():
             for f in fs:
@@ -260,7 +278,6 @@ def _compact_bucketed(spark: SparkSession, tbl: SnapshotTable,
                     os.unlink(os.path.join(tbl.data_dir, f))
                 except FileNotFoundError:
                     pass
-    shutil.rmtree(staging, ignore_errors=True)
     out["files_after"] = len(tbl.manifest(version)["files"])
     out["version"] = version
     return out
@@ -327,6 +344,11 @@ def run_curate_increment(
     output's properties, so the loop `stream → ingest table →
     run_curate_increment` is drivable on a schedule with no bookkeeping
     by the caller. Calling with an already-consumed version is a no-op.
+    Two source-maintenance rules follow from per-file delta tracking:
+    do NOT compact/rewrite the ingest table (renamed files would
+    re-list the corpus as new — detected and refused), and keep
+    `expire` retention deep enough that the last-consumed version's
+    manifest survives (also detected and refused otherwise).
 
     image_id values must be unique across ALL increments (they are the
     keep-first tiebreaker; a duplicate id is two claims to one row).
@@ -350,6 +372,7 @@ def run_curate_increment(
     changed = None
     try:
         _heal(labels_tbl, state_tbl)
+        _sweep_staging(output_path)
 
         first = not state_tbl.exists()
         if first and labels_tbl.exists():
@@ -403,11 +426,38 @@ def run_curate_increment(
             to = src_tbl.current_version()
             if to <= since:
                 return _noop()
+            if since and not os.path.exists(src_tbl._manifest_path(since)):
+                raise ValueError(
+                    f"{new_input_path}: snapshot v{since} (the consumed "
+                    "watermark) has been expired — the CDC delta can no "
+                    "longer be computed. Run 'table expire' on the "
+                    "source with keep_last large enough to retain the "
+                    "last-consumed version")
+            # append-only guard: a compaction/rewrite on the source
+            # renames every file, so a file-set diff would re-list the
+            # whole corpus as 'new' and double-ingest it
+            base_files = (set(src_tbl.manifest(since)["files"])
+                          if since else set())
+            if base_files - set(src_tbl.manifest(to)["files"]):
+                raise ValueError(
+                    f"{new_input_path}: files present at consumed "
+                    f"v{since} are gone at v{to} — the source history "
+                    "was rewritten (compaction/overwrite), so the "
+                    "append delta is unidentifiable. Do not compact an "
+                    "ingest table that feeds incremental curation")
             df_new = src_tbl.read_incremental(spark, since, to)
             consumed_version = to
         else:
             df_new = spark.read.parquet(new_input_path)
         if df_new.isEmpty():
+            if consumed_version is not None and not first:
+                # advance the watermark past a zero-row delta so later
+                # scheduled calls don't re-scan the same empty files
+                sm = state_tbl.manifest()
+                state_tbl.commit_files(
+                    [], sm["schema"],
+                    properties={**(sm.get("properties") or {}),
+                                "input_version_consumed": consumed_version})
             return _noop()
         # watermark bookkeeping survives parquet-path increments too
         input_table = (new_input_path if consumed_version is not None

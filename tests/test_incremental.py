@@ -364,3 +364,66 @@ def test_stream_to_bronze_to_incremental_end_to_end(
 
     assert SnapshotTable(bronze).read(spark).count() == 3000
     _assert_batch_equal(spark, out, corpus)
+
+
+def test_source_rewrite_and_expiry_are_refused(spark, corpus, tmp_path):
+    """Per-file CDC tracking refuses a source whose history was
+    rewritten (compaction renames every file → the whole corpus would
+    re-list as 'new') or whose consumed-watermark manifest was
+    expired."""
+    ingest = SnapshotTable(str(tmp_path / "ingest"))
+    out = str(tmp_path / "out")
+    _write(corpus.iloc[:500], str(tmp_path / "w0.parquet"))
+    ingest.write(spark.read.parquet(str(tmp_path / "w0.parquet")),
+                 mode="append")
+    run_curate_increment(spark, ingest.path, out, CFG)
+
+    _write(corpus.iloc[500:1000].reset_index(drop=True),
+           str(tmp_path / "w1.parquet"))
+    ingest.write(spark.read.parquet(str(tmp_path / "w1.parquet")),
+                 mode="append")
+    ingest.compact(spark, target_files=1)  # rewrites every file
+    with pytest.raises(ValueError, match="history was rewritten"):
+        run_curate_increment(spark, ingest.path, out, CFG)
+
+    # fresh pair of tables for the expiry case
+    ingest2 = SnapshotTable(str(tmp_path / "ingest2"))
+    out2 = str(tmp_path / "out2")
+    ingest2.write(spark.read.parquet(str(tmp_path / "w0.parquet")),
+                  mode="append")
+    run_curate_increment(spark, ingest2.path, out2, CFG)
+    ingest2.write(spark.read.parquet(str(tmp_path / "w1.parquet")),
+                  mode="append")
+    ingest2.expire_snapshots(keep_last=1)  # drops the consumed v1
+    with pytest.raises(ValueError, match="expired"):
+        run_curate_increment(spark, ingest2.path, out2, CFG)
+
+
+def test_empty_delta_advances_watermark(spark, corpus, tmp_path):
+    ingest = SnapshotTable(str(tmp_path / "ingest"))
+    out = str(tmp_path / "out")
+    _write(corpus.iloc[:500], str(tmp_path / "w0.parquet"))
+    ingest.write(spark.read.parquet(str(tmp_path / "w0.parquet")),
+                 mode="append")
+    run_curate_increment(spark, ingest.path, out, CFG)
+
+    empty = spark.read.parquet(str(tmp_path / "w0.parquet")).limit(0)
+    ingest.write(empty, mode="append")
+    m = run_curate_increment(spark, ingest.path, out, CFG)
+    assert m["rows_new"] == 0
+    st = SnapshotTable(os.path.join(out, "_state"))
+    assert (st.manifest()["properties"]["input_version_consumed"]
+            == ingest.current_version())
+
+
+def test_stale_staging_swept_on_next_run(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    _write(corpus.iloc[:500], str(tmp_path / "a.parquet"))
+    run_curate_increment(spark, str(tmp_path / "a.parquet"), out, CFG)
+    junk = os.path.join(out, "_staging", "deadbeef0000")
+    os.makedirs(junk)
+    open(os.path.join(junk, "leftover.parquet"), "w").close()
+    _write(corpus.iloc[500:600].reset_index(drop=True),
+           str(tmp_path / "b.parquet"))
+    run_curate_increment(spark, str(tmp_path / "b.parquet"), out, CFG)
+    assert not os.path.exists(junk)
