@@ -306,6 +306,19 @@ def doc_repetition_stats(spark, sf_dir):
     return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
+def doc_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-level boilerplate: the 5-grams recurring across the most
+    documents (distinct doc-frequency, ties broken by the ngram
+    string). Full value oracle via DuckDB unnest + list_transform."""
+    from mehc_curation_spark.operators.text_stats import (
+        corpus_frequent_ngrams,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_frequent_ngrams(d, "text", "doc_id",
+                                  n=5, min_docs=3, k=20)
+
+
 def doc_stratified_sample(spark, sf_dir):
     """Deterministic corpus-mixture rebalancing (operators/sampling.py):
     keep 25% of en, 50% of de, everything else — keyed on
@@ -1103,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_boilerplate_ngrams": doc_boilerplate_ngrams,
         "doc_quality_model": doc_quality_model,
         "doc_quality_model_check": doc_quality_model_check,
         "doc_lang_stats": doc_lang_stats,
@@ -1360,6 +1374,30 @@ def oracle_sql() -> dict[str, str]:
                          / (CASE WHEN n >= 2 THEN n - 1 END)::DOUBLE, 6)
                        AS dup_bigram_frac
             FROM s
+        """,
+        "doc_boilerplate_ngrams": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN LENGTH(TRIM(text)) > 0
+                            THEN regexp_split_to_array(LOWER(TRIM(text)),
+                                                       '[ \t\n\r]+')
+                       END AS toks
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id, u.ngram
+                FROM t, UNNEST(
+                    CASE WHEN LEN(toks) >= 5 THEN
+                        list_transform(range(1, LEN(toks) - 3),
+                            i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2] || ' ' || toks[i+3]
+                                 || ' ' || toks[i+4])
+                    END) AS u(ngram)
+            )
+            SELECT ngram, COUNT(*) AS n_docs
+            FROM g GROUP BY ngram
+            HAVING COUNT(*) >= 3
+            ORDER BY n_docs DESC, ngram
+            LIMIT 20
         """,
         "doc_stratified_sample": """
             WITH u AS (

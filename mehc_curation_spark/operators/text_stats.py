@@ -87,6 +87,40 @@ def repetition_stats_cols(c: Column) -> dict[str, Column]:
     }
 
 
+def corpus_frequent_ngrams(df: DataFrame, text_col: str, id_col: str,
+                           n: int = 5, min_docs: int = 3,
+                           k: int = 20) -> DataFrame:
+    """Corpus-level boilerplate detection: the word n-grams that recur
+    across the most documents (site headers, license blurbs, template
+    spam — the spans substring-dedup papers target, cf. Lee et al.
+    2022, arXiv:2107.06499, scoped here to fixed-length n-grams so the
+    whole computation is two aggregations).
+
+    Physical shape at scale: shingles explode map-side, then the
+    (ngram, doc) pairs are DISTINCT'd before counting — so a document
+    repeating one n-gram 10^4 times contributes one row to the count
+    shuffle, and the per-ngram count aggregation enjoys map-side
+    partial combine (no count_distinct value shuffle). Deterministic
+    output: ties broken by the ngram string itself.
+
+    Returns (ngram, n_docs), the top ``k`` by document frequency."""
+    c = F.col(text_col)
+    toks = F.when(F.length(F.trim(c)) > 0,
+                  F.split(F.lower(F.trim(c)), "[ \t\n\r]+"))
+    nt = F.size(toks)
+    grams = F.when(nt >= n, F.transform(
+        F.sequence(F.lit(1), nt - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)])))
+    pairs = (df.select(F.col(id_col).alias("_doc"),
+                       F.explode(grams).alias("ngram"))
+             .distinct())
+    counts = pairs.groupBy("ngram").agg(F.count("*").alias("n_docs"))
+    return (counts.filter(F.col("n_docs") >= min_docs)
+            .orderBy(F.col("n_docs").desc(), F.col("ngram"))
+            .limit(k))
+
+
 def salted_lang_stats(df: DataFrame, lang_col: str = "lang",
                       len_col: str = "n_chars", salt: int = 8) -> DataFrame:
     """Per-language stats via two-phase salted aggregation.
