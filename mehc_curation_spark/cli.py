@@ -121,6 +121,23 @@ def build_parser() -> argparse.ArgumentParser:
     cd.add_argument("--cores", type=int, default=-1)
     cd.add_argument("--master", default=None)
 
+    qs = sub.add_parser(
+        "qscore",
+        help="model-based quality scoring (distilled linear model "
+             "served as a Catalyst expression; graft-only capability)")
+    qs.add_argument("-i", "--input", required=True,
+                    help="corpus parquet with a text column")
+    qs.add_argument("-o", "--output", required=True)
+    qs.add_argument("--text_col", default="text")
+    qs.add_argument("--threshold", type=float, default=0.5)
+    qs.add_argument("--train", action="store_true",
+                    help="re-distill the model on this corpus's "
+                         "heuristic labels instead of the frozen "
+                         "pretrained weights; writes coefficients "
+                         "to <output>/model.json")
+    qs.add_argument("--cores", type=int, default=-1)
+    qs.add_argument("--master", default=None)
+
     pk = sub.add_parser("package", help="build the --py-files zip")
     pk.add_argument("-o", "--output", default="mehc_curation_spark.zip")
 
@@ -211,6 +228,40 @@ def main(argv: list[str] | None = None) -> int:
             v = t.compact(spark, target_files=args.target_files)
             print(json.dumps({"compacted_version": v,
                               "files": len(t.manifest(v)["files"])}))
+            return 0
+
+        if args.cmd == "qscore":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators.quality_model import (
+                PRETRAINED,
+                heuristic_labels,
+                score_quality,
+                train_quality_model,
+            )
+
+            df = spark.read.parquet(args.input)
+            coef = PRETRAINED
+            if args.train:
+                coef = train_quality_model(
+                    heuristic_labels(df, args.text_col), args.text_col)
+                os.makedirs(args.output, exist_ok=True)
+                with open(os.path.join(args.output, "model.json"),
+                          "w") as f:
+                    json.dump(coef, f, indent=2, sort_keys=True)
+            scored = score_quality(df, args.text_col, coef,
+                                   threshold=args.threshold)
+            scored.write.mode("overwrite").parquet(
+                os.path.join(args.output, "scores"))
+            agg = (spark.read.parquet(os.path.join(args.output, "scores"))
+                   .agg(F.count("*").alias("n"),
+                        F.sum(F.col("q_keep").cast("int")).alias("kept"),
+                        F.round(F.avg("q_score"), 4).alias("mean_score"))
+                   .first())
+            print(json.dumps({"rows": agg["n"], "kept": int(agg["kept"]),
+                              "mean_score": agg["mean_score"],
+                              "trained": bool(args.train),
+                              "threshold": args.threshold}))
             return 0
 
         if args.cmd == "crossdedup":

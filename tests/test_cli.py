@@ -218,3 +218,21 @@ def test_curate_incremental_cli(tmp_path_factory):
                      .stdout.strip().splitlines()[-1])
     assert res["labels"]["files_after"] <= res["labels"]["files_before"]
     assert reason_totals(out) == reason_totals(out_b)
+
+
+def test_qscore_cli(tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli_qs")
+    out = str(base / "out")
+    res = json.loads(_run(
+        ["qscore", "-i", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out, "--train", "--cores", "4"]).stdout.strip()
+        .splitlines()[-1])
+    assert res["rows"] == 500 and res["trained"] is True
+    assert 0 < res["kept"] < res["rows"]
+    with open(os.path.join(out, "model.json")) as f:
+        coef = json.load(f)
+    assert "intercept" in coef and coef["len_band"] < 0
+    n_scored = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/scores/*.parquet') "
+        "WHERE q_score BETWEEN 0 AND 1").fetchone()[0]
+    assert n_scored == 500
