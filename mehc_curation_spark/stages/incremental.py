@@ -51,12 +51,13 @@ Physical shape at scale (the 100 TB story):
   files are unlinked AFTER the commit succeeds (pass
   ``keep_replaced_files=True`` to retain full time travel instead —
   default reclaims immediately, like `expire_snapshots`).
-- The per-bucket ledger stays authoritative for resume/reporting:
-  touched buckets' counters are recomputed from the committed data
-  (absolute, not delta — idempotent), and the published per-language
-  stats are rebuilt from the labels table (slim columns, ~1% of input
-  size) because retractions change kept-counts in ways per-run deltas
-  cannot describe.
+- The per-bucket ledger and the published per-language stats update
+  by INCREMENT-SIZED delta arithmetic (new rows add; the `changed`
+  frame describes every retraction flip exactly), so the
+  every-increment cost never includes a committed-table scan. A crash
+  between the snapshot commits and the ledger publish is detected via
+  an inc_meta watermark and healed by a one-off absolute recompute
+  (:func:`_heal_ledger`) — the rare path pays the scan.
 
 Durability & concurrency contract:
 
@@ -171,6 +172,107 @@ def _collect_tagged(data_dir: str, tag: str) -> list[str]:
             if f.startswith(f"{tag}-") and f.endswith(".parquet"):
                 rel.append(f"{b}/{f}")
     return rel
+
+
+def _delta_bucket_counters(ledger: Ledger, new_labels: DataFrame,
+                           changed: Optional[DataFrame]) -> dict[int, dict]:
+    """Absolute per-bucket counters for every touched bucket, computed
+    from the PRIOR ledger entries plus increment-sized deltas (new
+    rows, and label flips of changed old rows) — never a scan of the
+    committed table. Exactly equals what an absolute recompute yields
+    (tests pin parity against a batch run)."""
+    prior = ledger.read()["buckets"]
+    per_bucket: dict[int, dict] = {}
+
+    def entry(b: int) -> dict:
+        if b not in per_bucket:
+            p = prior.get(str(b))
+            per_bucket[b] = ({"rows": p["rows"], "kept": p["kept"],
+                              "dropped": dict(p["dropped"])} if p
+                             else {"rows": 0, "kept": 0, "dropped": {}})
+        return per_bucket[b]
+
+    for r in (new_labels.groupBy(BUCKET_COL, "drop_reason")
+              .agg(F.count("*").alias("n")).collect()):
+        e = entry(int(r[BUCKET_COL]))
+        e["rows"] += r["n"]
+        if r["drop_reason"] is None:
+            e["kept"] += r["n"]
+        else:
+            e["dropped"][r["drop_reason"]] = \
+                e["dropped"].get(r["drop_reason"], 0) + r["n"]
+    if changed is not None:
+        for r in (changed.groupBy(BUCKET_COL, "_was_reason", "drop_reason")
+                  .agg(F.count("*").alias("n")).collect()):
+            e = entry(int(r[BUCKET_COL]))
+            if r["_was_reason"] is None:
+                e["kept"] -= r["n"]
+            else:
+                e["dropped"][r["_was_reason"]] = \
+                    e["dropped"].get(r["_was_reason"], 0) - r["n"]
+            if r["drop_reason"] is None:
+                e["kept"] += r["n"]
+            else:
+                e["dropped"][r["drop_reason"]] = \
+                    e["dropped"].get(r["drop_reason"], 0) + r["n"]
+    for e in per_bucket.values():
+        e["dropped"] = {k: v for k, v in e["dropped"].items() if v}
+    return per_bucket
+
+
+def _delta_lang_stats(ledger: Ledger, new_labels: DataFrame,
+                      changed: Optional[DataFrame],
+                      salt_factor: int) -> dict:
+    """Published per-language stats from PRIOR raw sums plus
+    increment-sized deltas: new rows add (rows, kept, ppl_sum);
+    changed old rows adjust kept only (their lang/ppl are unchanged —
+    retraction flips the keep bit)."""
+    sums = {
+        lang: {"rows": int(e.get("rows", 0)), "kept": int(e.get("kept", 0)),
+               "ppl_sum": float(e.get("ppl_sum", 0.0))}
+        for lang, e in (ledger.read_aux("lang_stats.json") or {}).items()
+    }
+    for lang, e in salted_lang_sums(new_labels, salt_factor).items():
+        s = sums.setdefault(lang, {"rows": 0, "kept": 0, "ppl_sum": 0.0})
+        s["rows"] += e["rows"]
+        s["kept"] += e["kept"]
+        s["ppl_sum"] += e["ppl_sum"]
+    if changed is not None:
+        for r in (changed.groupBy("lang")
+                  .agg(F.sum(F.col("keep").cast("int")).alias("now"),
+                       F.sum(F.col("_was_kept").cast("int")).alias("was"))
+                  .collect()):
+            sums[r["lang"]]["kept"] += int(r["now"]) - int(r["was"])
+    return finalize_lang_stats(sums)
+
+
+def _heal_ledger(spark: SparkSession, ledger: Ledger,
+                 labels_tbl: SnapshotTable,
+                 config: CurationConfig) -> None:
+    """A crash between the snapshot commits and the ledger publish
+    leaves the ledger one increment behind the table. Detected via the
+    inc_meta watermark (written LAST in the publish sequence); healed
+    by an ABSOLUTE recompute of the crashed increment's touched
+    buckets + the full per-language stats — the rare path pays the
+    table scan so the every-increment path never has to."""
+    if not labels_tbl.exists():
+        return
+    props = labels_tbl.manifest().get("properties") or {}
+    lab_inc = props.get("inc_id")
+    if lab_inc is None:
+        return
+    led_inc = (ledger.read_aux("inc_meta.json") or {}).get("inc_id", 0)
+    if led_inc >= lab_inc:
+        return
+    buckets = props.get("aff_buckets")
+    labels = labels_tbl.read(spark)
+    scope = (labels.filter(F.col(BUCKET_COL).isin(
+        [int(b) for b in buckets])) if buckets else labels)
+    per_bucket = per_bucket_counters(scope)
+    ledger.write_aux("lang_stats.json", finalize_lang_stats(
+        salted_lang_sums(labels, config.salt_factor)))
+    ledger.publish_buckets(per_bucket, 0.0)
+    ledger.write_aux("inc_meta.json", {"inc_id": lab_inc})
 
 
 def _sweep_staging(output_path: str) -> None:
@@ -372,6 +474,7 @@ def run_curate_increment(
     changed = None
     try:
         _heal(labels_tbl, state_tbl)
+        _heal_ledger(spark, ledger, labels_tbl, config)
         _sweep_staging(output_path)
 
         first = not state_tbl.exists()
@@ -525,7 +628,8 @@ def run_curate_increment(
                 old_relabel.alias("n")
                 .join(cur_aff.alias("o"), ID_COL)
                 .filter(~same)
-                .select("n.*", F.col("o.keep").alias("_was_kept"))
+                .select("n.*", F.col("o.keep").alias("_was_kept"),
+                        F.col("o.drop_reason").alias("_was_reason"))
                 .cache())
             n_changed = changed.count()
             n_retracted = changed.filter(
@@ -587,6 +691,7 @@ def run_curate_increment(
             properties={"inc_id": inc_id, "rows_new": n_new,
                         "relabeled_old": n_changed,
                         "rewrite_buckets": rewrite_buckets,
+                        "aff_buckets": aff_buckets,
                         "state_staging": stg_state,
                         "state_schema": state_new.schema.json(),
                         "config_fp": fp,
@@ -615,16 +720,19 @@ def run_curate_increment(
                         "input_table": input_table,
                         "input_version_consumed": input_ver})
 
-        per_bucket = per_bucket_counters(
-            labels_tbl.read(spark).filter(
-                F.col(BUCKET_COL).isin([int(b) for b in aff_buckets])))
-        # absolute recompute over the whole labels table: retractions
-        # change kept-counts of PAST increments, so per-run deltas
-        # cannot describe the published stats
-        lang_stats = finalize_lang_stats(
-            salted_lang_sums(labels_tbl.read(spark), config.salt_factor))
+        # ledger + stats from increment-sized deltas (never a scan of
+        # the committed table — the every-increment cost must be
+        # proportional to the increment, not the corpus; retraction
+        # flips are exactly described by the `changed` frame). The
+        # inc_meta watermark goes LAST: if a crash lands between the
+        # snapshot commits and here, _heal_ledger detects the gap next
+        # run and pays a one-off absolute recompute.
+        per_bucket = _delta_bucket_counters(ledger, new_labels, changed)
+        lang_stats = _delta_lang_stats(ledger, new_labels, changed,
+                                       config.salt_factor)
         ledger.write_aux("lang_stats.json", lang_stats)
         ledger.publish_buckets(per_bucket, elapsed)
+        ledger.write_aux("inc_meta.json", {"inc_id": inc_id})
 
         for d in staged_dirs:
             shutil.rmtree(d, ignore_errors=True)

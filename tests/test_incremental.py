@@ -427,3 +427,44 @@ def test_stale_staging_swept_on_next_run(spark, corpus, tmp_path):
            str(tmp_path / "b.parquet"))
     run_curate_increment(spark, str(tmp_path / "b.parquet"), out, CFG)
     assert not os.path.exists(junk)
+
+
+def test_crash_before_ledger_publish_heals(
+        spark, corpus, tmp_path, monkeypatch):
+    """Kill the run between the snapshot commits and the ledger
+    publish; the next increment's _heal_ledger must absolute-recompute
+    the gap so the delta-based counters stay exact."""
+    out = str(tmp_path / "out")
+    chunks = [corpus.iloc[i::3].reset_index(drop=True) for i in range(3)]
+    run_curate_increment(
+        spark, _write(chunks[0], str(tmp_path / "l0.parquet")), out, CFG)
+
+    orig = Ledger.publish_buckets
+    armed = {"on": True}
+
+    def failing(self, *a, **k):
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("simulated crash before ledger publish")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(Ledger, "publish_buckets", failing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_curate_increment(
+            spark, _write(chunks[1], str(tmp_path / "l1.parquet")),
+            out, CFG)
+    monkeypatch.setattr(Ledger, "publish_buckets", orig)
+
+    run_curate_increment(
+        spark, _write(chunks[2], str(tmp_path / "l2.parquet")), out, CFG)
+
+    # ledger totals must equal an absolute recompute of the table
+    led = Ledger(out).read()["buckets"]
+    labels = SnapshotTable(out).read(spark)
+    from mehc_curation_spark.stages.refinement import per_bucket_counters
+    absolute = per_bucket_counters(labels)
+    got = {int(b): e for b, e in
+           ((b, {"rows": e["rows"], "kept": e["kept"],
+                 "dropped": e["dropped"]}) for b, e in led.items())}
+    assert got == absolute
+    _assert_batch_equal(spark, out, corpus)
