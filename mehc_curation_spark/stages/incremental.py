@@ -174,13 +174,14 @@ def _collect_tagged(data_dir: str, tag: str) -> list[str]:
     return rel
 
 
-def _delta_bucket_counters(ledger: Ledger, new_labels: DataFrame,
-                           changed: Optional[DataFrame]) -> dict[int, dict]:
+def _delta_bucket_counters(ledger: Ledger, new_rows_agg: list,
+                           flip_rows: list) -> dict[int, dict]:
     """Absolute per-bucket counters for every touched bucket, computed
     from the PRIOR ledger entries plus increment-sized deltas (new
     rows, and label flips of changed old rows) — never a scan of the
-    committed table. Exactly equals what an absolute recompute yields
-    (tests pin parity against a batch run)."""
+    committed table, never an extra Spark job (the two collected
+    aggregates serve every metric). Exactly equals what an absolute
+    recompute yields (tests pin parity against a batch run)."""
     prior = ledger.read()["buckets"]
     per_bucket: dict[int, dict] = {}
 
@@ -192,8 +193,7 @@ def _delta_bucket_counters(ledger: Ledger, new_labels: DataFrame,
                              else {"rows": 0, "kept": 0, "dropped": {}})
         return per_bucket[b]
 
-    for r in (new_labels.groupBy(BUCKET_COL, "drop_reason")
-              .agg(F.count("*").alias("n")).collect()):
+    for r in new_rows_agg:
         e = entry(int(r[BUCKET_COL]))
         e["rows"] += r["n"]
         if r["drop_reason"] is None:
@@ -201,28 +201,25 @@ def _delta_bucket_counters(ledger: Ledger, new_labels: DataFrame,
         else:
             e["dropped"][r["drop_reason"]] = \
                 e["dropped"].get(r["drop_reason"], 0) + r["n"]
-    if changed is not None:
-        for r in (changed.groupBy(BUCKET_COL, "_was_reason", "drop_reason")
-                  .agg(F.count("*").alias("n")).collect()):
-            e = entry(int(r[BUCKET_COL]))
-            if r["_was_reason"] is None:
-                e["kept"] -= r["n"]
-            else:
-                e["dropped"][r["_was_reason"]] = \
-                    e["dropped"].get(r["_was_reason"], 0) - r["n"]
-            if r["drop_reason"] is None:
-                e["kept"] += r["n"]
-            else:
-                e["dropped"][r["drop_reason"]] = \
-                    e["dropped"].get(r["drop_reason"], 0) + r["n"]
+    for r in flip_rows:
+        e = entry(int(r[BUCKET_COL]))
+        if r["_was_reason"] is None:
+            e["kept"] -= r["n"]
+        else:
+            e["dropped"][r["_was_reason"]] = \
+                e["dropped"].get(r["_was_reason"], 0) - r["n"]
+        if r["drop_reason"] is None:
+            e["kept"] += r["n"]
+        else:
+            e["dropped"][r["drop_reason"]] = \
+                e["dropped"].get(r["drop_reason"], 0) + r["n"]
     for e in per_bucket.values():
         e["dropped"] = {k: v for k, v in e["dropped"].items() if v}
     return per_bucket
 
 
-def _delta_lang_stats(ledger: Ledger, new_labels: DataFrame,
-                      changed: Optional[DataFrame],
-                      salt_factor: int) -> dict:
+def _delta_lang_stats(ledger: Ledger, new_rows_agg: list,
+                      flip_rows: list) -> dict:
     """Published per-language stats from PRIOR raw sums plus
     increment-sized deltas: new rows add (rows, kept, ppl_sum);
     changed old rows adjust kept only (their lang/ppl are unchanged —
@@ -232,17 +229,18 @@ def _delta_lang_stats(ledger: Ledger, new_labels: DataFrame,
                "ppl_sum": float(e.get("ppl_sum", 0.0))}
         for lang, e in (ledger.read_aux("lang_stats.json") or {}).items()
     }
-    for lang, e in salted_lang_sums(new_labels, salt_factor).items():
-        s = sums.setdefault(lang, {"rows": 0, "kept": 0, "ppl_sum": 0.0})
-        s["rows"] += e["rows"]
-        s["kept"] += e["kept"]
-        s["ppl_sum"] += e["ppl_sum"]
-    if changed is not None:
-        for r in (changed.groupBy("lang")
-                  .agg(F.sum(F.col("keep").cast("int")).alias("now"),
-                       F.sum(F.col("_was_kept").cast("int")).alias("was"))
-                  .collect()):
-            sums[r["lang"]]["kept"] += int(r["now"]) - int(r["was"])
+    for r in new_rows_agg:
+        s = sums.setdefault(r["lang"],
+                            {"rows": 0, "kept": 0, "ppl_sum": 0.0})
+        s["rows"] += r["n"]
+        if r["drop_reason"] is None:
+            s["kept"] += r["n"]
+        s["ppl_sum"] += float(r["ppl_sum"])
+    for r in flip_rows:
+        if r["_was_reason"] is None:
+            sums[r["lang"]]["kept"] -= r["n"]
+        if r["drop_reason"] is None:
+            sums[r["lang"]]["kept"] += r["n"]
     return finalize_lang_stats(sums)
 
 
@@ -610,10 +608,19 @@ def run_curate_increment(
         la = spark.read.parquet(stg_lab)
 
         new_labels = la.filter(F.col("_is_new")).drop("_is_new")
+        # ONE aggregation pass serves every new-row metric (counts,
+        # per-bucket ledger deltas, per-language sums) — scheduled
+        # increments live or die on fixed per-job latency
+        new_rows_agg = (new_labels
+                        .groupBy(BUCKET_COL, "drop_reason", "lang")
+                        .agg(F.count("*").alias("n"),
+                             F.sum("ppl").alias("ppl_sum")).collect())
+        n_new = sum(r["n"] for r in new_rows_agg)
+        kept_new = sum(r["n"] for r in new_rows_agg
+                       if r["drop_reason"] is None)
 
         # ---- 3. diff old labels → retractions / relabels --------------
-        n_changed = n_retracted = 0
-        rewrite_buckets: list[int] = []
+        flip_rows: list = []
         if not first:
             cur = labels_tbl.read(spark)
             cur_aff = (cur.filter(F.col(BUCKET_COL).isin(aff_buckets))
@@ -631,11 +638,17 @@ def run_curate_increment(
                 .select("n.*", F.col("o.keep").alias("_was_kept"),
                         F.col("o.drop_reason").alias("_was_reason"))
                 .cache())
-            n_changed = changed.count()
-            n_retracted = changed.filter(
-                F.col("_was_kept") & ~F.col("keep")).count()
-            rewrite_buckets = sorted(
-                r[0] for r in changed.select(BUCKET_COL).distinct().collect())
+            # the flip aggregate is the single job all change metrics
+            # and deltas derive from
+            flip_rows = (changed
+                         .groupBy(BUCKET_COL, "_was_reason",
+                                  "drop_reason", "lang")
+                         .agg(F.count("*").alias("n")).collect())
+        n_changed = sum(r["n"] for r in flip_rows)
+        n_retracted = sum(r["n"] for r in flip_rows
+                          if r["_was_reason"] is None
+                          and r["drop_reason"] is not None)
+        rewrite_buckets = sorted({int(r[BUCKET_COL]) for r in flip_rows})
 
         append_buckets = sorted(set(aff_buckets) - set(rewrite_buckets))
 
@@ -666,8 +679,6 @@ def run_curate_increment(
              .write.mode("overwrite").partitionBy(BUCKET_COL)
              .parquet(stg_rw))
 
-        n_new = state_new.count()
-        kept_new = int(new_labels.filter("keep").count())
         elapsed = time.time() - t0
 
         # ---- 5. durable commit (manifest swap is the atomic step) -----
@@ -727,9 +738,8 @@ def run_curate_increment(
         # inc_meta watermark goes LAST: if a crash lands between the
         # snapshot commits and here, _heal_ledger detects the gap next
         # run and pays a one-off absolute recompute.
-        per_bucket = _delta_bucket_counters(ledger, new_labels, changed)
-        lang_stats = _delta_lang_stats(ledger, new_labels, changed,
-                                       config.salt_factor)
+        per_bucket = _delta_bucket_counters(ledger, new_rows_agg, flip_rows)
+        lang_stats = _delta_lang_stats(ledger, new_rows_agg, flip_rows)
         ledger.write_aux("lang_stats.json", lang_stats)
         ledger.publish_buckets(per_bucket, elapsed)
         ledger.write_aux("inc_meta.json", {"inc_id": inc_id})
