@@ -436,6 +436,28 @@ def doc_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard(d, pairs, "doc_id", "text", shingle_k=3)
 
 
+def doc_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution: candidate pairs (same 30-char
+    prefix, word-trigram Jaccard >= 0.5) become edges; connected
+    components (large-star/small-star) assign one cluster per doc;
+    the longest doc per cluster is elected representative. The DuckDB
+    oracle recomputes the components with a recursive transitive-
+    closure CTE — a full value oracle for the iterative graph
+    algorithm."""
+    from mehc_curation_spark.operators.graph import near_dup_clusters
+    from mehc_curation_spark.operators.similarity import ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.substring("text", 1, 30).alias("k"))
+    a = keyed.select(F.col("doc_id").alias("id_a"), "k")
+    b = keyed.select(F.col("doc_id").alias("id_b"), "k")
+    pairs = a.join(b, "k").filter(F.col("id_a") < F.col("id_b")) \
+             .select("id_a", "id_b")
+    jac = ngram_jaccard(d, pairs, "doc_id", "text", shingle_k=3)
+    edges = jac.filter(F.col("jaccard") >= 0.5).select("id_a", "id_b")
+    return near_dup_clusters(d, edges, "doc_id", quality_col="n_chars")
+
+
 def doc_fingerprint(spark, sf_dir):
     from mehc_curation_spark.operators.text_stats import fingerprint_col
 
@@ -1096,6 +1118,24 @@ def pairs_phash_neardup(spark, sf_dir):
     return phash_near_dups(df, "phash", "image_id", max_hamming=4)
 
 
+def pairs_phash_clusters(spark, sf_dir):
+    """Image near-dup clusters: phash-hamming pairs (<= 4 bits) as
+    edges, connected components, then one representative per cluster
+    by largest pixel area (ties -> smallest image_id). At hamming 4
+    the pair graph chains (a~b~c with hamming(a,c) > 4), so cluster
+    semantics genuinely differ from pair semantics — the oracle's
+    recursive closure proves the Spark iteration resolves the same
+    transitive groups."""
+    from mehc_curation_spark.operators.graph import near_dup_clusters
+    from mehc_curation_spark.operators.similarity import phash_near_dups
+
+    df = spark.read.parquet(_pairs_path())
+    pairs = phash_near_dups(df, "phash", "image_id", max_hamming=4) \
+        .select("id_a", "id_b")
+    imgs = df.select("image_id", (F.col("w") * F.col("h")).alias("area"))
+    return near_dup_clusters(imgs, pairs, "image_id", quality_col="area")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1123,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": doc_exact_dedup,
         "doc_dedup_dropall": doc_dedup_dropall,
         "doc_ngram_jaccard": doc_ngram_jaccard,
+        "doc_dedup_clusters": doc_dedup_clusters,
         "doc_fingerprint": doc_fingerprint,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
@@ -1133,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": doc_simhash,
         "doc_simhash_neardup": doc_simhash_neardup,
         "pairs_phash_neardup": pairs_phash_neardup,
+        "pairs_phash_clusters": pairs_phash_clusters,
         "clips_audio_features": clips_audio_features,
         "videos_frame_sample": videos_frame_sample,
         # property-assertion checks (oracle states the expected outcome)
@@ -1508,6 +1550,43 @@ def oracle_sql() -> dict[str, str]:
                          6) AS jaccard
             FROM sh x JOIN sh y ON x.k = y.k AND x.doc_id < y.doc_id
         """,
+        # full value oracle for the ITERATIVE graph algorithm: DuckDB
+        # computes the same connected components by recursive
+        # transitive closure (set-semantics UNION terminates it), then
+        # elects the same representative per cluster.
+        "doc_dedup_clusters": r"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id, substr(text, 1, 30) AS k,
+                       list_distinct(list_transform(
+                           range(1, len(a)-1),
+                           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS grams
+                FROM (SELECT doc_id, text,
+                             string_split_regex(trim(lower(text)), '[ \t\n\r]+') AS a
+                      FROM documents)
+            ),
+            jac AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM sh x JOIN sh y ON x.k = y.k AND x.doc_id < y.doc_id
+                WHERE ROUND(len(list_intersect(x.grams, y.grams))
+                            / GREATEST(len(list_distinct(x.grams || y.grams)), 1)::DOUBLE,
+                            6) >= 0.5
+            ),
+            sym AS (SELECT a, b FROM jac UNION SELECT b, a FROM jac),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+                     FROM reach GROUP BY a)
+            SELECT d.doc_id,
+                   COALESCE(c.cluster, d.doc_id) AS cluster,
+                   (ROW_NUMBER() OVER (
+                        PARTITION BY COALESCE(c.cluster, d.doc_id)
+                        ORDER BY d.n_chars DESC, d.doc_id) = 1) AS is_rep,
+                   d.n_chars
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        """,
         "doc_fingerprint": r"""
             SELECT doc_id,
                    substr(md5(regexp_replace(lower(trim(text)),
@@ -1609,6 +1688,31 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_pairs_cache_file()}') a
             JOIN read_parquet('{_pairs_cache_file()}') b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 4
+        """,
+        "pairs_phash_clusters": f"""
+            WITH RECURSIVE pr AS (
+                SELECT a.image_id AS a, b.image_id AS b
+                FROM read_parquet('{_pairs_cache_file()}') a
+                JOIN read_parquet('{_pairs_cache_file()}') b
+                  ON a.image_id < b.image_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 4
+            ),
+            sym AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+                     FROM reach GROUP BY a)
+            SELECT i.image_id,
+                   COALESCE(c.cluster, i.image_id) AS cluster,
+                   (ROW_NUMBER() OVER (
+                        PARTITION BY COALESCE(c.cluster, i.image_id)
+                        ORDER BY (i.w * i.h) DESC, i.image_id) = 1) AS is_rep,
+                   CAST(i.w * i.h AS INTEGER) AS area
+            FROM read_parquet('{_pairs_cache_file()}') i
+            LEFT JOIN comp c ON i.image_id = c.id
         """,
         # multimodal fake-codec paths: payloads are deterministic
         # renderings of driver tables, so decode output is reproducible
