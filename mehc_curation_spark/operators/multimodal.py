@@ -119,6 +119,128 @@ def image_thumbnails(df: DataFrame, size: int = 16) -> DataFrame:
             .mapInPandas(run, THUMBNAIL_SCHEMA))
 
 
+IMAGE_QUALITY_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("decode_ok", BooleanType()),
+    StructField("min_dim", IntegerType()),
+    StructField("aspect", DoubleType()),
+    StructField("blur_var", DoubleType()),
+    StructField("entropy", DoubleType()),
+    StructField("flat_frac", DoubleType()),
+])
+
+
+def quality_metrics(px: np.ndarray) -> tuple[int, float, float, float, float]:
+    """Scalar quality kernel over one decoded image (h, w, 3 uint8).
+
+    Single source of truth shared by the distributed UDF and the
+    in-process recompute check (same parity strategy as the curate
+    rules — scalar twin == distributed twin by construction).
+
+    Returns (min_dim, aspect, blur_var, entropy, flat_frac):
+
+    - ``blur_var``: variance of the 5-point Laplacian of luminance —
+      the classic no-reference blur detector (Pech-Pacheco et al.,
+      ICPR 2000); near-zero for defocused/smooth images.
+    - ``entropy``: Shannon entropy (bits) of the 256-bin luminance
+      histogram; near-zero for blank/placeholder images.
+    - ``flat_frac``: modal-bin share of the luminance histogram; ~1.0
+      for solid-color images (catches high-entropy-but-flat edge cases
+      the entropy bound alone misses and vice versa).
+
+    All floats rounded to 4 decimals so distributed/local runs compare
+    exactly.
+    """
+    h, w = int(px.shape[0]), int(px.shape[1])
+    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    min_dim = min(h, w)
+    aspect = round(max(h, w) / max(min_dim, 1), 4)
+    if h >= 3 and w >= 3:
+        lap = (4.0 * luma[1:-1, 1:-1] - luma[:-2, 1:-1] - luma[2:, 1:-1]
+               - luma[1:-1, :-2] - luma[1:-1, 2:])
+        blur_var = round(float(lap.var()), 4)
+    else:
+        blur_var = 0.0
+    counts = np.bincount(
+        np.clip(np.round(luma), 0, 255).astype(np.int64).ravel(),
+        minlength=256)
+    p = counts[counts > 0] / luma.size
+    entropy = round(float(-(p * np.log2(p)).sum()), 4)
+    flat_frac = round(float(counts.max()) / luma.size, 4)
+    return min_dim, aspect, blur_var, entropy, flat_frac
+
+
+def image_quality(df: DataFrame) -> DataFrame:
+    """No-reference image quality signals (REAL — NumPy codecs decode
+    the payload; see :func:`quality_metrics` for the kernel).
+
+    The web-scale gate the caption-side heuristics can't provide:
+    drop tiny / extreme-aspect / blurred / flat / low-entropy images
+    before they cost training compute. One decode per image inside the
+    Arrow stage; only the scalar metrics come back, so the binary
+    payload crosses the JVM->Python boundary once and never shuffles.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mehc_curation_spark.codecs.image import DecodeError, decode_image
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                    rows.append((r.image_id, True) + quality_metrics(px))
+                except (DecodeError, TypeError, ValueError):
+                    rows.append((r.image_id, False,
+                                 None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              IMAGE_QUALITY_SCHEMA.fields])
+
+    return (df.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(run, IMAGE_QUALITY_SCHEMA))
+
+
+# gate reasons in evaluation order (first failing rule wins, matching
+# the curate pipeline's drop_reason convention)
+IMAGE_QUALITY_REASONS = (
+    ("img_undecodable", None),
+    ("img_too_small", "min_dim"),
+    ("img_extreme_aspect", "aspect"),
+    ("img_blurry", "blur_var"),
+    ("img_low_entropy", "entropy"),
+    ("img_flat", "flat_frac"),
+)
+
+
+def image_quality_gate(df: DataFrame, min_dim: int = 32,
+                       max_aspect: float = 4.0, min_blur_var: float = 10.0,
+                       min_entropy: float = 2.0,
+                       max_flat_frac: float = 0.9) -> DataFrame:
+    """Keep/drop gate over :func:`image_quality` signals.
+
+    Decode + metrics run in the Arrow stage; the thresholds themselves
+    are pure Catalyst expressions over the returned scalars, so tuning
+    a threshold re-plans JVM-side without touching Python. Returns
+    (image_id, metrics..., keep, drop_reason) with the first failing
+    rule as the reason.
+    """
+    from pyspark.sql import functions as F
+
+    q = image_quality(df)
+    checks = [
+        ("img_undecodable", ~F.col("decode_ok")),
+        ("img_too_small", F.col("min_dim") < F.lit(min_dim)),
+        ("img_extreme_aspect", F.col("aspect") > F.lit(max_aspect)),
+        ("img_blurry", F.col("blur_var") < F.lit(min_blur_var)),
+        ("img_low_entropy", F.col("entropy") < F.lit(min_entropy)),
+        ("img_flat", F.col("flat_frac") > F.lit(max_flat_frac)),
+    ]
+    reason = F.lit(None).cast(StringType())
+    for name, cond in reversed(checks):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return q.select("*", reason.alias("drop_reason")) \
+            .withColumn("keep", F.col("drop_reason").isNull())
+
+
 def fake_decode_audio(data: bytes | None) -> np.ndarray:
     """Deterministic fake audio decoder: the payload IS raw
     little-endian int16 PCM (a trailing odd byte is ignored). This is
