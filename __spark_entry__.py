@@ -458,6 +458,29 @@ def doc_dedup_clusters(spark, sf_dir):
     return near_dup_clusters(d, edges, "doc_id", quality_col="n_chars")
 
 
+def doc_source_reputation(spark, sf_dir):
+    """Domain/source-level reputation filtering (C4/RefinedWeb shape):
+    per-source exact-dup rate + repetition + token stats via two-phase
+    salted aggregation, with a wholesale flagged verdict. Full value
+    oracle (plain SQL aggregation — the salt changes the physical
+    plan, never the result)."""
+    from mehc_curation_spark.operators.text_stats import source_reputation
+
+    d = _t(spark, sf_dir, "documents")
+    return source_reputation(d, max_dup_rate=0.5, max_rep=0.5)
+
+
+def doc_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup signals: per-doc counts of 12-token
+    window fingerprints shared with other docs, plus the keep-first
+    drop flag. Entirely Catalyst (md5 over slice/array_join), so the
+    DuckDB oracle reproduces every value."""
+    from mehc_curation_spark.operators.similarity import substring_dup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return substring_dup_stats(d, "doc_id", "text", k=12)
+
+
 def doc_fingerprint(spark, sf_dir):
     from mehc_curation_spark.operators.text_stats import fingerprint_col
 
@@ -1219,6 +1242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_dropall": doc_dedup_dropall,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_dedup_clusters": doc_dedup_clusters,
+        "doc_substring_dedup": doc_substring_dedup,
+        "doc_source_reputation": doc_source_reputation,
         "doc_fingerprint": doc_fingerprint,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
@@ -1643,6 +1668,73 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY d.n_chars DESC, d.doc_id) = 1) AS is_rep,
                    d.n_chars
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        """,
+        "doc_source_reputation": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE LEN(regexp_split_to_array(TRIM(text),
+                                                           '[ \t\n\r]+'))
+                       END AS n_tok,
+                       CASE WHEN LENGTH(TRIM(text)) > 0
+                            THEN regexp_split_to_array(LOWER(TRIM(text)),
+                                                       '[ \t\n\r]+')
+                       END AS toks,
+                       substr(md5(regexp_replace(lower(trim(text)),
+                                                 '[ \t\n\r]+', ' ', 'g')),
+                              1, 16) AS fp
+                FROM documents
+            ),
+            d AS (
+                SELECT doc_id, source, n_tok,
+                       ROUND(1.0 - LEN(list_distinct(toks))
+                             / (CASE WHEN LEN(toks) > 0
+                                     THEN LEN(toks) END)::DOUBLE, 6) AS dwf,
+                       (doc_id > MIN(doc_id) OVER (PARTITION BY fp)) AS dup
+                FROM t
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   ROUND(CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS exact_dup_rate,
+                   ROUND(SUM(CAST(n_tok AS DOUBLE)) / COUNT(*), 6)
+                       AS avg_tokens,
+                   ROUND(AVG(dwf), 6) AS avg_dup_word_frac,
+                   ((ROUND(CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE)
+                           / COUNT(*), 6) > 0.5)
+                    OR COALESCE(ROUND(AVG(dwf), 6), 0.0) > 0.5) AS flagged
+            FROM d GROUP BY source
+        """,
+        # Spark md5(string) and DuckDB md5(varchar) hash identical
+        # UTF-8 bytes, so the window fingerprints agree value-for-value.
+        "doc_substring_dedup": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(lower(text)),
+                                                      '[ \t\n\r]+'),
+                                   x -> x <> '') AS a
+                FROM documents
+            ),
+            win AS (
+                SELECT DISTINCT doc_id,
+                       md5(array_to_string(a[i:i+11], ' ')) AS wh
+                FROM tok, UNNEST(range(1, GREATEST(len(a) - 10, 1))) AS u(i)
+            ),
+            st AS (SELECT wh, MIN(doc_id) AS mn, COUNT(*) AS nd
+                   FROM win GROUP BY wh),
+            per AS (
+                SELECT w.doc_id,
+                       COUNT(*) AS n_windows,
+                       CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_shared,
+                       MAX(s.mn < w.doc_id) AS dup_of_earlier
+                FROM win w JOIN st s USING (wh) GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+                   COALESCE(p.dup_of_earlier, FALSE) AS dup_of_earlier
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "doc_fingerprint": r"""
             SELECT doc_id,

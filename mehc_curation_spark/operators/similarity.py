@@ -1196,3 +1196,70 @@ def cross_corpus_text_near_dups(cand_df: DataFrame, ref_df: DataFrame,
                                F.lit(1)).cast("double"), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (k-token window) dedup
+# ---------------------------------------------------------------------------
+
+def substring_dup_stats(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 12) -> DataFrame:
+    """Exact shared-substring detection via k-token window fingerprints.
+
+    The scalable approximation of suffix-array exact-substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022): every k-token window is fingerprinted (md5 of
+    the space-joined window) and any window occurring in more than one
+    document marks a verbatim k-token overlap — boilerplate reuse,
+    quotation, or template text that near-dup Jaccard at the whole-doc
+    level misses.
+
+    Output, one row per input document:
+
+    - ``n_windows``       distinct k-token windows in the doc
+    - ``n_shared``        windows also present in ANOTHER doc
+    - ``dup_of_earlier``  true iff some window also occurs in a doc
+      with a smaller id — the keep-first drop flag (drop these, keep
+      the earliest occurrence of every span)
+
+    Entirely Catalyst (split / slice / md5 / explode / two hash aggs):
+    no Python in the plan, so the whole stage is codegen'd and the only
+    shuffles are the (window_hash) agg and the doc-level re-agg — text
+    never shuffles. Tokenization matches the shingle family: lower,
+    trim, split on ASCII blanks, empties dropped.
+
+    Windows are deduplicated per doc (``array_distinct``) before the
+    explode, so a phrase repeated inside one document does not count
+    as shared. Docs shorter than k tokens emit no windows and come
+    back with zero counts.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\r]+"),
+        lambda x: x != "")
+    wins = F.when(
+        F.size(toks) >= k,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")))),
+    ).otherwise(F.array().cast("array<string>"))
+
+    pairs = (df.select(F.col(id_col).alias("_id"), wins.alias("_w"))
+             .select("_id", F.explode("_w").alias("_wh")))
+    stats = pairs.groupBy("_wh").agg(
+        F.min("_id").alias("_mn"), F.count("*").alias("_nd"))
+    per_doc = (
+        pairs.join(stats, "_wh")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_windows"),
+             F.sum((F.col("_nd") > 1).cast("long")).alias("n_shared"),
+             F.max(F.col("_mn") < F.col("_id")).alias("dup_of_earlier"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("_id"), "left")
+        .select(id_col,
+                F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+                F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                F.coalesce("dup_of_earlier", F.lit(False))
+                 .alias("dup_of_earlier"))
+    )
