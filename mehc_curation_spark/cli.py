@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     ]:
         c.add_argument(f"--no_{flag}", dest=flag, action="store_false",
                        default=True, help=f"disable: {help_}")
+    c.add_argument("--rm_low_quality_image", action="store_true",
+                   default=False,
+                   help="enable the opt-in image-quality gate (blur/"
+                        "entropy/flatness/dims over the decoded pixels; "
+                        "requires the decode gate)")
     c.add_argument("--toxicity_method", choices=["mask", "drop_sentence"],
                    default="mask",
                    help="≅ the reference's neutralizing_method boyle|rdkit")
@@ -312,6 +317,7 @@ def main(argv: list[str] | None = None) -> int:
 
             cfg = CurationConfig(
                 validate=args.validate,
+                rm_low_quality_image=args.rm_low_quality_image,
                 rm_low_quality=args.rm_low_quality,
                 rm_unknown_lang=args.rm_unknown_lang,
                 rm_high_ppl=args.rm_high_ppl,

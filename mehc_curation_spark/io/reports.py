@@ -25,6 +25,14 @@ undecodable:             {image_undecodable}
 null payload:            {image_null}
 bad dimensions:          {image_bad_dims}
 """,
+    "imgquality": """\
+-- image quality gate --------------------
+too small:               {img_too_small}
+extreme aspect:          {img_extreme_aspect}
+blurry:                  {img_blurry}
+low entropy:             {img_low_entropy}
+flat:                    {img_flat}
+""",
     "heuristics": """\
 -- caption heuristics --------------------
 empty/short/long:        {caption_size_drops}
@@ -198,6 +206,11 @@ def render_report(reason_counts: dict[str, int], total: int,
         "image_undecodable": g("image_undecodable"),
         "image_null": g("image_null"),
         "image_bad_dims": g("image_bad_dims"),
+        "img_too_small": g("img_too_small"),
+        "img_extreme_aspect": g("img_extreme_aspect"),
+        "img_blurry": g("img_blurry"),
+        "img_low_entropy": g("img_low_entropy"),
+        "img_flat": g("img_flat"),
         "caption_size_drops": g("caption_null", "caption_empty",
                                 "caption_too_short", "caption_too_long"),
         "caption_repetition": g("caption_repetition"),
@@ -214,6 +227,8 @@ def render_report(reason_counts: dict[str, int], total: int,
     parts = [_HEADER]
     if config.validate:
         parts.append(_SECTIONS["validation"])
+    if config.rm_low_quality_image:
+        parts.append(_SECTIONS["imgquality"])
     if config.rm_low_quality:
         parts.append(_SECTIONS["heuristics"])
     if config.rm_unknown_lang:

@@ -130,44 +130,10 @@ IMAGE_QUALITY_SCHEMA = StructType([
 ])
 
 
-def quality_metrics(px: np.ndarray) -> tuple[int, float, float, float, float]:
-    """Scalar quality kernel over one decoded image (h, w, 3 uint8).
-
-    Single source of truth shared by the distributed UDF and the
-    in-process recompute check (same parity strategy as the curate
-    rules — scalar twin == distributed twin by construction).
-
-    Returns (min_dim, aspect, blur_var, entropy, flat_frac):
-
-    - ``blur_var``: variance of the 5-point Laplacian of luminance —
-      the classic no-reference blur detector (Pech-Pacheco et al.,
-      ICPR 2000); near-zero for defocused/smooth images.
-    - ``entropy``: Shannon entropy (bits) of the 256-bin luminance
-      histogram; near-zero for blank/placeholder images.
-    - ``flat_frac``: modal-bin share of the luminance histogram; ~1.0
-      for solid-color images (catches high-entropy-but-flat edge cases
-      the entropy bound alone misses and vice versa).
-
-    All floats rounded to 4 decimals so distributed/local runs compare
-    exactly.
-    """
-    h, w = int(px.shape[0]), int(px.shape[1])
-    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
-    min_dim = min(h, w)
-    aspect = round(max(h, w) / max(min_dim, 1), 4)
-    if h >= 3 and w >= 3:
-        lap = (4.0 * luma[1:-1, 1:-1] - luma[:-2, 1:-1] - luma[2:, 1:-1]
-               - luma[1:-1, :-2] - luma[1:-1, 2:])
-        blur_var = round(float(lap.var()), 4)
-    else:
-        blur_var = 0.0
-    counts = np.bincount(
-        np.clip(np.round(luma), 0, 255).astype(np.int64).ravel(),
-        minlength=256)
-    p = counts[counts > 0] / luma.size
-    entropy = round(float(-(p * np.log2(p)).sum()), 4)
-    flat_frac = round(float(counts.max()) / luma.size, 4)
-    return min_dim, aspect, blur_var, entropy, flat_frac
+# the scalar kernel lives with the other rule kernels so the curate
+# pipeline (rules/decode.py gate) shares it; re-exported here for the
+# standalone operator surface
+from mehc_curation_spark.rules.imgquality import quality_metrics  # noqa: F401,E402
 
 
 def image_quality(df: DataFrame) -> DataFrame:

@@ -116,6 +116,7 @@ def curate_narrow_arrow(df, config):
     import pyarrow as pa
 
     validate = config.validate
+    config.iq_thresholds()  # eager: reject iq-without-validate at plan build
     cols = (["image_id", "phash", "caption", "bytes", "fmt", "w", "h"]
             if validate else ["image_id", "phash", "caption"])
     cfg = config  # closure-captured dataclass (tiny, pickles with the func)
@@ -123,7 +124,7 @@ def curate_narrow_arrow(df, config):
     def run(batches):
         import numpy as np
 
-        from mehc_curation_spark.rules.decode import decode_reason
+        from mehc_curation_spark.rules.decode import decode_quality_reason
         from mehc_curation_spark.rules.heuristics import heuristic_reason
         from mehc_curation_spark.rules.langid import UNKNOWN, classify_batch
         from mehc_curation_spark.rules.pii import scrub_pii
@@ -135,6 +136,7 @@ def curate_narrow_arrow(df, config):
 
         thr_map = cfg.ppl_threshold_map()
         allowed = set(cfg.allowed_langs)
+        iq = cfg.iq_thresholds()
 
         for batch in batches:
             captions = batch.column("caption").to_pylist()
@@ -148,7 +150,7 @@ def curate_narrow_arrow(df, config):
                 fmts = batch.column("fmt").to_pylist()
                 ws = batch.column("w").to_pylist()
                 hs = batch.column("h").to_pylist()
-                reasons = [decode_reason(b, f, w, h)
+                reasons = [decode_quality_reason(b, f, w, h, iq)
                            for b, f, w, h in zip(data, fmts, ws, hs)]
             if cfg.rm_low_quality:
                 reasons = [r if r is not None else heuristic_reason(c)

@@ -71,8 +71,11 @@ def curate_oracle(pdf: pd.DataFrame,
 
     # ---- stage 1: validation -------------------------------------------
     if config.validate:
+        from mehc_curation_spark.rules.decode import decode_quality_reason
+
+        iq = config.iq_thresholds()
         reasons = np.array(
-            [decode_reason(b, f, w, h) for b, f, w, h in
+            [decode_quality_reason(b, f, w, h, iq) for b, f, w, h in
              zip(work["bytes"], work["fmt"], work["w"], work["h"])],
             dtype=object)
         drop(pd.notnull(reasons), reasons)

@@ -71,6 +71,9 @@ class CurationConfig:
     ``refinement/core/pipeline.py:23-50``)."""
 
     validate: bool = True              # decode gate
+    # graft-only opt-in: image-quality gate (blur/entropy/flat/dims)
+    # sharing the decode gate's single decode; requires validate=True
+    rm_low_quality_image: bool = False
     rm_low_quality: bool = True        # heuristic gate
     rm_unknown_lang: bool = True       # langid gate
     rm_high_ppl: bool = True           # perplexity gate
@@ -111,8 +114,30 @@ class CurationConfig:
     dedup_hot_key_share: float = 0.05   # max key share that 'auto' tolerates
     dedup_sample_fraction: float = 0.05  # phash sample for the histogram
 
+    # image-quality thresholds (used when rm_low_quality_image is on;
+    # defaults calibrated on the fixture corpus to drop a modest
+    # fraction — production corpora want stricter min_dim/blur)
+    iq_min_dim: int = 16
+    iq_max_aspect: float = 8.0
+    iq_min_blur_var: float = 1.0
+    iq_min_entropy: float = 0.5
+    iq_max_flat_frac: float = 0.98
+
     def ppl_threshold_map(self) -> dict[str, float]:
         return dict(self.ppl_thresholds)
+
+    def iq_thresholds(self):
+        """(min_dim, max_aspect, min_blur_var, min_entropy,
+        max_flat_frac) when the image-quality gate is on, else None —
+        the shape ``rules.decode.decode_quality_reason`` takes."""
+        if not self.rm_low_quality_image:
+            return None
+        if not self.validate:
+            raise ValueError(
+                "rm_low_quality_image requires validate=True: the "
+                "quality gate judges the pixels the decode gate decodes")
+        return (self.iq_min_dim, self.iq_max_aspect, self.iq_min_blur_var,
+                self.iq_min_entropy, self.iq_max_flat_frac)
 
     def dedup_gates(self) -> tuple[bool, bool, bool]:
         """When to dedup after each stage — exact reproduction of the

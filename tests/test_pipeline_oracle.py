@@ -195,3 +195,41 @@ def test_agg_strategy_null_caption_dedup1(spark):
         res[strat] = dict(zip(s["image_id"], s["drop_reason"]))
     assert res["window"] == res["agg"], res
     assert res["agg"]["i1"] == "duplicate_perfect", res
+
+
+def test_image_quality_gate_parity(spark, pairs_df, pairs_pdf):
+    """Opt-in image-quality gate: Spark labels == oracle labels with
+    the gate on, img_* reasons actually fire, and the gate only ever
+    shrinks the kept set."""
+    cfg = CurationConfig(rm_low_quality_image=True)
+    s = (build_labels_plan(pairs_df, cfg).toPandas()
+         .sort_values("image_id").reset_index(drop=True))
+    o = (curate_oracle(pairs_pdf, cfg)
+         .sort_values("image_id").reset_index(drop=True))
+    assert (s["keep"] == o["keep"]).all()
+    assert (s["drop_reason"].fillna("#") == o["drop_reason"].fillna("#")).all()
+    img_reasons = set(s["drop_reason"].dropna()) & {
+        "img_too_small", "img_extreme_aspect", "img_blurry",
+        "img_low_entropy", "img_flat"}
+    assert img_reasons, "gate enabled but no img_* reason fired"
+
+    base = (build_labels_plan(pairs_df, CurationConfig()).toPandas()
+            .sort_values("image_id").reset_index(drop=True))
+    # NOT monotone through dedup: dropping a conflicting caption can
+    # un-conflict its phash group, re-admitting rows. The invariant is
+    # reason-scoped: newly-dropped rows fall to the img gate or to
+    # re-grouped dedup; newly-kept rows were dedup drops before.
+    dup = {"duplicate_perfect", "duplicate_conflict"}
+    newly_dropped = s[base["keep"] & ~s["keep"]]["drop_reason"]
+    assert newly_dropped.isin({
+        "img_too_small", "img_extreme_aspect", "img_blurry",
+        "img_low_entropy", "img_flat"} | dup).all()
+    assert len(newly_dropped) > 0
+    newly_kept = base[s["keep"] & ~base["keep"]]["drop_reason"]
+    assert newly_kept.isin(dup).all()
+
+
+def test_image_quality_requires_validate():
+    with pytest.raises(ValueError, match="requires validate"):
+        CurationConfig(validate=False,
+                       rm_low_quality_image=True).iq_thresholds()
