@@ -60,6 +60,10 @@ HEADLINE = [
     # lacked these surfaces)
     "emb_ann_join",
     "emb_cross_dedup",
+    # round-3 dedup-depth additions: k-token window fingerprints and
+    # iterative connected-components cluster resolution
+    "doc_substring_dedup",
+    "doc_dedup_clusters",
 ]
 
 

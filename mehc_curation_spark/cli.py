@@ -126,6 +126,40 @@ def build_parser() -> argparse.ArgumentParser:
     cd.add_argument("--cores", type=int, default=-1)
     cd.add_argument("--master", default=None)
 
+    cl = sub.add_parser(
+        "clusters",
+        help="resolve near-dup PAIRS into CLUSTERS (connected "
+             "components, large-star/small-star) and elect one "
+             "representative per cluster; graft-only capability")
+    cl.add_argument("-i", "--input", required=True,
+                    help="corpus parquet (documents / pairs / "
+                         "embeddings shaped)")
+    cl.add_argument("-o", "--output", required=True)
+    cl.add_argument("--mode", choices=["text", "phash", "embedding"],
+                    default="text",
+                    help="pair generator: text = MinHash-LSH Jaccard; "
+                         "phash = banded hamming over the perceptual "
+                         "hash; embedding = hyperplane-LSH cosine")
+    cl.add_argument("--threshold", type=float, default=None,
+                    help="similarity threshold (default 0.5 text "
+                         "Jaccard / 0.9 embedding cosine)")
+    cl.add_argument("--max_hamming", type=int, default=4,
+                    help="phash mode: max bit distance")
+    cl.add_argument("--id_col", default=None,
+                    help="default doc_id (text/embedding modes; "
+                         "embedding falls back to vec_id) / image_id "
+                         "(phash mode)")
+    cl.add_argument("--text_col", default="text")
+    cl.add_argument("--vec_col", default="embedding")
+    cl.add_argument("--quality_col", default=None,
+                    help="representative election key (highest wins; "
+                         "default: smallest id)")
+    cl.add_argument("--keep_reps", action="store_true",
+                    help="also write the deduplicated corpus (cluster "
+                         "representatives only) under <output>/data/")
+    cl.add_argument("--cores", type=int, default=-1)
+    cl.add_argument("--master", default=None)
+
     qs = sub.add_parser(
         "qscore",
         help="model-based quality scoring (distilled linear model "
@@ -307,6 +341,50 @@ def main(argv: list[str] | None = None) -> int:
                               "candidates": n_cand,
                               "flagged": n_flagged,
                               "kept": n_cand - n_flagged}))
+            return 0
+
+        if args.cmd == "clusters":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators.graph import near_dup_clusters
+            from mehc_curation_spark.operators.similarity import (
+                embedding_near_dups_lsh,
+                minhash_near_dups,
+                phash_near_dups,
+            )
+
+            df = spark.read.parquet(args.input)
+            if args.mode == "text":
+                id_col = args.id_col or "doc_id"
+                thr = 0.5 if args.threshold is None else args.threshold
+                pairs = minhash_near_dups(df, id_col, args.text_col,
+                                          threshold=thr)
+            elif args.mode == "phash":
+                id_col = args.id_col or "image_id"
+                thr = args.max_hamming
+                pairs = phash_near_dups(df, "phash", id_col,
+                                        max_hamming=args.max_hamming)
+            else:
+                id_col = args.id_col or (
+                    "vec_id" if "vec_id" in df.columns else "doc_id")
+                thr = 0.9 if args.threshold is None else args.threshold
+                pairs = embedding_near_dups_lsh(df, args.vec_col, id_col,
+                                                threshold=thr)
+            out = near_dup_clusters(df, pairs.select("id_a", "id_b"),
+                                    id_col, quality_col=args.quality_col)
+            out.write.mode("overwrite").parquet(
+                os.path.join(args.output, "clusters"))
+            out = spark.read.parquet(os.path.join(args.output, "clusters"))
+            n_rows = out.count()
+            n_clusters = out.select("cluster").distinct().count()
+            if args.keep_reps:
+                reps = out.filter(F.col("is_rep")).select(id_col)
+                (df.join(reps, id_col, "left_semi")
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(args.output, "data")))
+            print(json.dumps({"mode": args.mode, "threshold": thr,
+                              "rows": n_rows, "clusters": n_clusters,
+                              "dropped_non_reps": n_rows - n_clusters}))
             return 0
 
         if args.cmd == "curate":

@@ -1202,6 +1202,37 @@ def cross_corpus_text_near_dups(cand_df: DataFrame, ref_df: DataFrame,
 # exact-substring (k-token window) dedup
 # ---------------------------------------------------------------------------
 
+def make_window_md5_udf(k: int):
+    """Arrow-batched twin of the ``md5(array_join(slice(tokens)))``
+    Catalyst formulation: distinct md5 fingerprints of every k-token
+    window. Byte-identical output (same tokenizer contract as
+    :func:`_tokenize` with empties dropped, same UTF-8 md5), so the
+    DuckDB oracle is unchanged — but ~4x faster end-to-end: the
+    nested higher-order Catalyst expression (transform → md5 →
+    array_join → slice) evaluates INTERPRETED per window (HOF lambdas
+    don't codegen), measured 9.7 s vs 2.0 s at sf0.1/local[32]."""
+    import hashlib
+
+    @pandas_udf("array<string>")
+    def window_md5s(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append([])
+                continue
+            toks = [x for x in _TOK_RX.split(t.lower().strip(" ")) if x]
+            n = len(toks)
+            res: dict = {}
+            for i in range(n - k + 1):
+                res.setdefault(hashlib.md5(
+                    " ".join(toks[i:i + k]).encode("utf-8")).hexdigest(),
+                    None)
+            out.append(list(res))
+        return pd.Series(out)
+
+    return window_md5s
+
+
 def substring_dup_stats(df: DataFrame, id_col: str, text_col: str,
                         k: int = 12) -> DataFrame:
     """Exact shared-substring detection via k-token window fingerprints.
@@ -1222,27 +1253,20 @@ def substring_dup_stats(df: DataFrame, id_col: str, text_col: str,
       with a smaller id — the keep-first drop flag (drop these, keep
       the earliest occurrence of every span)
 
-    Entirely Catalyst (split / slice / md5 / explode / two hash aggs):
-    no Python in the plan, so the whole stage is codegen'd and the only
-    shuffles are the (window_hash) agg and the doc-level re-agg — text
-    never shuffles. Tokenization matches the shingle family: lower,
-    trim, split on ASCII blanks, empties dropped.
+    Window fingerprints come from one Arrow-batched UDF pass over the
+    text (see :func:`make_window_md5_udf` for the measured rationale vs
+    the pure-Catalyst HOF formulation); everything downstream — explode
+    and the two hash aggregations — is JVM-side, and only (id, 32-char
+    hash) pairs ever shuffle, never text. Tokenization matches the
+    shingle family: lower, trim, split on ASCII blanks, empties
+    dropped.
 
-    Windows are deduplicated per doc (``array_distinct``) before the
-    explode, so a phrase repeated inside one document does not count
-    as shared. Docs shorter than k tokens emit no windows and come
-    back with zero counts.
+    Windows are deduplicated per doc before the explode, so a phrase
+    repeated inside one document does not count as shared. Docs
+    shorter than k tokens emit no windows and come back with zero
+    counts.
     """
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\r]+"),
-        lambda x: x != "")
-    wins = F.when(
-        F.size(toks) >= k,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")))),
-    ).otherwise(F.array().cast("array<string>"))
-
+    wins = make_window_md5_udf(k)(F.col(text_col))
     pairs = (df.select(F.col(id_col).alias("_id"), wins.alias("_w"))
              .select("_id", F.explode("_w").alias("_wh")))
     stats = pairs.groupBy("_wh").agg(

@@ -236,3 +236,40 @@ def test_qscore_cli(tmp_path_factory):
         f"SELECT COUNT(*) FROM read_parquet('{out}/scores/*.parquet') "
         "WHERE q_score BETWEEN 0 AND 1").fetchone()[0]
     assert n_scored == 500
+
+
+def test_clusters_cli_text_and_phash(tmp_path_factory, pairs_file):
+    """clusters subcommand: near-dup pairs resolved to connected
+    components, one representative per cluster, keep_reps output
+    reconciling with the JSON counts."""
+    base = tmp_path_factory.mktemp("cli_cl")
+
+    out = str(base / "out_text")
+    res = json.loads(_run(
+        ["clusters", "-i", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out, "--mode", "text", "--threshold", "0.5",
+         "--quality_col", "n_chars", "--keep_reps", "--cores", "4"]
+    ).stdout.strip().splitlines()[-1])
+    assert res["mode"] == "text"
+    assert res["rows"] == 500
+    assert res["dropped_non_reps"] == res["rows"] - res["clusters"]
+    assert 0 < res["clusters"] < res["rows"]
+    kept = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/data/*.parquet')"
+    ).fetchone()[0]
+    assert kept == res["clusters"]
+    # exactly one representative per cluster
+    bad = duckdb.sql(
+        f"SELECT COUNT(*) FROM (SELECT cluster, "
+        f"SUM(CASE WHEN is_rep THEN 1 ELSE 0 END) n "
+        f"FROM read_parquet('{out}/clusters/*.parquet') "
+        f"GROUP BY cluster) WHERE n <> 1").fetchone()[0]
+    assert bad == 0
+
+    out_p = str(base / "out_phash")
+    res_p = json.loads(_run(
+        ["clusters", "-i", pairs_file, "-o", out_p, "--mode", "phash",
+         "--max_hamming", "4", "--cores", "4"]
+    ).stdout.strip().splitlines()[-1])
+    assert res_p["rows"] == 2000
+    assert 0 < res_p["clusters"] < 2000
