@@ -458,6 +458,36 @@ def doc_dedup_clusters(spark, sf_dir):
     return near_dup_clusters(d, edges, "doc_id", quality_col="n_chars")
 
 
+def doc_token_budget_sample(spark, sf_dir):
+    """Per-language TOKEN-budget sampling (mixtures are specified in
+    tokens, not rows): deterministic u48 priority order, cumulative
+    token window, keep while cum <= budget. Full value oracle (same
+    md5 byte assembly + window arithmetic in SQL)."""
+    from mehc_curation_spark.operators.sampling import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = token_budget_sample(d, "doc_id", "lang", "text",
+                              {"en": 3000, "de": 1500},
+                              default_budget=800)
+    return out.select("doc_id", "lang", "n_tok",
+                      F.col("cum_tok").cast("long").alias("cum_tok"))
+
+
+def doc_quality_tiers(spark, sf_dir):
+    """CCNet-style per-language quality tiers: rank by the distilled
+    quality-model score within each lang, cut into head/middle/tail
+    by ntile. Full value oracle (model score is one closed-form SQL
+    expression; ntile semantics agree across engines with the id
+    tiebreak)."""
+    from mehc_curation_spark.operators.quality_model import score_quality
+    from mehc_curation_spark.operators.sampling import quality_tiers
+
+    d = _t(spark, sf_dir, "documents")
+    scored = score_quality(d, "text")
+    return quality_tiers(scored, "doc_id", "lang", "q_score") \
+        .select("doc_id", "lang", "q_score", "tier")
+
+
 def doc_source_reputation(spark, sf_dir):
     """Domain/source-level reputation filtering (C4/RefinedWeb shape):
     per-source exact-dup rate + repetition + token stats via two-phase
@@ -1244,6 +1274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_clusters": doc_dedup_clusters,
         "doc_substring_dedup": doc_substring_dedup,
         "doc_source_reputation": doc_source_reputation,
+        "doc_token_budget_sample": doc_token_budget_sample,
+        "doc_quality_tiers": doc_quality_tiers,
         "doc_fingerprint": doc_fingerprint,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
@@ -1290,6 +1322,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # = md5_number_upper == little-endian first 8 md5 bytes; per-bit
 # majority over token OCCURRENCES; >= 2^63 wraps to the signed value
 # numpy's int64 view produces.
+# Shared CTE prefix: the distilled quality model's closed-form score
+# (frozen 4-decimal coefficients, rounded features, fixed association
+# order, d*d not pow — bit-parity with the Catalyst expression in
+# operators/quality_model.py). Used by doc_quality_model and
+# doc_quality_tiers.
+_QSCORE_SQL = r"""
+    WITH f AS (
+        SELECT doc_id, lang,
+               ROUND(LN(1.0 + LENGTH(text)::DOUBLE), 6) AS ln1p_chars,
+               ROUND(LEN(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]'))
+                     / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS punct_ratio,
+               ROUND(LEN(regexp_extract_all(text, '[0-9]'))
+                     / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS digit_ratio,
+               ROUND(LEN(regexp_extract_all(text, '[ ]'))
+                     / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS space_ratio,
+               COALESCE(ROUND(
+                   LEN(regexp_extract_all(text, '[A-Za-z0-9]'))
+                   / NULLIF(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
+                            END, 0)::DOUBLE, 6), 0.0) AS mean_tok_len,
+               ROUND(LN(1.0 + (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
+                        END)::DOUBLE), 6) AS ln1p_tokens
+        FROM documents
+    ), g AS (
+        SELECT doc_id, lang, ln1p_chars, punct_ratio, digit_ratio,
+               space_ratio, mean_tok_len, ln1p_tokens,
+               ROUND((ln1p_chars - 5.53) * (ln1p_chars - 5.53), 6)
+                   AS len_band
+        FROM f
+    ), z AS (
+        SELECT doc_id, lang,
+               9.0238 + (-0.34) * ln1p_chars
+                      + (-12.4405) * len_band
+                      + (0.0) * punct_ratio
+                      + (0.0) * digit_ratio
+                      + (0.0299) * space_ratio
+                      + (-0.4267) * mean_tok_len
+                      + (-0.399) * ln1p_tokens AS zz
+        FROM g
+    ), q AS (
+        SELECT doc_id, lang,
+               ROUND(1.0 / (1.0 + EXP(-zz)), 6) AS q_score
+        FROM z
+    )
+"""
+
 _SIMHASH_SQL = r"""
     WITH tok AS (
         SELECT doc_id,
@@ -1541,46 +1620,45 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'de' THEN 140737488355328
                         ELSE 281474976710656 END
         """,
-        "doc_quality_model": r"""
-            WITH f AS (
-                SELECT doc_id,
-                       ROUND(LN(1.0 + LENGTH(text)::DOUBLE), 6) AS ln1p_chars,
-                       ROUND(LEN(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]'))
-                             / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS punct_ratio,
-                       ROUND(LEN(regexp_extract_all(text, '[0-9]'))
-                             / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS digit_ratio,
-                       ROUND(LEN(regexp_extract_all(text, '[ ]'))
-                             / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS space_ratio,
-                       COALESCE(ROUND(
-                           LEN(regexp_extract_all(text, '[A-Za-z0-9]'))
-                           / NULLIF(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                                    ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
-                                    END, 0)::DOUBLE, 6), 0.0) AS mean_tok_len,
-                       ROUND(LN(1.0 + (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                                ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
-                                END)::DOUBLE), 6) AS ln1p_tokens
+        "doc_quality_model": _QSCORE_SQL + """
+            SELECT doc_id, q_score, q_score >= 0.5 AS q_keep FROM q
+        """,
+        "doc_token_budget_sample": """
+            WITH u AS (
+                SELECT doc_id, lang,
+                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE LEN(regexp_split_to_array(TRIM(text),
+                                                           '[ \t\n\r]+'))
+                       END AS n_tok,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::BIGINT
+                       + ('0x' || substr(md5(doc_id::VARCHAR), 3, 2))::BIGINT * 256
+                       + ('0x' || substr(md5(doc_id::VARCHAR), 5, 2))::BIGINT * 65536
+                       + ('0x' || substr(md5(doc_id::VARCHAR), 7, 2))::BIGINT * 16777216
+                       + ('0x' || substr(md5(doc_id::VARCHAR), 9, 2))::BIGINT * 4294967296
+                       + ('0x' || substr(md5(doc_id::VARCHAR), 11, 2))::BIGINT * 1099511627776
+                       AS u48
                 FROM documents
-            ), g AS (
-                SELECT doc_id, ln1p_chars, punct_ratio, digit_ratio,
-                       space_ratio, mean_tok_len, ln1p_tokens,
-                       ROUND((ln1p_chars - 5.53) * (ln1p_chars - 5.53), 6)
-                           AS len_band
-                FROM f
-            ), z AS (
-                SELECT doc_id,
-                       9.0238 + (-0.34) * ln1p_chars
-                              + (-12.4405) * len_band
-                              + (0.0) * punct_ratio
-                              + (0.0) * digit_ratio
-                              + (0.0299) * space_ratio
-                              + (-0.4267) * mean_tok_len
-                              + (-0.399) * ln1p_tokens AS zz
-                FROM g
+            ),
+            c AS (
+                SELECT doc_id, lang, CAST(n_tok AS INTEGER) AS n_tok,
+                       CAST(SUM(n_tok) OVER (
+                            PARTITION BY lang ORDER BY u48, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cum_tok
+                FROM u
             )
-            SELECT doc_id,
-                   ROUND(1.0 / (1.0 + EXP(-zz)), 6) AS q_score,
-                   ROUND(1.0 / (1.0 + EXP(-zz)), 6) >= 0.5 AS q_keep
-            FROM z
+            SELECT doc_id, lang, n_tok, cum_tok FROM c
+            WHERE cum_tok <= CASE lang WHEN 'en' THEN 3000
+                                       WHEN 'de' THEN 1500
+                                       ELSE 800 END
+        """,
+        "doc_quality_tiers": _QSCORE_SQL + """
+            SELECT doc_id, lang, q_score,
+                   CASE NTILE(3) OVER (PARTITION BY lang
+                                       ORDER BY q_score DESC, doc_id)
+                        WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS tier
+            FROM q
         """,
         "doc_quality_model_check": """
             -- the trainer drops rows with NULL features, i.e. NULL or

@@ -63,6 +63,8 @@ def deduplicate(
     return_format_data: bool = False,
     validate: bool = False,
     return_rejected: bool = False,
+    get_report: bool = False,
+    print_logs: bool = False,
 ):
     """Standalone dedup mirroring the reference's public
     ``deduplicate()`` return shapes (``common.py:20-39`` docstring):
@@ -79,6 +81,11 @@ def deduplicate(
     (``common.py:66-83``: ValidationStage.validate_smi with
     dedup disabled, counters folded into format_data under
     'validation').
+
+    ``get_report=True`` appends the rendered standalone dedup report
+    string (and ``print_logs=True`` prints it), mirroring the
+    reference's self-rendered template with fallback
+    (``common.py:140-186``).
 
     ``return_rejected=True`` appends the dropped rows labeled with a
     ``dup_reason`` column — computed from the SAME all-column conflict
@@ -158,7 +165,8 @@ def deduplicate(
     )
     if validation_rejected is not None:
         rejected = rejected.unionByName(validation_rejected)
-    if not (show_dup_info or return_format_data or return_rejected):
+    if not (show_dup_info or return_format_data or return_rejected
+            or get_report):
         return cleaned
 
     dup_rows = labeled.filter(F.col("_conflict") | (F.col("_rn") > 1))
@@ -180,7 +188,8 @@ def deduplicate(
     out = [cleaned]
     if show_dup_info:
         out.append(dups_info)
-    if return_format_data:
+    fmt = None
+    if return_format_data or get_report:
         n_in = df.count()
         n_unique = cleaned.count()
         flags = {r["is_perfect_dups"]: r["cnt"]
@@ -194,7 +203,15 @@ def deduplicate(
         }
         if validate_format_data:
             fmt["validation"] = validate_format_data
-        out.append(fmt)
+        if return_format_data:
+            out.append(fmt)
     if return_rejected:
         out.append(rejected)
+    if get_report:
+        from mehc_curation_spark.io.reports import render_dedup_report
+
+        report = render_dedup_report(fmt)
+        if print_logs:
+            print(report)
+        out.append(report)
     return tuple(out) if len(out) > 1 else out[0]

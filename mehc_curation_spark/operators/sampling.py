@@ -65,3 +65,80 @@ def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
         thr = F.when(F.col(stratum_col) == k,
                      F.lit(int(f * _U48_MAX)).cast("long")).otherwise(thr)
     return df.filter(u48_col(F.col(id_col)) < thr)
+
+
+def token_budget_sample(df: DataFrame, id_col: str, stratum_col: str,
+                        text_col: str,
+                        budgets: dict[str, int],
+                        default_budget: int = 0) -> DataFrame:
+    """Per-stratum TOKEN-budget sampling: keep rows in deterministic
+    hash-priority order until each stratum's cumulative token count
+    reaches its budget.
+
+    Mixture construction is usually specified in TOKENS, not rows
+    ("train on 50B en tokens, 10B de tokens"); row-fraction sampling
+    over/undershoots because token counts per doc are heavy-tailed.
+    Priority = (u48(id), id), the same portable hash order as
+    :func:`stratified_sample`, so:
+
+    - the selected set is identical on any engine/partitioning, and
+    - a LARGER budget selects a superset of a smaller one (priority
+      order never changes) — growing the mixture never discards data.
+
+    A row is kept while the cumulative token count INCLUDING itself is
+    <= budget (so the budget is never exceeded; a first doc larger
+    than the whole budget is excluded).
+
+    Physical shape: one running-sum window per stratum — a sort within
+    each stratum's partition range, the same cost class as any global
+    ordering pass. At extreme per-stratum scale the cut can instead be
+    found as a threshold on the u48 axis with two aggregation passes
+    (no sort); this implementation takes the exact window because the
+    budget boundary mid-document is then bit-deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    from mehc_curation_spark.operators.text_stats import token_count_col
+
+    budget = F.lit(default_budget)
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(stratum_col) == s, F.lit(int(b))) \
+                  .otherwise(budget)
+    w = (Window.partitionBy(stratum_col)
+         .orderBy(u48_col(F.col(id_col)), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tok = token_count_col(F.col(text_col))
+    return (
+        df.select("*", tok.alias("n_tok"))
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= budget)
+    )
+
+
+def quality_tiers(df: DataFrame, id_col: str, stratum_col: str,
+                  score_col: str, n_tiers: int = 3,
+                  labels: tuple = ("head", "middle", "tail")) -> DataFrame:
+    """CCNet-style per-stratum quality tiers (Wenzek et al. 2020,
+    arXiv:1911.00359): rank rows within each stratum by a quality
+    score and cut into equal-count tiers — head/middle/tail per
+    language. Downstream mixtures then oversample "head" data or drop
+    "tail" wholesale, with per-language fairness built in (a global
+    cut would grade low-resource languages against the dominant one).
+
+    Deterministic: ``ntile`` over (score DESC, id) — ties broken by
+    id, so tier assignment is stable across engines and partitionings.
+    One window per stratum; same salting caveat as any per-language
+    pass (strata are the hot keys; ntile needs the true stratum-wide
+    ranking, so this pass accepts the sort).
+    """
+    from pyspark.sql.window import Window
+
+    if n_tiers != len(labels):
+        raise ValueError("labels must match n_tiers")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col))
+    t = F.ntile(n_tiers).over(w)
+    lab = F.lit(labels[-1])
+    for i in range(n_tiers - 1, -1, -1):
+        lab = F.when(t == i + 1, F.lit(labels[i])).otherwise(lab)
+    return df.select("*", lab.alias("tier"))

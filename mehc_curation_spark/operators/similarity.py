@@ -1267,23 +1267,24 @@ def substring_dup_stats(df: DataFrame, id_col: str, text_col: str,
     counts.
     """
     wins = make_window_md5_udf(k)(F.col(text_col))
+    # explode_outer keeps a (id, NULL) row for window-less docs, so the
+    # doc-level re-aggregation covers EVERY input row without a second
+    # scan of the corpus + join back on id (one less shuffle; the NULL
+    # rows pass through the left join untouched — stats has no NULL
+    # keys).
     pairs = (df.select(F.col(id_col).alias("_id"), wins.alias("_w"))
-             .select("_id", F.explode("_w").alias("_wh")))
-    stats = pairs.groupBy("_wh").agg(
-        F.min("_id").alias("_mn"), F.count("*").alias("_nd"))
-    per_doc = (
-        pairs.join(stats, "_wh")
-        .groupBy("_id")
-        .agg(F.count("*").alias("n_windows"),
-             F.sum((F.col("_nd") > 1).cast("long")).alias("n_shared"),
-             F.max(F.col("_mn") < F.col("_id")).alias("dup_of_earlier"))
-    )
+             .select("_id", F.explode_outer("_w").alias("_wh")))
+    stats = (pairs.filter(F.col("_wh").isNotNull())
+             .groupBy("_wh")
+             .agg(F.min("_id").alias("_mn"), F.count("*").alias("_nd")))
     return (
-        df.select(F.col(id_col))
-        .join(per_doc, F.col(id_col) == F.col("_id"), "left")
-        .select(id_col,
-                F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
-                F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-                F.coalesce("dup_of_earlier", F.lit(False))
-                 .alias("dup_of_earlier"))
+        pairs.join(stats, "_wh", "left")
+        .groupBy("_id")
+        .agg(F.count("_wh").alias("n_windows"),
+             F.coalesce(F.sum((F.col("_nd") > 1).cast("long")), F.lit(0))
+              .alias("n_shared"),
+             F.coalesce(F.max(F.col("_mn") < F.col("_id")), F.lit(False))
+              .alias("dup_of_earlier"))
+        .select(F.col("_id").alias(id_col), "n_windows", "n_shared",
+                "dup_of_earlier")
     )

@@ -55,3 +55,17 @@ def test_render_dedup_report(spark):
     assert f"Number of input rows:          {fmt['duplicate_validation_input']}" in report
     assert f"Number of unique rows kept:    {fmt['validation_unique']}" in report
     assert str(fmt["perfect_dups"]) in report
+
+
+def test_deduplicate_get_report_flag(spark, capsys):
+    """get_report=True appends (and print_logs prints) the rendered
+    standalone report, mirroring the reference's in-call rendering
+    (common.py:140-186)."""
+    rows = [(1, 7, "a"), (2, 7, "a"), (3, 9, "d")]
+    df = spark.createDataFrame(rows, "image_id long, phash long, caption string")
+    cleaned, report = deduplicate(df, partial_dup_cols=["phash"],
+                                  get_report=True, print_logs=True)
+    assert "DEDUPLICATION" in report
+    assert "Number of input rows:          3" in report
+    assert report in capsys.readouterr().out
+    assert cleaned.count() == 2
