@@ -1124,6 +1124,60 @@ def emb_near_dup_lsh_check(spark, sf_dir):
         "n_exact long, lsh_subset_of_exact boolean, recall_ge_half boolean")
 
 
+def emb_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cell + within-cell cosine
+    dedup keeping the lowest-centroid-similarity member of each dup
+    group. Rows-only surface (cells come from runtime k-means);
+    `emb_semdedup_check` carries the oracled assertions."""
+    from mehc_curation_spark.operators.similarity import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, "embedding", "vec_id", threshold=0.4, n_cells=8)
+
+
+def emb_semdedup_check(spark, sf_dir):
+    """Oracled assertions for the SemDeDup surface: n_exact is the SQL
+    brute-force >= 0.4 pair count; every dropped row must belong to
+    some exact near-dup pair (soundness — the within-cell verify is an
+    exact cosine, so a drop outside the exact pair set is a bug); no
+    kept-kept pair INSIDE a cell may remain >= threshold (the
+    exists-earlier rule removes one side of every within-cell dup);
+    and the keep set must be identical across partition layouts
+    (deterministic hash-sampled k-means + id tie-breaks)."""
+    from mehc_curation_spark.operators.similarity import (
+        embedding_near_dups_exact,
+        semdedup,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    sd = semdedup(e, "embedding", "vec_id", threshold=0.4, n_cells=8).cache()
+    exact = embedding_near_dups_exact(e, "embedding", "vec_id",
+                                      threshold=0.4).cache()
+    n_exact = exact.count()
+    exact_ids = (exact.select(F.col("id_a").alias("vec_id"))
+                 .union(exact.select(F.col("id_b").alias("vec_id")))
+                 .distinct())
+    n_bad_drop = (sd.filter(~F.col("keep"))
+                  .join(exact_ids, "vec_id", "left_anti").count())
+    kept = sd.filter(F.col("keep")).select("vec_id", "cell")
+    n_kept_dup = (
+        exact
+        .join(kept.select(F.col("vec_id").alias("id_a"),
+                          F.col("cell").alias("_ca")), "id_a")
+        .join(kept.select(F.col("vec_id").alias("id_b"),
+                          F.col("cell").alias("_cb")), "id_b")
+        .filter(F.col("_ca") == F.col("_cb"))
+        .count())
+    sd2 = semdedup(e.repartition(13), "embedding", "vec_id",
+                   threshold=0.4, n_cells=8)
+    n_diff = (sd.select("vec_id", "keep")
+              .exceptAll(sd2.select("vec_id", "keep")).count())
+    return spark.createDataFrame(
+        [(n_exact, n_bad_drop == 0, n_kept_dup == 0, n_diff == 0)],
+        "n_exact long, drops_subset_of_exact boolean, "
+        "no_kept_dup_within_cell boolean, partition_invariant boolean")
+
+
 def _pairs_cache_file(n: int = 2000, seed: int = 42) -> str:
     """Deterministic cache path WITHOUT generating the fixture —
     oracle_sql() embeds this string and must stay side-effect-free
@@ -1301,9 +1355,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_join_check": emb_ann_join_check,
         "emb_cross_dedup_check": emb_cross_dedup_check,
         "emb_near_dup_lsh_check": emb_near_dup_lsh_check,
+        "emb_semdedup_check": emb_semdedup_check,
         # model/UDF-backed (rows-only: langid model scoring, image
         # decode, and the raw ANN/LSH surfaces checked via *_check)
         "emb_near_dup_lsh": emb_near_dup_lsh,
+        "emb_semdedup": emb_semdedup,
         "doc_langid": doc_langid,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_join": emb_ann_join,
@@ -2031,6 +2087,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_exact,
                    TRUE AS lsh_subset_of_exact,
                    TRUE AS recall_ge_half
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+        """,
+        "emb_semdedup_check": """
+            SELECT COUNT(*) AS n_exact,
+                   TRUE AS drops_subset_of_exact,
+                   TRUE AS no_kept_dup_within_cell,
+                   TRUE AS partition_invariant
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
