@@ -160,6 +160,30 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--cores", type=int, default=-1)
     cl.add_argument("--master", default=None)
 
+    sd = sub.add_parser(
+        "semdedup",
+        help="SemDeDup semantic dedup: k-means cells over normalized "
+             "embeddings, within-cell cosine drop keeping the "
+             "lowest-centroid-similarity member (Abbas et al. 2023); "
+             "graft-only capability")
+    sd.add_argument("-i", "--input", required=True,
+                    help="corpus parquet with an embedding column")
+    sd.add_argument("-o", "--output", required=True)
+    sd.add_argument("--threshold", type=float, default=0.95,
+                    help="within-cell cosine duplicate threshold")
+    sd.add_argument("--n_cells", type=int, default=16,
+                    help="k-means cells (scale with corpus size: the "
+                         "within-cell pass is ~n^2/n_cells)")
+    sd.add_argument("--id_col", default=None,
+                    help="default vec_id if present else doc_id")
+    sd.add_argument("--vec_col", default="embedding")
+    sd.add_argument("--seed", type=int, default=42)
+    sd.add_argument("--drop", action="store_true",
+                    help="also write the deduplicated corpus (keep=true "
+                         "rows only) under <output>/data/")
+    sd.add_argument("--cores", type=int, default=-1)
+    sd.add_argument("--master", default=None)
+
     qs = sub.add_parser(
         "qscore",
         help="model-based quality scoring (distilled linear model "
@@ -385,6 +409,33 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"mode": args.mode, "threshold": thr,
                               "rows": n_rows, "clusters": n_clusters,
                               "dropped_non_reps": n_rows - n_clusters}))
+            return 0
+
+        if args.cmd == "semdedup":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators.similarity import semdedup
+
+            df = spark.read.parquet(args.input)
+            id_col = args.id_col or (
+                "vec_id" if "vec_id" in df.columns else "doc_id")
+            labels = semdedup(df, args.vec_col, id_col,
+                              threshold=args.threshold,
+                              n_cells=args.n_cells, seed=args.seed)
+            labels.write.mode("overwrite").parquet(
+                os.path.join(args.output, "labels"))
+            labels = spark.read.parquet(os.path.join(args.output, "labels"))
+            n_rows = labels.count()
+            n_kept = labels.filter(F.col("keep")).count()
+            if args.drop:
+                keep_ids = labels.filter(F.col("keep")).select(id_col)
+                (df.join(keep_ids, id_col, "left_semi")
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(args.output, "data")))
+            print(json.dumps({"threshold": args.threshold,
+                              "n_cells": args.n_cells, "rows": n_rows,
+                              "kept": n_kept,
+                              "dropped": n_rows - n_kept}))
             return 0
 
         if args.cmd == "curate":

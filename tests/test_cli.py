@@ -273,3 +273,25 @@ def test_clusters_cli_text_and_phash(tmp_path_factory, pairs_file):
     ).stdout.strip().splitlines()[-1])
     assert res_p["rows"] == 2000
     assert 0 < res_p["clusters"] < 2000
+
+
+def test_semdedup_cli(tmp_path_factory):
+    """semdedup subcommand: labels cover every row, JSON counts
+    reconcile with both written outputs, --drop keeps keep=true only."""
+    base = tmp_path_factory.mktemp("cli_sd")
+    out = str(base / "out")
+    res = json.loads(_run(
+        ["semdedup", "-i", "/root/testdata/sf0.001/embeddings.parquet",
+         "-o", out, "--threshold", "0.4", "--n_cells", "8", "--drop",
+         "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert res["rows"] == 500
+    assert res["kept"] + res["dropped"] == 500
+    assert 0 < res["dropped"] < 500  # the fixture plants near-dups
+    n_lab, n_kept = duckdb.sql(
+        f"SELECT COUNT(*), SUM(CASE WHEN keep THEN 1 ELSE 0 END) "
+        f"FROM read_parquet('{out}/labels/*.parquet')").fetchone()
+    assert n_lab == 500 and n_kept == res["kept"]
+    n_data = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/data/*.parquet')"
+    ).fetchone()[0]
+    assert n_data == res["kept"]
