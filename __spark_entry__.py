@@ -488,6 +488,18 @@ def doc_quality_tiers(spark, sf_dir):
         .select("doc_id", "lang", "q_score", "tier")
 
 
+def doc_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style corpus-wide LINE dedup: every >=15-char
+    line keeps only its first (doc_id, position) occurrence anywhere
+    in the corpus; documents are rewritten with later copies removed.
+    Full value oracle — md5 line keys, keep-first window and the
+    string reassembly all reproduce in SQL."""
+    from mehc_curation_spark.operators.similarity import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return line_dedup(d, "doc_id", "text")
+
+
 def doc_source_reputation(spark, sf_dir):
     """Domain/source-level reputation filtering (C4/RefinedWeb shape):
     per-source exact-dup rate + repetition + token stats via two-phase
@@ -1327,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_dedup_clusters": doc_dedup_clusters,
         "doc_substring_dedup": doc_substring_dedup,
+        "doc_line_dedup": doc_line_dedup,
         "doc_source_reputation": doc_source_reputation,
         "doc_token_budget_sample": doc_token_budget_sample,
         "doc_quality_tiers": doc_quality_tiers,
@@ -1841,6 +1854,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Spark md5(string) and DuckDB md5(varchar) hash identical
         # UTF-8 bytes, so the window fingerprints agree value-for-value.
+        "doc_line_dedup": """
+            WITH l AS (
+                SELECT doc_id,
+                       generate_subscripts(ls, 1) - 1 AS pos,
+                       unnest(ls) AS line
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                      FROM documents WHERE text IS NOT NULL)
+            ),
+            k AS (
+                SELECT doc_id, pos, line,
+                       CASE WHEN LENGTH(TRIM(line)) >= 15
+                            THEN md5(line) END AS h
+                FROM l
+            ),
+            f AS (
+                SELECT doc_id, pos, line,
+                       (h IS NULL OR ROW_NUMBER() OVER (
+                            PARTITION BY h ORDER BY doc_id, pos) = 1)
+                           AS keep
+                FROM k
+            ),
+            agg AS (
+                SELECT doc_id,
+                       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                                    FILTER (WHERE keep), '') AS text_clean,
+                       COUNT(*) AS n_lines,
+                       COUNT(*) FILTER (WHERE NOT keep) AS n_dropped
+                FROM f GROUP BY doc_id
+            )
+            SELECT d.doc_id, a.text_clean,
+                   COALESCE(a.n_lines, 0) AS n_lines,
+                   COALESCE(a.n_dropped, 0) AS n_dropped
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "doc_substring_dedup": r"""
             WITH tok AS (
                 SELECT doc_id,

@@ -1363,3 +1363,71 @@ def substring_dup_stats(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("_id").alias(id_col), "n_windows", "n_shared",
                 "dup_of_earlier")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line-level dedup (C4-style text rewrite)
+# ---------------------------------------------------------------------------
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str,
+               min_chars: int = 15) -> DataFrame:
+    """C4-style corpus-level line deduplication (Raffel et al. 2020
+    dedup three-sentence spans; RefinedWeb/Gopher drop repeated lines):
+    every line that occurs more than once ANYWHERE in the corpus keeps
+    only its first occurrence in (id, position) order — later copies
+    are removed and the documents REWRITTEN. Boilerplate (nav bars,
+    cookie banners, footers) repeats across pages verbatim, so
+    line-level keep-first deletes it everywhere but its first sighting.
+
+    Lines whose trimmed length is below ``min_chars`` never
+    participate (deduping short lines like "Home" or "" would mangle
+    unrelated documents); they are always kept in place.
+
+    Scale shape: the dedup key that shuffles is ``md5(line)`` — 32
+    bytes regardless of line length — and the winner map is a slim
+    (hash, id, pos) frame joined back per line. Reassembly sorts each
+    document's surviving lines by position inside one groupBy (no
+    window). Deterministic on any partitioning: winners are
+    ``min(struct(id, pos))`` per hash.
+
+    Returns (id, text_clean, n_lines, n_dropped); text round-trips
+    byte-identically when nothing is dropped (split/join on '\\n' is
+    lossless, trailing newlines included).
+    """
+    # posexplode_outer keeps a (_id, NULL, NULL) row for NULL-text
+    # docs, so they stay in the output (text_clean NULL, 0 lines)
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(F.split(F.col(text_col), "\n", -1))
+         .alias("_pos", "_line"))
+    elig = F.length(F.trim(F.col("_line"))) >= min_chars
+    keyed = lines.withColumn(
+        "_h", F.when(elig, F.md5(F.col("_line"))))
+    winners = (keyed.filter(F.col("_h").isNotNull())
+               .groupBy("_h")
+               .agg(F.min(F.struct("_id", "_pos")).alias("_win")))
+    kept = (
+        keyed.join(winners, "_h", "left")
+        .withColumn("_keep",
+                    F.col("_h").isNull() |
+                    (F.struct("_id", "_pos") == F.col("_win")))
+    )
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("_keep") & F.col("_line").isNotNull(),
+                       F.struct("_pos", "_line")))),
+            lambda s: s["_line"]),
+        "\n")
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.when(F.count("_line") > 0, joined).alias("text_clean"),
+            F.count("_line").alias("n_lines"),
+            F.coalesce(
+                F.sum(F.when(F.col("_line").isNotNull(),
+                             (~F.col("_keep")).cast("long"))),
+                F.lit(0)).alias("n_dropped"))
+        .select(F.col("_id").alias(id_col), "text_clean",
+                "n_lines", "n_dropped")
+    )
