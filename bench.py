@@ -64,6 +64,10 @@ HEADLINE = [
     # iterative connected-components cluster resolution
     "doc_substring_dedup",
     "doc_dedup_clusters",
+    # round-3 late additions: SemDeDup (k-means cells + in-cell GEMM)
+    # and C4-style corpus-wide line dedup with document rewrite
+    "emb_semdedup",
+    "doc_line_dedup",
 ]
 
 

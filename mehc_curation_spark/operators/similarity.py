@@ -977,7 +977,7 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
 
 
 def semdedup(df: DataFrame, vec_col: str, id_col: str,
-             threshold: float = 0.95, n_cells: int = 16,
+             threshold: float = 0.95, n_cells=16,
              seed: int = 42, round_to: int = 4) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering + within-cluster cosine.
@@ -986,69 +986,81 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
     clustering the embeddings into ``n_cells`` cells and only comparing
     WITHIN a cell (cost ~ n^2 / n_cells for balanced cells — at corpus
     scale n_cells grows with n, e.g. 50k clusters for LAION-scale in
-    the paper, keeping cells a few thousand rows). Per the paper's keep
-    rule, within each duplicate group the member with the LOWEST cosine
-    similarity to its cluster centroid survives (edge-of-cluster
-    examples carry the most diverse signal): a row is dropped iff an
-    earlier row in (centroid_cos ASC, id) priority order sits within
-    ``threshold`` cosine of it — the same exists-earlier rule the
-    reference SemDeDup implementation applies, so no iterative chain.
+    the paper, keeping cells a few thousand rows; pass
+    ``n_cells="auto"`` for rows/2048 clamped to [8, 65536]). Per the
+    paper's keep rule, within each duplicate group the member with the
+    LOWEST cosine similarity to its cluster centroid survives
+    (edge-of-cluster examples carry the most diverse signal): a row is
+    dropped iff an earlier row in (centroid_cos ASC, id) priority
+    order sits within ``threshold`` cosine of it — the same
+    exists-earlier rule the reference SemDeDup implementation applies,
+    so no iterative chain.
 
     Returns every input row with ``cell``, ``centroid_cos`` and
     ``keep``. Deterministic and partition-invariant: centroids come
-    from :func:`ivf_index`'s hash-sampled fixed-seed Lloyd's, and all
-    orderings tie-break on id.
+    from :func:`ivf_index`'s hash-sampled fixed-seed Lloyd's, cell
+    membership fixes the UDF input set, and the in-cell NumPy pass is
+    sequential per cell — same floats on any layout.
 
-    Physical shape: ONE shuffle on the cell id serves both sides of
-    the within-cell self-join; normalization happens once per row
-    before the join so each candidate pair costs one zip_with dot
-    product. Cross-cell near-dups are missed by design — that is the
-    documented recall trade-off of the algorithm (raise n_cells recall
-    via the overlap: duplicates are near each other, so they land in
-    the same cell except exactly at cell borders).
+    Physical shape: ONE shuffle (groupBy cell → applyInPandas); each
+    cell's pairwise pass is a chunked float64 GEMM over the normalized
+    member matrix (~100x cheaper per pair than an interpreted
+    expression-tree dot product), memory-bounded at |cell| x 2048
+    doubles per chunk. A cell must fit in executor memory — that is
+    SemDeDup's sizing contract, enforced by choosing n_cells ~ n/4096.
+    Cross-cell near-dups are missed by design — the documented recall
+    trade-off of the algorithm (duplicates land in the same cell
+    except exactly at cell borders).
     """
     # cluster the NORMALIZED embeddings (the paper's setting): cosine
     # duplicates are scaled copies of one direction, which raw-space
     # k-means would happily split across cells
     ndf = df.select(F.col(id_col).alias("_sid"),
                     _normalized_vec(F.col(vec_col)).alias("_nv"))
+    if n_cells == "auto":
+        n_cells = max(8, min(65536, df.count() // 2048))
     assigned, centers = ivf_index(ndf, "_nv", n_cells, seed, id_col="_sid")
     norms = np.linalg.norm(centers, axis=1)
     norms[norms == 0] = 1.0
     ncenters = centers / norms[:, None]
-    spark = df.sparkSession
-    cent_df = spark.createDataFrame(
-        [(int(c), [float(x) for x in ncenters[c]])
-         for c in range(len(ncenters))],
-        "_ivf_cell long, _centroid array<double>")
-    nv = (
-        assigned
-        .join(F.broadcast(cent_df), "_ivf_cell", "left")
-        .select("_sid", F.col("_ivf_cell").alias("cell"), F.col("_nv"),
-                F.round(_dot_col(F.col("_nv"), F.col("_centroid")),
-                        round_to).alias("centroid_cos"))
-    )
-    a = nv.select(F.col("_sid").alias("_ida"), F.col("cell").alias("_ca"),
-                  F.col("_nv").alias("_va"),
-                  F.col("centroid_cos").alias("_cca"))
-    b = nv.select(F.col("_sid").alias("_idb"), F.col("cell").alias("_cb"),
-                  F.col("_nv").alias("_vb"),
-                  F.col("centroid_cos").alias("_ccb"))
-    earlier = (F.col("_cca") < F.col("_ccb")) | \
-              ((F.col("_cca") == F.col("_ccb")) &
-               (F.col("_ida") < F.col("_idb")))
-    dropped = (
-        a.join(b, (F.col("_ca") == F.col("_cb")) & earlier)
-        .filter(F.round(_dot_col(F.col("_va"), F.col("_vb")), round_to)
-                >= F.lit(threshold))
-        .select(F.col("_idb").alias("_sid"))
-        .distinct()
-    )
-    return (
-        nv.join(dropped.withColumn("_dropped", F.lit(True)), "_sid", "left")
-        .select(F.col("_sid").alias(id_col), "cell", "centroid_cos",
-                F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"))
-    )
+    thr, rt = float(threshold), int(round_to)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_type}, cell long, "
+                  "centroid_cos double, keep boolean")
+
+    def _dedup_cell(key, pdf):
+        cell = key[0]
+        if cell is None or pd.isna(cell):
+            return pd.DataFrame({
+                id_col: pdf["_sid"],
+                "cell": pd.Series([None] * len(pdf), dtype="object"),
+                "centroid_cos": pd.Series([None] * len(pdf),
+                                          dtype="object"),
+                "keep": True})
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["_nv"]])
+        cc = np.round(M @ ncenters[int(cell)], rt)
+        order = (pd.DataFrame({"cc": cc, "id": pdf["_sid"].to_numpy()})
+                 .sort_values(["cc", "id"], kind="stable")
+                 .index.to_numpy())
+        Mo = M[order]
+        n = len(Mo)
+        dropped = np.zeros(n, dtype=bool)
+        gidx = np.arange(n)
+        B = 2048
+        for j0 in range(0, n, B):
+            j1 = min(j0 + B, n)
+            S = np.round(Mo @ Mo[j0:j1].T, rt)
+            lt = gidx[:, None] < gidx[j0:j1][None, :]
+            dropped[j0:j1] = ((S >= thr) & lt).any(axis=0)
+        return pd.DataFrame({
+            id_col: pdf["_sid"].to_numpy()[order],
+            "cell": int(cell),
+            "centroid_cos": cc[order],
+            "keep": ~dropped})
+
+    return assigned.groupBy("_ivf_cell").applyInPandas(_dedup_cell,
+                                                       out_schema)
 
 
 # ---------------------------------------------------------------------------
