@@ -89,29 +89,55 @@ def token_budget_sample(df: DataFrame, id_col: str, stratum_col: str,
     <= budget (so the budget is never exceeded; a first doc larger
     than the whole budget is excluded).
 
-    Physical shape: one running-sum window per stratum — a sort within
-    each stratum's partition range, the same cost class as any global
-    ordering pass. At extreme per-stratum scale the cut can instead be
-    found as a threshold on the u48 axis with two aggregation passes
-    (no sort); this implementation takes the exact window because the
-    budget boundary mid-document is then bit-deterministic.
+    Physical shape — a naive running-sum window per stratum would sort
+    each WHOLE stratum inside one task (strata are the hot keys: "en"
+    is most of a web corpus), so the cumulative sum is computed at two
+    levels instead:
+
+    1. bucket the u48 priority axis into ``n_buckets`` equal ranges
+       and aggregate per-(stratum, bucket) token sums — an ordinary
+       partial-agg shuffle, no sort;
+    2. a window over that TINY aggregate (strata x n_buckets rows)
+       yields each bucket's base offset;
+    3. the exact running sum then only needs a window partitioned by
+       (stratum, bucket) — n_buckets-fold smaller sorts, uniformly
+       sized because u48 is uniform — plus the broadcast base.
+
+    Bit-identical to the single-window formulation (same (u48, id)
+    order; ties share a bucket by construction).
     """
     from pyspark.sql.window import Window
 
     from mehc_curation_spark.operators.text_stats import token_count_col
 
+    bucket_bits = 12  # 4096 buckets: bucket = u48 >> (48 - bits)
     budget = F.lit(default_budget)
     for s, b in sorted(budgets.items()):
         budget = F.when(F.col(stratum_col) == s, F.lit(int(b))) \
                   .otherwise(budget)
-    w = (Window.partitionBy(stratum_col)
-         .orderBy(u48_col(F.col(id_col)), F.col(id_col))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    tok = token_count_col(F.col(text_col))
+    u = (df.select("*",
+                   token_count_col(F.col(text_col)).alias("n_tok"),
+                   u48_col(F.col(id_col)).alias("_u48"))
+         .withColumn("_bkt", F.shiftright("_u48", 48 - bucket_bits)))
+    per_bucket = (u.groupBy(stratum_col, "_bkt")
+                  .agg(F.sum("n_tok").alias("_bt")))
+    wb = (Window.partitionBy(stratum_col).orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    base = per_bucket.select(
+        stratum_col, "_bkt",
+        F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_base"))
+    wr = (Window.partitionBy(stratum_col, "_bkt")
+          .orderBy("_u48", F.col(id_col))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
-        df.select("*", tok.alias("n_tok"))
-        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        u.join(F.broadcast(base), [stratum_col, "_bkt"])
+        # bucket-level prune BEFORE the window: a bucket whose base
+        # offset already exceeds the budget cannot contribute, so the
+        # sort only ever sees ~budget worth of rows per stratum
+        .filter(F.col("_base") <= budget)
+        .withColumn("cum_tok", F.col("_base") + F.sum("n_tok").over(wr))
         .filter(F.col("cum_tok") <= budget)
+        .drop("_u48", "_bkt", "_base")
     )
 
 
