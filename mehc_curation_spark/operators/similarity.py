@@ -907,7 +907,7 @@ def make_cell_assign_udf(centers: np.ndarray):
 
 def ivf_index(df: DataFrame, vec_col: str, n_cells: int = 16,
               seed: int = 42, id_col: Optional[str] = None,
-              max_train: int = 16384):
+              max_train: int = 16384, n_rows: Optional[int] = None):
     """Train an IVF coarse quantizer and return (assigned_df, centers):
     the input with an `_ivf_cell` column and the centroid matrix
     (n_cells, dim) for query-side probing.
@@ -926,7 +926,7 @@ def ivf_index(df: DataFrame, vec_col: str, n_cells: int = 16,
     # sample cap ~1k points/cell: enough for a coarse quantizer
     target = min(max_train, n_cells * 1024)
     if id_col is not None:
-        n = df.count()
+        n = df.count() if n_rows is None else n_rows
         denom = max(1, n // target)
         train_df = df.filter(F.xxhash64(F.col(id_col)) % denom == 0) \
             .orderBy(id_col).limit(target).select(vec_col)
@@ -1017,9 +1017,12 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
     # k-means would happily split across cells
     ndf = df.select(F.col(id_col).alias("_sid"),
                     _normalized_vec(F.col(vec_col)).alias("_nv"))
+    n_rows = None
     if n_cells == "auto":
-        n_cells = max(8, min(65536, df.count() // 2048))
-    assigned, centers = ivf_index(ndf, "_nv", n_cells, seed, id_col="_sid")
+        n_rows = df.count()
+        n_cells = max(8, min(65536, n_rows // 2048))
+    assigned, centers = ivf_index(ndf, "_nv", n_cells, seed, id_col="_sid",
+                                  n_rows=n_rows)
     norms = np.linalg.norm(centers, axis=1)
     norms[norms == 0] = 1.0
     ncenters = centers / norms[:, None]

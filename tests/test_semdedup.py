@@ -84,3 +84,17 @@ def test_null_vector_survives_with_null_cell(spark):
     # the NULL vector gets no cell, joins no pair, and is kept
     assert out[3]["cell"] is None and out[3]["keep"]
     assert sum(1 for r in out.values() if r["keep"] and r["cell"] is not None) == 1
+
+
+def test_auto_n_cells_matches_explicit_floor(spark):
+    """n_cells="auto" on a tiny corpus clamps to the floor of 8 and
+    produces the same labels as n_cells=8 (one count job, passed
+    through to the quantizer)."""
+    df = _vecs(spark)
+    a = sorted(tuple(r) for r in
+               semdedup(df, "embedding", "vec_id",
+                        threshold=0.95, n_cells="auto", seed=7).collect())
+    b = sorted(tuple(r) for r in
+               semdedup(df, "embedding", "vec_id",
+                        threshold=0.95, n_cells=8, seed=7).collect())
+    assert a == b
