@@ -168,3 +168,43 @@ def quality_tiers(df: DataFrame, id_col: str, stratum_col: str,
     for i in range(n_tiers - 1, -1, -1):
         lab = F.when(t == i + 1, F.lit(labels[i])).otherwise(lab)
     return df.select("*", lab.alias("tier"))
+
+
+def quality_tiers_approx(df: DataFrame, id_col: str, stratum_col: str,
+                         score_col: str, n_tiers: int = 3,
+                         labels: tuple = ("head", "middle", "tail"),
+                         accuracy: int = 10000) -> DataFrame:
+    """Scale path for :func:`quality_tiers`: quantile-BOUNDARY tiers
+    instead of an exact per-stratum ranking.
+
+    The exact ntile needs the true stratum-wide sort — acceptable when
+    the per-stratum data fits a handful of tasks, a bottleneck when one
+    language is most of a web corpus. CCNet itself (Wenzek et al. 2020
+    §4.4) cuts on perplexity QUANTILE thresholds, not exact ranks, so
+    this is the paper-faithful formulation: one ``percentile_approx``
+    aggregation per stratum (map-side combinable sketch, no sort, no
+    window), boundaries broadcast back, tier = comparison in a scan.
+
+    Differences from the exact cut, by construction: tier populations
+    are approximately (not exactly) equal, rows tied exactly ON a
+    boundary value all land in the same (higher) tier, and the
+    Greenwald-Khanna sketch carries ~1/accuracy relative rank error.
+    Deterministic for a fixed input (the sketch merge is
+    order-insensitive at these sizes; boundaries are data-dependent
+    but partition-invariant).
+    """
+    if n_tiers != len(labels):
+        raise ValueError("labels must match n_tiers")
+    qs = [i / n_tiers for i in range(1, n_tiers)]
+    bounds = (df.groupBy(stratum_col)
+              .agg(F.percentile_approx(score_col, qs, accuracy)
+                   .alias("_tier_bounds")))
+    out = df.join(F.broadcast(bounds), stratum_col, "left")
+    # ascending quantiles: labels run head..tail = highest..lowest
+    # score, so tier i (0-based from head) requires score > bounds[k-1-i]
+    lab = F.lit(labels[-1])
+    for i in range(n_tiers - 2, -1, -1):
+        b = F.col("_tier_bounds").getItem(n_tiers - 2 - i)
+        lab = F.when(F.col(score_col) > b, F.lit(labels[i])) \
+               .otherwise(lab)
+    return out.select(*df.columns, lab.alias("tier"))

@@ -72,3 +72,30 @@ def test_quality_tiers_balanced_per_stratum(spark):
     m = {(r["lang"], r["tier"]): r["m"] for r in stats}
     for lang in ("en", "de"):
         assert m[(lang, "head")] > m[(lang, "middle")] > m[(lang, "tail")]
+
+
+def test_quality_tiers_approx_matches_exact_cut(spark):
+    """The quantile-boundary scale path agrees with the exact ntile on
+    all but boundary-tied rows, with near-equal tier populations."""
+    import pytest
+
+    from mehc_curation_spark.operators.sampling import quality_tiers_approx
+
+    rows = [(i, "en" if i % 2 else "de", float((i * 37) % 601) / 601.0)
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, q double")
+    exact = {(r["doc_id"]): r["tier"] for r in
+             quality_tiers(df, "doc_id", "lang", "q").collect()}
+    approx = {(r["doc_id"]): r["tier"] for r in
+              quality_tiers_approx(df, "doc_id", "lang", "q").collect()}
+    assert set(approx) == set(exact)
+    agree = sum(approx[k] == exact[k] for k in exact) / len(exact)
+    assert agree >= 0.98
+    from collections import Counter
+
+    sizes = Counter(approx.values())
+    for t in ("head", "middle", "tail"):
+        assert abs(sizes[t] - 200) <= 8
+
+    with pytest.raises(ValueError):
+        quality_tiers_approx(df, "doc_id", "lang", "q", n_tiers=4)
