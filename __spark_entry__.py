@@ -1136,6 +1136,23 @@ def emb_near_dup_lsh_check(spark, sf_dir):
         "n_exact long, lsh_subset_of_exact boolean, recall_ge_half boolean")
 
 
+def emb_alignment(spark, sf_dir):
+    """CLIP-score-style image-text alignment filter (LAION keep rule):
+    per-row cosine between two embedding columns, pure Catalyst. The
+    second modality's vector is synthesized deterministically as the
+    REVERSED embedding (the fixture carries one vector per row); the
+    operator itself is column-generic. Full value oracle — the safe
+    dot/norm arithmetic reproduces in SQL."""
+    from mehc_curation_spark.operators.similarity import alignment_scores
+
+    e = _t(spark, sf_dir, "embeddings")
+    paired = e.select("vec_id", "embedding",
+                      F.reverse("embedding").alias("embedding_b"))
+    return (alignment_scores(paired, "embedding", "embedding_b")
+            .select("vec_id", "alignment_cos",
+                    (F.col("alignment_cos") >= 0.1).alias("aligned")))
+
+
 def emb_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means-cell + within-cell cosine
     dedup keeping the lowest-centroid-similarity member of each dup
@@ -1347,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
+        "emb_alignment": emb_alignment,
         # UDF-backed but still fully DuckDB-oracled (value-for-value)
         "doc_minhash_neardup": doc_minhash_neardup,
         "doc_cross_dedup": doc_cross_dedup,
@@ -1938,6 +1956,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cos DESC, e.vec_id
             LIMIT 10
+        """,
+        "emb_alignment": """
+            WITH n AS (
+                SELECT vec_id,
+                       CAST(embedding AS DOUBLE[]) AS a,
+                       list_reverse(CAST(embedding AS DOUBLE[])) AS b
+                FROM embeddings
+            ), s AS (
+                SELECT vec_id,
+                       list_dot_product(a, b) AS dot,
+                       CASE WHEN sqrt(list_dot_product(a, a)) > 0
+                            THEN sqrt(list_dot_product(a, a))
+                            ELSE 1.0 END AS na,
+                       CASE WHEN sqrt(list_dot_product(b, b)) > 0
+                            THEN sqrt(list_dot_product(b, b))
+                            ELSE 1.0 END AS nb
+                FROM n
+            )
+            SELECT vec_id,
+                   ROUND(dot / (na * nb), 4) AS alignment_cos,
+                   ROUND(dot / (na * nb), 4) >= 0.1 AS aligned
+            FROM s
         """,
         "emb_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1446,3 +1446,34 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("_id").alias(id_col), "text_clean",
                 "n_lines", "n_dropped")
     )
+
+
+# ---------------------------------------------------------------------------
+# image-text alignment filtering (CLIP-score shape)
+# ---------------------------------------------------------------------------
+
+def alignment_scores(df: DataFrame, vec_a_col: str, vec_b_col: str,
+                     round_to: int = 4) -> DataFrame:
+    """Per-row cosine between two embedding columns — the CLIP-score
+    image-text alignment shape (Schuhmann et al. 2021, LAION-400M:
+    pairs kept iff cos(CLIP_img, CLIP_txt) >= 0.3; DataComp's CLIP
+    filtering baselines). The pipeline position: an upstream model
+    wrote per-row image and caption embeddings; the filter itself is
+    then pure column arithmetic — normalize each side once, one
+    zip_with dot product, NO shuffle, NO Python. Appends
+    ``alignment_cos`` (NULL when either side is NULL; 0.0 for
+    zero-norm vectors by the safe-norm convention)."""
+    cos = F.round(
+        _dot_col(_normalized_vec(F.col(vec_a_col)),
+                 _normalized_vec(F.col(vec_b_col))), round_to)
+    return df.withColumn("alignment_cos", cos)
+
+
+def alignment_filter(df: DataFrame, vec_a_col: str, vec_b_col: str,
+                     threshold: float = 0.3,
+                     round_to: int = 4) -> DataFrame:
+    """Keep rows whose embedding-pair cosine clears ``threshold`` —
+    LAION's CLIP-filter keep rule. NULL-embedding rows drop (no
+    evidence of alignment), matching the strict SQL comparison."""
+    return (alignment_scores(df, vec_a_col, vec_b_col, round_to)
+            .filter(F.col("alignment_cos") >= F.lit(float(threshold))))

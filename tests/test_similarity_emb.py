@@ -136,3 +136,29 @@ def test_ivf_topk_recall_vs_brute_force(spark):
                     n_cells=8, n_probe=3).collect()]
     recall = len(set(brute) & set(ivf)) / 10
     assert recall >= 0.8, (recall, brute, ivf)
+
+
+def test_alignment_filter_keep_rule(spark):
+    """CLIP-filter shape: identical directions align (cos 1), orthogonal
+    don't, NULL sides drop, zero vectors score 0 by the safe norm."""
+    from pyspark.sql import functions as F
+
+    from mehc_curation_spark.operators.similarity import (
+        alignment_filter,
+        alignment_scores,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], [2.0, 0.0]),   # same direction -> 1.0
+        (2, [1.0, 0.0], [0.0, 1.0]),   # orthogonal -> 0.0
+        (3, None, [1.0, 0.0]),         # NULL side -> NULL, dropped
+        (4, [0.0, 0.0], [1.0, 0.0]),   # zero vector -> 0.0
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, va array<float>, vb array<float>")
+    sc = {r["id"]: r["alignment_cos"] for r in
+          alignment_scores(df, "va", "vb").collect()}
+    assert sc[1] == 1.0 and sc[2] == 0.0 and sc[3] is None and sc[4] == 0.0
+    kept = {r["id"] for r in
+            alignment_filter(df, "va", "vb", threshold=0.3).collect()}
+    assert kept == {1}
