@@ -488,6 +488,18 @@ def doc_quality_tiers(spark, sf_dir):
         .select("doc_id", "lang", "q_score", "tier")
 
 
+def doc_chunks(spark, sf_dir):
+    """Fixed-size overlapping token-window chunking (the pretraining /
+    RAG doc->sample step): 64-token chunks advancing by 48. Full value
+    oracle — integer-exact chunk-count arithmetic, list slicing and
+    the space rejoin all reproduce in SQL."""
+    from mehc_curation_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text",
+                           chunk_tokens=64, overlap=16)
+
+
 def doc_line_dedup(spark, sf_dir):
     """C4/RefinedWeb-style corpus-wide LINE dedup: every >=15-char
     line keeps only its first (doc_id, position) occurrence anywhere
@@ -1357,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_clusters": doc_dedup_clusters,
         "doc_substring_dedup": doc_substring_dedup,
         "doc_line_dedup": doc_line_dedup,
+        "doc_chunks": doc_chunks,
         "doc_source_reputation": doc_source_reputation,
         "doc_token_budget_sample": doc_token_budget_sample,
         "doc_quality_tiers": doc_quality_tiers,
@@ -1872,6 +1885,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Spark md5(string) and DuckDB md5(varchar) hash identical
         # UTF-8 bytes, so the window fingerprints agree value-for-value.
+        "doc_chunks": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+                            ELSE list_filter(
+                                regexp_split_to_array(TRIM(text),
+                                                      '[ \t\n\r]+'),
+                                x -> x <> '')
+                       END AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            c AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       GREATEST((len(toks) - 16 + 47) // 48, 1) AS nc
+                FROM t WHERE len(toks) > 0
+            ),
+            e AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, nc)) AS chunk_id
+                FROM c
+            )
+            SELECT doc_id, chunk_id,
+                   CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64])
+                        AS INTEGER) AS n_tok,
+                   array_to_string(
+                       toks[chunk_id * 48 + 1 : chunk_id * 48 + 64],
+                       ' ') AS chunk_text
+            FROM e
+        """,
         "doc_line_dedup": """
             WITH l AS (
                 SELECT doc_id,
