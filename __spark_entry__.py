@@ -500,6 +500,38 @@ def doc_chunks(spark, sf_dir):
                            chunk_tokens=64, overlap=16)
 
 
+def doc_pack_check(spark, sf_dir):
+    """Oracled assertions for sample packing over the chunker output:
+    n_chunks is the SQL chunk count (same CTE as doc_chunks); the
+    packer must assign every chunk exactly once, never overfill a
+    sequence past capacity (oversize singletons excepted), and keep
+    the per-shard greedy fill above half capacity."""
+    from mehc_curation_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = (chunk_documents(d, "doc_id", "text",
+                              chunk_tokens=64, overlap=16)
+              .select(F.concat_ws(":", "doc_id", "chunk_id").alias("uid"),
+                      "n_tok"))
+    packed = pack_chunks(chunks, "uid", "n_tok",
+                         seq_tokens=128, shard_bits=4).cache()
+    n_packed = packed.count()
+    per_seq = (packed.groupBy("shard", "seq_id")
+               .agg(F.sum("n_tok").alias("t"),
+                    F.max("oversize").alias("ov")))
+    n_over = per_seq.filter(~F.col("ov") & (F.col("t") > 128)).count()
+    agg = per_seq.agg(F.sum("t").alias("tot"),
+                      F.count("*").alias("nseq")).first()
+    fill = agg["tot"] / (128.0 * agg["nseq"]) if agg["nseq"] else 0.0
+    return spark.createDataFrame(
+        [(n_packed, n_over == 0, bool(fill >= 0.5))],
+        "n_chunks long, no_overfilled_sequence boolean, "
+        "fill_ge_half boolean")
+
+
 def doc_line_dedup(spark, sf_dir):
     """C4/RefinedWeb-style corpus-wide LINE dedup: every >=15-char
     line keeps only its first (doc_id, position) occurrence anywhere
@@ -1370,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dedup": doc_substring_dedup,
         "doc_line_dedup": doc_line_dedup,
         "doc_chunks": doc_chunks,
+        "doc_pack_check": doc_pack_check,
         "doc_source_reputation": doc_source_reputation,
         "doc_token_budget_sample": doc_token_budget_sample,
         "doc_quality_tiers": doc_quality_tiers,
@@ -1913,6 +1946,23 @@ def oracle_sql() -> dict[str, str]:
                        toks[chunk_id * 48 + 1 : chunk_id * 48 + 64],
                        ' ') AS chunk_text
             FROM e
+        """,
+        "doc_pack_check": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+                            ELSE list_filter(
+                                regexp_split_to_array(TRIM(text),
+                                                      '[ \t\n\r]+'),
+                                x -> x <> '')
+                       END AS toks
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT CAST(SUM(GREATEST((len(toks) - 16 + 47) // 48, 1))
+                        AS BIGINT) AS n_chunks,
+                   TRUE AS no_overfilled_sequence,
+                   TRUE AS fill_ge_half
+            FROM t WHERE len(toks) > 0
         """,
         "doc_line_dedup": """
             WITH l AS (

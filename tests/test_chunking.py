@@ -70,3 +70,55 @@ def test_partition_invariance(spark):
                chunk_documents(df.repartition(7), "doc_id", "text",
                                chunk_tokens=5, overlap=2).collect())
     assert a == b
+
+
+def test_pack_chunks_capacity_and_coverage(spark):
+    from pyspark.sql import functions as F
+
+    from mehc_curation_spark.operators.chunking import pack_chunks
+
+    rows = [(f"c{i}", (i * 13) % 90 + 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "uid string, n_tok long")
+    out = pack_chunks(df, "uid", "n_tok", seq_tokens=128, shard_bits=2)
+    assert out.count() == 300  # every chunk assigned exactly once
+    per_seq = (out.groupBy("shard", "seq_id")
+               .agg(F.sum("n_tok").alias("t"),
+                    F.max("oversize").alias("ov")).collect())
+    assert all(r["t"] <= 128 for r in per_seq if not r["ov"])
+    # fill rate: greedy next-fit over 10..99-token chunks into 128
+    total = sum(r["t"] for r in per_seq)
+    assert total / (128 * len(per_seq)) >= 0.6
+    # seq_pos is the running offset inside each sequence
+    chk = (out.groupBy("shard", "seq_id")
+           .agg(F.max(F.col("seq_pos") + F.col("n_tok")).alias("end"),
+                F.sum("n_tok").alias("t")).collect())
+    assert all(r["end"] == r["t"] for r in chk)
+
+
+def test_pack_chunks_oversize_isolated(spark):
+    from mehc_curation_spark.operators.chunking import pack_chunks
+
+    rows = [("a", 50), ("b", 500), ("c", 60)]
+    df = spark.createDataFrame(rows, "uid string, n_tok long")
+    out = {r["uid"]: r for r in
+           pack_chunks(df, "uid", "n_tok", seq_tokens=128,
+                       shard_bits=0).collect()}
+    assert out["b"]["oversize"]
+    # the oversize chunk sits alone in its sequence
+    b_seq = (out["b"]["shard"], out["b"]["seq_id"])
+    others = {(r["shard"], r["seq_id"]) for k, r in out.items() if k != "b"}
+    assert b_seq not in others
+
+
+def test_pack_chunks_partition_invariance(spark):
+    from mehc_curation_spark.operators.chunking import pack_chunks
+
+    rows = [(f"u{i}", i % 40 + 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "uid string, n_tok long")
+    a = sorted(tuple(r) for r in
+               pack_chunks(df.repartition(1), "uid", "n_tok",
+                           seq_tokens=64).collect())
+    b = sorted(tuple(r) for r in
+               pack_chunks(df.repartition(9), "uid", "n_tok",
+                           seq_tokens=64).collect())
+    assert a == b
