@@ -160,6 +160,28 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--cores", type=int, default=-1)
     cl.add_argument("--master", default=None)
 
+    ck = sub.add_parser(
+        "chunk",
+        help="split documents into overlapping fixed-token windows and "
+             "optionally pack them into fixed-capacity training "
+             "sequences (T5-style packing); graft-only capability")
+    ck.add_argument("-i", "--input", required=True,
+                    help="corpus parquet with a text column")
+    ck.add_argument("-o", "--output", required=True)
+    ck.add_argument("--chunk_tokens", type=int, default=512)
+    ck.add_argument("--overlap", type=int, default=64)
+    ck.add_argument("--pack", action="store_true",
+                    help="also pack chunks into sequences; output is "
+                         "partitioned by shard")
+    ck.add_argument("--seq_tokens", type=int, default=2048,
+                    help="pack: sequence capacity in tokens")
+    ck.add_argument("--shard_bits", type=int, default=8,
+                    help="pack: 2^bits parallel packing shards")
+    ck.add_argument("--id_col", default="doc_id")
+    ck.add_argument("--text_col", default="text")
+    ck.add_argument("--cores", type=int, default=-1)
+    ck.add_argument("--master", default=None)
+
     sd = sub.add_parser(
         "semdedup",
         help="SemDeDup semantic dedup: k-means cells over normalized "
@@ -409,6 +431,53 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"mode": args.mode, "threshold": thr,
                               "rows": n_rows, "clusters": n_clusters,
                               "dropped_non_reps": n_rows - n_clusters}))
+            return 0
+
+        if args.cmd == "chunk":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators.chunking import (
+                chunk_documents,
+                pack_chunks,
+            )
+
+            df = spark.read.parquet(args.input)
+            chunks = chunk_documents(df, args.id_col, args.text_col,
+                                     chunk_tokens=args.chunk_tokens,
+                                     overlap=args.overlap)
+            data_dir = os.path.join(args.output, "data")
+            summary = {"chunk_tokens": args.chunk_tokens,
+                       "overlap": args.overlap, "packed": bool(args.pack)}
+            if args.pack:
+                packed = pack_chunks(
+                    chunks.withColumn(
+                        "_uid", F.concat_ws(":", args.id_col, "chunk_id")),
+                    "_uid", "n_tok", seq_tokens=args.seq_tokens,
+                    shard_bits=args.shard_bits).drop("_uid")
+                packed.write.mode("overwrite") \
+                      .partitionBy("shard").parquet(data_dir)
+                out = spark.read.parquet(data_dir)
+                agg = (out.groupBy("shard", "seq_id")
+                       .agg(F.sum("n_tok").alias("t"))
+                       .agg(F.count("*").alias("nseq"),
+                            F.sum("t").alias("tok")).first())
+                summary.update({
+                    "chunks": out.count(),
+                    "tokens": int(agg["tok"] or 0),
+                    "sequences": int(agg["nseq"] or 0),
+                    "seq_tokens": args.seq_tokens,
+                    "fill_rate": round(
+                        (agg["tok"] or 0) /
+                        (args.seq_tokens * agg["nseq"]), 4)
+                    if agg["nseq"] else 0.0})
+            else:
+                chunks.write.mode("overwrite").parquet(data_dir)
+                out = spark.read.parquet(data_dir)
+                agg = out.agg(F.count("*").alias("n"),
+                              F.sum("n_tok").alias("tok")).first()
+                summary.update({"chunks": int(agg["n"]),
+                                "tokens": int(agg["tok"] or 0)})
+            print(json.dumps(summary))
             return 0
 
         if args.cmd == "semdedup":

@@ -295,3 +295,34 @@ def test_semdedup_cli(tmp_path_factory):
         f"SELECT COUNT(*) FROM read_parquet('{out}/data/*.parquet')"
     ).fetchone()[0]
     assert n_data == res["kept"]
+
+
+def test_chunk_cli_plain_and_packed(tmp_path_factory):
+    """chunk subcommand: JSON counts reconcile with written parquet in
+    both modes; packed output partitions by shard and never overfills."""
+    base = tmp_path_factory.mktemp("cli_ck")
+    out = str(base / "out")
+    res = json.loads(_run(
+        ["chunk", "-i", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out, "--chunk_tokens", "64", "--overlap", "16",
+         "--cores", "4"]).stdout.strip().splitlines()[-1])
+    n, tok = duckdb.sql(
+        f"SELECT COUNT(*), SUM(n_tok) FROM "
+        f"read_parquet('{out}/data/*.parquet')").fetchone()
+    assert res["chunks"] == n and res["tokens"] == tok
+    assert res["packed"] is False
+
+    out_p = str(base / "out_packed")
+    res_p = json.loads(_run(
+        ["chunk", "-i", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out_p, "--chunk_tokens", "64", "--overlap", "16",
+         "--pack", "--seq_tokens", "128", "--shard_bits", "3",
+         "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert res_p["chunks"] == res["chunks"]  # packing loses nothing
+    assert 0.5 <= res_p["fill_rate"] <= 1.0
+    over = duckdb.sql(
+        f"SELECT COUNT(*) FROM (SELECT shard, seq_id, SUM(n_tok) t, "
+        f"MAX(oversize::INT) ov FROM "
+        f"read_parquet('{out_p}/data/**/*.parquet', hive_partitioning=1) "
+        f"GROUP BY shard, seq_id) WHERE t > 128 AND ov = 0").fetchone()[0]
+    assert over == 0
