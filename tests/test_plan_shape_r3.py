@@ -1,0 +1,127 @@
+"""Plan-shape assertions for the round-3 operators — pins each one's
+shuffle budget so a refactor can't silently regress the scale story."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def _formatted(plan) -> str:
+    """Simple-mode physical plan: one line per node with inline
+    arguments (formatted mode splits arguments into a details section,
+    which makes per-node key assertions awkward)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan.explain()
+    return buf.getvalue()
+
+
+def _tree(plan) -> str:
+    return _formatted(plan)
+
+
+def _count(tree: str, token: str) -> int:
+    return sum(token in ln for ln in tree.splitlines())
+
+
+def _docs(spark, n=50):
+    rows = [(i, "en" if i % 3 else "de",
+             " ".join(f"w{i}_{j}" for j in range(i % 30 + 1)))
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_chunking_has_no_exchange(spark):
+    """Chunking is row-parallel: explode + slice, zero shuffles."""
+    from mehc_curation_spark.operators.chunking import chunk_documents
+
+    tree = _tree(chunk_documents(_docs(spark), "doc_id", "text",
+                                 chunk_tokens=8, overlap=2))
+    assert _count(tree, "Exchange") == 0, tree
+
+
+def test_alignment_has_no_exchange_and_no_python(spark):
+    """The CLIP-filter is pure column arithmetic: no shuffle, no
+    Python eval node."""
+    from mehc_curation_spark.operators.similarity import alignment_filter
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0])],
+        "id long, va array<float>, vb array<float>")
+    tree = _tree(alignment_filter(df, "va", "vb"))
+    assert _count(tree, "Exchange") == 0, tree
+    assert _count(tree, "ArrowEvalPython") == 0, tree
+    assert _count(tree, "BatchEvalPython") == 0, tree
+
+
+def test_token_budget_shuffles_only_on_stratum_bucket(spark):
+    """Two-level cumulative sum: the bucket aggregate and the
+    per-(stratum, bucket) window share the SAME partitioning key, the
+    bucket-base map comes back as a broadcast join, and no exchange may
+    partition on the stratum alone (that would be the whole-stratum
+    sort this formulation exists to avoid)."""
+    from mehc_curation_spark.operators.sampling import token_budget_sample
+
+    import re
+
+    plan = token_budget_sample(_docs(spark), "doc_id", "lang", "text",
+                               {"en": 100, "de": 50})
+    s = _formatted(plan)
+    assert _count(s, "BroadcastHashJoin") == 1, s
+    keys = [m.group(1)
+            for m in re.finditer(r"hashpartitioning\(([^)]*)\)", s)]
+    both = [k for k in keys if "lang" in k and "_bkt" in k]
+    lang_only = [k for k in keys if "lang" in k and "_bkt" not in k]
+    # raw rows shuffle on (lang, bucket) twice (bucket aggregate +
+    # running-sum window); exactly ONE lang-only exchange exists and it
+    # feeds the window over the TINY per-bucket aggregate, never the
+    # full data — pinned by it living on the aggregate branch
+    assert len(both) == 2 and len(lang_only) == 1, s
+    lines = s.splitlines()
+    idx = next(i for i, ln in enumerate(lines)
+               if "hashpartitioning" in ln and "lang" in ln
+               and "_bkt" not in ln)
+    assert any("HashAggregate" in ln for ln in lines[idx:idx + 3]), s
+
+
+def test_semdedup_single_cell_exchange(spark):
+    """One shuffle on the cell id feeds the in-cell GEMM stage; the
+    only other exchange allowed is the quantizer's tiny training
+    sample collect (a LocalLimit/CollectLimit, not a hash exchange on
+    the full data)."""
+    from mehc_curation_spark.operators.similarity import semdedup
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tree = _tree(semdedup(df, "embedding", "vec_id",
+                          threshold=0.9, n_cells=4))
+    hash_ex = [ln for ln in tree.splitlines()
+               if "Exchange hashpartitioning" in ln]
+    assert len(hash_ex) == 1 and "_ivf_cell" in hash_ex[0], tree
+
+
+def test_pack_chunks_single_shard_exchange(spark):
+    from mehc_curation_spark.operators.chunking import pack_chunks
+
+    df = spark.createDataFrame([(f"u{i}", i % 9 + 1) for i in range(40)],
+                               "uid string, n_tok long")
+    tree = _tree(pack_chunks(df, "uid", "n_tok", seq_tokens=16))
+    hash_ex = [ln for ln in tree.splitlines()
+               if "Exchange hashpartitioning" in ln]
+    assert len(hash_ex) == 1 and "_shard" in hash_ex[0], tree
+
+
+def test_line_dedup_exchange_budget(spark):
+    """Line dedup pays for: the md5-key aggregate, the winner join
+    back, and the per-doc reassembly — every exchange keyed on the
+    slim hash or the doc id, never on raw line text."""
+    from mehc_curation_spark.operators.similarity import line_dedup
+
+    tree = _tree(line_dedup(_docs(spark), "doc_id", "text"))
+    hash_ex = [ln for ln in tree.splitlines()
+               if "Exchange hashpartitioning" in ln]
+    assert 0 < len(hash_ex) <= 4, tree
+    for ln in hash_ex:
+        assert "_h" in ln or "_id" in ln, tree
+    assert _count(tree, "hashpartitioning(_line") == 0, tree
