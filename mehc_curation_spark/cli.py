@@ -160,6 +160,24 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--cores", type=int, default=-1)
     cl.add_argument("--master", default=None)
 
+    cc = sub.add_parser(
+        "card",
+        help="dataset card: one-pass corpus summary (rows/tokens/"
+             "language mix/dup rate/quality keep rate); graft-only "
+             "capability")
+    cc.add_argument("-i", "--input", required=True,
+                    help="corpus parquet with a text column")
+    cc.add_argument("-o", "--output", required=True)
+    cc.add_argument("--id_col", default="doc_id")
+    cc.add_argument("--text_col", default="text")
+    cc.add_argument("--lang_col", default="lang",
+                    help="'' to skip the language rollup")
+    cc.add_argument("--exact", action="store_true",
+                    help="exact fingerprint cardinality instead of "
+                         "HyperLogLog (small corpora / reconciliation)")
+    cc.add_argument("--cores", type=int, default=-1)
+    cc.add_argument("--master", default=None)
+
     ck = sub.add_parser(
         "chunk",
         help="split documents into overlapping fixed-token windows and "
@@ -431,6 +449,24 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"mode": args.mode, "threshold": thr,
                               "rows": n_rows, "clusters": n_clusters,
                               "dropped_non_reps": n_rows - n_clusters}))
+            return 0
+
+        if args.cmd == "card":
+            from mehc_curation_spark.io.card import dataset_card, render_card
+
+            df = spark.read.parquet(args.input)
+            lang_col = args.lang_col or None
+            if lang_col and lang_col not in df.columns:
+                lang_col = None
+            card = dataset_card(df, args.id_col, args.text_col,
+                                lang_col=lang_col,
+                                exact_distinct=args.exact)
+            os.makedirs(args.output, exist_ok=True)
+            with open(os.path.join(args.output, "card.json"), "w") as f:
+                json.dump(card, f, indent=2, sort_keys=True)
+            with open(os.path.join(args.output, "card.txt"), "w") as f:
+                f.write(render_card(card) + "\n")
+            print(json.dumps(card))
             return 0
 
         if args.cmd == "chunk":

@@ -326,3 +326,35 @@ def test_chunk_cli_plain_and_packed(tmp_path_factory):
         f"read_parquet('{out_p}/data/**/*.parquet', hive_partitioning=1) "
         f"GROUP BY shard, seq_id) WHERE t > 128 AND ov = 0").fetchone()[0]
     assert over == 0
+
+
+def test_card_cli_reconciles_with_sql(tmp_path_factory):
+    """card subcommand: every count in the card must reproduce in SQL
+    over the same parquet (exact-dup mode for exact reconciliation)."""
+    base = tmp_path_factory.mktemp("cli_card")
+    out = str(base / "out")
+    res = json.loads(_run(
+        ["card", "-i", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out, "--exact", "--cores", "4"]).stdout.strip()
+        .splitlines()[-1])
+    src = "/root/testdata/sf0.001/documents.parquet"
+    rows, nulls, chars = duckdb.sql(
+        f"SELECT COUNT(*), SUM((text IS NULL)::INT), "
+        f"SUM(LENGTH(text)) FROM read_parquet('{src}')").fetchone()
+    assert res["rows"] == rows and res["null_text"] == nulls
+    assert res["chars"] == chars
+    toks = duckdb.sql(
+        f"SELECT SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE "
+        f"LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+')) END) "
+        f"FROM read_parquet('{src}')").fetchone()[0]
+    assert res["tokens"] == toks
+    nfp = duckdb.sql(
+        "SELECT COUNT(DISTINCT substr(md5(regexp_replace(LOWER("
+        f"TRIM(text)), '[ \t\n\r]+', ' ', 'g')), 1, 16)) "
+        f"FROM read_parquet('{src}') WHERE text IS NOT NULL").fetchone()[0]
+    # NULL text rows fingerprint to NULL (not counted by count_distinct)
+    assert res["distinct_fingerprints"] == nfp
+    assert sum(e["rows"] for e in res["languages"]) == rows
+    with open(os.path.join(out, "card.txt")) as f:
+        txt = f.read()
+    assert "DATASET CARD" in txt and f"{rows:,}" in txt
