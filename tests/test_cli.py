@@ -358,3 +358,46 @@ def test_card_cli_reconciles_with_sql(tmp_path_factory):
     with open(os.path.join(out, "card.txt")) as f:
         txt = f.read()
     assert "DATASET CARD" in txt and f"{rows:,}" in txt
+
+
+def test_spark_submit_pyfiles_end_to_end(pairs_file, tmp_path_factory):
+    """The cluster-ship path the north rule names: build the --py-files
+    zip, run spark-submit from a CLEAN working directory (only the zip
+    provides the package), and require exact label parity with the
+    pandas oracle."""
+    import shutil
+
+    import pyspark
+
+    spark_submit = os.path.join(os.path.dirname(pyspark.__file__),
+                                "bin", "spark-submit")
+    if not os.path.exists(spark_submit):  # pragma: no cover
+        pytest.skip("no spark-submit launcher in this pyspark install")
+    base = tmp_path_factory.mktemp("cli_submit")
+    zip_path = str(base / "pkg.zip")
+    _run(["package", "-o", zip_path])
+    assert os.path.getsize(zip_path) > 10_000
+    # clean cwd: copy ONLY the driver script next to nothing else
+    shutil.copy(os.path.join(REPO, "submit_curate.py"),
+                str(base / "submit_curate.py"))
+    out = str(base / "out")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path,
+         "submit_curate.py", "curate", "-i", pairs_file, "-o", out],
+        cwd=str(base), capture_output=True, text=True, timeout=600,
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+    from mehc_curation_spark.oracle import curate_oracle
+
+    got = duckdb.sql(
+        f"SELECT * FROM read_parquet('{out}/**/*.parquet')").df() \
+        .sort_values("image_id").reset_index(drop=True)
+    exp = curate_oracle(make_pairs_pdf(2000, seed=7)) \
+        .sort_values("image_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["keep"] == exp["keep"]).all()
+    assert (got["caption_scrubbed"].fillna("#")
+            == exp["caption_scrubbed"].fillna("#")).all()
