@@ -319,6 +319,30 @@ def doc_boilerplate_ngrams(spark, sf_dir):
                                   n=5, min_docs=3, k=20)
 
 
+def doc_top_terms(spark, sf_dir):
+    """Corpus vocabulary heavy hitters (operators/vocab.py): top-30
+    terms by document frequency with total term frequency. Pure
+    Catalyst explode + two-phase agg; the top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, k-row driver merge —
+    never a full sort). Full value oracle via DuckDB UNNEST."""
+    from mehc_curation_spark.operators.vocab import top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return top_terms(d, "doc_id", "text", k=30)
+
+
+def doc_tfidf_keywords(spark, sf_dir):
+    """Per-document keyword extraction (operators/vocab.py): top-3
+    terms by smoothed TF-IDF, ties broken by term. One lazy plan —
+    the corpus size N rides along as a broadcast 1-row aggregate, no
+    driver-side count(). Full value oracle: DuckDB states the same
+    smoothed formula with the identical association order."""
+    from mehc_curation_spark.operators.vocab import tfidf_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(d, "doc_id", "text", top_n=3)
+
+
 def doc_stratified_sample(spark, sf_dir):
     """Deterministic corpus-mixture rebalancing (operators/sampling.py):
     keep 25% of en, 50% of de, everything else — keyed on
@@ -1392,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": doc_repetition_stats,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_boilerplate_ngrams": doc_boilerplate_ngrams,
+        "doc_top_terms": doc_top_terms,
+        "doc_tfidf_keywords": doc_tfidf_keywords,
         "doc_quality_model": doc_quality_model,
         "doc_quality_model_check": doc_quality_model_check,
         "doc_lang_stats": doc_lang_stats,
@@ -1734,6 +1760,56 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 3
             ORDER BY n_docs DESC, ngram
             LIMIT 20
+        """,
+        "doc_top_terms": r"""
+            WITH tok AS (
+                SELECT doc_id, u.term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(LOWER(TRIM(text)),
+                                                  '[ \t\n\r]+')) AS u(term)
+                WHERE u.term <> ''
+            )
+            SELECT term,
+                   COUNT(DISTINCT doc_id) AS doc_freq,
+                   COUNT(*) AS tf_total
+            FROM tok
+            GROUP BY term
+            ORDER BY doc_freq DESC, tf_total DESC, term ASC
+            LIMIT 30
+        """,
+        "doc_tfidf_keywords": r"""
+            WITH tok AS (
+                SELECT doc_id, u.term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(LOWER(TRIM(text)),
+                                                  '[ \t\n\r]+')) AS u(term)
+                WHERE u.term <> ''
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf_cnt
+                FROM tok GROUP BY doc_id, term
+            ), dl AS (
+                SELECT doc_id, SUM(tf_cnt) AS n_tok FROM tf GROUP BY doc_id
+            ), dfq AS (
+                SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term
+            ), nd AS (
+                SELECT COUNT(*) AS n_docs FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.term,
+                       ROUND((tf.tf_cnt::DOUBLE / dl.n_tok::DOUBLE) *
+                             (LN((nd.n_docs + 1)::DOUBLE
+                                 / (dfq.dfreq + 1)::DOUBLE) + 1.0),
+                             6) AS score
+                FROM tf
+                JOIN dl USING (doc_id)
+                JOIN dfq USING (term)
+                CROSS JOIN nd
+            )
+            SELECT doc_id, term, score, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 3
         """,
         "doc_stratified_sample": """
             WITH u AS (
