@@ -1367,6 +1367,19 @@ def pairs_image_features(spark, sf_dir):
     return image_features(df)
 
 
+def pairs_exact_dedup(spark, sf_dir):
+    """Exact image dedup by content digest (operators/dedup.py):
+    Spark groups on md5(bytes) computed at the scan — only the
+    (id, digest) projection shuffles, never the payload — while the
+    DuckDB oracle groups on the raw blob itself, so the surface is a
+    FULL value oracle of keep/group-size labels (an md5 collision
+    would show up as a mismatch)."""
+    from mehc_curation_spark.operators.dedup import exact_content_dedup
+
+    df = spark.read.parquet(_pairs_path())
+    return exact_content_dedup(df, "bytes", "image_id")
+
+
 def pairs_phash_neardup(spark, sf_dir):
     """Image near-dup by perceptual-hash hamming distance (banded
     exact-match LSH over the 64-bit phash + popcount verify) — the
@@ -1442,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cross_dedup": doc_cross_dedup,
         "doc_simhash": doc_simhash,
         "doc_simhash_neardup": doc_simhash_neardup,
+        "pairs_exact_dedup": pairs_exact_dedup,
         "pairs_phash_neardup": pairs_phash_neardup,
         "pairs_phash_clusters": pairs_phash_clusters,
         "clips_audio_features": clips_audio_features,
@@ -2220,6 +2234,21 @@ def oracle_sql() -> dict[str, str]:
         # same pigeonhole-exactness for the image phash: all-pairs
         # hamming over the deterministic synthetic pairs table (the
         # query materializes it at this exact cached path).
+        # NOTE: partitions on hex(bytes), not the raw BLOB — DuckDB's
+        # window hash-partitioning merges zero-length blobs into other
+        # groups (its own `=` operator disagrees), observed on this
+        # fixture's empty payload rows.
+        "pairs_exact_dedup": f"""
+            SELECT image_id,
+                   CASE WHEN bytes IS NULL THEN 1
+                        ELSE COUNT(*) OVER (PARTITION BY hex(bytes))
+                   END AS grp_n,
+                   CASE WHEN bytes IS NULL THEN TRUE
+                        ELSE ROW_NUMBER() OVER (
+                            PARTITION BY hex(bytes) ORDER BY image_id) = 1
+                   END AS keep
+            FROM read_parquet('{_pairs_cache_file()}')
+        """,
         "pairs_phash_neardup": f"""
             SELECT a.image_id AS id_a, b.image_id AS id_b,
                    CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming

@@ -215,3 +215,39 @@ def deduplicate(
             print(report)
         out.append(report)
     return tuple(out) if len(out) > 1 else out[0]
+
+
+def exact_content_dedup(df: DataFrame, bytes_col: str = "bytes",
+                        id_col: str = "image_id") -> DataFrame:
+    """Exact duplicate labeling over opaque binary payloads (image /
+    audio / video bytes): group on a 128-bit md5 content digest
+    computed AT THE SCAN, keep-first by id within each group.
+
+    Returns ``(id, grp_n, keep)`` — ``keep`` is True for the first row
+    (ordered by id) of each digest group, ``grp_n`` is the group size.
+
+    The 100 TB story: the payload column never shuffles — only the
+    (id, 32-hex-char digest) projection crosses the exchange, so a
+    petabyte of images deduplicates with a ~50-byte-per-row shuffle.
+    Both windows hash-partition on the digest, so Catalyst satisfies
+    them with ONE exchange. NULL payloads are never duplicates of each
+    other: the digest is salted with the row id so each NULL row forms
+    its own singleton group (keep=True, grp_n=1) — which also removes
+    the all-NULLs skew partition a naive group-on-digest would create.
+    md5 equality stands in for byte equality at a ~2^-64 birthday risk
+    per 10^9 distinct payloads; the driver oracle groups DuckDB on the
+    raw blob, so a collision would surface as a value mismatch.
+
+    Reference analog: perfect-duplicate removal keyed on content
+    rather than phash (/root/reference/mehc_curation/utils/common.py:88-90).
+    """
+    digest = F.when(
+        F.col(bytes_col).isNotNull(), F.md5(F.col(bytes_col))
+    ).otherwise(F.concat(F.lit("null:"), F.col(id_col).cast("string")))
+    slim = df.select(F.col(id_col), digest.alias("_digest"))
+    wg = Window.partitionBy("_digest")
+    wr = Window.partitionBy("_digest").orderBy(id_col)
+    return (slim
+            .withColumn("grp_n", F.count("*").over(wg))
+            .withColumn("keep", F.row_number().over(wr) == F.lit(1))
+            .drop("_digest"))

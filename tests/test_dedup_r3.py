@@ -69,3 +69,43 @@ def test_deduplicate_get_report_flag(spark, capsys):
     assert "Number of input rows:          3" in report
     assert report in capsys.readouterr().out
     assert cleaned.count() == 2
+
+
+class TestExactContentDedup:
+    """exact_content_dedup: binary-payload exact dedup on an md5
+    digest surrogate — slim shuffle, null-safe, keep-first by id."""
+
+    def _df(self, spark):
+        rows = [
+            ("a", bytearray(b"\x01\x02")),
+            ("b", bytearray(b"\x01\x02")),   # dup of a
+            ("c", bytearray(b"\x03")),
+            ("d", None),                     # nulls are never dups
+            ("e", None),
+            ("f", bytearray(b"\x01\x02")),   # dup of a,b
+        ]
+        return spark.createDataFrame(rows, "image_id string, bytes binary")
+
+    def test_labels(self, spark):
+        from mehc_curation_spark.operators.dedup import exact_content_dedup
+
+        got = {r.image_id: (r.grp_n, r.keep)
+               for r in exact_content_dedup(self._df(spark)).collect()}
+        assert got == {"a": (3, True), "b": (3, False), "c": (1, True),
+                       "d": (1, True), "e": (1, True), "f": (3, False)}
+
+    def test_single_exchange_and_no_bytes_shuffle(self, spark):
+        import contextlib
+        import io as _io
+
+        from mehc_curation_spark.operators.dedup import exact_content_dedup
+
+        out = exact_content_dedup(self._df(spark))
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain()
+        tree = buf.getvalue()
+        exchanges = [ln for ln in tree.splitlines() if "Exchange" in ln]
+        assert len(exchanges) == 1, tree
+        # the digest, not the payload, is the shuffle key
+        assert "_digest" in exchanges[0]
