@@ -667,6 +667,56 @@ def doc_minhash_neardup(spark, sf_dir):
                              num_hashes=32, bands=8, shingle_k=3)
 
 
+def _bloom_split(spark, sf_dir):
+    """Shared ref/cand split for the Bloom surfaces: reference =
+    doc_id % 5 == 0, key = 30-char text prefix (same keying convention
+    as doc_dedup_dropall — exact full-text cross matches are vacuous
+    on this corpus, prefix matches are not)."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.substring("text", 1, 30)
+    ref = d.filter(F.col("doc_id") % 5 == 0).select(key.alias("k"))
+    cand = d.filter(F.col("doc_id") % 5 != 0) \
+        .select("doc_id", key.alias("k"))
+    return ref, cand
+
+
+def doc_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter decontamination prefilter (operators/bloom.py):
+    candidate docs whose 30-char text prefix is possibly present in
+    the reference split. The candidate side is a narrow map stage —
+    zero shuffles/joins — which is the whole point at 100 TB. Rows-
+    only here (false positives are hash-dependent, not SQL-
+    expressible); doc_bloom_prefilter_check carries the value oracle:
+    superset-of-exact (Bloom's no-false-negative guarantee) plus a
+    bounded false-positive count."""
+    from mehc_curation_spark.operators.bloom import bloom_prefilter
+
+    ref, cand = _bloom_split(spark, sf_dir)
+    return bloom_prefilter(cand, ref, "k", n_bits=1 << 16) \
+        .select("doc_id")
+
+
+def doc_bloom_prefilter_check(spark, sf_dir):
+    """Soundness oracle for doc_bloom_prefilter: n_exact (candidates
+    with a TRUE prefix match in the reference — exactly computable in
+    SQL), containment of every exact match in the Bloom survivors, and
+    the false-positive count bounded by 1% of the candidate corpus
+    (theoretical fpp at k=5, n~100, m=65536 is ~1e-8)."""
+    from mehc_curation_spark.operators.bloom import bloom_prefilter
+
+    ref, cand = _bloom_split(spark, sf_dir)
+    passed = bloom_prefilter(cand, ref, "k", n_bits=1 << 16)
+    exact = cand.join(ref.distinct(), "k", "left_semi")
+    n_cand = cand.count()
+    pass_ids = {r.doc_id for r in passed.select("doc_id").collect()}
+    exact_ids = {r.doc_id for r in exact.select("doc_id").collect()}
+    return spark.createDataFrame(
+        [(len(exact_ids),
+          exact_ids <= pass_ids,
+          len(pass_ids) - len(exact_ids) <= max(1, n_cand // 100))],
+        "n_exact long, contains_all_exact boolean, fp_bounded boolean")
+
+
 def doc_cross_dedup(spark, sf_dir):
     """TEXT decontamination, FULLY DuckDB-oracled: candidate documents
     (doc_id % 5 != 0) whose shingle-Jaccard against any reference
@@ -1464,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_curate_check": pairs_curate_check,
         "pairs_curate_incremental_check": pairs_curate_incremental_check,
         "doc_langid_check": doc_langid_check,
+        "doc_bloom_prefilter_check": doc_bloom_prefilter_check,
         "pairs_image_features_check": pairs_image_features_check,
         "pairs_image_quality_check": pairs_image_quality_check,
         "emb_ann_lsh_check": emb_ann_lsh_check,
@@ -1476,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # model/UDF-backed (rows-only: langid model scoring, image
         # decode, and the raw ANN/LSH surfaces checked via *_check)
         "emb_near_dup_lsh": emb_near_dup_lsh,
+        "doc_bloom_prefilter": doc_bloom_prefilter,
         "emb_semdedup": emb_semdedup,
         "doc_langid": doc_langid,
         "emb_ann_lsh": emb_ann_lsh,
@@ -2317,6 +2369,17 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS lang_matches_scalar_model,
                    TRUE AS scores_bitwise_equal
             FROM documents
+        """,
+        "doc_bloom_prefilter_check": """
+            SELECT (SELECT COUNT(DISTINCT a.doc_id)
+                    FROM documents a
+                    WHERE a.doc_id % 5 <> 0
+                      AND substr(a.text, 1, 30) IN
+                          (SELECT substr(b.text, 1, 30)
+                           FROM documents b WHERE b.doc_id % 5 = 0)
+                   ) AS n_exact,
+                   TRUE AS contains_all_exact,
+                   TRUE AS fp_bounded
         """,
         "pairs_image_features_check": """
             SELECT CAST(2000 AS BIGINT) AS n_images,
