@@ -110,10 +110,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reference corpus parquet (eval set / corpus "
                          "already trained on)")
     cd.add_argument("-o", "--output", required=True)
-    cd.add_argument("--mode", choices=["text", "embedding"],
+    cd.add_argument("--mode", choices=["text", "embedding", "exact"],
                     default="text",
                     help="text = shingle-Jaccard MinHash bands; "
-                         "embedding = cosine hyperplane-LSH kNN join")
+                         "embedding = cosine hyperplane-LSH kNN join; "
+                         "exact = Bloom-prefiltered exact text match "
+                         "(candidate side stays a narrow map stage)")
     cd.add_argument("--threshold", type=float, default=None,
                     help="similarity threshold (default 0.5 text "
                          "Jaccard / 0.85 embedding cosine)")
@@ -379,7 +381,25 @@ def main(argv: list[str] | None = None) -> int:
                 .withColumnRenamed(args.id_col, "cand_id")
             ref = spark.read.parquet(args.reference) \
                 .withColumnRenamed(args.id_col, "ref_id")
-            if args.mode == "text":
+            if args.mode == "exact":
+                from mehc_curation_spark.operators.bloom import (
+                    bloom_prefilter,
+                )
+
+                thr = 1.0
+                # Bloom prefilter keeps the candidate corpus narrow;
+                # only the tiny surviving fraction pays the verify
+                # join that removes Bloom false positives.
+                survivors = bloom_prefilter(
+                    cand.select("cand_id", args.text_col),
+                    ref.select("ref_id", args.text_col),
+                    key_col=args.text_col)
+                matches = (survivors
+                           .join(ref.select("ref_id", args.text_col),
+                                 args.text_col)
+                           .select("cand_id", "ref_id",
+                                   F.lit(1.0).alias("jaccard")))
+            elif args.mode == "text":
                 thr = 0.5 if args.threshold is None else args.threshold
                 matches = cross_corpus_text_near_dups(
                     cand, ref, "cand_id", "ref_id", args.text_col,

@@ -401,3 +401,47 @@ def test_spark_submit_pyfiles_end_to_end(pairs_file, tmp_path_factory):
     assert (got["keep"] == exp["keep"]).all()
     assert (got["caption_scrubbed"].fillna("#")
             == exp["caption_scrubbed"].fillna("#")).all()
+
+
+def test_crossdedup_cli_exact_bloom(tmp_path_factory):
+    """crossdedup --mode exact: Bloom-prefiltered exact text match.
+    Plants 5 exact cross-corpus duplicates and checks every one is
+    flagged (no false negatives) with counts reconciling."""
+    base = tmp_path_factory.mktemp("cli_xd_exact")
+    cand_p = str(base / "cand.parquet")
+    ref_p = str(base / "ref.parquet")
+    docs = "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    duckdb.sql(
+        f"COPY (SELECT doc_id, text FROM {docs} WHERE doc_id % 2 = 0) "
+        f"TO '{ref_p}' (FORMAT PARQUET)")
+    # candidates = odd ids, plus 5 rows copied verbatim from the
+    # reference under fresh ids -> exactly these must be flagged
+    duckdb.sql(
+        f"COPY (SELECT doc_id, text FROM {docs} WHERE doc_id % 2 = 1 "
+        f"      AND text NOT IN (SELECT text FROM {docs} "
+        f"                       WHERE doc_id % 2 = 0) "
+        f"UNION ALL "
+        f"SELECT * FROM (SELECT doc_id + 100000 AS doc_id, text "
+        f"               FROM {docs} WHERE doc_id % 2 = 0 "
+        f"               ORDER BY doc_id LIMIT 5)) "
+        f"TO '{cand_p}' (FORMAT PARQUET)")
+    planted = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{cand_p}') "
+        f"WHERE doc_id >= 100000").fetchone()[0]
+    assert planted > 0
+
+    out = str(base / "out_exact")
+    res = json.loads(_run(
+        ["crossdedup", "-i", cand_p, "-r", ref_p, "-o", out,
+         "--mode", "exact", "--drop", "--cores", "4"]
+    ).stdout.strip().splitlines()[-1])
+    assert res["mode"] == "exact"
+    assert res["flagged"] == planted
+    flagged = duckdb.sql(
+        f"SELECT DISTINCT cand_id FROM "
+        f"read_parquet('{out}/matches/*.parquet')").fetchall()
+    assert all(c[0] >= 100000 for c in flagged)
+    kept_rows = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/data/*.parquet')"
+    ).fetchone()[0]
+    assert kept_rows == res["kept"]
