@@ -343,6 +343,33 @@ def doc_tfidf_keywords(spark, sf_dir):
     return tfidf_keywords(d, "doc_id", "text", top_n=3)
 
 
+def doc_dataset_card(spark, sf_dir):
+    """Dataset card (io/card.py) as a 1-row frame — the released-
+    corpus summary artifact (datasheet practice), computed in ONE
+    map-side-combinable aggregation pass + one language rollup.
+    exact_distinct=True so the dup-rate is SQL-reproducible; the
+    percentiles are exact here because percentile_approx's accuracy
+    (10000) exceeds the corpus row count, making it the discrete
+    quantile DuckDB's quantile_disc also returns. Full value oracle
+    restates every field: totals, token percentiles, exact-dup rate,
+    distilled quality-model mean/keep-rate, top language."""
+    from mehc_curation_spark.io.card import dataset_card
+
+    d = _t(spark, sf_dir, "documents")
+    c = dataset_card(d, exact_distinct=True)
+    top = c["languages"][0]
+    return spark.createDataFrame(
+        [(c["rows"], c["null_text"], c["tokens"], c["chars"],
+          c["tokens_per_doc"]["p50"], c["tokens_per_doc"]["p95"],
+          c["tokens_per_doc"]["p99"], c["distinct_fingerprints"],
+          c["exact_dup_rate"], c["quality"]["mean_q_score"],
+          c["quality"]["keep_rate"], top["lang"], top["rows"])],
+        "n_rows long, null_text long, tokens long, chars long, "
+        "tok_p50 long, tok_p95 long, tok_p99 long, distinct_fp long, "
+        "exact_dup_rate double, mean_q_score double, keep_rate double, "
+        "top_lang string, top_lang_rows long")
+
+
 def doc_stratified_sample(spark, sf_dir):
     """Deterministic corpus-mixture rebalancing (operators/sampling.py):
     keep 25% of en, 50% of de, everything else — keyed on
@@ -1480,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": doc_stratified_sample,
         "doc_boilerplate_ngrams": doc_boilerplate_ngrams,
         "doc_top_terms": doc_top_terms,
+        "doc_dataset_card": doc_dataset_card,
         "doc_tfidf_keywords": doc_tfidf_keywords,
         "doc_quality_model": doc_quality_model,
         "doc_quality_model_check": doc_quality_model_check,
@@ -1897,6 +1925,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_quality_model": _QSCORE_SQL + """
             SELECT doc_id, q_score, q_score >= 0.5 AS q_keep FROM q
+        """,
+        "doc_dataset_card": _QSCORE_SQL + r"""
+            , t AS (
+                SELECT d.doc_id, d.text,
+                       CASE WHEN LENGTH(TRIM(d.text)) = 0 THEN 0
+                            ELSE LEN(regexp_split_to_array(TRIM(d.text),
+                                                           '[ \t\n\r]+'))
+                       END AS n_tok,
+                       LENGTH(d.text) AS n_chr,
+                       substr(md5(regexp_replace(lower(trim(d.text)),
+                                                 '[ \t\n\r]+', ' ', 'g')),
+                              1, 16) AS fp,
+                       q.q_score AS qs
+                FROM documents d JOIN q ON d.doc_id = q.doc_id
+            ), lt AS (
+                SELECT lang, COUNT(*) AS n FROM documents
+                GROUP BY lang ORDER BY n DESC, lang ASC LIMIT 1
+            )
+            SELECT COUNT(*) AS n_rows,
+                   SUM((text IS NULL)::INT)::BIGINT AS null_text,
+                   SUM(n_tok)::BIGINT AS tokens,
+                   SUM(n_chr)::BIGINT AS chars,
+                   quantile_disc(n_tok, 0.5) AS tok_p50,
+                   quantile_disc(n_tok, 0.95) AS tok_p95,
+                   quantile_disc(n_tok, 0.99) AS tok_p99,
+                   COUNT(DISTINCT fp) AS distinct_fp,
+                   ROUND(1.0 - COUNT(DISTINCT fp)
+                         / COUNT(*)::DOUBLE, 4) AS exact_dup_rate,
+                   ROUND(AVG(qs), 4) AS mean_q_score,
+                   ROUND(SUM(CASE WHEN qs >= 0.5 THEN 1 ELSE 0 END)
+                         / COUNT(*)::DOUBLE, 4) AS keep_rate,
+                   (SELECT lang FROM lt) AS top_lang,
+                   (SELECT n FROM lt) AS top_lang_rows
+            FROM t
         """,
         "doc_token_budget_sample": """
             WITH u AS (
