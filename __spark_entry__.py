@@ -1485,6 +1485,69 @@ def pairs_phash_clusters(spark, sf_dir):
     return near_dup_clusters(imgs, pairs, "image_id", quality_col="area")
 
 
+def pairs_ar_buckets(spark, sf_dir):
+    """Aspect-ratio bucket assignment for image-training batch
+    construction (operators/multimodal.py:assign_ar_buckets — the
+    NovelAI/SDXL bucketing scheme): pure-Catalyst CASE over the IEEE
+    double w/h against exp'd log-midpoint literals, zero shuffle /
+    zero Python; the DuckDB oracle restates the identical CASE, so
+    bucket membership and the cover-fit scale are value-oracled per
+    image."""
+    from mehc_curation_spark.operators.multimodal import assign_ar_buckets
+
+    df = spark.read.parquet(_pairs_path())
+    return assign_ar_buckets(df).select(
+        "image_id", "w", "h", "bucket_id", "bucket_w", "bucket_h", "scale")
+
+
+def pairs_export_shards(spark, sf_dir):
+    """Training-export shard coordinates (io/export.py): deterministic
+    global shuffle order u48(md5('seed:' || id)) and fixed-point shard
+    ranging (u48 * n) >> 48 — the oracle restates the byte assembly,
+    the integer ranging, and the intra-shard row_number, so the entire
+    export layout is value-oracled per image."""
+    from mehc_curation_spark.io.export import assign_shards
+
+    df = spark.read.parquet(_pairs_path())
+    return (assign_shards(df, "image_id", n_shards=8, seed=0)
+            .select("image_id", "shard", "pos"))
+
+
+_BPE_MERGES = 20
+
+
+def doc_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/vocab.py:
+    bpe_train): the learned merge list over the documents corpus.
+    Rows-only surface (an iterative argmax loop is not one SQL
+    statement); the merge list's VALUE is pinned bit-for-bit by
+    doc_bpe_check against the scalar twin."""
+    from mehc_curation_spark.operators.vocab import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    m = bpe_train(d, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b) for i, (a, b) in enumerate(m)],
+        "rank int, left string, right string, merged string")
+
+
+def doc_bpe_check(spark, sf_dir):
+    """Check for the BPE surface: the distributed merge list must
+    equal the scalar twin (bpe_train_local over the collected corpus)
+    EXACTLY — same pair counts, same (count DESC, left, right)
+    tie-break, same greedy merge application — and must produce the
+    full requested merge count on this corpus."""
+    from mehc_curation_spark.operators.vocab import bpe_train, bpe_train_local
+
+    d = _t(spark, sf_dir, "documents")
+    m = bpe_train(d, n_merges=_BPE_MERGES)
+    texts = [r[0] for r in d.select("text").collect()]
+    ml = bpe_train_local(texts, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(len(m), m == ml)],
+        "n_merges long, merges_match_scalar_twin boolean")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1536,6 +1599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_exact_dedup": pairs_exact_dedup,
         "pairs_phash_neardup": pairs_phash_neardup,
         "pairs_phash_clusters": pairs_phash_clusters,
+        "pairs_ar_buckets": pairs_ar_buckets,
+        "pairs_export_shards": pairs_export_shards,
+        "doc_bpe_merges": doc_bpe_merges,
+        "doc_bpe_check": doc_bpe_check,
         "clips_audio_features": clips_audio_features,
         "videos_frame_sample": videos_frame_sample,
         # property-assertion checks (oracle states the expected outcome)
@@ -1650,6 +1717,49 @@ _SIMHASH_SQL = r"""
         FROM documents d LEFT JOIN agg ON d.doc_id = agg.sid
     )
 """
+
+
+def _ar_buckets_sql() -> str:
+    """DuckDB restatement of assign_ar_buckets: the same exp'd
+    log-midpoint boundaries as CAST(... AS DOUBLE) literals (repr
+    round-trips the exact double; IEEE division is correctly rounded
+    in both engines, so the CASE decides identically)."""
+    import math as _math
+
+    from mehc_curation_spark.operators.multimodal import ar_bucket_table
+
+    buckets = ar_bucket_table()
+    whens = " ".join(
+        f"WHEN ar < CAST({_math.exp((la + lb) / 2.0)!r} AS DOUBLE) THEN {i}"
+        for (i, _, _, la), (_, _, _, lb) in zip(buckets[:-1], buckets[1:]))
+    bid = f"CASE {whens} ELSE {buckets[-1][0]} END"
+    bw = ("CASE bucket_id " +
+          " ".join(f"WHEN {i} THEN {w}" for i, w, _, _ in buckets) + " END")
+    bh = ("CASE bucket_id " +
+          " ".join(f"WHEN {i} THEN {h}" for i, _, h, _ in buckets) + " END")
+    return f"""
+        WITH a AS (
+            SELECT image_id, w, h, CAST(w AS DOUBLE) / h AS ar
+            FROM read_parquet('{_pairs_cache_file()}')
+        ), b AS (
+            SELECT image_id, w, h, {bid} AS bucket_id FROM a
+        )
+        SELECT image_id, w, h, bucket_id,
+               {bw} AS bucket_w, {bh} AS bucket_h,
+               greatest(CAST({bw} AS DOUBLE) / w,
+                        CAST({bh} AS DOUBLE) / h) AS scale
+        FROM b
+    """
+
+
+def _u48_sql(expr: str) -> str:
+    """DuckDB restatement of operators/sampling.u48_col over an
+    arbitrary VARCHAR expression: little-endian first-6-bytes of
+    md5."""
+    return " + ".join(
+        f"('0x' || substr(md5({expr}), {2 * i + 1}, 2))::BIGINT"
+        + (f" * {256 ** i}" if i else "")
+        for i in range(6))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2394,6 +2504,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i.w * i.h AS INTEGER) AS area
             FROM read_parquet('{_pairs_cache_file()}') i
             LEFT JOIN comp c ON i.image_id = c.id
+        """,
+        "pairs_ar_buckets": _ar_buckets_sql(),
+        "pairs_export_shards": f"""
+            WITH u AS (
+                SELECT image_id,
+                       {_u48_sql("'0:' || image_id")} AS u48
+                FROM read_parquet('{_pairs_cache_file()}')
+            ), s AS (
+                SELECT image_id, u48,
+                       CAST((u48 * 8) // 281474976710656 AS INTEGER) AS shard
+                FROM u
+            )
+            SELECT image_id, shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY u48, image_id)
+                       AS INTEGER) AS pos
+            FROM s
+        """,
+        "doc_bpe_check": """
+            SELECT CAST(20 AS BIGINT) AS n_merges,
+                   TRUE AS merges_match_scalar_twin
         """,
         # multimodal fake-codec paths: payloads are deterministic
         # renderings of driver tables, so decode output is reproducible

@@ -243,6 +243,24 @@ def build_parser() -> argparse.ArgumentParser:
     qs.add_argument("--cores", type=int, default=-1)
     qs.add_argument("--master", default=None)
 
+    ex = sub.add_parser(
+        "export",
+        help="training-export shard writer: deterministic global "
+             "shuffle + one size-balanced parquet file per shard "
+             "(graft-only capability)")
+    ex.add_argument("-i", "--input", required=True,
+                    help="curated corpus parquet")
+    ex.add_argument("-o", "--output", required=True)
+    g = ex.add_mutually_exclusive_group(required=True)
+    g.add_argument("--n_shards", type=int, default=None)
+    g.add_argument("--target_bytes", type=int, default=None,
+                   help="derive the shard count from the payload size")
+    ex.add_argument("--id_col", default="image_id")
+    ex.add_argument("--bytes_col", default="bytes")
+    ex.add_argument("--seed", type=int, default=0)
+    ex.add_argument("--cores", type=int, default=-1)
+    ex.add_argument("--master", default=None)
+
     pk = sub.add_parser("package", help="build the --py-files zip")
     pk.add_argument("-o", "--output", default="mehc_curation_spark.zip")
 
@@ -367,6 +385,19 @@ def main(argv: list[str] | None = None) -> int:
                               "mean_score": agg["mean_score"],
                               "trained": bool(args.train),
                               "threshold": args.threshold}))
+            return 0
+
+        if args.cmd == "export":
+            from mehc_curation_spark.io.export import export_shards
+
+            m = export_shards(
+                spark.read.parquet(args.input), args.output,
+                id_col=args.id_col, n_shards=args.n_shards,
+                target_bytes=args.target_bytes, bytes_col=args.bytes_col,
+                seed=args.seed)
+            print(json.dumps({k: m[k] for k in
+                              ("n_shards", "rows", "payload_bytes",
+                               "min_shard_rows", "max_shard_rows", "seed")}))
             return 0
 
         if args.cmd == "crossdedup":

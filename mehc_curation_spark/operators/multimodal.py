@@ -287,3 +287,80 @@ def video_frame_sample(df: DataFrame, video_col: str = "bytes",
 
     return df.select(df[id_col].alias(id_col), df[video_col].alias(video_col)) \
              .mapInPandas(run, VIDEO_FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing (image-training batch construction)
+# ---------------------------------------------------------------------------
+
+def ar_bucket_table(target_area: int = 512 * 512, stride: int = 64,
+                    min_dim: int = 256, max_ar: float = 4.0) -> list:
+    """Enumerate the aspect-ratio bucket shapes used to batch
+    variable-aspect images for training (the NovelAI / SDXL bucketing
+    scheme: every bucket dimension is a multiple of ``stride``, bucket
+    area is as close to ``target_area`` as the stride grid allows, and
+    extreme aspects are excluded).
+
+    Returns ``[(bucket_id, w, h, log_ar)]`` sorted by ascending aspect
+    ratio (w/h) — a pure function of the parameters, identical on every
+    engine, so bucket boundaries can be restated literally in SQL.
+    """
+    import math
+
+    shapes = set()
+    d = min_dim
+    while True:
+        other = int(target_area // d // stride) * stride
+        if other < min_dim:
+            break
+        if max(d, other) / min(d, other) <= max_ar:
+            shapes.add((d, other))
+            shapes.add((other, d))
+        d += stride
+    out = sorted(shapes, key=lambda s: (s[0] / s[1], s[0]))
+    return [(i, w, h, math.log(w / h)) for i, (w, h) in enumerate(out)]
+
+
+def assign_ar_buckets(df: DataFrame, w_col: str = "w", h_col: str = "h",
+                      target_area: int = 512 * 512, stride: int = 64,
+                      min_dim: int = 256, max_ar: float = 4.0) -> DataFrame:
+    """Assign every image to its nearest aspect-ratio bucket (nearest
+    in log-aspect space, the metric that treats 2:1 and 1:2 distortion
+    symmetrically) and emit the scale factor that maps the image onto
+    the bucket with a cover fit (scale so BOTH bucket dims are filled;
+    the overflow axis is what a training loader centre-crops).
+
+    Pure Catalyst — bucket boundaries are the log-space midpoints
+    between consecutive buckets, precomputed in Python (and exp'd back
+    so the engine-side comparison is plain ``w/h < literal`` — IEEE
+    division is correctly-rounded and therefore bit-identical across
+    engines, unlike library ``ln``) and compiled to one CASE chain;
+    the scan stays whole-stage codegen with zero shuffle and zero
+    Python, and the identical CASE restates in the DuckDB oracle.
+    Appends (bucket_id, bucket_w, bucket_h, scale).
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    buckets = ar_bucket_table(target_area, stride, min_dim, max_ar)
+    if not buckets:
+        raise ValueError("bucket table is empty; loosen the parameters")
+    ar = F.col(w_col).cast("double") / F.col(h_col).cast("double")
+    # midpoint in log space between bucket i and i+1, exp'd back
+    bid = F.lit(buckets[-1][0])
+    for (i, _, _, la), (_, _, _, lb) in zip(buckets[:-1][::-1],
+                                            buckets[1:][::-1]):
+        bid = F.when(ar < F.lit(math.exp((la + lb) / 2.0)), F.lit(i)) \
+               .otherwise(bid)
+    out = df.withColumn("bucket_id", bid)
+    bw = F.lit(buckets[-1][1])
+    bh = F.lit(buckets[-1][2])
+    for i, w, h, _ in buckets[:-1][::-1]:
+        bw = F.when(F.col("bucket_id") == i, F.lit(w)).otherwise(bw)
+        bh = F.when(F.col("bucket_id") == i, F.lit(h)).otherwise(bh)
+    out = out.withColumn("bucket_w", bw).withColumn("bucket_h", bh)
+    scale = F.greatest(
+        F.col("bucket_w").cast("double") / F.col(w_col).cast("double"),
+        F.col("bucket_h").cast("double") / F.col(h_col).cast("double"))
+    return out.withColumn("scale", scale)

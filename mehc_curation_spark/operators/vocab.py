@@ -91,3 +91,116 @@ def tfidf_keywords(df: DataFrame, id_col: str = "doc_id",
                   .filter(F.col("rank") <= top_n)
                   .select(F.col("_id").alias(id_col), "term", "score",
                           "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge learning (tokenizer training)
+# ---------------------------------------------------------------------------
+
+def _merge_pair_col(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) -> a+b inside a
+    symbol array, as one Catalyst ``aggregate`` fold (matches the
+    classic BPE apply: after a merge the scan continues AFTER the
+    merged token, so 'aaaa' under (a,a) becomes [aa, aa])."""
+    merged = a + b
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = (F.size(acc) > 0) & \
+              (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b))
+        return (F.when(hit,
+                       F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                                F.array(F.lit(merged))))
+                 .otherwise(F.concat(acc, F.array(x))))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              n_merges: int = 40, min_freq: int = 2,
+              checkpoint_every: int = 10) -> list:
+    """Learn byte-pair-encoding merges over the corpus (Sennrich et
+    al. 2016, arXiv:1508.07909) — the tokenizer-training step of a
+    pretraining pipeline — as a driver-orchestrated iterative
+    DataFrame algorithm.
+
+    Shape: the corpus collapses FIRST to the (word, freq) table (one
+    explode + one aggregation over the raw text — the only pass that
+    ever touches the corpus); every merge round then runs on that
+    vocabulary-sized frame: adjacent-pair counts via a Catalyst
+    ``transform`` explode and a map-combinable sum, the argmax pair
+    via ``orderBy(...).limit(1)`` (TakeOrderedAndProject — one row to
+    the driver per round), and the merge applied as one Catalyst fold
+    (:func:`_merge_pair_col`). At web scale the vocabulary is ~1e7-1e8
+    distinct words (Heaps' law), so 40 rounds shuffle vocabulary-sized
+    pair tables, never the corpus. ``localCheckpoint`` every
+    ``checkpoint_every`` rounds truncates the growing lineage (same
+    pattern as ``operators/graph.py``).
+
+    Deterministic: ties on pair count break by (left, right) code-
+    point order — bit-reproducible against the scalar twin
+    :func:`bpe_train_local`, which the driver check asserts.
+
+    Returns ``[(left, right)]`` in merge order (< n_merges when no
+    pair reaches ``min_freq``).
+    """
+    words = (df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+               .filter(F.col("w") != "")
+               .groupBy("w").agg(F.count("*").alias("freq"))
+               .withColumn("syms", F.split("w", "(?<=.)(?=.)"))
+               .select("freq", "syms"))
+    merges: list = []
+    for i in range(n_merges):
+        pairs = words.select(
+            "freq",
+            F.explode(F.expr(
+                "transform(slice(syms, 1, size(syms) - 1),"
+                " (x, i) -> struct(x AS a, syms[i + 1] AS b))")).alias("p"))
+        best = (pairs.groupBy("p.a", "p.b")
+                     .agg(F.sum("freq").alias("cnt"))
+                     .filter(F.col("cnt") >= min_freq)
+                     .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                     .limit(1).collect())
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        words = words.withColumn("syms", _merge_pair_col(F.col("syms"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_train_local(texts: list, n_merges: int = 40,
+                    min_freq: int = 2) -> list:
+    """Scalar twin of :func:`bpe_train` — same tokenizer, same greedy
+    merge, same (count DESC, left ASC, right ASC) tie-break — used by
+    the driver check to assert the distributed merge list exactly."""
+    import re
+    from collections import Counter
+
+    wfreq: Counter = Counter()
+    for t in texts:
+        t = (t or "").lower().strip()
+        if t:
+            wfreq.update(tok for tok in re.split(r"[ \t\n\r]+", t) if tok)
+    vocab = {w: (list(w), f) for w, f in wfreq.items()}
+    merges: list = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for syms, f in vocab.values():
+            for j in range(len(syms) - 1):
+                pc[(syms[j], syms[j + 1])] += f
+        cand = [(c, p) for p, c in pc.items() if c >= min_freq]
+        if not cand:
+            break
+        cnt, (a, b) = min(cand, key=lambda t: (-t[0], t[1]))
+        merges.append((a, b))
+        for w, (syms, f) in vocab.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = (out, f)
+    return merges

@@ -445,3 +445,24 @@ def test_crossdedup_cli_exact_bloom(tmp_path_factory):
         f"SELECT COUNT(*) FROM read_parquet('{out}/data/*.parquet')"
     ).fetchone()[0]
     assert kept_rows == res["kept"]
+
+
+def test_export_cli_shards(pairs_file, tmp_path_factory):
+    """export subcommand: JSON layout reconciles with the on-disk
+    manifest and the shard dirs; shards are hash-balanced."""
+    out = str(tmp_path_factory.mktemp("cli_ex") / "shards")
+    res = json.loads(_run(
+        ["export", "-i", pairs_file, "-o", out, "--n_shards", "6",
+         "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert res["n_shards"] == 6 and res["rows"] == 2000
+    import glob as _glob
+    import os as _os
+    dirs = sorted(_glob.glob(_os.path.join(out, "shard=*")))
+    assert len(dirs) == 6
+    with open(_os.path.join(out, "_manifest.json")) as f:
+        disk = json.load(f)
+    assert disk["rows"] == 2000 and len(disk["shards"]) == 6
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/shard=*/*.parquet')"
+    ).fetchone()[0]
+    assert n == 2000

@@ -1,0 +1,202 @@
+"""Tests for the round-3 training-export ops: shard writer
+(io/export.py), aspect-ratio bucketing (operators/multimodal.py) and
+distributed BPE training (operators/vocab.py)."""
+
+import glob
+import hashlib
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mehc_curation_spark.io.export import (
+    MAX_SHARDS,
+    assign_shards,
+    export_shards,
+)
+from mehc_curation_spark.operators.multimodal import (
+    ar_bucket_table,
+    assign_ar_buckets,
+)
+from mehc_curation_spark.operators.vocab import bpe_train, bpe_train_local
+
+
+def _u48_local(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:6], "little")
+
+
+# ---------------------------------------------------------------------------
+# shard export
+# ---------------------------------------------------------------------------
+
+class TestShardExport:
+    def test_assignment_matches_closed_form(self, spark, pairs_df):
+        got = {r["image_id"]: (r["shard"], r["pos"])
+               for r in assign_shards(pairs_df, n_shards=8, seed=3)
+               .select("image_id", "shard", "pos").collect()}
+        ids = [r[0] for r in pairs_df.select("image_id").collect()]
+        order = sorted(ids, key=lambda i: (_u48_local(f"3:{i}"), i))
+        pos_ctr = {}
+        for i in order:
+            sh = (_u48_local(f"3:{i}") * 8) >> 48
+            pos_ctr[sh] = pos_ctr.get(sh, 0) + 1
+            assert got[i] == (sh, pos_ctr[sh]), i
+
+    def test_partition_invariant(self, spark, pairs_df):
+        a = (assign_shards(pairs_df, n_shards=5)
+             .select("image_id", "shard", "pos").toPandas()
+             .sort_values("image_id").reset_index(drop=True))
+        b = (assign_shards(pairs_df.repartition(17), n_shards=5)
+             .select("image_id", "shard", "pos").toPandas()
+             .sort_values("image_id").reset_index(drop=True))
+        assert a.equals(b)
+
+    def test_seeds_give_different_orders(self, spark, pairs_df):
+        a = assign_shards(pairs_df, n_shards=4, seed=0) \
+            .select("image_id", "shard").toPandas()
+        b = assign_shards(pairs_df, n_shards=4, seed=1) \
+            .select("image_id", "shard").toPandas()
+        m = a.merge(b, on="image_id")
+        assert (m["shard_x"] != m["shard_y"]).mean() > 0.5
+
+    def test_export_one_file_per_shard_and_manifest(self, spark, pairs_df,
+                                                    tmp_path):
+        path = str(tmp_path / "exp")
+        m = export_shards(pairs_df, path, n_shards=6, seed=0)
+        assert m["n_shards"] == 6 and m["rows"] == pairs_df.count()
+        dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
+        assert len(dirs) == 6
+        for d in dirs:
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1, d
+        disk = json.load(open(os.path.join(path, "_manifest.json")))
+        assert disk == m
+        # hash balance: no shard more than 40% off the mean
+        mean = m["rows"] / 6
+        for s in m["shards"]:
+            assert abs(s["rows"] - mean) < 0.4 * mean
+        # shard files round-trip with the recorded rows, in (u48,id) order
+        back = spark.read.parquet(path)
+        assert back.count() == m["rows"]
+        one = (back.filter(F.col("shard") == 0)
+               .select("image_id", "pos").toPandas())
+        exp = sorted(one["image_id"],
+                     key=lambda i: (_u48_local(f"0:{i}"), i))
+        assert list(one.sort_values("pos")["image_id"]) == exp
+
+    def test_target_bytes_derives_shard_count(self, spark, pairs_df,
+                                              tmp_path):
+        total = pairs_df.select(
+            F.sum(F.coalesce(F.length("bytes"), F.lit(0)))).first()[0]
+        target = total // 4
+        m = export_shards(pairs_df, str(tmp_path / "tb"),
+                          target_bytes=target)
+        assert m["n_shards"] == math.ceil(total / target)
+
+    def test_param_validation(self, spark, pairs_df):
+        with pytest.raises(ValueError):
+            assign_shards(pairs_df)  # neither
+        with pytest.raises(ValueError):
+            assign_shards(pairs_df, n_shards=4, target_bytes=100)  # both
+        with pytest.raises(ValueError):
+            assign_shards(pairs_df, n_shards=0)
+        with pytest.raises(ValueError):
+            assign_shards(pairs_df, n_shards=MAX_SHARDS + 1)
+
+    def test_single_exchange_plan(self, spark, pairs_df):
+        plan = assign_shards(pairs_df, n_shards=8) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio buckets
+# ---------------------------------------------------------------------------
+
+class TestArBuckets:
+    def test_bucket_table_properties(self):
+        t = ar_bucket_table(target_area=512 * 512, stride=64,
+                            min_dim=256, max_ar=4.0)
+        ars = [w / h for _, w, h, _ in t]
+        assert ars == sorted(ars) and len(set(ars)) == len(ars)
+        for i, w, h, la in t:
+            assert w % 64 == 0 and h % 64 == 0
+            assert w * h <= 512 * 512
+            assert max(w, h) / min(w, h) <= 4.0
+            assert la == pytest.approx(math.log(w / h))
+        # symmetric: (w,h) present iff (h,w) present, square included
+        shapes = {(w, h) for _, w, h, _ in t}
+        assert {(h, w) for w, h in shapes} == shapes
+        assert (512, 512) in shapes
+
+    def test_assignment_is_nearest_log_ar(self, spark, pairs_df):
+        t = ar_bucket_table()
+        got = assign_ar_buckets(pairs_df) \
+            .select("image_id", "w", "h", "bucket_id", "bucket_w",
+                    "bucket_h", "scale").collect()
+        for r in got:
+            la = math.log(r["w"] / r["h"])
+            best = min(t, key=lambda b: (abs(la - b[3]), b[0]))
+            assert r["bucket_id"] == best[0], (r["w"], r["h"])
+            assert (r["bucket_w"], r["bucket_h"]) == (best[1], best[2])
+            # cover fit: scale fills both bucket dims
+            assert r["scale"] * r["w"] >= r["bucket_w"] - 1e-9
+            assert r["scale"] * r["h"] >= r["bucket_h"] - 1e-9
+            assert r["scale"] == pytest.approx(
+                max(best[1] / r["w"], best[2] / r["h"]))
+
+    def test_no_shuffle_no_python(self, spark, pairs_df):
+        plan = assign_ar_buckets(pairs_df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "ArrowEval" not in plan
+
+    def test_empty_table_raises(self, spark, pairs_df):
+        with pytest.raises(ValueError):
+            assign_ar_buckets(pairs_df, target_area=100, stride=64,
+                              min_dim=256)
+
+
+# ---------------------------------------------------------------------------
+# BPE training
+# ---------------------------------------------------------------------------
+
+class TestBpeTrain:
+    CORPUS = [
+        "low low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest",
+        "the newest the lowest the widest the low",
+    ]
+
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_matches_scalar_twin(self, spark):
+        df = self._df(spark, self.CORPUS).repartition(7)
+        got = bpe_train(df, n_merges=12, checkpoint_every=4)
+        exp = bpe_train_local(self.CORPUS, n_merges=12)
+        assert got == exp and len(got) == 12
+
+    def test_early_stop_when_below_min_freq(self, spark):
+        texts = ["ab cd", "ef gh"]  # every pair occurs once
+        assert bpe_train(self._df(spark, texts), n_merges=5,
+                         min_freq=2) == []
+        assert bpe_train_local(texts, n_merges=5, min_freq=2) == []
+
+    def test_greedy_merge_is_non_overlapping(self, spark):
+        # 'aaaa' under (a,a) must become [aa, aa], giving (aa, aa) next
+        texts = ["aaaa aaaa aaaa"]
+        got = bpe_train(self._df(spark, texts), n_merges=2, min_freq=2)
+        assert got == bpe_train_local(texts, n_merges=2, min_freq=2)
+        assert got == [("a", "a"), ("aa", "aa")]
+
+    def test_null_and_empty_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "hi hi hi")],
+            "doc_id long, text string")
+        got = bpe_train(df, n_merges=3, min_freq=2)
+        assert got == bpe_train_local([None, "", "hi hi hi"], n_merges=3,
+                                      min_freq=2) == [("h", "i")]
