@@ -1513,6 +1513,50 @@ def pairs_export_shards(spark, sf_dir):
             .select("image_id", "shard", "pos"))
 
 
+def _pairs_csv_path(n: int = 2000, seed: int = 42) -> str:
+    """Deterministic CSV rendering of the pairs fixture (base64
+    interchange shape), cached beside the parquet fixture."""
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+    from mehc_curation_spark.io.ingest import write_pairs_csv
+
+    path = _pairs_cache_file(n, seed) + ".csv"
+    if not os.path.exists(path):
+        write_pairs_csv(make_pairs_pdf(n, seed=seed), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def pairs_csv_scan(spark, sf_dir):
+    """CSV ingestion with the pinned interchange schema
+    (io/ingest.py — reference S1 parity: its source is a CSV scan):
+    Spark decodes the base64 payload to binary and re-encodes for
+    comparison (MIME line breaks stripped — Spark's base64 chunks at
+    76 chars), the oracle reads the same CSV natively, so schema
+    pinning, the \\N null discipline, quoted-empty handling and the
+    payload round-trip are all value-oracled."""
+    from mehc_curation_spark.io.ingest import read_pairs
+
+    df = read_pairs(spark, _pairs_csv_path(), "csv")
+    return df.select(
+        "image_id", "w", "h", "fmt", "caption", "phash",
+        F.regexp_replace(F.base64("bytes"), "[\\r\\n]", "")
+         .alias("payload_b64"))
+
+
+def doc_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split assignment
+    (operators/sampling.py:split_col): consecutive ranges of the
+    'split:'-domain u48 hash axis — a row property, so the oracle
+    restates the exact byte assembly and thresholds."""
+    from mehc_curation_spark.operators.sampling import split_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        split_col(F.col("doc_id"),
+                  {"train": 0.96, "val": 0.02, "test": 0.02}).alias("split"))
+
+
 _BPE_MERGES = 20
 
 
@@ -1601,6 +1645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_phash_clusters": pairs_phash_clusters,
         "pairs_ar_buckets": pairs_ar_buckets,
         "pairs_export_shards": pairs_export_shards,
+        "pairs_csv_scan": pairs_csv_scan,
+        "doc_split_assign": doc_split_assign,
         "doc_bpe_merges": doc_bpe_merges,
         "doc_bpe_check": doc_bpe_check,
         "clips_audio_features": clips_audio_features,
@@ -2521,6 +2567,28 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY shard ORDER BY u48, image_id)
                        AS INTEGER) AS pos
             FROM s
+        """,
+        "pairs_csv_scan": f"""
+            SELECT image_id, w, h, fmt, caption, phash,
+                   bytes_b64 AS payload_b64
+            FROM read_csv('{_pairs_csv_path()}', header=true,
+                 nullstr='\\N',
+                 columns={{'image_id': 'VARCHAR', 'bytes_b64': 'VARCHAR',
+                          'w': 'INTEGER', 'h': 'INTEGER',
+                          'fmt': 'VARCHAR', 'caption': 'VARCHAR',
+                          'phash': 'BIGINT'}})
+        """,
+        "doc_split_assign": f"""
+            WITH u AS (
+                SELECT doc_id,
+                       {_u48_sql("'split:0:' || doc_id")} AS u48
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN u48 < 270215977642229 THEN 'train'
+                        WHEN u48 < 275845477176442 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
         """,
         "doc_bpe_check": """
             SELECT CAST(20 AS BIGINT) AS n_merges,

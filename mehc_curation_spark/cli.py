@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("curate", help="full pipeline with dedup gates + resume")
+    c.add_argument("--input_format", choices=["parquet", "csv", "jsonl"],
+                   default="parquet",
+                   help="input table format; csv/jsonl carry the "
+                        "base64 bytes_b64 interchange column "
+                        "(batch mode only)")
     _add_io(c)
     for flag, help_ in [
         ("validate", "image decode gate"),
@@ -625,7 +630,8 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.input, args.output, cfg)
             else:
                 metrics = run_curate(spark, args.input, args.output, cfg,
-                                     resume=args.resume)
+                                     resume=args.resume,
+                                     input_format=args.input_format)
             print(json.dumps(metrics))
             if args.get_output:
                 from pyspark.sql import functions as F

@@ -1,0 +1,148 @@
+"""CSV / JSONL ingestion of the pairs table with a pinned schema.
+
+Reference parity: the reference's source is a CSV scan with inferred
+schema and positional payload addressing
+(`/root/reference/mehc_curation/validation/core/engine.py:37-42`);
+here the interchange schema is pinned EXPLICITLY (never
+``inferSchema`` — schema inference is a second full pass over the
+data at scale) and the binary image payload travels base64-encoded in
+a ``bytes_b64`` column, decoded to ``binary`` at the boundary.
+
+Null discipline: text formats cannot natively distinguish NULL from
+the empty string, and the curation rules treat them differently
+(``caption_missing`` vs ``caption_empty``), so both sides of the
+interchange use an explicit ``\\N`` null sentinel (the classic
+mysqldump/Hive convention) with quoted-empty meaning the empty
+string.
+
+Scale notes: CSV files are line-splittable only when fields contain
+no raw newlines (this writer never emits them — base64 and the
+``\\N`` sentinel keep fields single-line), so a 100 TB ingest
+parallelizes per-block like parquet; JSONL is splittable
+unconditionally. Both readers run ``mode=FAILFAST`` — a malformed
+row should fail the ingest loudly, not silently null out a payload
+(PERMISSIVE would).
+"""
+
+from __future__ import annotations
+
+import base64
+import csv
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mehc_curation_spark.schema import PAIRS_SCHEMA
+
+NULL_SENTINEL = r"\N"
+
+#: Interchange schema: PAIRS_SCHEMA with the binary payload as base64.
+PAIRS_TEXT_SCHEMA = StructType([
+    StructField("image_id", StringType(), False),
+    StructField("bytes_b64", StringType(), True),
+    StructField("w", IntegerType(), True),
+    StructField("h", IntegerType(), True),
+    StructField("fmt", StringType(), True),
+    StructField("caption", StringType(), True),
+    StructField("phash", LongType(), True),
+])
+
+
+def _decode(df: DataFrame) -> DataFrame:
+    """bytes_b64 -> binary bytes, projecting to the pinned pairs
+    schema (column order included)."""
+    return df.select(
+        "image_id",
+        F.unbase64("bytes_b64").alias("bytes"),
+        "w", "h", "fmt", "caption", "phash")
+
+
+def read_pairs_csv(spark: SparkSession, path: str) -> DataFrame:
+    df = (spark.read
+          .schema(PAIRS_TEXT_SCHEMA)
+          .option("header", True)
+          .option("nullValue", NULL_SENTINEL)
+          .option("emptyValue", "")
+          .option("mode", "FAILFAST")
+          .csv(path))
+    return _decode(df)
+
+
+def read_pairs_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    df = (spark.read
+          .schema(PAIRS_TEXT_SCHEMA)
+          .option("mode", "FAILFAST")
+          .json(path))
+    return _decode(df)
+
+
+def read_pairs(spark: SparkSession, path: str,
+               fmt: str = "parquet") -> DataFrame:
+    """Format dispatch for the curate input. ``parquet`` reads the
+    native table; ``csv``/``jsonl`` read the base64 interchange shape
+    and decode to the identical pinned schema."""
+    if fmt == "parquet":
+        return spark.read.schema(PAIRS_SCHEMA).parquet(path)
+    if fmt == "csv":
+        return read_pairs_csv(spark, path)
+    if fmt == "jsonl":
+        return read_pairs_jsonl(spark, path)
+    raise ValueError(f"unknown input format {fmt!r} "
+                     "(expected parquet|csv|jsonl)")
+
+
+# ---------------------------------------------------------------------------
+# local writers (fixtures / round-trip tests / small exports)
+# ---------------------------------------------------------------------------
+
+def write_pairs_csv(pdf, path: str) -> str:
+    """Write a pairs pandas frame as one interchange CSV (driver-side
+    helper for fixtures and tests; a distributed export would be
+    ``df.write.csv`` with the same options)."""
+    cols = [f.name for f in PAIRS_TEXT_SCHEMA.fields]
+    # QUOTE_ALL: an UNQUOTED empty field is indistinguishable from a
+    # null to CSV readers; quoted "" reads as the empty string and a
+    # quoted sentinel still reads as NULL (verified for Spark's
+    # univocity parser and DuckDB's allow_quoted_nulls default).
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        wr = csv.writer(f, quoting=csv.QUOTE_ALL)
+        wr.writerow(cols)
+        for r in pdf.itertuples(index=False):
+            b = r.bytes
+            wr.writerow([
+                r.image_id,
+                NULL_SENTINEL if b is None
+                else base64.b64encode(b).decode("ascii"),
+                NULL_SENTINEL if r.w is None else int(r.w),
+                NULL_SENTINEL if r.h is None else int(r.h),
+                NULL_SENTINEL if r.fmt is None else r.fmt,
+                NULL_SENTINEL if r.caption is None else r.caption,
+                NULL_SENTINEL if r.phash is None else int(r.phash),
+            ])
+    return path
+
+
+def write_pairs_jsonl(pdf, path: str) -> str:
+    """Write a pairs pandas frame as interchange JSONL (NULLs are
+    native JSON nulls — no sentinel needed)."""
+    with open(path, "w", encoding="utf-8") as f:
+        for r in pdf.itertuples(index=False):
+            f.write(json.dumps({
+                "image_id": r.image_id,
+                "bytes_b64": None if r.bytes is None
+                else base64.b64encode(r.bytes).decode("ascii"),
+                "w": None if r.w is None else int(r.w),
+                "h": None if r.h is None else int(r.h),
+                "fmt": r.fmt,
+                "caption": r.caption,
+                "phash": None if r.phash is None else int(r.phash),
+            }, ensure_ascii=False) + "\n")
+    return path

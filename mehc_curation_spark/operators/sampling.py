@@ -208,3 +208,40 @@ def quality_tiers_approx(df: DataFrame, id_col: str, stratum_col: str,
         lab = F.when(F.col(score_col) > b, F.lit(labels[i])) \
                .otherwise(lab)
     return out.select(*df.columns, lab.alias("tier"))
+
+
+def split_col(id_c: Column, weights: dict[str, float],
+              seed: int = 0) -> Column:
+    """Deterministic train/val/test split assignment: the u48 hash
+    axis of (seed ":" id) is cut into consecutive ranges proportional
+    to ``weights`` (insertion order; they must sum to <= 1.0, any
+    remainder falls into the LAST split). The assignment is a row
+    property — portable across engines/partitionings like every
+    sampler here — and disjoint from the sampling decisions because
+    the seed prefix changes the hash.
+
+    Standard pipeline need: holding out eval data at corpus-build
+    time (not training time) so dedup/decontamination can treat the
+    held-out split as a reference corpus.
+
+    The hash domain is prefixed ``"split:"`` so a split NEVER
+    correlates with the export shuffle key or a sampling decision at
+    the same seed (ranges of one shared u48 would concentrate the
+    test split into the last export shards).
+    """
+    total = sum(weights.values())
+    if not weights or total > 1.0 + 1e-9:
+        raise ValueError("weights must be non-empty and sum to <= 1.0")
+    u = u48_col(F.concat(F.lit(f"split:{int(seed)}:"),
+                         id_c.cast("string")))
+    names = list(weights)
+    # ascending cumulative thresholds; first matching range wins
+    thr = []
+    acc = 0.0
+    for name in names:
+        acc += weights[name]
+        thr.append((name, int(acc * _U48_MAX)))
+    out = F.lit(names[-1])
+    for name, t in thr[:-1][::-1]:
+        out = F.when(u < F.lit(t).cast("long"), F.lit(name)).otherwise(out)
+    return out

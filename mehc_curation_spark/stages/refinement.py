@@ -129,6 +129,7 @@ def run_curate(
     output_path: str,
     config: CurationConfig = CurationConfig(),
     resume: bool = True,
+    input_format: str = "parquet",
 ) -> dict:
     """Execute the pipeline durably with per-bucket checkpoint/resume.
 
@@ -141,10 +142,12 @@ def run_curate(
     the graft of 'checkpoint resume of any failed partition range'
     (BASELINE.json north_rule).
     """
+    from mehc_curation_spark.io.ingest import read_pairs
+
     ledger = Ledger(output_path)
     done = ledger.completed_buckets() if resume else set()
 
-    df = spark.read.parquet(input_path)
+    df = read_pairs(spark, input_path, input_format)
     df = df.withColumn(BUCKET_COL, bucket_col(config))
     if done:
         df = df.filter(~F.col(BUCKET_COL).isin(*sorted(done)))

@@ -466,3 +466,28 @@ def test_export_cli_shards(pairs_file, tmp_path_factory):
         f"SELECT COUNT(*) FROM read_parquet('{out}/shard=*/*.parquet')"
     ).fetchone()[0]
     assert n == 2000
+
+
+def test_curate_cli_csv_input(tmp_path_factory):
+    """curate --input_format csv produces the same ledger totals as
+    the parquet run over the identical corpus."""
+    from mehc_curation_spark.fixtures import (
+        make_pairs_pdf,
+        write_pairs_parquet,
+    )
+    from mehc_curation_spark.io.ingest import write_pairs_csv
+
+    base = tmp_path_factory.mktemp("cli_csv")
+    pq = write_pairs_parquet(str(base / "pq"), 1000, seed=13)
+    csv_p = write_pairs_csv(make_pairs_pdf(1000, seed=13),
+                            str(base / "pairs.csv"))
+    m_pq = json.loads(_run(
+        ["curate", "-i", pq, "-o", str(base / "out_pq"), "--cores", "4"]
+    ).stdout.strip().splitlines()[-1])
+    m_csv = json.loads(_run(
+        ["curate", "-i", csv_p, "-o", str(base / "out_csv"),
+         "--input_format", "csv", "--cores", "4"]
+    ).stdout.strip().splitlines()[-1])
+    drop = ("elapsed_sec", "rows_per_sec")
+    assert {k: v for k, v in m_csv.items() if k not in drop} == \
+           {k: v for k, v in m_pq.items() if k not in drop}

@@ -1,0 +1,94 @@
+"""CSV/JSONL ingestion (io/ingest.py): interchange round-trips, null
+discipline, FAILFAST, and curate-over-CSV label equality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mehc_curation_spark.io.ingest import (
+    read_pairs,
+    read_pairs_csv,
+    read_pairs_jsonl,
+    write_pairs_csv,
+    write_pairs_jsonl,
+)
+
+
+@pytest.fixture(scope="module")
+def text_fixtures(pairs_pdf, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ingest")
+    csv_p = write_pairs_csv(pairs_pdf, str(base / "pairs.csv"))
+    jl_p = write_pairs_jsonl(pairs_pdf, str(base / "pairs.jsonl"))
+    return csv_p, jl_p
+
+
+def _norm(df):
+    return (df.withColumn("b64", F.regexp_replace(
+                F.base64("bytes"), "[\\r\\n]", ""))
+            .drop("bytes").toPandas()
+            .sort_values("image_id").reset_index(drop=True))
+
+
+class TestIngestRoundTrip:
+    @pytest.mark.parametrize("fmt", ["csv", "jsonl"])
+    def test_equals_parquet_read(self, spark, pairs_df, text_fixtures, fmt):
+        csv_p, jl_p = text_fixtures
+        got = _norm(read_pairs(spark, csv_p if fmt == "csv" else jl_p, fmt))
+        exp = _norm(pairs_df)
+        assert list(got.columns) == list(exp.columns)
+        for c in exp.columns:
+            a = exp[c].fillna("∅").astype(str)
+            b = got[c].fillna("∅").astype(str)
+            assert a.equals(b), (fmt, c)
+
+    def test_schema_is_pinned(self, spark, text_fixtures):
+        csv_p, jl_p = text_fixtures
+        for df in (read_pairs_csv(spark, csv_p),
+                   read_pairs_jsonl(spark, jl_p)):
+            assert [f.name for f in df.schema.fields] == \
+                ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            assert df.schema["bytes"].dataType.typeName() == "binary"
+            assert df.schema["phash"].dataType.typeName() == "long"
+
+    def test_empty_vs_null_caption(self, spark, tmp_path):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "image_id": ["a", "b", "c"],
+            "bytes": [b"", None, b"xy"],
+            "w": [1, 2, 3], "h": [1, 2, 3],
+            "fmt": ["raw"] * 3,
+            "caption": ["", None, "  "],
+            "phash": [1, 2, 3],
+        })
+        p = write_pairs_csv(pdf, str(tmp_path / "nulls.csv"))
+        rows = {r["image_id"]: r for r in read_pairs_csv(spark, p).collect()}
+        assert rows["a"]["caption"] == "" and bytes(rows["a"]["bytes"]) == b""
+        assert rows["b"]["caption"] is None and rows["b"]["bytes"] is None
+        assert rows["c"]["caption"] == "  "
+
+    def test_failfast_on_malformed(self, spark, tmp_path):
+        p = str(tmp_path / "bad.csv")
+        with open(p, "w") as f:
+            f.write("image_id,bytes_b64,w,h,fmt,caption,phash\n")
+            f.write('"a","eHk=","notanint","2","raw","hi","3"\n')
+        with pytest.raises(Exception):
+            read_pairs_csv(spark, p).collect()
+
+    def test_unknown_format_raises(self, spark):
+        with pytest.raises(ValueError):
+            read_pairs(spark, "/tmp/x", "orc")
+
+
+def test_curate_over_csv_matches_parquet(spark, pairs_pdf, pairs_df,
+                                         text_fixtures):
+    """End-to-end: the labels plan over CSV-ingested input equals the
+    plan over the parquet table byte-for-byte."""
+    from mehc_curation_spark.stages.plan import build_labels_plan
+
+    csv_p, _ = text_fixtures
+    a = (build_labels_plan(read_pairs_csv(spark, csv_p)).toPandas()
+         .sort_values("image_id").reset_index(drop=True))
+    b = (build_labels_plan(pairs_df).toPandas()
+         .sort_values("image_id").reset_index(drop=True))
+    for c in a.columns:
+        assert a[c].fillna("∅").astype(str).equals(
+            b[c].fillna("∅").astype(str)), c

@@ -200,3 +200,51 @@ class TestBpeTrain:
         got = bpe_train(df, n_merges=3, min_freq=2)
         assert got == bpe_train_local([None, "", "hi hi hi"], n_merges=3,
                                       min_freq=2) == [("h", "i")]
+
+
+# ---------------------------------------------------------------------------
+# split assignment
+# ---------------------------------------------------------------------------
+
+class TestSplitCol:
+    def _assign(self, spark, weights, seed=0, n=4000):
+        from mehc_curation_spark.operators.sampling import split_col
+        df = spark.range(n).select(F.col("id").alias("doc_id"))
+        return df.select("doc_id",
+                         split_col(F.col("doc_id"), weights,
+                                   seed=seed).alias("split"))
+
+    def test_total_disjoint_and_proportional(self, spark):
+        got = self._assign(spark, {"train": 0.9, "val": 0.05,
+                                   "test": 0.05}).toPandas()
+        frac = got["split"].value_counts(normalize=True)
+        assert set(frac.index) == {"train", "val", "test"}
+        assert abs(frac["train"] - 0.9) < 0.02
+        assert abs(frac["val"] - 0.05) < 0.01
+        assert abs(frac["test"] - 0.05) < 0.01
+
+    def test_matches_closed_form_and_partition_invariant(self, spark):
+        got = {r["doc_id"]: r["split"]
+               for r in self._assign(spark, {"a": 0.5, "b": 0.5},
+                                     seed=7).collect()}
+        for i in range(0, 4000, 97):
+            u = _u48_local(f"split:7:{i}")
+            assert got[i] == ("a" if u < int(0.5 * 2**48) else "b")
+
+    def test_uncorrelated_with_export_shuffle_key(self, spark, pairs_df):
+        from mehc_curation_spark.operators.sampling import split_col
+        s = assign_shards(pairs_df, n_shards=4, seed=0).withColumn(
+            "split", split_col(F.col("image_id"),
+                               {"train": 0.75, "test": 0.25}, seed=0))
+        pdf = s.select("shard", "split").toPandas()
+        # test rows must appear in EVERY shard, not pile into the last
+        per = pdf[pdf["split"] == "test"].groupby("shard").size()
+        assert len(per) == 4 and per.min() > 0
+
+    def test_weight_validation(self, spark):
+        import pytest as _pt
+        from mehc_curation_spark.operators.sampling import split_col
+        with _pt.raises(ValueError):
+            split_col(F.lit("x"), {})
+        with _pt.raises(ValueError):
+            split_col(F.lit("x"), {"a": 0.9, "b": 0.2})
