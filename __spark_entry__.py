@@ -1543,6 +1543,50 @@ def pairs_csv_scan(spark, sf_dir):
          .alias("payload_b64"))
 
 
+def pairs_wds_export_check(spark, sf_dir):
+    """Check for the WebDataset tar export: every shard file's md5
+    must equal a digest recomputed DRIVER-SIDE from the raw fixture
+    via the same deterministic tar rendering (pinned member metadata
+    + shard-position order), proving the distributed writers are
+    byte-reproducible; totals restated by SQL."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from mehc_curation_spark.io.export import (
+        _tar_shard_bytes,
+        assign_shards,
+        export_webdataset,
+    )
+
+    df = spark.read.parquet(_pairs_path())
+    out = tempfile.mkdtemp(prefix="mehc_wds_")
+    try:
+        man = export_webdataset(df, out, n_shards=4, seed=0)
+        pdf = (assign_shards(df, "image_id", n_shards=4, seed=0)
+               .orderBy("shard", "pos").toPandas())
+        ok = True
+        for s in man["shards"]:
+            part = pdf[pdf["shard"] == s["shard"]]
+            rows = []
+            for r in part.itertuples(index=False):
+                b = bytes(r.bytes) if r.bytes is not None else None
+                rows.append((r.image_id, b,
+                             {"caption": r.caption, "w": int(r.w),
+                              "h": int(r.h), "fmt": r.fmt,
+                              "phash": int(r.phash)}))
+            local = hashlib.md5(_tar_shard_bytes(rows)).hexdigest()
+            disk = hashlib.md5(
+                open(os.path.join(out, f"shard-{s['shard']:05d}.tar"),
+                     "rb").read()).hexdigest()
+            ok = ok and local == s["tar_md5"] == disk
+        return spark.createDataFrame(
+            [(man["n_shards"], man["rows"], ok)],
+            "n_shards int, n_rows long, digests_match_local boolean")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def doc_split_assign(spark, sf_dir):
     """Deterministic train/val/test split assignment
     (operators/sampling.py:split_col): consecutive ranges of the
@@ -1646,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_ar_buckets": pairs_ar_buckets,
         "pairs_export_shards": pairs_export_shards,
         "pairs_csv_scan": pairs_csv_scan,
+        "pairs_wds_export_check": pairs_wds_export_check,
         "doc_split_assign": doc_split_assign,
         "doc_bpe_merges": doc_bpe_merges,
         "doc_bpe_check": doc_bpe_check,
@@ -2567,6 +2612,12 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY shard ORDER BY u48, image_id)
                        AS INTEGER) AS pos
             FROM s
+        """,
+        "pairs_wds_export_check": f"""
+            SELECT CAST(4 AS INTEGER) AS n_shards,
+                   (SELECT COUNT(*)
+                    FROM read_parquet('{_pairs_cache_file()}')) AS n_rows,
+                   TRUE AS digests_match_local
         """,
         "pairs_csv_scan": f"""
             SELECT image_id, w, h, fmt, caption, phash,

@@ -260,6 +260,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--n_shards", type=int, default=None)
     g.add_argument("--target_bytes", type=int, default=None,
                    help="derive the shard count from the payload size")
+    ex.add_argument("--format", dest="shard_format",
+                    choices=["parquet", "wds"], default="parquet",
+                    help="parquet = one parquet file per shard; wds = "
+                         "WebDataset-style tar shards (<id>.img + "
+                         "<id>.json members)")
     ex.add_argument("--id_col", default="image_id")
     ex.add_argument("--bytes_col", default="bytes")
     ex.add_argument("--seed", type=int, default=0)
@@ -393,16 +398,26 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.cmd == "export":
-            from mehc_curation_spark.io.export import export_shards
+            from mehc_curation_spark.io.export import (
+                export_shards,
+                export_webdataset,
+            )
 
-            m = export_shards(
-                spark.read.parquet(args.input), args.output,
-                id_col=args.id_col, n_shards=args.n_shards,
-                target_bytes=args.target_bytes, bytes_col=args.bytes_col,
-                seed=args.seed)
+            df_in = spark.read.parquet(args.input)
+            if args.shard_format == "wds":
+                m = export_webdataset(
+                    df_in, args.output, id_col=args.id_col,
+                    bytes_col=args.bytes_col, n_shards=args.n_shards,
+                    target_bytes=args.target_bytes, seed=args.seed)
+            else:
+                m = export_shards(
+                    df_in, args.output,
+                    id_col=args.id_col, n_shards=args.n_shards,
+                    target_bytes=args.target_bytes, bytes_col=args.bytes_col,
+                    seed=args.seed)
             print(json.dumps({k: m[k] for k in
-                              ("n_shards", "rows", "payload_bytes",
-                               "min_shard_rows", "max_shard_rows", "seed")}))
+                              ("n_shards", "rows", "payload_bytes", "seed")}
+                             | {"format": m["format"]}))
             return 0
 
         if args.cmd == "crossdedup":

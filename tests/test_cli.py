@@ -491,3 +491,21 @@ def test_curate_cli_csv_input(tmp_path_factory):
     drop = ("elapsed_sec", "rows_per_sec")
     assert {k: v for k, v in m_csv.items() if k not in drop} == \
            {k: v for k, v in m_pq.items() if k not in drop}
+
+
+def test_export_cli_wds(pairs_file, tmp_path_factory):
+    """export --format wds writes tar shards whose manifest totals
+    reconcile with the JSON summary."""
+    out = str(tmp_path_factory.mktemp("cli_wds") / "wds")
+    res = json.loads(_run(
+        ["export", "-i", pairs_file, "-o", out, "--n_shards", "3",
+         "--format", "wds", "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert res["format"] == "webdataset-tar-v1"
+    assert res["n_shards"] == 3 and res["rows"] == 2000
+    import glob as _glob
+    import os as _os
+    tars = sorted(_glob.glob(_os.path.join(out, "shard-*.tar")))
+    assert len(tars) == 3
+    with open(_os.path.join(out, "_manifest.json")) as f:
+        disk = json.load(f)
+    assert sum(s["rows"] for s in disk["shards"]) == 2000

@@ -248,3 +248,50 @@ class TestSplitCol:
             split_col(F.lit("x"), {})
         with _pt.raises(ValueError):
             split_col(F.lit("x"), {"a": 0.9, "b": 0.2})
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar export
+# ---------------------------------------------------------------------------
+
+class TestWebdatasetExport:
+    def test_roundtrip_and_determinism(self, spark, pairs_df, tmp_path):
+        import tarfile
+
+        from mehc_curation_spark.io.export import export_webdataset
+
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        m1 = export_webdataset(pairs_df, p1, n_shards=3, seed=0)
+        m2 = export_webdataset(pairs_df.repartition(13), p2,
+                               n_shards=3, seed=0)
+        # byte determinism across partitionings
+        assert [s["tar_md5"] for s in m1["shards"]] == \
+               [s["tar_md5"] for s in m2["shards"]]
+        assert m1["rows"] == pairs_df.count()
+        # extraction round-trip of one shard
+        t = tarfile.open(os.path.join(p1, "shard-00000.tar"))
+        names = t.getnames()
+        assert len(names) == 2 * m1["shards"][0]["rows"]
+        ids = [n[:-4] for n in names if n.endswith(".img")]
+        raw = {r["image_id"]: r for r in pairs_df.filter(
+            F.col("image_id").isin(ids[:20])).collect()}
+        for rid in ids[:20]:
+            got = t.extractfile(f"{rid}.img").read()
+            exp = raw[rid]["bytes"]
+            assert got == (bytes(exp) if exp is not None else b"")
+            meta = json.loads(t.extractfile(f"{rid}.json").read())
+            assert meta["caption"] == raw[rid]["caption"]
+            assert meta["phash"] == raw[rid]["phash"]
+
+    def test_manifest_totals(self, spark, pairs_df, tmp_path):
+        from mehc_curation_spark.io.export import export_webdataset
+
+        p = str(tmp_path / "w")
+        m = export_webdataset(pairs_df, p, n_shards=4, seed=1)
+        disk = json.load(open(os.path.join(p, "_manifest.json")))
+        assert disk == m
+        assert sum(s["rows"] for s in m["shards"]) == m["rows"]
+        for s in m["shards"]:
+            assert os.path.getsize(
+                os.path.join(p, f"shard-{s['shard']:05d}.tar")) \
+                == s["tar_bytes"]
