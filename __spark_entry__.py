@@ -1543,6 +1543,50 @@ def pairs_csv_scan(spark, sf_dir):
          .alias("payload_b64"))
 
 
+def pairs_compute_phash(spark, sf_dir):
+    """Perceptual-hash computation FROM PIXELS
+    (operators/multimodal.py:compute_phash — decode + DCT phash64):
+    the operator that produces the input table's phash dedup key.
+    Rows-only surface (binary decode is not SQL-expressible); value
+    parity pinned by pairs_compute_phash_check."""
+    from mehc_curation_spark.operators.multimodal import compute_phash
+
+    return compute_phash(spark.read.parquet(_pairs_path()))
+
+
+def pairs_compute_phash_check(spark, sf_dir):
+    """Check for compute_phash: the fixture stores
+    phash64(decoded pixels) for every intact payload, so the
+    distributed recompute must equal the stored column for virtually
+    all decodable rows (the only tolerated mismatches are planted
+    ~1%-corrupted payloads that still decode structurally — their
+    stored phash is random by construction), and every undecodable
+    row must yield NULL."""
+    from mehc_curation_spark.operators.multimodal import compute_phash
+
+    df = spark.read.parquet(_pairs_path())
+    j = compute_phash(df).join(df.select("image_id", "phash"), "image_id")
+    r = j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(~F.col("decode_ok"), 1).otherwise(0)).alias("n_fail"),
+        F.sum(F.when(F.col("decode_ok") &
+                     (F.col("phash_computed") == F.col("phash")), 1)
+              .otherwise(0)).alias("n_match"),
+        F.sum(F.when(~F.col("decode_ok") &
+                     F.col("phash_computed").isNotNull(), 1)
+              .otherwise(0)).alias("n_fail_nonnull"),
+    ).first()
+    n_ok = r["n"] - r["n_fail"]
+    return spark.createDataFrame(
+        [(r["n"],
+          bool(r["n_match"] >= n_ok - max(5, int(0.005 * r["n"]))
+               and r["n_match"] > 0.97 * r["n"]),
+          bool(0.0 < r["n_fail"] / r["n"] < 0.05),
+          bool(r["n_fail_nonnull"] == 0))],
+        "n_images long, recompute_matches_stored boolean, "
+        "failure_rate_in_range boolean, failed_rows_are_null boolean")
+
+
 def pairs_wds_export_check(spark, sf_dir):
     """Check for the WebDataset tar export: every shard file's md5
     must equal a digest recomputed DRIVER-SIDE from the raw fixture
@@ -1690,6 +1734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_ar_buckets": pairs_ar_buckets,
         "pairs_export_shards": pairs_export_shards,
         "pairs_csv_scan": pairs_csv_scan,
+        "pairs_compute_phash": pairs_compute_phash,
+        "pairs_compute_phash_check": pairs_compute_phash_check,
         "pairs_wds_export_check": pairs_wds_export_check,
         "doc_split_assign": doc_split_assign,
         "doc_bpe_merges": doc_bpe_merges,
@@ -2612,6 +2658,13 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY shard ORDER BY u48, image_id)
                        AS INTEGER) AS pos
             FROM s
+        """,
+        "pairs_compute_phash_check": f"""
+            SELECT (SELECT COUNT(*)
+                    FROM read_parquet('{_pairs_cache_file()}')) AS n_images,
+                   TRUE AS recompute_matches_stored,
+                   TRUE AS failure_rate_in_range,
+                   TRUE AS failed_rows_are_null
         """,
         "pairs_wds_export_check": f"""
             SELECT CAST(4 AS INTEGER) AS n_shards,

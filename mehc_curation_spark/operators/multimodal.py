@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -92,6 +93,58 @@ def image_features(df: DataFrame) -> DataFrame:
 
     return (df.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(run, IMAGE_FEATURES_SCHEMA))
+
+
+PHASH_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("decode_ok", BooleanType()),
+    StructField("phash_computed", LongType()),
+])
+
+
+def compute_phash(df: DataFrame) -> DataFrame:
+    """Compute the 64-bit DCT perceptual hash FROM PIXELS (REAL —
+    decode via the NumPy codecs, hash via ``codecs/phash.py``): the
+    operator that produces the ``phash`` dedup-key column the
+    north_rule's input table carries, for corpora that arrive without
+    one. One decode per image, Arrow-batched; undecodable payloads
+    yield (decode_ok=false, phash_computed=NULL) so downstream dedup
+    treats them as singletons rather than colliding on a garbage key.
+
+    The driver check exploits the fixture invariant that the stored
+    column IS phash64(decoded pixels) for every intact payload:
+    distributed recompute must equal it exactly.
+    """
+    from pyspark.sql import functions as F
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mehc_curation_spark.codecs.image import DecodeError, decode_image
+        from mehc_curation_spark.codecs.phash import phash64
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                    rows.append((r.image_id, True, phash64(px)))
+                except (DecodeError, TypeError, ValueError):
+                    # sentinel 0, nullified in Catalyst below: an
+                    # OBJECT column of python ints with Nones goes
+                    # through float64 in PySpark's Arrow writer and
+                    # loses the low bits of 64-bit hashes (nullable
+                    # Int64 would be exact, but pure-int64 + mask is
+                    # the simplest path that can't regress)
+                    rows.append((r.image_id, False, 0))
+            out = pd.DataFrame(rows, columns=[f.name for f in
+                                              PHASH_SCHEMA.fields])
+            out["phash_computed"] = out["phash_computed"].astype("int64")
+            yield out
+
+    raw = (df.select("image_id", "bytes", "w", "h", "fmt")
+           .mapInPandas(run, PHASH_SCHEMA))
+    return raw.withColumn(
+        "phash_computed",
+        F.when(F.col("decode_ok"), F.col("phash_computed")))
 
 
 def image_thumbnails(df: DataFrame, size: int = 16) -> DataFrame:
