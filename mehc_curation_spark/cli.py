@@ -256,7 +256,7 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("-i", "--input", required=True,
                     help="curated corpus parquet")
     ex.add_argument("-o", "--output", required=True)
-    g = ex.add_mutually_exclusive_group(required=True)
+    g = ex.add_mutually_exclusive_group()
     g.add_argument("--n_shards", type=int, default=None)
     g.add_argument("--target_bytes", type=int, default=None,
                    help="derive the shard count from the payload size")
@@ -268,6 +268,14 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--id_col", default="image_id")
     ex.add_argument("--bytes_col", default="bytes")
     ex.add_argument("--seed", type=int, default=0)
+    ex.add_argument("--resume", action="store_true",
+                    help="wds only: rewrite only shards missing or "
+                         "size-mismatched on disk (deterministic plan "
+                         "makes the completion exact)")
+    ex.add_argument("--verify", action="store_true",
+                    help="verify an existing export against its "
+                         "_manifest.json (distributed re-hash / "
+                         "recount) and exit non-zero on damage")
     ex.add_argument("--cores", type=int, default=-1)
     ex.add_argument("--master", default=None)
 
@@ -401,14 +409,24 @@ def main(argv: list[str] | None = None) -> int:
             from mehc_curation_spark.io.export import (
                 export_shards,
                 export_webdataset,
+                verify_export,
             )
 
+            if args.verify:
+                v = verify_export(spark, args.output)
+                print(json.dumps(v))
+                return 0 if v["ok"] else 3
+            if args.n_shards is None and args.target_bytes is None                     and not args.resume:
+                print("error: pass --n_shards or --target_bytes "
+                      "(or --resume)", file=sys.stderr)
+                return 2
             df_in = spark.read.parquet(args.input)
             if args.shard_format == "wds":
                 m = export_webdataset(
                     df_in, args.output, id_col=args.id_col,
                     bytes_col=args.bytes_col, n_shards=args.n_shards,
-                    target_bytes=args.target_bytes, seed=args.seed)
+                    target_bytes=args.target_bytes, seed=args.seed,
+                    resume=args.resume)
             else:
                 m = export_shards(
                     df_in, args.output,

@@ -118,6 +118,7 @@ def export_shards(df: DataFrame, path: str, id_col: str = "image_id",
         "format": "parquet-shards-v1",
         "seed": int(seed),
         "id_col": id_col,
+        "bytes_col": bytes_col,
         "n_shards": len(per),
         "rows": int(sum(r["rows"] for r in per)),
         "payload_bytes": int(sum(r["payload_bytes"] for r in per)),
@@ -178,7 +179,7 @@ def export_webdataset(df: DataFrame, path: str, id_col: str = "image_id",
                                           "phash"),
                       n_shards: int | None = None,
                       target_bytes: int | None = None,
-                      seed: int = 0) -> dict:
+                      seed: int = 0, resume: bool = False) -> dict:
     """Write the corpus as WebDataset-style tar shards
     (``shard-00000.tar`` …), each holding ``<id>.img`` payload +
     ``<id>.json`` metadata members in deterministic shard order — the
@@ -192,13 +193,41 @@ def export_webdataset(df: DataFrame, path: str, id_col: str = "image_id",
     return to the driver for the manifest. The output path must be a
     shared filesystem in cluster mode (object-store targets would
     swap the two ``os``/``open`` calls for their client).
+
+    ``resume=True``: if a prior run's manifest exists (same seed +
+    id_col), only shards whose tar is missing or size-mismatched on
+    disk are rewritten — the shard plan is deterministic, so a
+    restart after a mid-export failure completes exactly the missing
+    work. Resume assumes the INPUT is unchanged (the deterministic
+    layout makes any drift detectable afterwards via
+    :func:`verify_export`).
     """
     import hashlib as _hashlib
 
     os.makedirs(path, exist_ok=True)
+    prior = None
+    man_path = os.path.join(path, "_manifest.json")
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            prior = json.load(f)
+        if (prior.get("format") != "webdataset-tar-v1"
+                or prior.get("seed") != int(seed)
+                or prior.get("id_col") != id_col):
+            raise ValueError("existing manifest does not match this "
+                             "export's parameters; refusing to resume")
+        n_shards, target_bytes = prior["n_shards"], None
     s = assign_shards(df, id_col, n_shards=n_shards,
                       target_bytes=target_bytes, bytes_col=bytes_col,
                       seed=seed)
+    done = {}
+    if prior is not None:
+        for sh in prior["shards"]:
+            dest = os.path.join(path, f"shard-{sh['shard']:05d}.tar")
+            if (os.path.exists(dest)
+                    and os.path.getsize(dest) == sh["tar_bytes"]):
+                done[sh["shard"]] = sh
+        if done:
+            s = s.filter(~F.col("shard").isin(*sorted(done)))
     keep = [id_col, bytes_col, *meta_cols, "shard", "pos"]
     mcols = list(meta_cols)
 
@@ -233,19 +262,72 @@ def export_webdataset(df: DataFrame, path: str, id_col: str = "image_id",
         }])
 
     per = sorted(
-        (r.asDict() for r in
-         s.select(*keep).groupBy("shard")
-          .applyInPandas(write_shard, _WDS_SUMMARY_SCHEMA).collect()),
+        (list(done.values()) if prior is not None else [])
+        + [r.asDict() for r in
+           s.select(*keep).groupBy("shard")
+            .applyInPandas(write_shard, _WDS_SUMMARY_SCHEMA).collect()],
         key=lambda d: d["shard"])
     manifest = {
         "format": "webdataset-tar-v1",
         "seed": int(seed),
         "id_col": id_col,
+        "bytes_col": bytes_col,
         "n_shards": len(per),
         "rows": int(sum(d["rows"] for d in per)),
         "payload_bytes": int(sum(d["payload_bytes"] for d in per)),
         "shards": per,
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
+    manifest["resumed_shards"] = sorted(done) if prior is not None else []
+    with open(man_path + ".tmp", "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(man_path + ".tmp", man_path)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# export durability: verify + resume
+# ---------------------------------------------------------------------------
+
+def verify_export(spark, path: str) -> dict:
+    """Distributed integrity check of an export directory against its
+    ``_manifest.json`` — the restart-safety primitive (was the last
+    run complete? did a shard get truncated?).
+
+    WebDataset layout: one ``binaryFile`` scan re-hashes every tar on
+    the executors (``F.md5(content)`` — no bytes reach the driver).
+    Parquet layout: one aggregation recounts rows/payload per shard.
+    Returns {ok, missing, mismatched, extra} by shard id.
+    """
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest["format"] == "webdataset-tar-v1":
+        got = {}
+        rows = (spark.read.format("binaryFile")
+                .load(os.path.join(path, "shard-*.tar"))
+                .select(F.element_at(F.split("path", "/"), -1).alias("f"),
+                        F.md5("content").alias("md5"),
+                        F.length("content").alias("nbytes"))
+                .collect())
+        for r in rows:
+            k = int(r["f"][len("shard-"):-len(".tar")])
+            got[k] = (r["md5"], r["nbytes"])
+        exp = {s["shard"]: (s["tar_md5"], s["tar_bytes"])
+               for s in manifest["shards"]}
+    else:
+        per = (spark.read.parquet(path).groupBy("shard")
+               .agg(F.count("*").alias("rows"),
+                    F.sum(F.coalesce(F.length(F.col(manifest.get(
+                        "bytes_col", "bytes"))), F.lit(0)))
+                    .alias("payload_bytes"))
+               .collect())
+        got = {int(r["shard"]): (int(r["rows"]), int(r["payload_bytes"]))
+               for r in per}
+        exp = {s["shard"]: (s["rows"], s["payload_bytes"])
+               for s in manifest["shards"]}
+    missing = sorted(set(exp) - set(got))
+    extra = sorted(set(got) - set(exp))
+    mismatched = sorted(k for k in set(exp) & set(got)
+                        if exp[k] != got[k])
+    return {"ok": not (missing or extra or mismatched),
+            "n_shards": manifest["n_shards"],
+            "missing": missing, "mismatched": mismatched, "extra": extra}

@@ -509,3 +509,32 @@ def test_export_cli_wds(pairs_file, tmp_path_factory):
     with open(_os.path.join(out, "_manifest.json")) as f:
         disk = json.load(f)
     assert sum(s["rows"] for s in disk["shards"]) == 2000
+
+
+def test_export_cli_verify_and_resume(pairs_file, tmp_path_factory):
+    """export --verify detects a truncated shard; --resume repairs it."""
+    out = str(tmp_path_factory.mktemp("cli_vr") / "wds")
+    _run(["export", "-i", pairs_file, "-o", out, "--n_shards", "2",
+          "--format", "wds", "--cores", "4"])
+    v = json.loads(_run(
+        ["export", "-i", pairs_file, "-o", out, "--format", "wds",
+         "--verify", "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert v["ok"]
+    with open(os.path.join(out, "shard-00000.tar"), "r+b") as f:
+        f.truncate(10)
+    proc = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark", "export",
+         "-i", pairs_file, "-o", out, "--format", "wds", "--verify",
+         "--cores", "4"],
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 3
+    assert json.loads(proc.stdout.strip().splitlines()[-1])[
+        "mismatched"] == [0]
+    res = json.loads(_run(
+        ["export", "-i", pairs_file, "-o", out, "--format", "wds",
+         "--resume", "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert res["n_shards"] == 2
+    v2 = json.loads(_run(
+        ["export", "-i", pairs_file, "-o", out, "--format", "wds",
+         "--verify", "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert v2["ok"]

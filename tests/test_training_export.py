@@ -295,3 +295,60 @@ class TestWebdatasetExport:
             assert os.path.getsize(
                 os.path.join(p, f"shard-{s['shard']:05d}.tar")) \
                 == s["tar_bytes"]
+
+
+# ---------------------------------------------------------------------------
+# export durability: verify + resume
+# ---------------------------------------------------------------------------
+
+class TestExportDurability:
+    def test_verify_then_corrupt_then_resume(self, spark, pairs_df,
+                                             tmp_path):
+        from mehc_curation_spark.io.export import (
+            export_webdataset,
+            verify_export,
+        )
+
+        p = str(tmp_path / "w")
+        m = export_webdataset(pairs_df, p, n_shards=4, seed=0)
+        assert verify_export(spark, p)["ok"]
+
+        # truncate one shard, delete another
+        t1 = os.path.join(p, "shard-00001.tar")
+        with open(t1, "r+b") as f:
+            f.truncate(100)
+        os.remove(os.path.join(p, "shard-00002.tar"))
+        v = verify_export(spark, p)
+        assert not v["ok"]
+        assert v["missing"] == [2] and v["mismatched"] == [1]
+
+        # resume rewrites exactly the two broken shards
+        before = {k: os.path.getmtime(os.path.join(p, f"shard-0000{k}.tar"))
+                  for k in (0, 3)}
+        m2 = export_webdataset(pairs_df, p, n_shards=4, seed=0, resume=True)
+        assert m2["resumed_shards"] == [0, 3]
+        assert [s["tar_md5"] for s in m2["shards"]] == \
+               [s["tar_md5"] for s in m["shards"]]
+        assert verify_export(spark, p)["ok"]
+        for k, t in before.items():
+            assert os.path.getmtime(
+                os.path.join(p, f"shard-0000{k}.tar")) == t  # untouched
+
+    def test_resume_refuses_parameter_drift(self, spark, pairs_df,
+                                            tmp_path):
+        from mehc_curation_spark.io.export import export_webdataset
+
+        p = str(tmp_path / "w2")
+        export_webdataset(pairs_df, p, n_shards=3, seed=0)
+        with pytest.raises(ValueError):
+            export_webdataset(pairs_df, p, n_shards=3, seed=1, resume=True)
+
+    def test_verify_parquet_layout(self, spark, pairs_df, tmp_path):
+        from mehc_curation_spark.io.export import (
+            export_shards,
+            verify_export,
+        )
+
+        p = str(tmp_path / "pq")
+        export_shards(pairs_df, p, n_shards=5, seed=0)
+        assert verify_export(spark, p)["ok"]
