@@ -16,12 +16,15 @@ mysqldump/Hive convention) with quoted-empty meaning the empty
 string.
 
 Scale notes: CSV files are line-splittable only when fields contain
-no raw newlines (this writer never emits them — base64 and the
-``\\N`` sentinel keep fields single-line), so a 100 TB ingest
-parallelizes per-block like parquet; JSONL is splittable
-unconditionally. Both readers run ``mode=FAILFAST`` — a malformed
-row should fail the ingest loudly, not silently null out a payload
-(PERMISSIVE would).
+no raw newlines, so the CSV writer REFUSES captions containing
+newline/CR (quoting them would be valid CSV but force
+``multiLine=true`` readers, which cannot split a file across tasks —
+at 100 TB that serializes the scan); it likewise refuses a caption
+that IS the ``\\N`` sentinel (unescapable collision). Newline- or
+sentinel-bearing text belongs in JSONL, which escapes natively and
+stays splittable unconditionally. Both readers run ``mode=FAILFAST``
+— a malformed row should fail the ingest loudly, not silently null
+out a payload (PERMISSIVE would).
 """
 
 from __future__ import annotations
@@ -71,6 +74,9 @@ def read_pairs_csv(spark: SparkSession, path: str) -> DataFrame:
           .option("header", True)
           .option("nullValue", NULL_SENTINEL)
           .option("emptyValue", "")
+          # RFC-4180 doubled-quote escaping (what csv.writer and
+          # DuckDB emit); Spark's default escape is backslash
+          .option("escape", '"')
           .option("mode", "FAILFAST")
           .csv(path))
     return _decode(df)
@@ -108,6 +114,15 @@ def write_pairs_csv(pdf, path: str) -> str:
     helper for fixtures and tests; a distributed export would be
     ``df.write.csv`` with the same options)."""
     cols = [f.name for f in PAIRS_TEXT_SCHEMA.fields]
+    caps = pdf["caption"].dropna().astype(str)
+    if caps.str.contains("[\r\n]", regex=True).any():
+        raise ValueError(
+            "captions contain newline/CR: raw newlines make CSV "
+            "non-splittable at scale — use write_pairs_jsonl instead")
+    if (caps == NULL_SENTINEL).any():
+        raise ValueError(
+            f"a caption equals the {NULL_SENTINEL!r} null sentinel "
+            "(unescapable in CSV) — use write_pairs_jsonl instead")
     # QUOTE_ALL: an UNQUOTED empty field is indistinguishable from a
     # null to CSV readers; quoted "" reads as the empty string and a
     # quoted sentinel still reads as NULL (verified for Spark's

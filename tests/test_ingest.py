@@ -92,3 +92,65 @@ def test_curate_over_csv_matches_parquet(spark, pairs_pdf, pairs_df,
     for c in a.columns:
         assert a[c].fillna("∅").astype(str).equals(
             b[c].fillna("∅").astype(str)), c
+
+
+class TestIngestHardening:
+    def test_csv_writer_refuses_newline_captions(self, tmp_path):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "image_id": ["a"], "bytes": [b"x"], "w": [1], "h": [1],
+            "fmt": ["raw"], "caption": ["line one\nline two"],
+            "phash": [1],
+        })
+        with pytest.raises(ValueError, match="jsonl"):
+            write_pairs_csv(pdf, str(tmp_path / "nl.csv"))
+        # a caption that IS the null sentinel collides unescapably
+        pdf2 = pdf.assign(caption=[r"\N"])
+        with pytest.raises(ValueError, match="jsonl"):
+            write_pairs_csv(pdf2, str(tmp_path / "sn.csv"))
+        # JSONL is the sanctioned path and must round-trip both
+        import json as _json
+        p = write_pairs_jsonl(pd.concat([pdf, pdf2]),
+                              str(tmp_path / "nl.jsonl"))
+        lines = [_json.loads(l) for l in open(p)]
+        assert [l["caption"] for l in lines] == \
+            ["line one\nline two", r"\N"]
+
+    def test_jsonl_roundtrips_newlines(self, spark, tmp_path):
+        import pandas as pd
+        caps = ["line one\nline two", "tab\there", "quote\"inside",
+                "unicode é中文 \U0001f600", None, ""]
+        pdf = pd.DataFrame({
+            "image_id": [f"r{i}" for i in range(len(caps))],
+            "bytes": [bytes([i]) for i in range(len(caps))],
+            "w": [1] * len(caps), "h": [1] * len(caps),
+            "fmt": ["raw"] * len(caps), "caption": caps,
+            "phash": list(range(len(caps))),
+        })
+        p = write_pairs_jsonl(pdf, str(tmp_path / "rt.jsonl"))
+        got = {r["image_id"]: r["caption"]
+               for r in read_pairs_jsonl(spark, p).collect()}
+        for i, c in enumerate(caps):
+            assert got[f"r{i}"] == c, (i, c, got[f"r{i}"])
+
+    def test_csv_property_roundtrip(self, spark, tmp_path):
+        """Property-ish: adversarial single-line captions round-trip
+        the CSV interchange exactly (quotes, commas, control chars,
+        unicode, sentinel-lookalike, leading/trailing spaces)."""
+        import pandas as pd
+        caps = ['"fully quoted"', "comma, inside", "semicolon;pipe|",
+                "  leading and trailing  ", "\t tab", "bell\x07char",
+                "\\\\N", "NaN", "null", "None", "é中",
+                "=1+2", "'single'", "a" * 500]
+        pdf = pd.DataFrame({
+            "image_id": [f"c{i:02d}" for i in range(len(caps))],
+            "bytes": [b"x"] * len(caps),
+            "w": [1] * len(caps), "h": [1] * len(caps),
+            "fmt": ["raw"] * len(caps), "caption": caps,
+            "phash": list(range(len(caps))),
+        })
+        p = write_pairs_csv(pdf, str(tmp_path / "adv.csv"))
+        got = {r["image_id"]: r["caption"]
+               for r in read_pairs_csv(spark, p).collect()}
+        for i, c in enumerate(caps):
+            assert got[f"c{i:02d}"] == c, (i, c, got[f"c{i:02d}"])
