@@ -125,3 +125,29 @@ def test_line_dedup_exchange_budget(spark):
     for ln in hash_ex:
         assert "_h" in ln or "_id" in ln, tree
     assert _count(tree, "hashpartitioning(_line") == 0, tree
+
+
+def test_bpe_round_is_partial_agg_plus_takeordered(spark):
+    """One BPE merge round must plan as map-combinable aggregation
+    (partial+final HashAggregate on the pair key) feeding
+    TakeOrderedAndProject(limit=1) — never a full sort of the pair
+    table, never more than one row to the driver."""
+    from mehc_curation_spark.operators.vocab import tokens_col
+
+    words = (_docs(spark)
+             .select(F.explode(tokens_col(F.col("text"))).alias("w"))
+             .filter(F.col("w") != "")
+             .groupBy("w").agg(F.count("*").alias("freq"))
+             .withColumn("syms", F.split("w", "(?<=.)(?=.)"))
+             .select("freq", "syms"))
+    pairs = words.select("freq", F.explode(F.expr(
+        "transform(slice(syms, 1, size(syms) - 1),"
+        " (x, i) -> struct(x AS a, syms[i + 1] AS b))")).alias("p"))
+    best = (pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1))
+    tree = _tree(best)
+    assert "TakeOrderedAndProject(limit=1" in tree, tree
+    assert _count(tree, "HashAggregate") >= 4, tree  # partial+final x2
+    assert "Sort [" not in tree.replace(
+        "TakeOrderedAndProject", ""), tree  # no global sort node
