@@ -370,6 +370,29 @@ def doc_dataset_card(spark, sf_dir):
         "top_lang string, top_lang_rows long")
 
 
+def doc_card_drift(spark, sf_dir):
+    """Corpus-version drift detection (io/card.py:card_drift): cards
+    for the full corpus vs a deterministically drifted version
+    (doc_id % 3 != 0 removed third shifts the mix), compared field by
+    field. Full value oracle — every delta is restated in SQL
+    (per-side rounded rates, total-variation distance over the
+    language rollup)."""
+    from mehc_curation_spark.io.card import card_drift, dataset_card
+
+    d = _t(spark, sf_dir, "documents")
+    old = dataset_card(d, exact_distinct=True, top_langs=100)
+    new = dataset_card(d.filter(F.col("doc_id") % 3 != 0),
+                       exact_distinct=True, top_langs=100)
+    dr = card_drift(old, new)
+    de = dr["deltas"]
+    return spark.createDataFrame(
+        [(old["rows"], new["rows"], de["rows_rel"], de["dup_rate"],
+          de["keep_rate"], de["tok_p50_rel"], de["lang_tv"])],
+        "old_rows long, new_rows long, rows_rel double, "
+        "dup_rate_delta double, keep_rate_delta double, "
+        "tok_p50_rel double, lang_tv double")
+
+
 def doc_stratified_sample(spark, sf_dir):
     """Deterministic corpus-mixture rebalancing (operators/sampling.py):
     keep 25% of en, 50% of de, everything else — keyed on
@@ -1703,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate_ngrams": doc_boilerplate_ngrams,
         "doc_top_terms": doc_top_terms,
         "doc_dataset_card": doc_dataset_card,
+        "doc_card_drift": doc_card_drift,
         "doc_tfidf_keywords": doc_tfidf_keywords,
         "doc_quality_model": doc_quality_model,
         "doc_quality_model_check": doc_quality_model_check,
@@ -2151,6 +2175,63 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY score DESC, term ASC) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        "doc_card_drift": _QSCORE_SQL + r"""
+            , t AS (
+                SELECT d.doc_id,
+                       CASE WHEN LENGTH(TRIM(d.text)) = 0 THEN 0
+                            ELSE LEN(regexp_split_to_array(TRIM(d.text),
+                                                           '[ \t\n\r]+'))
+                       END AS n_tok,
+                       substr(md5(regexp_replace(lower(trim(d.text)),
+                                                 '[ \t\n\r]+', ' ', 'g')),
+                              1, 16) AS fp,
+                       q.q_score AS qs
+                FROM documents d JOIN q ON d.doc_id = q.doc_id
+            ), s_old AS (
+                SELECT COUNT(*) AS n,
+                       ROUND(1.0 - COUNT(DISTINCT fp)
+                             / COUNT(*)::DOUBLE, 4) AS dup,
+                       ROUND(SUM(CASE WHEN qs >= 0.5 THEN 1 ELSE 0 END)
+                             / COUNT(*)::DOUBLE, 4) AS keep,
+                       quantile_disc(n_tok, 0.5) AS p50
+                FROM t
+            ), s_new AS (
+                SELECT COUNT(*) AS n,
+                       ROUND(1.0 - COUNT(DISTINCT fp)
+                             / COUNT(*)::DOUBLE, 4) AS dup,
+                       ROUND(SUM(CASE WHEN qs >= 0.5 THEN 1 ELSE 0 END)
+                             / COUNT(*)::DOUBLE, 4) AS keep,
+                       quantile_disc(n_tok, 0.5) AS p50
+                FROM t WHERE doc_id % 3 <> 0
+            ), l_old AS (
+                SELECT lang,
+                       ROUND(COUNT(*) / (SELECT n FROM s_old)::DOUBLE, 4)
+                       AS share
+                FROM documents GROUP BY lang
+            ), l_new AS (
+                SELECT lang,
+                       ROUND(COUNT(*) / (SELECT n FROM s_new)::DOUBLE, 4)
+                       AS share
+                FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang
+            ), tv AS (
+                SELECT ROUND(SUM(ABS(COALESCE(a.share, 0)
+                                     - COALESCE(b.share, 0))) / 2, 4) AS tv
+                FROM l_old a FULL JOIN l_new b USING (lang)
+            )
+            SELECT (SELECT n FROM s_old) AS old_rows,
+                   (SELECT n FROM s_new) AS new_rows,
+                   ROUND((SELECT n FROM s_new)
+                         / (SELECT n FROM s_old)::DOUBLE - 1.0, 4)
+                       AS rows_rel,
+                   ROUND((SELECT dup FROM s_new)
+                         - (SELECT dup FROM s_old), 4) AS dup_rate_delta,
+                   ROUND((SELECT keep FROM s_new)
+                         - (SELECT keep FROM s_old), 4) AS keep_rate_delta,
+                   ROUND((SELECT p50 FROM s_new)
+                         / (SELECT p50 FROM s_old)::DOUBLE - 1.0, 4)
+                       AS tok_p50_rel,
+                   (SELECT tv FROM tv) AS lang_tv
         """,
         "doc_stratified_sample": """
             WITH u AS (

@@ -110,3 +110,55 @@ def render_card(card: dict, title: str = "DATASET CARD") -> str:
                          f"  {e['share']:.2%}")
     lines.append("=" * 46)
     return "\n".join(lines)
+
+
+#: Default drift thresholds: relative/absolute shifts that should page
+#: a pipeline owner between corpus versions.
+DRIFT_THRESHOLDS = {
+    "dup_rate_jump": 0.02,    # absolute increase in exact-dup rate
+    "keep_rate_drop": 0.02,   # absolute drop in quality keep rate
+    "lang_tv": 0.10,          # total-variation distance of language mix
+    "tok_p50_rel": 0.20,      # relative shift of the median doc length
+}
+
+
+def card_drift(old: dict, new: dict,
+               thresholds: Optional[dict] = None) -> dict:
+    """Compare two dataset cards (successive corpus versions) and flag
+    regressions — the drift check a continuous-ingestion pipeline runs
+    after every increment (duplicate blow-ups, quality collapses,
+    language-mix shifts are the classic silent failures).
+
+    Pure dict arithmetic over already-computed cards (no second corpus
+    pass): deltas are rounded to 4 decimals, the language shift is the
+    total-variation distance over the union of the cards' language
+    rollups (compute the cards with ``top_langs`` >= the corpus's
+    language count for the exact mix; truncated rollups make this a
+    lower bound). Returns {deltas, flags, ok}.
+    """
+    th = dict(DRIFT_THRESHOLDS, **(thresholds or {}))
+    old_p50 = old["tokens_per_doc"]["p50"]
+    shares_old = {e["lang"]: e["share"] for e in old.get("languages", [])}
+    shares_new = {e["lang"]: e["share"] for e in new.get("languages", [])}
+    tv = round(sum(abs(shares_new.get(k, 0.0) - shares_old.get(k, 0.0))
+                   for k in set(shares_old) | set(shares_new)) / 2.0, 4)
+    deltas = {
+        "rows_rel": round(new["rows"] / old["rows"] - 1.0, 4)
+        if old["rows"] else None,
+        "dup_rate": round(new["exact_dup_rate"] - old["exact_dup_rate"], 4),
+        "keep_rate": round(new["quality"]["keep_rate"]
+                           - old["quality"]["keep_rate"], 4),
+        "tok_p50_rel": round(new["tokens_per_doc"]["p50"] / old_p50 - 1.0, 4)
+        if old_p50 else None,
+        "lang_tv": tv,
+    }
+    flags = sorted(
+        name for name, hit in (
+            ("dup_rate_jump", deltas["dup_rate"] > th["dup_rate_jump"]),
+            ("keep_rate_drop", -deltas["keep_rate"] > th["keep_rate_drop"]),
+            ("lang_tv", tv > th["lang_tv"]),
+            ("tok_p50_rel",
+             deltas["tok_p50_rel"] is not None
+             and abs(deltas["tok_p50_rel"]) > th["tok_p50_rel"]),
+        ) if hit)
+    return {"deltas": deltas, "flags": flags, "ok": not flags}

@@ -352,3 +352,55 @@ class TestExportDurability:
         p = str(tmp_path / "pq")
         export_shards(pairs_df, p, n_shards=5, seed=0)
         assert verify_export(spark, p)["ok"]
+
+
+# ---------------------------------------------------------------------------
+# card drift
+# ---------------------------------------------------------------------------
+
+class TestCardDrift:
+    BASE = {
+        "rows": 1000, "exact_dup_rate": 0.03,
+        "tokens_per_doc": {"p50": 40},
+        "quality": {"keep_rate": 0.80},
+        "languages": [{"lang": "en", "share": 0.7},
+                      {"lang": "de", "share": 0.3}],
+    }
+
+    def test_no_drift_is_ok(self):
+        from mehc_curation_spark.io.card import card_drift
+        d = card_drift(self.BASE, dict(self.BASE))
+        assert d["ok"] and d["flags"] == []
+        assert d["deltas"]["lang_tv"] == 0.0
+
+    def test_each_flag_fires(self):
+        import copy
+
+        from mehc_curation_spark.io.card import card_drift
+        cases = {
+            "dup_rate_jump": ("exact_dup_rate", 0.08),
+            "keep_rate_drop": (("quality", "keep_rate"), 0.70),
+            "tok_p50_rel": (("tokens_per_doc", "p50"), 60),
+        }
+        for flag, (path, val) in cases.items():
+            new = copy.deepcopy(self.BASE)
+            if isinstance(path, tuple):
+                new[path[0]][path[1]] = val
+            else:
+                new[path] = val
+            d = card_drift(self.BASE, new)
+            assert d["flags"] == [flag], (flag, d)
+        new = copy.deepcopy(self.BASE)
+        new["languages"] = [{"lang": "en", "share": 0.5},
+                            {"lang": "fr", "share": 0.5}]
+        d = card_drift(self.BASE, new)
+        assert "lang_tv" in d["flags"] and d["deltas"]["lang_tv"] == 0.5
+
+    def test_threshold_override(self):
+        import copy
+
+        from mehc_curation_spark.io.card import card_drift
+        new = copy.deepcopy(self.BASE)
+        new["exact_dup_rate"] = 0.08
+        assert card_drift(self.BASE, new,
+                          {"dup_rate_jump": 0.10})["ok"]
