@@ -1669,6 +1669,18 @@ def doc_split_assign(spark, sf_dir):
 
 
 _BPE_MERGES = 20
+_BPE_CACHE: dict = {}
+
+
+def _bpe_merges_for(spark, sf_dir):
+    """Train once per sf_dir and share across the BPE surfaces (the
+    merge list is a pure, deterministic function of the corpus)."""
+    if sf_dir not in _BPE_CACHE:
+        from mehc_curation_spark.operators.vocab import bpe_train
+
+        _BPE_CACHE[sf_dir] = bpe_train(_t(spark, sf_dir, "documents"),
+                                       n_merges=_BPE_MERGES)
+    return _BPE_CACHE[sf_dir]
 
 
 def doc_bpe_merges(spark, sf_dir):
@@ -1677,10 +1689,7 @@ def doc_bpe_merges(spark, sf_dir):
     Rows-only surface (an iterative argmax loop is not one SQL
     statement); the merge list's VALUE is pinned bit-for-bit by
     doc_bpe_check against the scalar twin."""
-    from mehc_curation_spark.operators.vocab import bpe_train
-
-    d = _t(spark, sf_dir, "documents")
-    m = bpe_train(d, n_merges=_BPE_MERGES)
+    m = _bpe_merges_for(spark, sf_dir)
     return spark.createDataFrame(
         [(i + 1, a, b, a + b) for i, (a, b) in enumerate(m)],
         "rank int, left string, right string, merged string")
@@ -1692,15 +1701,45 @@ def doc_bpe_check(spark, sf_dir):
     EXACTLY — same pair counts, same (count DESC, left, right)
     tie-break, same greedy merge application — and must produce the
     full requested merge count on this corpus."""
-    from mehc_curation_spark.operators.vocab import bpe_train, bpe_train_local
+    from mehc_curation_spark.operators.vocab import bpe_train_local
 
     d = _t(spark, sf_dir, "documents")
-    m = bpe_train(d, n_merges=_BPE_MERGES)
+    m = _bpe_merges_for(spark, sf_dir)
     texts = [r[0] for r in d.select("text").collect()]
     ml = bpe_train_local(texts, n_merges=_BPE_MERGES)
     return spark.createDataFrame(
         [(len(m), m == ml)],
         "n_merges long, merges_match_scalar_twin boolean")
+
+
+def doc_bpe_encode_check(spark, sf_dir):
+    """Check for the tokenizer APPLY surface (vocab.py:bpe_encode_udf):
+    the distributed segmentation must equal the scalar twin exactly on
+    every document, and tokens must rejoin losslessly to the
+    whitespace-normalized text (no characters created or lost)."""
+    from mehc_curation_spark.operators.vocab import (
+        bpe_encode_local,
+        bpe_encode_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    m = _bpe_merges_for(spark, sf_dir)
+    enc = bpe_encode_udf(m)
+    got = (d.repartition(16, "doc_id")
+           .select("doc_id", enc(F.col("text")).alias("toks"),
+                   F.concat_ws("", enc(F.col("text"))).alias("joined"),
+                   F.regexp_replace(F.lower(F.trim(F.coalesce(
+                       F.col("text"), F.lit("")))), "[ \t\n\r]+", "")
+                   .alias("norm"))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    loc = d.select("doc_id", "text").toPandas()         .sort_values("doc_id").reset_index(drop=True)
+    exp = bpe_encode_local(list(loc["text"]), m)
+    enc_eq = all(list(a) == b for a, b in zip(got["toks"], exp))
+    rejoin = bool((got["joined"] == got["norm"]).all())
+    return spark.createDataFrame(
+        [(len(got), enc_eq, rejoin)],
+        "n_docs long, encode_matches_scalar_twin boolean, "
+        "tokens_rejoin_lossless boolean")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1764,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assign": doc_split_assign,
         "doc_bpe_merges": doc_bpe_merges,
         "doc_bpe_check": doc_bpe_check,
+        "doc_bpe_encode_check": doc_bpe_encode_check,
         "clips_audio_features": clips_audio_features,
         "videos_frame_sample": videos_frame_sample,
         # property-assertion checks (oracle states the expected outcome)
@@ -2778,6 +2818,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_check": """
             SELECT CAST(20 AS BIGINT) AS n_merges,
                    TRUE AS merges_match_scalar_twin
+        """,
+        "doc_bpe_encode_check": """
+            SELECT COUNT(*) AS n_docs,
+                   TRUE AS encode_matches_scalar_twin,
+                   TRUE AS tokens_rejoin_lossless
+            FROM documents
         """,
         # multimodal fake-codec paths: payloads are deterministic
         # renderings of driver tables, so decode output is reproducible

@@ -19,6 +19,7 @@ training-data pipeline.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -204,3 +205,88 @@ def bpe_train_local(texts: list, n_merges: int = 40,
                     out.append(s)
             vocab[w] = (out, f)
     return merges
+
+
+def bpe_encode_udf(merges: list):
+    """Vectorized tokenizer APPLY for a trained merge list: returns a
+    pandas UDF mapping text -> array<string> of BPE tokens.
+
+    Encoding replays the merges in training order (each greedy
+    left-to-right — identical semantics to :func:`bpe_train`'s fold),
+    restricted per word to the merges whose parts can occur in it;
+    distinct words are memoized per worker, so the per-row cost on a
+    web corpus is a dict hit (Zipf: the head covers most tokens).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    frozen = [tuple(m) for m in merges]
+
+    @pandas_udf(ArrayType(StringType()))
+    def encode(text: pd.Series) -> pd.Series:
+        import re
+
+        memo: dict = {}
+
+        def seg_word(w: str) -> list:
+            got = memo.get(w)
+            if got is None:
+                syms = list(w)
+                for a, b in frozen:
+                    if len(syms) < 2:
+                        break
+                    out = []
+                    for s in syms:
+                        if out and out[-1] == a and s == b:
+                            out[-1] = a + b
+                        else:
+                            out.append(s)
+                    syms = out
+                got = memo[w] = syms
+            return got
+
+        res = []
+        for t in text:
+            if t is None or not (t := t.lower().strip()):
+                res.append([])
+                continue
+            toks: list = []
+            for w in re.split(r"[ \t\n\r]+", t):
+                if w:
+                    toks.extend(seg_word(w))
+            res.append(toks)
+        return pd.Series(res)
+
+    return encode
+
+
+def bpe_encode_local(texts: list, merges: list) -> list:
+    """Scalar twin of :func:`bpe_encode_udf` (same tokenizer, same
+    replay) for the driver check."""
+    import re
+
+    frozen = [tuple(m) for m in merges]
+    out = []
+    for t in texts:
+        t = (t or "").lower().strip()
+        if not t:
+            out.append([])
+            continue
+        toks: list = []
+        for w in re.split(r"[ \t\n\r]+", t):
+            if not w:
+                continue
+            syms = list(w)
+            for a, b in frozen:
+                if len(syms) < 2:
+                    break
+                nxt: list = []
+                for s in syms:
+                    if nxt and nxt[-1] == a and s == b:
+                        nxt[-1] = a + b
+                    else:
+                        nxt.append(s)
+                syms = nxt
+            toks.extend(syms)
+        out.append(toks)
+    return out

@@ -404,3 +404,32 @@ class TestCardDrift:
         new["exact_dup_rate"] = 0.08
         assert card_drift(self.BASE, new,
                           {"dup_rate_jump": 0.10})["ok"]
+
+
+class TestBpeEncode:
+    def test_matches_scalar_and_rejoins(self, spark):
+        from mehc_curation_spark.operators.vocab import (
+            bpe_encode_local,
+            bpe_encode_udf,
+            bpe_train,
+        )
+        texts = TestBpeTrain.CORPUS + [None, "", "  ", "héllo wörld"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string").repartition(5)
+        m = bpe_train(df, n_merges=8)
+        enc = bpe_encode_udf(m)
+        got = {r["doc_id"]: r["toks"] for r in
+               df.select("doc_id", enc(F.col("text")).alias("toks"))
+               .collect()}
+        exp = bpe_encode_local(texts, m)
+        for i, e in enumerate(exp):
+            assert got[i] == e, (i, got[i], e)
+        # merged tokens actually appear (the merges did something)
+        assert any(len(t) > 1 for toks in got.values() for t in toks)
+
+    def test_empty_merge_list_is_char_segmentation(self, spark):
+        from mehc_curation_spark.operators.vocab import bpe_encode_udf
+        df = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+        got = df.select(bpe_encode_udf([])(F.col("text"))).first()[0]
+        assert got == ["a", "b", "c", "d"]
