@@ -1544,6 +1544,7 @@ def _pairs_csv_path(n: int = 2000, seed: int = 42) -> str:
 
     path = _pairs_cache_file(n, seed) + ".csv"
     if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         write_pairs_csv(make_pairs_pdf(n, seed=seed), path + ".tmp")
         os.replace(path + ".tmp", path)
     return path
@@ -2796,7 +2797,7 @@ def oracle_sql() -> dict[str, str]:
         "pairs_csv_scan": f"""
             SELECT image_id, w, h, fmt, caption, phash,
                    bytes_b64 AS payload_b64
-            FROM read_csv('{_pairs_csv_path()}', header=true,
+            FROM read_csv('{_pairs_cache_file() + ".csv"}', header=true,
                  nullstr='\\N',
                  columns={{'image_id': 'VARCHAR', 'bytes_b64': 'VARCHAR',
                           'w': 'INTEGER', 'h': 'INTEGER',

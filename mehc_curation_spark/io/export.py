@@ -59,6 +59,22 @@ def shuffle_key_col(id_c: Column, seed: int = 0) -> Column:
     return u48_col(F.concat(F.lit(f"{int(seed)}:"), id_c.cast("string")))
 
 
+def _resolve_n_shards(df: DataFrame, n_shards: int | None,
+                      target_bytes: int | None, bytes_col: str) -> int:
+    """Resolve the shard count from exactly one of n_shards /
+    target_bytes (the latter via one payload-size aggregate)."""
+    if (n_shards is None) == (target_bytes is None):
+        raise ValueError("pass exactly one of n_shards / target_bytes")
+    if n_shards is None:
+        total = df.select(
+            F.sum(F.coalesce(F.length(F.col(bytes_col)), F.lit(0)))
+        ).first()[0] or 0
+        n_shards = max(1, math.ceil(total / target_bytes))
+    if not 1 <= n_shards <= MAX_SHARDS:
+        raise ValueError(f"n_shards must be in [1, {MAX_SHARDS}]")
+    return int(n_shards)
+
+
 def assign_shards(df: DataFrame, id_col: str = "image_id",
                   n_shards: int | None = None,
                   target_bytes: int | None = None,
@@ -71,15 +87,7 @@ def assign_shards(df: DataFrame, id_col: str = "image_id",
     ``pos`` is the 1-based position of the row inside its shard in the
     global shuffle order (u48, id) — the reproducible iteration order.
     """
-    if (n_shards is None) == (target_bytes is None):
-        raise ValueError("pass exactly one of n_shards / target_bytes")
-    if n_shards is None:
-        total = df.select(
-            F.sum(F.coalesce(F.length(F.col(bytes_col)), F.lit(0)))
-        ).first()[0] or 0
-        n_shards = max(1, math.ceil(total / target_bytes))
-    if not 1 <= n_shards <= MAX_SHARDS:
-        raise ValueError(f"n_shards must be in [1, {MAX_SHARDS}]")
+    n_shards = _resolve_n_shards(df, n_shards, target_bytes, bytes_col)
     u = shuffle_key_col(F.col(id_col), seed)
     out = df.withColumn("_u48", u) \
             .withColumn("shard",
@@ -101,15 +109,18 @@ def export_shards(df: DataFrame, path: str, id_col: str = "image_id",
     The position window already hash-partitions the data by shard, so
     the partitioned write reuses that exchange (one shuffle total) and
     each shard lands as a single file with rows in (u48, id) order.
-    Returns the manifest dict (n_shards, seed, per-shard row/byte
-    counts, min/max rows — the balance evidence).
+    Manifest stats are recounted from the WRITTEN files (a narrow
+    parquet re-read), not from the lineage — recomputing the frame
+    would pay the corpus shuffle twice. ``n_shards`` records the
+    REQUESTED layout parameter (what resume/re-derivation must use);
+    the ``shards`` list holds only non-empty shards (an empty shard
+    writes no directory). Returns the manifest dict.
     """
-    s = assign_shards(df, id_col, n_shards=n_shards,
-                      target_bytes=target_bytes, bytes_col=bytes_col,
-                      seed=seed)
+    n = _resolve_n_shards(df, n_shards, target_bytes, bytes_col)
+    s = assign_shards(df, id_col, n_shards=n, seed=seed)
     s.write.mode("overwrite").partitionBy("shard") \
         .option("compression", compression).parquet(path)
-    per = (s.groupBy("shard")
+    per = (df.sparkSession.read.parquet(path).groupBy("shard")
            .agg(F.count("*").alias("rows"),
                 F.sum(F.coalesce(F.length(F.col(bytes_col)), F.lit(0)))
                  .alias("payload_bytes"))
@@ -119,7 +130,7 @@ def export_shards(df: DataFrame, path: str, id_col: str = "image_id",
         "seed": int(seed),
         "id_col": id_col,
         "bytes_col": bytes_col,
-        "n_shards": len(per),
+        "n_shards": n,
         "rows": int(sum(r["rows"] for r in per)),
         "payload_bytes": int(sum(r["payload_bytes"] for r in per)),
         "min_shard_rows": int(min(r["rows"] for r in per)) if per else 0,
@@ -202,6 +213,7 @@ def export_webdataset(df: DataFrame, path: str, id_col: str = "image_id",
     layout makes any drift detectable afterwards via
     :func:`verify_export`).
     """
+    import glob as _glob
     import hashlib as _hashlib
 
     os.makedirs(path, exist_ok=True)
@@ -212,13 +224,27 @@ def export_webdataset(df: DataFrame, path: str, id_col: str = "image_id",
             prior = json.load(f)
         if (prior.get("format") != "webdataset-tar-v1"
                 or prior.get("seed") != int(seed)
-                or prior.get("id_col") != id_col):
+                or prior.get("id_col") != id_col
+                or prior.get("bytes_col") != bytes_col):
             raise ValueError("existing manifest does not match this "
                              "export's parameters; refusing to resume")
-        n_shards, target_bytes = prior["n_shards"], None
-    s = assign_shards(df, id_col, n_shards=n_shards,
-                      target_bytes=target_bytes, bytes_col=bytes_col,
-                      seed=seed)
+        n = prior["n_shards"]
+    else:
+        if resume and (n_shards is None and target_bytes is None):
+            raise ValueError(
+                "no _manifest.json to resume from (the prior run died "
+                "before completing) — rerun with --n_shards or "
+                "--target_bytes; the deterministic layout makes a full "
+                "rerun produce identical shards")
+        n = _resolve_n_shards(df, n_shards, target_bytes, bytes_col)
+        # fresh export into a reused directory: stale tars from an
+        # older (e.g. wider) layout would otherwise survive and be
+        # picked up by shard-*.tar globbing loaders
+        for stale in _glob.glob(os.path.join(path, "shard-*.tar")):
+            os.remove(stale)
+        if os.path.exists(man_path):
+            os.remove(man_path)
+    s = assign_shards(df, id_col, n_shards=n, seed=seed)
     done = {}
     if prior is not None:
         for sh in prior["shards"]:
@@ -272,7 +298,7 @@ def export_webdataset(df: DataFrame, path: str, id_col: str = "image_id",
         "seed": int(seed),
         "id_col": id_col,
         "bytes_col": bytes_col,
-        "n_shards": len(per),
+        "n_shards": n,
         "rows": int(sum(d["rows"] for d in per)),
         "payload_bytes": int(sum(d["payload_bytes"] for d in per)),
         "shards": per,
@@ -302,12 +328,18 @@ def verify_export(spark, path: str) -> dict:
         manifest = json.load(f)
     if manifest["format"] == "webdataset-tar-v1":
         got = {}
-        rows = (spark.read.format("binaryFile")
-                .load(os.path.join(path, "shard-*.tar"))
-                .select(F.element_at(F.split("path", "/"), -1).alias("f"),
-                        F.md5("content").alias("md5"),
-                        F.length("content").alias("nbytes"))
-                .collect())
+        try:
+            rows = (spark.read.format("binaryFile")
+                    .load(os.path.join(path, "shard-*.tar"))
+                    .select(F.element_at(F.split("path", "/"), -1)
+                             .alias("f"),
+                            F.md5("content").alias("md5"),
+                            F.length("content").alias("nbytes"))
+                    .collect())
+        except Exception:
+            # an unmatched glob raises PATH_NOT_FOUND: every shard is
+            # gone, which is a damage REPORT, not a crash
+            rows = []
         for r in rows:
             k = int(r["f"][len("shard-"):-len(".tar")])
             got[k] = (r["md5"], r["nbytes"])

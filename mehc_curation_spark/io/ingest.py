@@ -114,15 +114,16 @@ def write_pairs_csv(pdf, path: str) -> str:
     helper for fixtures and tests; a distributed export would be
     ``df.write.csv`` with the same options)."""
     cols = [f.name for f in PAIRS_TEXT_SCHEMA.fields]
-    caps = pdf["caption"].dropna().astype(str)
-    if caps.str.contains("[\r\n]", regex=True).any():
-        raise ValueError(
-            "captions contain newline/CR: raw newlines make CSV "
-            "non-splittable at scale — use write_pairs_jsonl instead")
-    if (caps == NULL_SENTINEL).any():
-        raise ValueError(
-            f"a caption equals the {NULL_SENTINEL!r} null sentinel "
-            "(unescapable in CSV) — use write_pairs_jsonl instead")
+    for c in ("image_id", "fmt", "caption"):
+        vals = pdf[c].dropna().astype(str)
+        if vals.str.contains("[\r\n]", regex=True).any():
+            raise ValueError(
+                f"{c} values contain newline/CR: raw newlines make CSV "
+                "non-splittable at scale — use write_pairs_jsonl instead")
+        if (vals == NULL_SENTINEL).any():
+            raise ValueError(
+                f"a {c} value equals the {NULL_SENTINEL!r} null sentinel "
+                "(unescapable in CSV) — use write_pairs_jsonl instead")
     # QUOTE_ALL: an UNQUOTED empty field is indistinguishable from a
     # null to CSV readers; quoted "" reads as the empty string and a
     # quoted sentinel still reads as NULL (verified for Spark's

@@ -406,9 +406,14 @@ def assign_ar_buckets(df: DataFrame, w_col: str = "w", h_col: str = "h",
                                             buckets[1:][::-1]):
         bid = F.when(ar < F.lit(math.exp((la + lb) / 2.0)), F.lit(i)) \
                .otherwise(bid)
+    # NULL/degenerate dims would otherwise fall through every WHEN to
+    # the widest bucket — a plausible-looking garbage assignment
+    valid = (F.col(w_col).isNotNull() & F.col(h_col).isNotNull()
+             & (F.col(w_col) > 0) & (F.col(h_col) > 0))
+    bid = F.when(valid, bid)
     out = df.withColumn("bucket_id", bid)
-    bw = F.lit(buckets[-1][1])
-    bh = F.lit(buckets[-1][2])
+    bw = F.when(F.col("bucket_id").isNotNull(), F.lit(buckets[-1][1]))
+    bh = F.when(F.col("bucket_id").isNotNull(), F.lit(buckets[-1][2]))
     for i, w, h, _ in buckets[:-1][::-1]:
         bw = F.when(F.col("bucket_id") == i, F.lit(w)).otherwise(bw)
         bh = F.when(F.col("bucket_id") == i, F.lit(h)).otherwise(bh)

@@ -221,12 +221,14 @@ def bpe_encode_udf(merges: list):
     from pyspark.sql.types import ArrayType, StringType
 
     frozen = [tuple(m) for m in merges]
+    # hoisted OUTSIDE the UDF body: the closure (and its memo) is
+    # deserialized once per task, so the Zipf head segments once per
+    # task instead of once per Arrow batch
+    memo: dict = {}
 
     @pandas_udf(ArrayType(StringType()))
     def encode(text: pd.Series) -> pd.Series:
         import re
-
-        memo: dict = {}
 
         def seg_word(w: str) -> list:
             got = memo.get(w)

@@ -433,3 +433,110 @@ class TestBpeEncode:
         df = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
         got = df.select(bpe_encode_udf([])(F.col("text"))).first()[0]
         assert got == ["a", "b", "c", "d"]
+
+
+class TestReviewRegressions:
+    """Regressions from the round-3 self-review of the export /
+    ingest / bucketing surfaces."""
+
+    def _tiny(self, spark):
+        return spark.createDataFrame(
+            [(f"t{i}", bytearray(b"x" * 10), 1, 1, "raw", "c", i)
+             for i in range(3)],
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long")
+
+    def test_manifest_records_requested_layout_with_empty_shards(
+            self, spark, tmp_path):
+        from mehc_curation_spark.io.export import (
+            export_webdataset,
+            verify_export,
+        )
+        p = str(tmp_path / "w")
+        m = export_webdataset(self._tiny(spark), p, n_shards=8, seed=0)
+        assert m["n_shards"] == 8              # REQUESTED layout param
+        assert len(m["shards"]) < 8            # some shards are empty
+        assert verify_export(spark, p)["ok"]
+        # resume re-derives the SAME layout: everything already done
+        m2 = export_webdataset(self._tiny(spark), p, n_shards=None,
+                               seed=0, resume=True)
+        assert m2["n_shards"] == 8
+        assert [s["tar_md5"] for s in m2["shards"]] == \
+               [s["tar_md5"] for s in m["shards"]]
+
+    def test_resume_without_manifest(self, spark, tmp_path):
+        from mehc_curation_spark.io.export import export_webdataset
+        p = str(tmp_path / "v")
+        # died-before-manifest case WITH params: clean full run
+        m = export_webdataset(self._tiny(spark), p, n_shards=2, seed=0,
+                              resume=True)
+        assert m["n_shards"] == 2 and m["resumed_shards"] == []
+        # without params and without a manifest: clear error
+        import shutil
+        shutil.rmtree(p)
+        with pytest.raises(ValueError, match="n_shards"):
+            export_webdataset(self._tiny(spark), str(tmp_path / "x"),
+                              resume=True)
+
+    def test_fresh_export_removes_stale_tars(self, spark, pairs_df,
+                                             tmp_path):
+        from mehc_curation_spark.io.export import (
+            export_webdataset,
+            verify_export,
+        )
+        p = str(tmp_path / "w")
+        export_webdataset(pairs_df, p, n_shards=6, seed=0)
+        export_webdataset(pairs_df, p, n_shards=3, seed=0)
+        tars = sorted(f for f in os.listdir(p) if f.endswith(".tar"))
+        assert tars == [f"shard-{k:05d}.tar" for k in range(3)]
+        assert verify_export(spark, p)["ok"]
+
+    def test_resume_refuses_bytes_col_drift(self, spark, pairs_df,
+                                            tmp_path):
+        from mehc_curation_spark.io.export import export_webdataset
+        p = str(tmp_path / "w")
+        export_webdataset(pairs_df, p, n_shards=2, seed=0)
+        with pytest.raises(ValueError, match="refusing"):
+            export_webdataset(pairs_df.withColumn("thumb", F.col("bytes")),
+                              p, bytes_col="thumb", n_shards=2, seed=0,
+                              resume=True)
+
+    def test_verify_reports_all_missing_instead_of_crashing(
+            self, spark, pairs_df, tmp_path):
+        from mehc_curation_spark.io.export import (
+            export_webdataset,
+            verify_export,
+        )
+        p = str(tmp_path / "w")
+        m = export_webdataset(pairs_df, p, n_shards=3, seed=0)
+        for f in os.listdir(p):
+            if f.endswith(".tar"):
+                os.remove(os.path.join(p, f))
+        v = verify_export(spark, p)
+        assert not v["ok"]
+        assert v["missing"] == [s["shard"] for s in m["shards"]]
+
+    def test_csv_writer_refuses_newline_in_any_string_col(self, tmp_path):
+        import pandas as pd
+
+        from mehc_curation_spark.io.ingest import write_pairs_csv
+        pdf = pd.DataFrame({
+            "image_id": ["bad\nid"], "bytes": [b"x"], "w": [1], "h": [1],
+            "fmt": ["raw"], "caption": ["fine"], "phash": [1]})
+        with pytest.raises(ValueError, match="image_id"):
+            write_pairs_csv(pdf, str(tmp_path / "a.csv"))
+
+    def test_ar_buckets_null_and_degenerate_dims(self, spark):
+        from mehc_curation_spark.operators.multimodal import (
+            assign_ar_buckets,
+        )
+        df = spark.createDataFrame(
+            [("a", None, 10), ("b", 10, 0), ("c", 512, 512)],
+            "image_id string, w int, h int")
+        rows = {r["image_id"]: r for r in assign_ar_buckets(df).collect()}
+        for k in ("a", "b"):
+            assert rows[k]["bucket_id"] is None
+            assert rows[k]["bucket_w"] is None
+            assert rows[k]["bucket_h"] is None
+            assert rows[k]["scale"] is None
+        assert rows["c"]["bucket_id"] is not None
