@@ -2231,16 +2231,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d JOIN q ON d.doc_id = q.doc_id
             ), s_old AS (
                 SELECT COUNT(*) AS n,
-                       ROUND(1.0 - COUNT(DISTINCT fp)
-                             / COUNT(*)::DOUBLE, 4) AS dup,
+                       ROUND(GREATEST(0, 1.0 - COUNT(DISTINCT fp)
+                             / COUNT(fp)::DOUBLE), 4) AS dup,
                        ROUND(SUM(CASE WHEN qs >= 0.5 THEN 1 ELSE 0 END)
                              / COUNT(*)::DOUBLE, 4) AS keep,
                        quantile_disc(n_tok, 0.5) AS p50
                 FROM t
             ), s_new AS (
                 SELECT COUNT(*) AS n,
-                       ROUND(1.0 - COUNT(DISTINCT fp)
-                             / COUNT(*)::DOUBLE, 4) AS dup,
+                       ROUND(GREATEST(0, 1.0 - COUNT(DISTINCT fp)
+                             / COUNT(fp)::DOUBLE), 4) AS dup,
                        ROUND(SUM(CASE WHEN qs >= 0.5 THEN 1 ELSE 0 END)
                              / COUNT(*)::DOUBLE, 4) AS keep,
                        quantile_disc(n_tok, 0.5) AS p50
@@ -2320,8 +2320,8 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_tok, 0.95) AS tok_p95,
                    quantile_disc(n_tok, 0.99) AS tok_p99,
                    COUNT(DISTINCT fp) AS distinct_fp,
-                   ROUND(1.0 - COUNT(DISTINCT fp)
-                         / COUNT(*)::DOUBLE, 4) AS exact_dup_rate,
+                   ROUND(GREATEST(0, 1.0 - COUNT(DISTINCT fp)
+                         / COUNT(fp)::DOUBLE), 4) AS exact_dup_rate,
                    ROUND(AVG(qs), 4) AS mean_q_score,
                    ROUND(SUM(CASE WHEN qs >= 0.5 THEN 1 ELSE 0 END)
                          / COUNT(*)::DOUBLE, 4) AS keep_rate,

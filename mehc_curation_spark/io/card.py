@@ -57,6 +57,7 @@ def dataset_card(df: DataFrame, id_col: str = "doc_id",
         F.sum(F.col("q_keep").cast("long")).alias("q_kept"),
     ).first()
     rows = agg["rows"]
+    nn = rows - int(agg["null_text"] or 0)   # rows with a fingerprint
     card = {
         "rows": rows,
         "null_text": int(agg["null_text"] or 0),
@@ -68,8 +69,11 @@ def dataset_card(df: DataFrame, id_col: str = "doc_id",
             "p99": int(agg["tok_p"][2]) if agg["tok_p"] else 0,
         },
         "distinct_fingerprints": int(agg["distinct_fp"] or 0),
-        "exact_dup_rate": round(
-            1.0 - (agg["distinct_fp"] or 0) / rows, 4) if rows else 0.0,
+        # rate over rows that HAVE a fingerprint (NULL text carries no
+        # fingerprint and must not read as a duplicate), clamped at 0
+        # because the HLL estimator can overshoot the true cardinality
+        "exact_dup_rate": round(max(
+            0.0, 1.0 - (agg["distinct_fp"] or 0) / nn), 4) if nn else 0.0,
         "dup_estimator": "exact" if exact_distinct else "hll_rsd1pct",
         "quality": {"mean_q_score": float(agg["mean_q_score"] or 0.0),
                     "keep_rate": round((agg["q_kept"] or 0) / rows, 4)

@@ -54,8 +54,8 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                                 lambda x: x != ""))
     n = F.col("_n")
     n_chunks = F.greatest(
-        ((n - F.lit(overlap) + F.lit(step - 1)) / F.lit(step))
-        .cast("long"), F.lit(1).cast("long"))
+        F.expr(f"(_n - {int(overlap)} + {int(step) - 1}) div {int(step)}"),
+        F.lit(1).cast("long"))
     base = (df.select(F.col(id_col), toks.alias("_toks"),
                       F.size(toks).alias("_n"))
             .filter(F.col("_n") > 0)
@@ -116,6 +116,11 @@ def pack_chunks(df: DataFrame, id_col: str, n_tok_col: str,
     def _pack(key, pdf):
         p = pdf.sort_values(["_u48", id_col], kind="stable") \
                .reset_index(drop=True)
+        if p[n_tok_col].isna().any():
+            raise ValueError(
+                f"pack_chunks: NULL {n_tok_col!r} values in shard "
+                f"{int(key[0])} — filter or fill token counts before "
+                "packing")
         seq_ids, seq_pos, oversize = [], [], []
         seq, fill = 0, 0
         for n in p[n_tok_col]:

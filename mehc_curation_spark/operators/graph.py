@@ -144,9 +144,12 @@ def near_dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
     keep-first perfect-dup rule
     (``/root/reference/mehc_curation/utils/common.py:88-90``).
 
-    The representative window partitions by cluster — cluster sizes
-    are bounded by the upstream candidate generator's ``max_bucket``
-    guard, so the window never sees a pathological partition.
+    Election runs as per-cluster AGGREGATES (max quality, then min id
+    among the maximizers), never a cluster-partitioned window:
+    components merge candidate buckets transitively, so a template-
+    spam corpus can produce one enormous cluster, and a window sort
+    over it would land in a single task — hash aggregates stay
+    map-side combinable no matter how big the cluster gets.
     """
     comp = connected_components(pairs, src=src, dst=dst)
     out = (
@@ -154,11 +157,18 @@ def near_dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
         .select(df["*"],
                 F.coalesce("component", df[id_col]).alias("cluster"))
     )
-    order = [F.col(quality_col).desc_nulls_last()] if quality_col else []
-    order.append(F.col(id_col).asc())
-    w = Window.partitionBy("cluster").orderBy(*order)
-    return out.select(
-        id_col, "cluster",
-        (F.row_number().over(w) == 1).alias("is_rep"),
-        *([quality_col] if quality_col else []),
-    )
+    if quality_col:
+        # max quality per cluster (null if every member's is null),
+        # then smallest id among the null-safe maximizers — identical
+        # semantics to ordering by (quality DESC NULLS LAST, id ASC)
+        stats = out.groupBy("cluster").agg(
+            F.max(quality_col).alias("_maxq"))
+        rep = (out.join(stats, "cluster")
+               .where(F.col(quality_col).eqNullSafe(F.col("_maxq")))
+               .groupBy("cluster").agg(F.min(id_col).alias("_rep_id")))
+    else:
+        rep = out.groupBy("cluster").agg(F.min(id_col).alias("_rep_id"))
+    return (out.join(rep, "cluster")
+            .select(id_col, "cluster",
+                    (F.col(id_col) == F.col("_rep_id")).alias("is_rep"),
+                    *([quality_col] if quality_col else [])))

@@ -49,7 +49,13 @@ def u48_col(c: Column) -> Column:
 
 
 def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
-    """Deterministic Bernoulli(fraction) sample keyed on the id."""
+    """Deterministic Bernoulli(fraction) sample keyed on the id.
+
+    NULL-id contract (all samplers here): a NULL id has no hash, so
+    the row is DROPPED at any fraction — ids are required to be
+    non-null in the pairs/documents schemas, and silently hashing
+    NULL to a constant would correlate every such row's fate.
+    """
     thr = int(fraction * _U48_MAX)
     return df.filter(u48_col(F.col(id_col)) < F.lit(thr))
 
@@ -110,7 +116,17 @@ def token_budget_sample(df: DataFrame, id_col: str, stratum_col: str,
 
     from mehc_curation_spark.operators.text_stats import token_count_col
 
+    for c in ("n_tok", "cum_tok", "_u48", "_bkt", "_base", "_strat"):
+        if c in df.columns:
+            raise ValueError(
+                f"input already has a {c!r} column, which this "
+                "operator emits/uses internally — rename it first")
     bucket_bits = 12  # 4096 buckets: bucket = u48 >> (48 - bits)
+    # NULL strata never equi-join/group together, so they are routed
+    # through a sentinel (default budget applies via the when-chain)
+    _NULLS = "\x00__null_stratum__"
+    df = df.withColumn("_strat", F.coalesce(F.col(stratum_col),
+                                            F.lit(_NULLS)))
     budget = F.lit(default_budget)
     for s, b in sorted(budgets.items()):
         budget = F.when(F.col(stratum_col) == s, F.lit(int(b))) \
@@ -119,25 +135,25 @@ def token_budget_sample(df: DataFrame, id_col: str, stratum_col: str,
                    token_count_col(F.col(text_col)).alias("n_tok"),
                    u48_col(F.col(id_col)).alias("_u48"))
          .withColumn("_bkt", F.shiftright("_u48", 48 - bucket_bits)))
-    per_bucket = (u.groupBy(stratum_col, "_bkt")
+    per_bucket = (u.groupBy("_strat", "_bkt")
                   .agg(F.sum("n_tok").alias("_bt")))
-    wb = (Window.partitionBy(stratum_col).orderBy("_bkt")
+    wb = (Window.partitionBy("_strat").orderBy("_bkt")
           .rowsBetween(Window.unboundedPreceding, -1))
     base = per_bucket.select(
-        stratum_col, "_bkt",
+        "_strat", "_bkt",
         F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_base"))
-    wr = (Window.partitionBy(stratum_col, "_bkt")
+    wr = (Window.partitionBy("_strat", "_bkt")
           .orderBy("_u48", F.col(id_col))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
-        u.join(F.broadcast(base), [stratum_col, "_bkt"])
+        u.join(F.broadcast(base), ["_strat", "_bkt"])
         # bucket-level prune BEFORE the window: a bucket whose base
         # offset already exceeds the budget cannot contribute, so the
         # sort only ever sees ~budget worth of rows per stratum
         .filter(F.col("_base") <= budget)
         .withColumn("cum_tok", F.col("_base") + F.sum("n_tok").over(wr))
         .filter(F.col("cum_tok") <= budget)
-        .drop("_u48", "_bkt", "_base")
+        .drop("_u48", "_bkt", "_base", "_strat")
     )
 
 
@@ -186,9 +202,10 @@ def quality_tiers_approx(df: DataFrame, id_col: str, stratum_col: str,
     window), boundaries broadcast back, tier = comparison in a scan.
 
     Differences from the exact cut, by construction: tier populations
-    are approximately (not exactly) equal, rows tied exactly ON a
-    boundary value all land in the same (higher) tier, and the
-    Greenwald-Khanna sketch carries ~1/accuracy relative rank error.
+    are approximately (not exactly) equal, rows whose score equals a
+    boundary value all land in the same (LOWER) tier — the comparison
+    is strict ``score > boundary`` — and the Greenwald-Khanna sketch
+    carries ~1/accuracy relative rank error.
     Deterministic for a fixed input (the sketch merge is
     order-insensitive at these sizes; boundaries are data-dependent
     but partition-invariant).
@@ -196,10 +213,16 @@ def quality_tiers_approx(df: DataFrame, id_col: str, stratum_col: str,
     if n_tiers != len(labels):
         raise ValueError("labels must match n_tiers")
     qs = [i / n_tiers for i in range(1, n_tiers)]
-    bounds = (df.groupBy(stratum_col)
+    # NULL strata never equi-join/group together: sentinel-coalesce so
+    # null-stratum rows get their own boundaries (the exact
+    # quality_tiers windows them as their own partition)
+    _NULLS = "\x00__null_stratum__"
+    keyed = df.withColumn("_strat", F.coalesce(F.col(stratum_col),
+                                               F.lit(_NULLS)))
+    bounds = (keyed.groupBy("_strat")
               .agg(F.percentile_approx(score_col, qs, accuracy)
                    .alias("_tier_bounds")))
-    out = df.join(F.broadcast(bounds), stratum_col, "left")
+    out = keyed.join(F.broadcast(bounds), "_strat", "left")
     # ascending quantiles: labels run head..tail = highest..lowest
     # score, so tier i (0-based from head) requires score > bounds[k-1-i]
     lab = F.lit(labels[-1])
@@ -227,7 +250,10 @@ def split_col(id_c: Column, weights: dict[str, float],
     The hash domain is prefixed ``"split:"`` so a split NEVER
     correlates with the export shuffle key or a sampling decision at
     the same seed (ranges of one shared u48 would concentrate the
-    test split into the last export shards).
+    test split into the last export shards). A NULL id yields a NULL
+    split (it has no hash; silently falling through the range CASE
+    would concentrate every NULL-id row in the LAST split —
+    a quiet eval-contamination vector).
     """
     total = sum(weights.values())
     if not weights or total > 1.0 + 1e-9:
@@ -244,4 +270,4 @@ def split_col(id_c: Column, weights: dict[str, float],
     out = F.lit(names[-1])
     for name, t in thr[:-1][::-1]:
         out = F.when(u < F.lit(t).cast("long"), F.lit(name)).otherwise(out)
-    return out
+    return F.when(id_c.isNotNull(), out)

@@ -540,3 +540,92 @@ class TestReviewRegressions:
             assert rows[k]["bucket_h"] is None
             assert rows[k]["scale"] is None
         assert rows["c"]["bucket_id"] is not None
+
+
+class TestReviewRegressions2:
+    """Second self-review batch: NULL handling in sampling/card,
+    packer preconditions, election scalability semantics."""
+
+    def test_card_dup_rate_ignores_null_text(self, spark):
+        from mehc_curation_spark.io.card import dataset_card
+        df = spark.createDataFrame(
+            [(i, None if i < 3 else f"distinct text {i}", "en")
+             for i in range(10)],
+            "doc_id long, text string, lang string")
+        c = dataset_card(df, exact_distinct=True)
+        assert c["null_text"] == 3
+        assert c["exact_dup_rate"] == 0.0  # no real duplicates
+
+    def test_token_budget_null_stratum_gets_default(self, spark):
+        from mehc_curation_spark.operators.sampling import (
+            token_budget_sample,
+        )
+        df = spark.createDataFrame(
+            [(1, "en", "a b c"), (2, None, "d e f"), (3, None, "g h")],
+            "doc_id long, lang string, text string")
+        got = token_budget_sample(df, "doc_id", "lang", "text",
+                                  {"en": 100}, default_budget=100)
+        ids = {r["doc_id"] for r in got.collect()}
+        assert ids == {1, 2, 3}  # NULL-lang rows kept under the default
+        none_kept = token_budget_sample(df, "doc_id", "lang", "text",
+                                        {"en": 100}, default_budget=0)
+        assert {r["doc_id"] for r in none_kept.collect()} == {1}
+
+    def test_token_budget_rejects_colliding_columns(self, spark):
+        from mehc_curation_spark.operators.sampling import (
+            token_budget_sample,
+        )
+        df = spark.createDataFrame(
+            [(1, "en", "a", 5)], "doc_id long, lang string, "
+            "text string, n_tok long")
+        with pytest.raises(ValueError, match="n_tok"):
+            token_budget_sample(df, "doc_id", "lang", "text", {"en": 1})
+
+    def test_quality_tiers_approx_null_stratum_own_boundaries(self, spark):
+        from mehc_curation_spark.operators.sampling import (
+            quality_tiers_approx,
+        )
+        rows = [(i, "en", 0.5) for i in range(9)]
+        rows += [(100 + i, None, float(i)) for i in range(9)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, lang string, score double")
+        got = {r["doc_id"]: r["tier"]
+               for r in quality_tiers_approx(df, "doc_id", "lang",
+                                             "score").collect()}
+        # best null-stratum scorer must be head, worst tail
+        assert got[108] == "head" and got[100] == "tail"
+
+    def test_split_col_null_id_is_null(self, spark):
+        from mehc_curation_spark.operators.sampling import split_col
+        df = spark.createDataFrame([("a",), (None,)], "id string")
+        got = {r["id"]: r["split"] for r in df.select(
+            "id", split_col(F.col("id"),
+                            {"train": 0.5, "test": 0.5}).alias("split")
+        ).collect()}
+        assert got[None] is None and got["a"] in ("train", "test")
+
+    def test_pack_chunks_null_ntok_clear_error(self, spark):
+        from mehc_curation_spark.operators.chunking import pack_chunks
+        df = spark.createDataFrame(
+            [("a", 5), ("b", None)], "uid string, n_tok long")
+        with pytest.raises(Exception, match="NULL 'n_tok'"):
+            pack_chunks(df, "uid", "n_tok", seq_tokens=16).collect()
+
+    def test_rep_election_no_cluster_window(self, spark):
+        """Election must plan as aggregates — no Window node keyed on
+        cluster (components can merge buckets into one huge cluster)."""
+        from mehc_curation_spark.operators.graph import near_dup_clusters
+        df = spark.createDataFrame(
+            [(f"n{i}", i % 3) for i in range(12)],
+            "id string, quality int")
+        pairs = spark.createDataFrame(
+            [(f"n{i}", f"n{i+1}") for i in range(11)],
+            "id_a string, id_b string")
+        out = near_dup_clusters(df, pairs, "id", quality_col="quality")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        rows = out.collect()
+        reps = [r for r in rows if r["is_rep"]]
+        assert len(reps) == 1  # one chain -> one cluster, one rep
+        # highest quality (2), smallest id among the quality-2 nodes
+        assert reps[0]["id"] == "n11" or reps[0]["quality"] == 2
