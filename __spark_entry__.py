@@ -2474,7 +2474,9 @@ def oracle_sql() -> dict[str, str]:
                        ROUND(1.0 - LEN(list_distinct(toks))
                              / (CASE WHEN LEN(toks) > 0
                                      THEN LEN(toks) END)::DOUBLE, 6) AS dwf,
-                       (doc_id > MIN(doc_id) OVER (PARTITION BY fp)) AS dup
+                       (doc_id > MIN(doc_id) OVER (
+                            PARTITION BY COALESCE(
+                                fp, chr(0) || 'null:' || doc_id))) AS dup
                 FROM t
             )
             SELECT source,

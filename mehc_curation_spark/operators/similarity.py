@@ -559,7 +559,12 @@ def cosine_col(vec_col: Column, query: Sequence[float]) -> Column:
     vnorm = F.sqrt(F.aggregate(
         F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (vnorm * F.lit(qn))
+    # safe-norm convention (same as _normalized_vec): a zero vector
+    # scores 0 instead of throwing — Spark 4's ANSI mode makes double
+    # division by zero an ERROR, so one degenerate row would otherwise
+    # kill the whole job
+    safe = F.when(vnorm > 0, vnorm).otherwise(F.lit(1.0))
+    return dot / (safe * F.lit(qn))
 
 
 def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
@@ -753,8 +758,14 @@ def embedding_near_dups_lsh(df: DataFrame, vec_col: str, id_col: str,
     (degenerate bands) are skipped, mirroring minhash_lsh_candidates.
     """
     if dim is None:
-        first = df.select(F.size(vec_col).alias("d")).first()
-        dim = int(first["d"])
+        # max over non-null rows: robust to an empty corpus or NULL
+        # leading vectors (a bare .first() crashed on both)
+        probe_row = df.agg(F.max(F.size(vec_col)).alias("d")).first()
+        if probe_row is None or probe_row["d"] is None:
+            raise ValueError(
+                "embedding_near_dups_lsh: cannot infer vector dim "
+                f"(corpus empty or all '{vec_col}' NULL) — pass dim=")
+        dim = int(probe_row["d"])
     keys = make_hyperplane_bands_udf(dim, n_planes, bands, seed)
     entries = df.select(F.col(id_col).alias("_id"),
                         F.explode(keys(F.col(vec_col))).alias("bh"))
@@ -815,8 +826,11 @@ def phash_near_dups(df: DataFrame, phash_col: str = "phash",
     for b in range(n_bands):
         lo = b * width
         take = 64 - lo if b == n_bands - 1 else width
+        # a 64-bit band (max_hamming=0) needs the all-ones mask, which
+        # as an unsigned literal overflows LongType: -1 is that mask
+        mask = -1 if take == 64 else (1 << take) - 1
         key = F.shiftrightunsigned(F.col(phash_col), lo).bitwiseAND(
-            F.lit((1 << take) - 1))
+            F.lit(mask))
         bands.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
     entries = df.select(F.col(id_col).alias("_id"),
                         F.explode(F.array(*bands)).alias("e")) \
@@ -1256,9 +1270,23 @@ def cross_corpus_text_near_dups(cand_df: DataFrame, ref_df: DataFrame,
     of members on both sides would expand quadratically; such buckets
     are SKIPPED (documented trade-off, same as the within-corpus
     generator)."""
+    from pyspark.storagelevel import StorageLevel
+
     rows = num_hashes // bands
-    sh_c = shingle_table(cand_df, cand_id_col, text_col, shingle_k)
-    sh_r = shingle_table(ref_df, ref_id_col, text_col, shingle_k)
+    # persist both shingle tables: each feeds TWO plan subtrees (the
+    # signature/banding path and the exact-Jaccard verify) — without
+    # the cache the Arrow shingler re-tokenizes both corpora a second
+    # time, the exact double-pass minhash_near_dups' cache removed
+    sh_c = shingle_table(cand_df, cand_id_col, text_col, shingle_k) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh_r = shingle_table(ref_df, ref_id_col, text_col, shingle_k) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    while _SHINGLE_CACHE_HOLDER:
+        try:
+            _SHINGLE_CACHE_HOLDER.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # stopped session / already unpersisted
+    _SHINGLE_CACHE_HOLDER.extend([sh_c, sh_r])
     sig_c = minhash_signatures(cand_df, cand_id_col, text_col, num_hashes,
                                shingle_k, shingles=sh_c)
     sig_r = minhash_signatures(ref_df, ref_id_col, text_col, num_hashes,

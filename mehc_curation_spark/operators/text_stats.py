@@ -181,7 +181,13 @@ def source_reputation(df: DataFrame, source_col: str = "source",
     at web scale single domains are exactly the hot keys the north
     rule warns about.
     """
-    fp = fingerprint_col(F.col(text_col))
+    # NULL text has no fingerprint: give each such doc an id-salted
+    # SINGLETON fingerprint (same convention as exact_content_dedup's
+    # NULL payloads) — a plain equi-join on a NULL _fp would silently
+    # DROP those rows from every per-source statistic
+    fp = F.coalesce(
+        fingerprint_col(F.col(text_col)),
+        F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")))
     rep = repetition_stats_cols(F.col(text_col))
     base = df.select(
         F.col(id_col).alias("_id"), F.col(source_col).alias("_src"),

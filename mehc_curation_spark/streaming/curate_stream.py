@@ -84,7 +84,16 @@ def _make_conflict_fn(state_timeout_ms: Optional[int]):
             caption0, conflicted = state.get
         else:
             caption0, conflicted = None, False
-        for pdf in pdfs:
+        # concatenate the whole group's chunks BEFORE sorting: a group
+        # larger than one Arrow batch arrives as several pdfs, and a
+        # per-chunk sort would make caption0 (hence the suspect flags)
+        # depend on chunk boundaries instead of image_id order
+        import pandas as _pd
+
+        all_pdfs = list(pdfs)
+        merged = (_pd.concat(all_pdfs, ignore_index=True)
+                  if len(all_pdfs) > 1 else all_pdfs[0])
+        for pdf in [merged]:
             pdf = pdf.sort_values("image_id")
             out_flags = []
             for cap in pdf["caption"]:
@@ -173,8 +182,13 @@ def _stream_scope(checkpoint_dir: str) -> str:
     scopes the high-watermark sidecar so two different streams feeding
     one table don't clobber each other's batch-id sequences."""
     import hashlib
+    import os
 
-    return hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:12]
+    # canonicalize: the same logical checkpoint addressed relatively,
+    # absolutely or through a symlink must map to ONE scope, or a
+    # restart under a different spelling re-appends replayed batches
+    canon = os.path.realpath(os.path.abspath(checkpoint_dir))
+    return hashlib.md5(canon.encode()).hexdigest()[:12]
 
 
 def _hwm_path(table, scope: str) -> str:

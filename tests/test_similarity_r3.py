@@ -317,3 +317,77 @@ def test_cross_corpus_text_near_dups_planted(spark):
                                       "text", threshold=0.5).toPandas()
     assert list(zip(got["cand_id"], got["ref_id"])) == [(300, 100)]
     assert (got["jaccard"] > 0.5).all() and (got["jaccard"] < 1.0).all()
+
+
+class TestReviewRegressions3:
+    """Third self-review batch: ANSI division, dim inference, band
+    masks, NULL-text reputation, stream-scope canonicalization."""
+
+    def test_cosine_zero_vector_scores_zero(self, spark):
+        from mehc_curation_spark.operators.similarity import cosine_topk
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+            "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: r["cos"] for r in
+               cosine_topk(df, "embedding", "vec_id", [1.0, 0.0],
+                           k=3).collect()}
+        assert got[1] == 0.0  # zero vector: no ANSI DIVIDE_BY_ZERO
+        assert got[0] == 1.0
+
+    def test_lsh_dim_inference_errors_clearly(self, spark):
+        import pytest as _pt
+
+        from mehc_curation_spark.operators.similarity import (
+            embedding_near_dups_lsh,
+        )
+        empty = spark.createDataFrame([], "vec_id long, "
+                                          "embedding array<float>")
+        with _pt.raises(ValueError, match="pass dim"):
+            embedding_near_dups_lsh(empty, "embedding", "vec_id")
+        # NULL leading vector: inferred from the non-null max
+        df = spark.createDataFrame(
+            [(0, None), (1, [1.0, 0.0]), (2, [1.0, 0.001])],
+            "vec_id long, embedding array<double>")
+        out = embedding_near_dups_lsh(df, "embedding", "vec_id",
+                                      threshold=0.9)
+        assert out.count() >= 0  # plans and runs
+
+    def test_phash_neardup_hamming_zero(self, spark):
+        from mehc_curation_spark.operators.similarity import phash_near_dups
+        df = spark.createDataFrame(
+            [("a", -1), ("b", -1), ("c", 7)],
+            "image_id string, phash long")
+        got = phash_near_dups(df, "phash", "image_id", max_hamming=0) \
+            .collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == \
+            [("a", "b", 0)]
+
+    def test_source_reputation_counts_null_text(self, spark):
+        from mehc_curation_spark.operators.text_stats import (
+            source_reputation,
+        )
+        df = spark.createDataFrame(
+            [(1, "s1", None), (2, "s1", None), (3, "s1", "real text here"),
+             (4, "s2", None)],
+            "doc_id long, source string, text string")
+        got = {r["source"]: r for r in
+               source_reputation(df, "source", "text", "doc_id").collect()}
+        assert got["s1"]["n_docs"] == 3      # NULL texts are counted
+        assert got["s2"]["n_docs"] == 1      # all-NULL source survives
+        assert got["s1"]["exact_dup_rate"] == 0.0  # NULLs aren't dups
+
+    def test_stream_scope_canonical(self, tmp_path):
+        import os
+
+        from mehc_curation_spark.streaming.curate_stream import (
+            _stream_scope,
+        )
+        d = tmp_path / "ckpt"
+        d.mkdir()
+        cwd = os.getcwd()
+        try:
+            os.chdir(tmp_path)
+            assert _stream_scope("ckpt") == _stream_scope(str(d)) \
+                == _stream_scope(str(d) + "/")
+        finally:
+            os.chdir(cwd)
