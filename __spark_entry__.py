@@ -1853,20 +1853,21 @@ _QSCORE_SQL = r"""
     WITH f AS (
         SELECT doc_id, lang,
                ROUND(LN(1.0 + LENGTH(text)::DOUBLE), 6) AS ln1p_chars,
-               ROUND(LEN(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]'))
-                     / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS punct_ratio,
-               ROUND(LEN(regexp_extract_all(text, '[0-9]'))
-                     / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS digit_ratio,
-               ROUND(LEN(regexp_extract_all(text, '[ ]'))
-                     / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS space_ratio,
+               CASE WHEN LENGTH(text) = 0 THEN 0.0
+                    ELSE ROUND(LEN(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]'))
+                         / LENGTH(text)::DOUBLE, 6) END AS punct_ratio,
+               CASE WHEN LENGTH(text) = 0 THEN 0.0
+                    ELSE ROUND(LEN(regexp_extract_all(text, '[0-9]'))
+                         / LENGTH(text)::DOUBLE, 6) END AS digit_ratio,
+               CASE WHEN LENGTH(text) = 0 THEN 0.0
+                    ELSE ROUND(LEN(regexp_extract_all(text, '[ ]'))
+                         / LENGTH(text)::DOUBLE, 6) END AS space_ratio,
                COALESCE(ROUND(
                    LEN(regexp_extract_all(text, '[A-Za-z0-9]'))
-                   / NULLIF(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                            ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
-                            END, 0)::DOUBLE, 6), 0.0) AS mean_tok_len,
-               ROUND(LN(1.0 + (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                        ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
-                        END)::DOUBLE), 6) AS ln1p_tokens
+                   / NULLIF(LEN(list_filter(regexp_split_to_array(
+                           text, '[ \t\n\r]+'), y -> y <> '')), 0)::DOUBLE, 6), 0.0) AS mean_tok_len,
+               ROUND(LN(1.0 + (LEN(list_filter(regexp_split_to_array(
+                           text, '[ \t\n\r]+'), y -> y <> '')))::DOUBLE), 6) AS ln1p_tokens
         FROM documents
     ), g AS (
         SELECT doc_id, lang, ln1p_chars, punct_ratio, digit_ratio,
@@ -2094,9 +2095,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_stats": r"""
             SELECT doc_id,
-                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                        ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
-                   END AS n_tokens,
+                   LEN(list_filter(regexp_split_to_array(
+                           text, '[ \t\n\r]+'), y -> y <> '')) AS n_tokens,
                    LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))
                        AS n_pieces,
                    LENGTH(text) AS n_chars_q
@@ -2105,9 +2105,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_scores": r"""
             SELECT doc_id,
                    LENGTH(text) AS n_chars_q,
-                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                        ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
-                   END AS n_tokens,
+                   LEN(list_filter(regexp_split_to_array(
+                           text, '[ \t\n\r]+'), y -> y <> '')) AS n_tokens,
                    ROUND(LEN(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]'))
                          / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS punct_ratio,
                    ROUND(LEN(regexp_extract_all(text, '[0-9]'))
@@ -2115,17 +2114,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEN(regexp_extract_all(text, '[ ]'))
                          / NULLIF(LENGTH(text), 0)::DOUBLE, 6) AS space_ratio,
                    ROUND(LEN(regexp_extract_all(text, '[A-Za-z0-9]'))
-                         / NULLIF(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                                  ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r]+'))
-                                  END, 0)::DOUBLE, 6) AS mean_token_len
+                         / NULLIF(LEN(list_filter(regexp_split_to_array(
+                           text, '[ \t\n\r]+'), y -> y <> '')), 0)::DOUBLE, 6) AS mean_token_len
             FROM documents
         """,
         "doc_repetition_stats": r"""
             WITH t AS (
                 SELECT doc_id,
-                       CASE WHEN LENGTH(TRIM(text)) > 0
-                            THEN regexp_split_to_array(LOWER(TRIM(text)),
-                                                       '[ \t\n\r]+')
+                       CASE WHEN text IS NOT NULL
+                            THEN list_filter(
+                                regexp_split_to_array(LOWER(text),
+                                    '[ \t\n\r]+'), y -> y <> '')
                        END AS toks
                 FROM documents
             ), s AS (
@@ -2146,9 +2145,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate_ngrams": r"""
             WITH t AS (
                 SELECT doc_id,
-                       CASE WHEN LENGTH(TRIM(text)) > 0
-                            THEN regexp_split_to_array(LOWER(TRIM(text)),
-                                                       '[ \t\n\r]+')
+                       CASE WHEN text IS NOT NULL
+                            THEN list_filter(
+                                regexp_split_to_array(LOWER(text),
+                                    '[ \t\n\r]+'), y -> y <> '')
                        END AS toks
                 FROM documents
             ), g AS (
@@ -2220,10 +2220,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_card_drift": _QSCORE_SQL + r"""
             , t AS (
                 SELECT d.doc_id,
-                       CASE WHEN LENGTH(TRIM(d.text)) = 0 THEN 0
-                            ELSE LEN(regexp_split_to_array(TRIM(d.text),
-                                                           '[ \t\n\r]+'))
-                       END AS n_tok,
+                       LEN(list_filter(regexp_split_to_array(
+                           d.text, '[ \t\n\r]+'), y -> y <> '')) AS n_tok,
                        substr(md5(regexp_replace(lower(trim(d.text)),
                                                  '[ \t\n\r]+', ' ', 'g')),
                               1, 16) AS fp,
@@ -2298,10 +2296,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dataset_card": _QSCORE_SQL + r"""
             , t AS (
                 SELECT d.doc_id, d.text,
-                       CASE WHEN LENGTH(TRIM(d.text)) = 0 THEN 0
-                            ELSE LEN(regexp_split_to_array(TRIM(d.text),
-                                                           '[ \t\n\r]+'))
-                       END AS n_tok,
+                       LEN(list_filter(regexp_split_to_array(
+                           d.text, '[ \t\n\r]+'), y -> y <> '')) AS n_tok,
                        LENGTH(d.text) AS n_chr,
                        substr(md5(regexp_replace(lower(trim(d.text)),
                                                  '[ \t\n\r]+', ' ', 'g')),
@@ -2332,10 +2328,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_budget_sample": """
             WITH u AS (
                 SELECT doc_id, lang,
-                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                            ELSE LEN(regexp_split_to_array(TRIM(text),
-                                                           '[ \t\n\r]+'))
-                       END AS n_tok,
+                       LEN(list_filter(regexp_split_to_array(
+                           text, '[ \t\n\r]+'), y -> y <> '')) AS n_tok,
                        ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::BIGINT
                        + ('0x' || substr(md5(doc_id::VARCHAR), 3, 2))::BIGINT * 256
                        + ('0x' || substr(md5(doc_id::VARCHAR), 5, 2))::BIGINT * 65536
@@ -2456,13 +2450,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_reputation": r"""
             WITH t AS (
                 SELECT doc_id, source,
-                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                            ELSE LEN(regexp_split_to_array(TRIM(text),
-                                                           '[ \t\n\r]+'))
-                       END AS n_tok,
-                       CASE WHEN LENGTH(TRIM(text)) > 0
-                            THEN regexp_split_to_array(LOWER(TRIM(text)),
-                                                       '[ \t\n\r]+')
+                       LEN(list_filter(regexp_split_to_array(
+                           text, '[ \t\n\r]+'), y -> y <> '')) AS n_tok,
+                       CASE WHEN text IS NOT NULL
+                            THEN list_filter(
+                                regexp_split_to_array(LOWER(text),
+                                    '[ \t\n\r]+'), y -> y <> '')
                        END AS toks,
                        substr(md5(regexp_replace(lower(trim(text)),
                                                  '[ \t\n\r]+', ' ', 'g')),

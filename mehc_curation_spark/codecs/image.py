@@ -45,7 +45,10 @@ def _encode_raw(px: np.ndarray) -> bytes:
 def _decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
     if len(data) != w * h * 3:
         raise DecodeError(f"raw: expected {w*h*3} bytes, got {len(data)}")
-    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    # .copy(): frombuffer over bytes is READ-ONLY, and every other
+    # decoder returns a writable array — in-place pixel ops would
+    # crash only for fmt="raw" otherwise
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
 
 
 # ---------------------------------------------------------------------------

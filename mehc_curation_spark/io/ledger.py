@@ -64,6 +64,8 @@ class Ledger:
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f, indent=2, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
 
     def _acquire_lock(self, timeout_sec: float = 120.0) -> int:
@@ -106,13 +108,34 @@ class Ledger:
                        elapsed_sec: float) -> None:
         """Move staged bucket dirs into the table, then atomically
         publish the updated ledger (tmp + os.replace), under the
-        exclusive commit lock (see :meth:`_acquire_lock`)."""
+        exclusive commit lock (see :meth:`_acquire_lock`).
+
+        Buckets being REPLACED (already committed from a prior run)
+        are durably retracted from the ledger FIRST: a crash between
+        deleting the old data and moving the new data in must leave
+        the bucket un-committed (so resume recomputes it), never
+        committed-but-missing."""
         fd = self._acquire_lock()
         try:
+            state = self.read()
+            stale = [b for b in per_bucket
+                     if str(b) in state.get("buckets", {})]
+            if stale:
+                self.retract_buckets(stale, state=state)
             self.move_buckets(staging, per_bucket)
             self.publish_buckets(per_bucket, elapsed_sec)
         finally:
             os.close(fd)  # releases the flock
+
+    def retract_buckets(self, buckets, state: dict | None = None) -> None:
+        """Durably remove bucket entries (call under the commit
+        lock) — the un-commit step that precedes replacing a
+        bucket's data."""
+        state = state if state is not None else self.read()
+        for b in buckets:
+            state["buckets"].pop(str(b), None)
+        state["version"] = state.get("version", 0) + 1
+        self._write_state(state)
 
     def move_buckets(self, staging: str, per_bucket: dict[int, dict]) -> None:
         """Move staged bucket dirs into ``data/`` (replacing any prior
@@ -147,7 +170,21 @@ class Ledger:
             "buckets": sorted(per_bucket),
             "elapsed_sec": elapsed_sec,
         })
+        self._write_state(state)
+
+    def _write_state(self, state: dict) -> None:
+        """fsync'd atomic JSON publish: flush + fsync the tmp file
+        before the rename (a power loss can otherwise persist the
+        rename with truncated contents, bricking resume), then fsync
+        the directory so the rename itself is durable."""
         tmp = self.ledger_file + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self.ledger_file)
+        dfd = os.open(self.ledger_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)

@@ -76,8 +76,13 @@ def _index_properties(centers: np.ndarray, n_cells: int, vec_col: str,
 
 
 def load_ivf_centers(table: SnapshotTable,
-                     version: Optional[int] = None) -> np.ndarray:
-    props = table.manifest(version).get("properties", {})
+                     version: Optional[int] = None,
+                     props: Optional[dict] = None) -> np.ndarray:
+    """Pass ``props`` when the manifest is already loaded — it carries
+    the full serialized centroid matrix, so re-parsing it is the
+    single largest redundant read on the append/query paths."""
+    if props is None:
+        props = table.manifest(version).get("properties", {})
     if "ivf_centers" not in props:
         raise ValueError(f"{table.path}: not an IVF index table "
                          "(no ivf_centers in manifest properties)")
@@ -88,10 +93,20 @@ def append_to_ivf_index(df: DataFrame, table_path: str) -> int:
     """Assign new vectors with the STORED centroids and append them as
     one snapshot — cells never drift between ingests, so results for
     old rows are stable and pruning stays correct. Returns the new
-    snapshot version."""
+    snapshot version.
+
+    Concurrency: the centroids are captured BEFORE the commit race,
+    so if a concurrent retrain (save_ivf_index overwrite) lands in
+    between, this append's rows would be assigned under stale centers
+    and its properties would clobber the fresh ones. After the commit
+    wins, every intervening snapshot's centroids are checked against
+    the ones used; any drift raises so the caller re-runs the append
+    against the new index (mirrors catalog.compact()'s conflict
+    abort)."""
     table = SnapshotTable(table_path)
+    parent_v = table.current_version()
     props = table.manifest().get("properties", {})
-    centers = load_ivf_centers(table)
+    centers = load_ivf_centers(table, props=props)
     vec_col = props["ivf_vec_col"]
     n_cells = int(props["ivf_n_cells"])
     assigned = df.withColumn(CELL_COL,
@@ -99,11 +114,24 @@ def append_to_ivf_index(df: DataFrame, table_path: str) -> int:
     clustered = (assigned.repartitionByRange(max(1, n_cells // 4), CELL_COL)
                  .sortWithinPartitions(CELL_COL))
     # properties carry forward so load_ivf_centers works on any version
-    return table.write(clustered, mode="append",
-                       properties=_index_properties(
-                           centers, n_cells, vec_col,
-                           props["ivf_id_col"], int(props["ivf_seed"])),
-                       stats_cols=(CELL_COL,))
+    v = table.write(clustered, mode="append",
+                    properties=_index_properties(
+                        centers, n_cells, vec_col,
+                        props["ivf_id_col"], int(props["ivf_seed"])),
+                    stats_cols=(CELL_COL,))
+    for i in range(parent_v + 1, v):
+        try:
+            other = table.manifest(i).get("properties", {})
+        except FileNotFoundError:
+            continue
+        if other.get("ivf_centers") != props.get("ivf_centers"):
+            raise RuntimeError(
+                "append_to_ivf_index: the index was retrained "
+                f"concurrently (snapshot {i} carries different "
+                "centroids) — this append's rows are assigned under "
+                "stale centers; rebuild or re-run the append against "
+                "the current index")
+    return v
 
 
 def probe_cells(centers: np.ndarray, query: Sequence[float],
@@ -126,9 +154,24 @@ def ivf_topk_from_table(spark: SparkSession, table_path: str,
     same exact-cosine ranking."""
     table = SnapshotTable(table_path)
     props = table.manifest().get("properties", {})
-    centers = load_ivf_centers(table)
+    centers = load_ivf_centers(table, props=props)
     vec_col, id_col = props["ivf_vec_col"], props["ivf_id_col"]
     cells = probe_cells(centers, query, n_probe)
-    parts = [table.read(spark, between=(CELL_COL, c, c)) for c in cells]
-    cand = reduce(DataFrame.unionByName, parts).drop(CELL_COL)
+    # one skipped read per CONTIGUOUS cell run (appended files pack
+    # several adjacent cells, so per-cell reads scanned the same file
+    # once per cell it spans), exact cell membership via isin
+    runs, start, prev = [], None, None
+    for c in sorted(cells):
+        if start is None:
+            start = prev = c
+        elif c == prev + 1:
+            prev = c
+        else:
+            runs.append((start, prev))
+            start = prev = c
+    runs.append((start, prev))
+    parts = [table.read(spark, between=(CELL_COL, lo, hi))
+             for lo, hi in runs]
+    cand = (reduce(DataFrame.unionByName, parts)
+            .filter(F.col(CELL_COL).isin(*cells)).drop(CELL_COL))
     return cosine_topk(cand, vec_col, id_col, query, k, round_to)

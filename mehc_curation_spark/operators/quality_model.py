@@ -68,12 +68,16 @@ def quality_feature_cols(c: Column) -> dict[str, Column]:
     """The model's feature columns (each rounded to 6 decimals — the
     cross-engine reproducibility contract). NULL text yields NULL
     features → NULL score (callers decide the policy for unscorable
-    rows)."""
+    rows); EMPTY text is scorable — its ratios are defined as 0.0, so
+    q_keep is a real False instead of a NULL that neither filters nor
+    aggregates (the heuristic this model distills labels empty text
+    0.0)."""
     n = F.length(c)
     nz = F.when(n > 0, n.cast("double"))
-    trimmed = F.trim(c)
-    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, "[ \t\n\r]+")))
+    # filtered split (see text_stats.token_count_col): boundary
+    # tabs/newlines must not inflate the token features
+    n_tok = F.size(F.filter(F.split(c, "[ \t\n\r]+"),
+                            lambda x: x != ""))
     ln1p = F.round(F.log(F.lit(1.0) + n.cast("double")), 6)
     alnum = F.regexp_count(c, F.lit("[A-Za-z0-9]"))
     band_d = ln1p - F.lit(LEN_BAND_CENTER)
@@ -82,10 +86,12 @@ def quality_feature_cols(c: Column) -> dict[str, Column]:
         # explicit d*d, not pow(d,2): a single IEEE multiply is the
         # same bit pattern in every engine; pow() implementations vary
         "len_band": F.round(band_d * band_d, 6),
-        "punct_ratio": F.round(
-            F.regexp_count(c, F.lit(r"[^A-Za-z0-9 \t\n\r]")) / nz, 6),
-        "digit_ratio": F.round(F.regexp_count(c, F.lit("[0-9]")) / nz, 6),
-        "space_ratio": F.round(F.regexp_count(c, F.lit("[ ]")) / nz, 6),
+        "punct_ratio": F.when(n == 0, F.lit(0.0)).otherwise(F.round(
+            F.regexp_count(c, F.lit(r"[^A-Za-z0-9 \t\n\r]")) / nz, 6)),
+        "digit_ratio": F.when(n == 0, F.lit(0.0)).otherwise(
+            F.round(F.regexp_count(c, F.lit("[0-9]")) / nz, 6)),
+        "space_ratio": F.when(n == 0, F.lit(0.0)).otherwise(
+            F.round(F.regexp_count(c, F.lit("[ ]")) / nz, 6)),
         "mean_tok_len": F.coalesce(
             F.round(alnum / F.when(n_tok > 0, n_tok.cast("double")), 6),
             F.lit(0.0)),
@@ -111,8 +117,11 @@ def score_quality(df: DataFrame, text_col: str,
     """Append ``q_score`` (rounded sigmoid) and ``q_keep`` columns.
     Pure scan-side compute — no shuffle, no UDF, no ML runtime."""
     s = quality_score_expr(F.col(text_col), coef)
+    # q_keep references the q_score COLUMN: single evaluation of the
+    # feature tree guaranteed, and the keep decision is consistent
+    # with the published (rounded) score by construction
     return df.withColumn("q_score", s).withColumn(
-        "q_keep", (s >= F.lit(threshold)).cast("boolean"))
+        "q_keep", (F.col("q_score") >= F.lit(threshold)).cast("boolean"))
 
 
 def heuristic_labels(df: DataFrame, text_col: str) -> DataFrame:

@@ -14,10 +14,14 @@ from pyspark.sql import functions as F
 
 
 def token_count_col(c: Column) -> Column:
-    """Whitespace token count."""
-    t = F.trim(c)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, "[ \t\n\r]+")))
+    """Whitespace token count: split on whitespace runs, count the
+    NON-EMPTY pieces. Filtering (rather than trimming first) is what
+    makes boundary whitespace inert — F.trim strips only ASCII
+    spaces, so 'a b\n' previously counted a phantom third token and
+    '\t' counted two; most web text is newline-terminated, so the
+    bias was systematic. NULL text -> NULL."""
+    return F.size(F.filter(F.split(c, "[ \t\n\r]+"),
+                           lambda x: x != ""))
 
 
 def bpe_ish_token_count_col(c: Column) -> Column:
@@ -67,8 +71,11 @@ def repetition_stats_cols(c: Column) -> dict[str, Column]:
     codegen, and exactly mirrorable in the DuckDB oracle's list
     functions. Ratios rounded to 6 decimals (cross-engine contract).
     """
-    toks = F.split(F.lower(F.trim(c)), "[ \t\n\r]+")
-    toks = F.when(F.length(F.trim(c)) > 0, toks)
+    # filtered split: boundary tabs/newlines must not create phantom
+    # '' words (same rationale as token_count_col); NULL text -> NULL
+    toks = F.filter(F.split(F.lower(c), "[ \t\n\r]+"),
+                    lambda x: x != "")
+    toks = F.when(c.isNotNull(), toks)
     n = F.size(toks)
     nz = F.when(n > 0, n.cast("double"))
     # the when-guard matters: sequence(1, n-1) DESCENDS for n < 2
@@ -105,8 +112,9 @@ def corpus_frequent_ngrams(df: DataFrame, text_col: str, id_col: str,
 
     Returns (ngram, n_docs), the top ``k`` by document frequency."""
     c = F.col(text_col)
-    toks = F.when(F.length(F.trim(c)) > 0,
-                  F.split(F.lower(F.trim(c)), "[ \t\n\r]+"))
+    toks = F.when(c.isNotNull(),
+                  F.filter(F.split(F.lower(c), "[ \t\n\r]+"),
+                           lambda x: x != ""))
     nt = F.size(toks)
     grams = F.when(nt >= n, F.transform(
         F.sequence(F.lit(1), nt - (n - 1)),

@@ -629,3 +629,92 @@ class TestReviewRegressions2:
         assert len(reps) == 1  # one chain -> one cluster, one rep
         # highest quality (2), smallest id among the quality-2 nodes
         assert reps[0]["id"] == "n11" or reps[0]["quality"] == 2
+
+
+class TestReviewRegressions4:
+    """Fourth batch: whitespace tokenizer bias, empty-text scoring,
+    ledger retraction, writable raw decode."""
+
+    def test_token_count_boundary_whitespace(self, spark):
+        from mehc_curation_spark.operators.text_stats import (
+            token_count_col,
+        )
+        df = spark.createDataFrame(
+            [(1, "a b\n"), (2, "\t"), (3, None), (4, ""), (5, " a\tb\nc ")],
+            "i long, t string")
+        got = {r["i"]: r["n"] for r in
+               df.select("i", token_count_col(F.col("t")).alias("n"))
+               .collect()}
+        assert got == {1: 2, 2: 0, 3: None, 4: 0, 5: 3}
+
+    def test_quality_score_empty_vs_null(self, spark):
+        from mehc_curation_spark.operators.quality_model import (
+            score_quality,
+        )
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "some perfectly ordinary text " * 8)],
+            "i long, t string")
+        got = {r["i"]: (r["q_score"], r["q_keep"]) for r in
+               score_quality(df, "t").collect()}
+        assert got[2] == (None, None)          # NULL text: unscorable
+        assert got[1][0] is not None           # empty text: scorable
+        assert got[1][1] is False              # ... and a real False
+        # identical content with/without a trailing newline: same score
+        df2 = spark.createDataFrame(
+            [(1, "hello world example"), (2, "hello world example\n")],
+            "i long, t string")
+        s2 = {r["i"]: r["q_score"] for r in score_quality(df2, "t").collect()}
+        # ln1p_chars differs by the newline char itself; token features
+        # must NOT differ (the phantom-token bias)
+        from mehc_curation_spark.operators.quality_model import (
+            quality_feature_cols,
+        )
+        f2 = df2.select("i", *[v.alias(k) for k, v in
+                               quality_feature_cols(F.col("t")).items()]) \
+            .collect()
+        by = {r["i"]: r for r in f2}
+        assert by[1]["ln1p_tokens"] == by[2]["ln1p_tokens"]
+        assert by[1]["mean_tok_len"] == by[2]["mean_tok_len"]
+
+    def test_ledger_retracts_before_replacing_bucket(self, tmp_path):
+        import os
+
+        from mehc_curation_spark.io.ledger import Ledger
+        led = Ledger(str(tmp_path))
+        staging = str(tmp_path / "stage1")
+        os.makedirs(os.path.join(staging, "bucket=3"))
+        open(os.path.join(staging, "bucket=3", "part.parquet"), "w") \
+            .write("x")
+        led.commit_buckets(staging, {3: {"rows": 1, "dropped": {}}}, 1.0)
+        assert "3" in led.read()["buckets"]
+        # retraction is durable and versioned
+        v0 = led.read()["version"]
+        led_fd = led._acquire_lock()
+        try:
+            led.retract_buckets([3])
+        finally:
+            os.close(led_fd)
+        state = led.read()
+        assert "3" not in state["buckets"] and state["version"] == v0 + 1
+        # full replacement commit round-trips
+        staging2 = str(tmp_path / "stage2")
+        os.makedirs(os.path.join(staging2, "bucket=3"))
+        open(os.path.join(staging2, "bucket=3", "part.parquet"), "w") \
+            .write("y")
+        led.commit_buckets(staging2, {3: {"rows": 2, "dropped": {}}}, 1.0)
+        assert led.read()["buckets"]["3"]["rows"] == 2
+        data = open(os.path.join(str(tmp_path), "data", "bucket=3",
+                                 "part.parquet")).read()
+        assert data == "y"
+
+    def test_raw_decode_is_writable(self):
+        import numpy as np
+
+        from mehc_curation_spark.codecs.image import (
+            decode_image,
+            encode_image,
+        )
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        out = decode_image(encode_image(px, "raw"), "raw", 4, 4)
+        out[0, 0, 0] = 7  # must not raise read-only
+        assert out[0, 0, 0] == 7
