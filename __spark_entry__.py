@@ -1743,6 +1743,58 @@ def doc_bpe_encode_check(spark, sf_dir):
         "tokens_rejoin_lossless boolean")
 
 
+def doc_catalog_row_ops(spark, sf_dir):
+    """Copy-on-write row-level catalog ops end-to-end, FULLY value-
+    oracled: build a snapshot table from ``documents``, then apply
+
+    1. ``delete_where(doc_id % 7 = 3)``   — takedown-shaped DELETE,
+    2. ``update_where(n_chars % 4 = 1, lang := upper(lang))`` — the
+       in-place re-scrub op,
+    3. ``merge_upsert`` — source rows with ``doc_id % 5 = 0`` carry
+       ``upper(text)`` (whole-row REPLACE, so step 2's lang change is
+       overwritten back for those keys) plus brand-new rows at
+       ``doc_id + 1000000`` for ``doc_id % 97 = 0`` (INSERT branch;
+       keys like doc_id=10 — deleted by 10 % 7 = 3, upserted by
+       10 % 5 = 0 — exercise re-insert-after-delete),
+
+    and return the final table state. The DuckDB oracle restates the
+    exact relational algebra over the ``documents`` view (null-safe
+    forms even though this corpus has no NULL keys). Each op rewrites
+    ONLY the files containing affected rows and commits via the
+    manifest CAS with conflict-abort (tests/test_row_ops.py covers
+    pruning, concurrency and time travel; Iceberg v2 row-op analog —
+    the reference's closest surface is the re-curation rerun at
+    `refinement/core/pipeline.py:157-269`, which rewrites everything).
+    """
+    import shutil
+    import tempfile
+
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    d = _t(spark, sf_dir, "documents").select(*cols)
+    tmp = tempfile.mkdtemp(prefix="mehc_rowops_")
+    try:
+        tbl = SnapshotTable(os.path.join(tmp, "docs"))
+        tbl.write(d.repartition(4), stats_cols=("doc_id",))
+        tbl.delete_where(spark, F.col("doc_id") % 7 == 3)
+        tbl.update_where(spark, F.col("n_chars") % 4 == 1,
+                         {"lang": F.upper(F.col("lang"))})
+        src = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "text", F.upper(F.col("text"))).unionByName(
+            d.filter(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("INS:"), F.col("text")).alias("text"),
+                "lang", "source", "n_chars"))
+        tbl.merge_upsert(spark, src, "doc_id")
+        pdf = tbl.read(spark).select(*cols).toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "doc_id long, text string, lang string, "
+             "source string, n_chars long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1783,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget_sample": doc_token_budget_sample,
         "doc_quality_tiers": doc_quality_tiers,
         "doc_fingerprint": doc_fingerprint,
+        "doc_catalog_row_ops": doc_catalog_row_ops,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
@@ -2600,6 +2653,35 @@ def oracle_sql() -> dict[str, str]:
                    substr(md5(regexp_replace(lower(trim(text)),
                                              '[ \t\n\r]+', ' ', 'g')), 1, 16) AS fp
             FROM documents
+        """,
+        "doc_catalog_row_ops": """
+            WITH base AS (
+                SELECT doc_id, text, lang, source, n_chars FROM documents
+            ),
+            after_delete AS (     -- DELETE WHERE doc_id % 7 = 3
+                SELECT * FROM base
+                WHERE doc_id IS NULL OR doc_id % 7 <> 3
+            ),
+            after_update AS (     -- UPDATE lang WHERE n_chars % 4 = 1
+                SELECT doc_id, text,
+                       CASE WHEN n_chars % 4 = 1 THEN upper(lang)
+                            ELSE lang END AS lang,
+                       source, n_chars
+                FROM after_delete
+            ),
+            src AS (              -- MERGE source: updates + inserts
+                SELECT doc_id, upper(text) AS text, lang, source, n_chars
+                FROM base WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 1000000, 'INS:' || text, lang, source,
+                       n_chars
+                FROM base WHERE doc_id % 97 = 0
+            )
+            SELECT * FROM after_update
+            WHERE doc_id IS NULL
+               OR doc_id NOT IN (SELECT doc_id FROM src)
+            UNION ALL
+            SELECT * FROM src
         """,
         "orders_dup_report": """
             SELECT o_custkey,

@@ -444,6 +444,323 @@ class SnapshotTable:
 
         return self._commit_manifest(build)
 
+    # -- row-level changes (copy-on-write) ----------------------------------
+    #
+    # Iceberg v2 exposes row-level DELETE / UPDATE / MERGE; in
+    # copy-on-write mode the engine rewrites ONLY the data files that
+    # contain affected rows and swaps them in one atomic commit
+    # (untouched files are never opened for write). These are the
+    # operations a 10^12-image corpus cannot live without: takedown /
+    # right-to-be-forgotten deletes by image id, in-place caption
+    # re-scrubs when a new PII pattern ships, and MERGE-style upserts
+    # of corrected labels. The emulation mirrors that contract:
+    # affected-file detection is a pruned scan, the rewrite touches
+    # only affected files, and the commit aborts (CommitConflictError)
+    # if a concurrent overwrite/compaction invalidated them —
+    # concurrent APPENDS are carried forward untouched
+    # (snapshot-isolation, same level as `compact`).
+
+    _FILE_COL = "_cow_file"
+
+    def _refuse_on_ledger(self, op: str) -> None:
+        if os.path.exists(os.path.join(self.path, "_ledger", "ledger.json")):
+            raise ValueError(
+                f"{self.path} is a ledger-managed curate table: its "
+                f"bucket=k file layout is owned by the resume ledger; "
+                f"{op} would write flat rewritten files beside the "
+                "bucket dirs and break the ledger's resume bookkeeping. "
+                "Re-run the curation increment instead.")
+
+    def _read_rel_files(self, spark: SparkSession,
+                        rel_files: list[str],
+                        with_file_col: bool = False) -> DataFrame:
+        """Read exactly ``rel_files`` (manifest-relative); optionally
+        tag each row with its source file (relative path) so affected
+        files can be identified distributively."""
+        from pyspark.sql import functions as F
+
+        df = (spark.read.option("basePath", self.data_dir)
+              .option("mergeSchema", "true")
+              .parquet(*[os.path.join(self.data_dir, f)
+                         for f in rel_files]))
+        if with_file_col:
+            df = df.withColumn(self._FILE_COL, F.input_file_name())
+        return df
+
+    def _rel_from_uri(self, uri: str) -> str:
+        """Map an ``input_file_name()`` URI (percent-encoded ``file:``
+        URI with a scheme-dependent slash count) back to the
+        manifest-relative path."""
+        from urllib.parse import unquote, urlparse
+
+        path = unquote(urlparse(uri).path) if "://" in uri or \
+            uri.startswith("file:") else uri
+        return os.path.relpath(path, self.data_dir)
+
+    def _collect_affected(self, matched: DataFrame) -> list[str]:
+        """Distinct source files of ``matched`` rows, manifest-relative
+        (one short string per file crosses the driver — the same
+        manifest-level bookkeeping real Iceberg does driver-side)."""
+        return sorted({self._rel_from_uri(r[0])
+                       for r in matched.select(self._FILE_COL)
+                       .distinct().collect()})
+
+    def _commit_rewrite(self, spark: SparkSession, affected: list[str],
+                        rewritten: DataFrame, op: str,
+                        properties: Optional[dict] = None) -> int:
+        """Shared copy-on-write tail: stage-write ``rewritten`` (the
+        full replacement content for ``affected``), move the files in,
+        and commit a manifest where the affected files are swapped for
+        the new ones. Aborts if a concurrent commit removed any
+        affected file from the current manifest (overwrite/compaction
+        conflict); files appended concurrently are carried forward."""
+        base = self.manifest()
+        base_stat_cols = tuple(sorted(
+            {c for entry in base.get("stats", {}).values() for c in entry}))
+
+        staging = os.path.join(self.path, "_staging", uuid.uuid4().hex[:12])
+        # keep file granularity ~the rewritten file count (coalesce =
+        # no extra shuffle; a join upstream already repartitioned)
+        rewritten.coalesce(max(1, len(affected))).write \
+            .mode("overwrite").parquet(staging)
+        os.makedirs(self.data_dir, exist_ok=True)
+        new_files = []
+        for f in sorted(os.listdir(staging)):
+            if f.endswith(".parquet"):
+                dst = f"{uuid.uuid4().hex[:8]}-{f}"
+                shutil.move(os.path.join(staging, f),
+                            os.path.join(self.data_dir, dst))
+                new_files.append(dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        new_stats = self._collect_file_stats(new_files,
+                                             base_stat_cols or None)
+        affected_set = set(affected)
+
+        def build(p, pm):
+            missing = affected_set - set(pm["files"])
+            if missing:
+                raise CommitConflictError(
+                    f"{self.path}: {op} base snapshot v{base['version']} "
+                    f"was invalidated by a concurrent overwrite/rewrite "
+                    f"commit (affected files no longer referenced, e.g. "
+                    f"{sorted(missing)[:3]}); re-run {op} against the "
+                    f"current snapshot")
+            kept = [f for f in pm["files"] if f not in affected_set]
+            stats = {f: v for f, v in pm.get("stats", {}).items()
+                     if f not in affected_set}
+            stats.update(new_stats)
+            return {
+                "ts": time.time(),
+                "files": kept + new_files,
+                "stats": stats,
+                "schema": pm["schema"] or base["schema"],
+                "properties": {**pm.get("properties", {}),
+                               **(properties or {}), "row_op": op},
+            }
+
+        return self._commit_manifest(build)
+
+    def delete_where(self, spark: SparkSession, condition,
+                     candidate_files: Optional[list[str]] = None) -> int:
+        """Row-level DELETE (copy-on-write): remove every row where
+        ``condition`` evaluates TRUE (NULL keeps the row — SQL DELETE
+        semantics). Only files that actually contain matching rows are
+        rewritten; a no-match delete commits nothing and returns the
+        current version.
+
+        ``condition`` is a SQL string or an UNRESOLVED Column
+        (``F.col(...)`` expressions — not a column plucked from some
+        other DataFrame). ``candidate_files`` optionally narrows the
+        detection scan (callers with manifest-stats knowledge, e.g.
+        `delete_ids`, pass the pruned list)."""
+        from pyspark.sql import functions as F
+
+        self._refuse_on_ledger("delete_where")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        m = self.manifest()
+        if not m["files"]:
+            raise FileNotFoundError(f"{self.path}: no committed snapshot")
+        cand = list(candidate_files) if candidate_files is not None \
+            else list(m["files"])
+        if not cand:
+            return m["version"]
+        scan = self._read_rel_files(spark, cand, with_file_col=True)
+        affected = self._collect_affected(scan.filter(cond))
+        if not affected:
+            return m["version"]
+        keep = (self._read_rel_files(spark, affected)
+                .filter(~F.coalesce(cond.cast("boolean"), F.lit(False))))
+        return self._commit_rewrite(
+            spark, affected, keep, "delete",
+            properties={"deleted_where": str(condition)})
+
+    def delete_ids(self, spark: SparkSession, id_col: str, ids) -> int:
+        """Takedown-shaped DELETE: remove every row whose ``id_col``
+        is in ``ids`` (an iterable of values, or a 1-column DataFrame).
+        Files whose manifest min/max stats for ``id_col`` cannot
+        contain ANY requested id are pruned before the detection scan
+        even opens them — deleting 1k images from a corpus of millions
+        of files touches only the overlapping files (record stats on
+        the id column at write time via ``stats_cols``)."""
+        from bisect import bisect_left
+
+        from pyspark.sql import functions as F
+
+        if isinstance(ids, DataFrame):
+            vals = [r[0] for r in ids.select(ids.columns[0])
+                    .distinct().collect()]
+        else:
+            vals = list(dict.fromkeys(ids))
+        if any(v is None for v in vals):
+            raise ValueError("delete_ids: NULL id in the takedown list")
+        if not vals:
+            return self.current_version()
+        m = self.manifest()
+        svals = sorted(vals)
+
+        def overlaps(entry) -> bool:
+            rng = entry.get(id_col)
+            if rng is None:
+                return True  # no stats: must scan (skipping stays sound)
+            lo, hi = rng
+            i = bisect_left(svals, lo)
+            return i < len(svals) and svals[i] <= hi
+        stats = m.get("stats", {})
+        cand = [f for f in m["files"] if overlaps(stats.get(f, {}))]
+        if not cand:
+            return m["version"]
+        if len(svals) <= 1000:
+            # small list: an IN literal Catalyst can push to the scan
+            return self.delete_where(spark, F.col(id_col).isin(svals),
+                                     candidate_files=cand)
+        # large list: broadcast one-column join, not a giant isin()
+        ids_df = spark.createDataFrame([(v,) for v in svals], [id_col])
+        # large list: detection + rewrite via broadcast semi/anti joins
+        scan = self._read_rel_files(spark, cand, with_file_col=True)
+        affected = self._collect_affected(
+            scan.join(F.broadcast(ids_df), id_col, "left_semi"))
+        if not affected:
+            return m["version"]
+        keep = (self._read_rel_files(spark, affected)
+                .join(F.broadcast(ids_df), id_col, "left_anti"))
+        return self._commit_rewrite(
+            spark, affected, keep, "delete",
+            properties={"deleted_ids": len(svals)})
+
+    def update_where(self, spark: SparkSession, condition,
+                     assignments: dict) -> int:
+        """Row-level UPDATE (copy-on-write): for rows where
+        ``condition`` is TRUE, set each column in ``assignments`` to
+        its new expression (SQL string or unresolved Column); other
+        rows — and rows where the condition is NULL — are byte-carried
+        unchanged. Assignments must target EXISTING columns and keep
+        their types (the table schema is pinned). This is the
+        "re-scrub captions in place when a new PII pattern ships"
+        operation."""
+        from pyspark.sql import functions as F
+
+        self._refuse_on_ledger("update_where")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        m = self.manifest()
+        if not m["files"]:
+            raise FileNotFoundError(f"{self.path}: no committed snapshot")
+        table_cols = [f["name"] for f in json.loads(m["schema"])["fields"]]
+        bad = set(assignments) - set(table_cols)
+        if bad:
+            raise ValueError(
+                f"update_where: assignment to non-existent column(s) "
+                f"{sorted(bad)}; the snapshot schema is pinned")
+        scan = self._read_rel_files(spark, list(m["files"]),
+                                    with_file_col=True)
+        affected = self._collect_affected(scan.filter(cond))
+        if not affected:
+            return m["version"]
+        df = self._read_rel_files(spark, affected)
+        old_schema = df.schema.json()
+        for name, expr in assignments.items():
+            new = F.expr(expr) if isinstance(expr, str) else expr
+            df = df.withColumn(name, F.when(cond, new)
+                               .otherwise(F.col(name)))
+        if json.loads(df.schema.json()) != json.loads(old_schema):
+            raise ValueError(
+                "update_where: assignments changed column types "
+                f"(schema is pinned): {old_schema} -> {df.schema.json()}")
+        return self._commit_rewrite(
+            spark, affected, df, "update",
+            properties={"updated_where": str(condition),
+                        "updated_cols": sorted(assignments)})
+
+    def merge_upsert(self, spark: SparkSession, source: DataFrame,
+                     key_col: str) -> int:
+        """MERGE INTO analog (copy-on-write): rows of ``source`` whose
+        ``key_col`` matches an existing row REPLACE that row; the rest
+        are inserted. Source keys must be non-NULL and unique (the
+        SQL MERGE cardinality rule — one source row per target row).
+        Only files containing matched keys are rewritten; a pure-insert
+        merge rewrites nothing and appends the source files.
+
+        Concurrency: snapshot isolation — aborts if a concurrent
+        commit rewrote an affected file; a concurrent APPEND that
+        introduced the same key is carried forward and wins no
+        arbitration (real Iceberg's SERIALIZABLE level would abort;
+        document your writers or serialize merges externally)."""
+        from pyspark.sql import functions as F
+
+        self._refuse_on_ledger("merge_upsert")
+        m = self.manifest()
+        if not m["files"]:
+            raise FileNotFoundError(f"{self.path}: no committed snapshot")
+        table_fields = json.loads(m["schema"])["fields"]
+        table_cols = [f["name"] for f in table_fields]
+        if sorted(source.columns) != sorted(table_cols):
+            raise ValueError(
+                f"merge_upsert: source columns {sorted(source.columns)} "
+                f"!= table columns {sorted(table_cols)}")
+        src = source.select(*table_cols)
+
+        def _types(schema_json: str) -> list[tuple]:
+            # name+type only: nullability differs freely between a
+            # createDataFrame source and a parquet-derived table schema
+            return [(f["name"], f["type"])
+                    for f in json.loads(schema_json)["fields"]]
+        if _types(src.schema.json()) != _types(m["schema"]):
+            raise ValueError(
+                f"merge_upsert: source schema {src.schema.json()} != "
+                f"pinned table schema {m['schema']}")
+        src = src.persist()
+        try:
+            agg = src.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(key_col).alias("nk"),
+                F.countDistinct(key_col).alias("nd")).first()
+            if agg["nk"] != agg["n"]:
+                raise ValueError("merge_upsert: NULL source key(s)")
+            if agg["nd"] != agg["nk"]:
+                raise ValueError(
+                    "merge_upsert: duplicate source keys (MERGE "
+                    "cardinality: at most one source row per key)")
+            keys = src.select(key_col)
+            scan = self._read_rel_files(spark, list(m["files"]),
+                                        with_file_col=True)
+            affected = self._collect_affected(
+                scan.join(F.broadcast(keys), key_col, "left_semi"))
+            if affected:
+                untouched_rows = (self._read_rel_files(spark, affected)
+                                  .join(F.broadcast(keys), key_col,
+                                        "left_anti")
+                                  .select(*table_cols))
+                merged = untouched_rows.unionByName(src)
+                return self._commit_rewrite(
+                    spark, affected, merged, "merge",
+                    properties={"merge_key": key_col})
+            # pure insert: append the source files, rewrite nothing
+            # (the empty affected set keeps every existing file; the
+            # pinned manifest schema carries forward)
+            return self._commit_rewrite(spark, [], src, "merge",
+                                        properties={"merge_key": key_col})
+        finally:
+            src.unpersist()
+
     def remove_orphan_files(self, older_than_sec: float = 86400.0) -> int:
         """Delete data files referenced by NO manifest — leftovers of
         writers that crashed after moving files but before winning the

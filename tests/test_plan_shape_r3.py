@@ -71,16 +71,18 @@ def test_token_budget_shuffles_only_on_stratum_bucket(spark):
     assert _count(s, "BroadcastHashJoin") == 1, s
     keys = [m.group(1)
             for m in re.finditer(r"hashpartitioning\(([^)]*)\)", s)]
-    both = [k for k in keys if "lang" in k and "_bkt" in k]
-    lang_only = [k for k in keys if "lang" in k and "_bkt" not in k]
-    # raw rows shuffle on (lang, bucket) twice (bucket aggregate +
-    # running-sum window); exactly ONE lang-only exchange exists and it
-    # feeds the window over the TINY per-bucket aggregate, never the
+    # the stratum key is the null-safe `_strat` surrogate
+    # (coalesce(lang, sentinel) — NULL strata fix), not raw `lang`
+    both = [k for k in keys if "_strat" in k and "_bkt" in k]
+    strat_only = [k for k in keys if "_strat" in k and "_bkt" not in k]
+    # raw rows shuffle on (stratum, bucket) twice (bucket aggregate +
+    # running-sum window); exactly ONE stratum-only exchange exists and
+    # it feeds the window over the TINY per-bucket aggregate, never the
     # full data — pinned by it living on the aggregate branch
-    assert len(both) == 2 and len(lang_only) == 1, s
+    assert len(both) == 2 and len(strat_only) == 1, s
     lines = s.splitlines()
     idx = next(i for i, ln in enumerate(lines)
-               if "hashpartitioning" in ln and "lang" in ln
+               if "hashpartitioning" in ln and "_strat" in ln
                and "_bkt" not in ln)
     assert any("HashAggregate" in ln for ln in lines[idx:idx + 3]), s
 
