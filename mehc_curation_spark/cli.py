@@ -284,18 +284,61 @@ def build_parser() -> argparse.ArgumentParser:
 
     tm = sub.add_parser(
         "table", help="snapshot-table maintenance (compact / expire / "
-                      "orphans / history)")
+                      "orphans / history) and row-level changes "
+                      "(delete / takedown / update / merge — "
+                      "copy-on-write, only affected files rewritten)")
     tm.add_argument("action",
-                    choices=["compact", "expire", "orphans", "history"])
+                    choices=["compact", "expire", "orphans", "history",
+                             "delete", "takedown", "update", "merge"])
     tm.add_argument("-o", "--output", required=True,
                     help="table path (a run_curate/SnapshotTable output)")
     tm.add_argument("--target_files", type=int, default=8,
                     help="compact: files to coalesce into")
     tm.add_argument("--keep_last", type=int, default=2,
                     help="expire: snapshots to keep")
+    tm.add_argument("--where", default=None,
+                    help="delete/update: SQL predicate (rows where it "
+                         "is TRUE are deleted / updated)")
+    tm.add_argument("--set", action="append", default=[],
+                    metavar="COL=SQL_EXPR",
+                    help="update: assignment, repeatable "
+                         "(e.g. --set \"caption=regexp_replace(caption,"
+                         "'[0-9]','#')\")")
+    tm.add_argument("--ids", default=None,
+                    help="takedown: newline-delimited id file, or a "
+                         "comma-separated literal list")
+    tm.add_argument("--id_col", default="image_id",
+                    help="takedown: id column (default image_id)")
+    tm.add_argument("--source", default=None,
+                    help="merge: parquet path of upsert rows (full "
+                         "table schema; key-matched rows replaced, "
+                         "the rest inserted)")
+    tm.add_argument("--key", default="image_id",
+                    help="merge: key column (default image_id)")
     tm.add_argument("--cores", type=int, default=-1)
     tm.add_argument("--master", default=None)
     return p
+
+
+def _takedown_ids(spec: str, table_path: str, id_col: str) -> list:
+    """Resolve --ids (file or comma list) to typed values matching the
+    table's pinned id-column type (CLI args arrive as strings; a long
+    id column must compare against longs, not strings)."""
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    if os.path.isfile(spec):
+        with open(spec) as f:
+            raw = [ln.strip() for ln in f if ln.strip()]
+    else:
+        raw = [s.strip() for s in spec.split(",") if s.strip()]
+    schema = SnapshotTable(table_path).manifest().get("schema")
+    typ = next((f["type"] for f in json.loads(schema)["fields"]
+                if f["name"] == id_col), "string") if schema else "string"
+    if typ in ("long", "integer", "short", "byte"):
+        return [int(v) for v in raw]
+    if typ in ("double", "float"):
+        return [float(v) for v in raw]
+    return raw
 
 
 def build_pyfiles_zip(out_path: str) -> str:
@@ -366,8 +409,39 @@ def main(argv: list[str] | None = None) -> int:
                           "bucket)", file=sys.stderr)
                 print(json.dumps(compact_increments(spark, args.output)))
                 return 0
-            v = t.compact(spark, target_files=args.target_files)
-            print(json.dumps({"compacted_version": v,
+            if args.action == "compact":
+                v = t.compact(spark, target_files=args.target_files)
+                print(json.dumps({"compacted_version": v,
+                                  "files": len(t.manifest(v)["files"])}))
+                return 0
+            before = t.current_version()
+            if args.action == "delete":
+                if not args.where:
+                    raise SystemExit("table delete requires --where")
+                v = t.delete_where(spark, args.where)
+            elif args.action == "takedown":
+                if not args.ids:
+                    raise SystemExit("table takedown requires --ids")
+                ids = _takedown_ids(args.ids, args.output, args.id_col)
+                v = t.delete_ids(spark, args.id_col, ids)
+            elif args.action == "update":
+                if not args.where or not args.set:
+                    raise SystemExit(
+                        "table update requires --where and --set")
+                assigns = {}
+                for a in args.set:
+                    col, _, expr = a.partition("=")
+                    if not _:
+                        raise SystemExit(f"bad --set (want COL=EXPR): {a}")
+                    assigns[col.strip()] = expr
+                v = t.update_where(spark, args.where, assigns)
+            else:  # merge
+                if not args.source:
+                    raise SystemExit("table merge requires --source")
+                v = t.merge_upsert(spark, spark.read.parquet(args.source),
+                                   args.key)
+            print(json.dumps({"action": args.action, "version": v,
+                              "changed": v != before,
                               "files": len(t.manifest(v)["files"])}))
             return 0
 

@@ -112,6 +112,73 @@ def test_table_maintenance_cli(pairs_file, tmp_path_factory):
     assert exp["files_removed"] == 0 and exp["current"] == 1
 
 
+def test_table_row_ops_cli(tmp_path_factory):
+    """table delete/takedown/update/merge: copy-on-write row-level
+    changes driven through the CLI; final state checked by reading the
+    manifest's CURRENT file list with duckdb."""
+    base = tmp_path_factory.mktemp("cli_rowops")
+    src_p = str(base / "rows.parquet")
+    upd_p = str(base / "upsert.parquet")
+    tbl = str(base / "t")
+    duckdb.sql(
+        "COPY (SELECT CAST(i AS BIGINT) AS id, 'cap_' || i AS caption "
+        "FROM range(100) r(i)) TO '" + src_p + "' (FORMAT PARQUET)")
+    duckdb.sql(
+        "COPY (SELECT CAST(5 AS BIGINT) AS id, 'UPD' AS caption "
+        "UNION ALL SELECT 900, 'NEW') TO '" + upd_p + "' (FORMAT PARQUET)")
+    ids_file = str(base / "takedown.txt")
+    with open(ids_file, "w") as f:
+        f.write("7\n8\n")
+    boot = (
+        "from mehc_curation_spark.session import get_spark\n"
+        "from mehc_curation_spark.io.catalog import SnapshotTable\n"
+        f"s = get_spark('boot', cores=4)\n"
+        f"SnapshotTable({tbl!r}).write(s.read.parquet({src_p!r}))\n")
+    proc = subprocess.run([sys.executable, "-c", boot], cwd=REPO,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    def current_rows():
+        with open(sorted(
+                (os.path.join(tbl, "_snapshots", f)
+                 for f in os.listdir(os.path.join(tbl, "_snapshots"))
+                 if f.endswith(".json")))[-1]) as f:
+            m = json.load(f)
+        files = [os.path.join(tbl, "data", rf) for rf in m["files"]]
+        lst = "[" + ",".join(f"'{p}'" for p in files) + "]"
+        return {r[0]: r[1] for r in duckdb.sql(
+            f"SELECT id, caption FROM read_parquet({lst})").fetchall()}
+
+    out = json.loads(_run(["table", "delete", "-o", tbl, "--cores", "4",
+                           "--where", "id % 10 = 9"])
+                     .stdout.strip().splitlines()[-1])
+    assert out["changed"] is True
+    rows = current_rows()
+    assert len(rows) == 90 and 9 not in rows
+
+    out = json.loads(_run(["table", "takedown", "-o", tbl, "--cores", "4",
+                           "--ids", ids_file, "--id_col", "id"])
+                     .stdout.strip().splitlines()[-1])
+    assert out["changed"] is True
+    rows = current_rows()
+    assert len(rows) == 88 and 7 not in rows and 8 not in rows
+
+    out = json.loads(_run(["table", "update", "-o", tbl, "--cores", "4",
+                           "--where", "id < 2",
+                           "--set", "caption=upper(caption)"])
+                     .stdout.strip().splitlines()[-1])
+    assert out["changed"] is True
+    rows = current_rows()
+    assert rows[0] == "CAP_0" and rows[1] == "CAP_1" and rows[2] == "cap_2"
+
+    out = json.loads(_run(["table", "merge", "-o", tbl, "--cores", "4",
+                           "--source", upd_p, "--key", "id"])
+                     .stdout.strip().splitlines()[-1])
+    assert out["changed"] is True
+    rows = current_rows()
+    assert rows[5] == "UPD" and rows[900] == "NEW" and len(rows) == 89
+
+
 def test_crossdedup_cli_text_and_embedding(tmp_path_factory):
     """crossdedup subcommand: decontaminate candidates vs a reference
     corpus via both engines (text MinHash bands, embedding LSH kNN).
