@@ -406,6 +406,21 @@ def doc_stratified_sample(spark, sf_dir):
                              {"en": 0.25, "de": 0.5}).select("doc_id", "lang")
 
 
+def doc_domain_cap(spark, sf_dir):
+    """Per-domain document cap (operators/sampling.py:per_domain_cap)
+    — the C4/RefinedWeb "at most N pages per domain" mixture rule.
+    Survival = the domain's top-10 rows in ("domaincap:"-prefixed u48,
+    id) priority order, a pure row property, so the FULL kept set and
+    every rank are value-oracled: DuckDB restates the byte assembly
+    and ONE ROW_NUMBER (the Spark side runs the skew-immune two-phase
+    salted form, which is provably identical)."""
+    from mehc_curation_spark.operators.sampling import per_domain_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return (per_domain_cap(d, "doc_id", "source", cap=10)
+            .select("doc_id", "source", "domain_rank"))
+
+
 def doc_quality_model(spark, sf_dir):
     """Model-based quality scoring with the FROZEN distilled weights
     (operators/quality_model.py): sigma(w.x+b) over pure-Catalyst text
@@ -1655,6 +1670,67 @@ def pairs_wds_export_check(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def pairs_wds_roundtrip_check(spark, sf_dir):
+    """Check for the WebDataset READER (io/export.py:read_webdataset):
+    export the fixture as tar shards, read it back through the
+    distributed binaryFile+mapInPandas path, and assert a lossless
+    round trip — every id exactly once, payload bytes equal, every
+    JSON metadata field equal, and the in-shard (shard, pos)
+    coordinates identical to assign_shards' deterministic plan. The
+    DuckDB oracle states the expected booleans."""
+    import shutil
+    import tempfile
+
+    from mehc_curation_spark.io.export import (
+        assign_shards,
+        export_webdataset,
+        read_webdataset,
+    )
+
+    df = spark.read.parquet(_pairs_path())
+    out = tempfile.mkdtemp(prefix="mehc_wds_rt_")
+    try:
+        export_webdataset(df, out, n_shards=4, seed=0)
+        plan = (assign_shards(df, "image_id", n_shards=4, seed=0)
+                .select("image_id", F.col("shard").alias("p_shard"),
+                        F.col("pos").alias("p_pos")))
+        rt = read_webdataset(spark, out)
+        j = (rt.join(df.withColumnRenamed("bytes", "orig_bytes"),
+                     "image_id")
+               .join(plan, "image_id"))
+        r = j.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("image_id").alias("n_ids"),
+            F.sum(F.when(F.col("bytes") ==
+                         F.coalesce(F.col("orig_bytes"), F.lit(b"")), 1)
+                  .otherwise(0)).alias("n_payload"),
+            F.sum(F.when(
+                (F.get_json_object("meta", "$.caption")
+                 .eqNullSafe(F.col("caption")))
+                & (F.get_json_object("meta", "$.w").cast("int")
+                   == F.col("w"))
+                & (F.get_json_object("meta", "$.h").cast("int")
+                   == F.col("h"))
+                & (F.get_json_object("meta", "$.fmt") == F.col("fmt"))
+                & (F.get_json_object("meta", "$.phash").cast("long")
+                   == F.col("phash")), 1).otherwise(0)).alias("n_meta"),
+            F.sum(F.when((F.col("shard") == F.col("p_shard"))
+                         & (F.col("pos") == F.col("p_pos")), 1)
+                  .otherwise(0)).alias("n_coord"),
+        ).first()
+        n_src = df.count()
+        return spark.createDataFrame(
+            [(r["n"],
+              bool(r["n"] == n_src and r["n_ids"] == n_src),
+              bool(r["n_payload"] == n_src),
+              bool(r["n_meta"] == n_src),
+              bool(r["n_coord"] == n_src))],
+            "n_rows long, all_ids_once boolean, payload_roundtrip "
+            "boolean, meta_roundtrip boolean, coords_match_plan boolean")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def doc_split_assign(spark, sf_dir):
     """Deterministic train/val/test split assignment
     (operators/sampling.py:split_col): consecutive ranges of the
@@ -1815,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_domain_cap": doc_domain_cap,
         "doc_boilerplate_ngrams": doc_boilerplate_ngrams,
         "doc_top_terms": doc_top_terms,
         "doc_dataset_card": doc_dataset_card,
@@ -1854,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_compute_phash": pairs_compute_phash,
         "pairs_compute_phash_check": pairs_compute_phash_check,
         "pairs_wds_export_check": pairs_wds_export_check,
+        "pairs_wds_roundtrip_check": pairs_wds_roundtrip_check,
         "doc_split_assign": doc_split_assign,
         "doc_bpe_merges": doc_bpe_merges,
         "doc_bpe_check": doc_bpe_check,
@@ -2324,6 +2402,22 @@ def oracle_sql() -> dict[str, str]:
                          / (SELECT p50 FROM s_old)::DOUBLE - 1.0, 4)
                        AS tok_p50_rel,
                    (SELECT tv FROM tv) AS lang_tv
+        """,
+        "doc_domain_cap": f"""
+            WITH u AS (
+                SELECT doc_id, source,
+                       {_u48_sql("'domaincap:0:' || CAST(doc_id AS VARCHAR)")}
+                           AS u48
+                FROM documents
+            ), r AS (
+                SELECT doc_id, source,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY u48, doc_id)
+                           AS INTEGER) AS domain_rank
+                FROM u
+            )
+            SELECT doc_id, source, domain_rank FROM r
+            WHERE domain_rank <= 10
         """,
         "doc_stratified_sample": """
             WITH u AS (
@@ -2870,6 +2964,14 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*)
                     FROM read_parquet('{_pairs_cache_file()}')) AS n_rows,
                    TRUE AS digests_match_local
+        """,
+        "pairs_wds_roundtrip_check": f"""
+            SELECT (SELECT COUNT(*)
+                    FROM read_parquet('{_pairs_cache_file()}')) AS n_rows,
+                   TRUE AS all_ids_once,
+                   TRUE AS payload_roundtrip,
+                   TRUE AS meta_roundtrip,
+                   TRUE AS coords_match_plan
         """,
         "pairs_csv_scan": f"""
             SELECT image_id, w, h, fmt, caption, phash,

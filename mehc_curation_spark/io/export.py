@@ -310,6 +310,76 @@ def export_webdataset(df: DataFrame, path: str, id_col: str = "image_id",
     return manifest
 
 
+def read_webdataset(spark, path: str, id_col: str = "image_id",
+                    bytes_col: str = "bytes") -> DataFrame:
+    """Distributed WebDataset tar reader — the ingestion twin of
+    :func:`export_webdataset`, and the shape LAION-style corpora
+    actually arrive in (directories of ``shard-*.tar`` holding
+    ``<id>.img`` + ``<id>.json`` sample pairs).
+
+    Spark-first: ONE ``binaryFile`` scan lists and reads the tars
+    (each large tar lands in its own input partition, so shards parse
+    in parallel across executors with no shuffle anywhere), and a
+    ``mapInPandas`` stage unpacks members — samples grouped by member
+    stem in archive order, per the WebDataset adjacency convention.
+    The parser yields one batch PER TAR so task memory is bounded by
+    one shard (~``target_bytes``) regardless of Arrow batch sizing.
+
+    Output: ``(shard int, pos int, <id> string, <bytes> binary,
+    meta string)`` — ``pos`` is the 1-based in-shard sample position
+    (the deterministic iteration order the writer pinned), ``meta``
+    the raw JSON sidecar text; parse it with ``F.from_json`` /
+    ``F.get_json_object`` against your metadata schema. Member ids
+    come back as STRINGS (tar member names); cast as needed. A sample
+    written from a NULL payload comes back as the empty binary —
+    tar members carry no null/empty distinction.
+    """
+    bf = (spark.read.format("binaryFile")
+          .load(os.path.join(path, "shard-*.tar"))
+          .select("path", "content"))
+    out_schema = (f"shard int, pos int, `{id_col}` string, "
+                  f"`{bytes_col}` binary, meta string")
+
+    def parse(batches):
+        import io as _io
+        import tarfile
+
+        import pandas as _pd
+
+        for pdf in batches:
+            for tar_path, content in zip(pdf["path"], pdf["content"]):
+                fname = os.path.basename(str(tar_path))
+                shard = int(fname[len("shard-"):-len(".tar")])
+                rows = []
+                cur = None  # [stem, payload, meta_json]
+
+                def flush():
+                    if cur is not None:
+                        rows.append((shard, len(rows) + 1,
+                                     cur[0], cur[1], cur[2]))
+
+                with tarfile.open(
+                        fileobj=_io.BytesIO(bytes(content))) as tar:
+                    for m in tar:
+                        if not m.isfile() or "." not in m.name:
+                            continue
+                        stem, ext = m.name.rsplit(".", 1)
+                        if cur is None or cur[0] != stem:
+                            flush()
+                            cur = [stem, None, None]
+                        data = tar.extractfile(m).read()
+                        if ext == "img":
+                            cur[1] = data
+                        elif ext == "json":
+                            cur[2] = data.decode("utf-8")
+                    flush()
+                yield _pd.DataFrame(
+                    rows, columns=["shard", "pos", id_col,
+                                   bytes_col, "meta"])
+
+    return bf.mapInPandas(parse, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # export durability: verify + resume
 # ---------------------------------------------------------------------------

@@ -157,6 +157,68 @@ def token_budget_sample(df: DataFrame, id_col: str, stratum_col: str,
     )
 
 
+def per_domain_cap(df: DataFrame, id_col: str, domain_col: str,
+                   cap: int, seed: int = 0,
+                   salt_buckets: int = 64) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, chosen in deterministic
+    hash-priority order — the C4 / RefinedWeb "limit documents per
+    registered domain" rule (Raffel et al. 2020 §2.2 cap pages per
+    domain; Penedo et al. 2023 dedup by source) that stops a single
+    prolific site from dominating a web-scale mixture.
+
+    Priority = (u48("domaincap:" seed ":" id), id): a row property,
+    so the kept set is identical on any engine/partitioning and the
+    DuckDB oracle can restate it as one ROW_NUMBER. The hash domain is
+    prefixed so cap survival never correlates with the export shuffle
+    key, split assignment or any sampler at the same seed. A larger
+    ``cap`` keeps a strict superset (ranks don't change), so raising
+    the cap never discards prior selections.
+
+    Physical shape — domains are heavy-tailed (the whole reason the
+    operator exists), so a single ROW_NUMBER window per domain would
+    sort the hottest domain inside one task. Two phases instead:
+
+    1. a salted window over (domain, u48 % salt_buckets) keeps each
+       subgroup's top-``cap`` — uniformly sized sorts regardless of
+       domain skew, and sound because a row in the global top-cap is
+       a fortiori in its subgroup's top-cap;
+    2. the exact window over (domain) then ranks at most
+       ``salt_buckets * cap`` survivors per domain — bounded work per
+       task no matter how large the domain.
+
+    NULL domains group under a sentinel (they are one "domain", same
+    convention as token_budget_sample); NULL ids are dropped (no
+    hash — the module-wide sampler contract). Output = the kept rows
+    with a 1-based ``domain_rank`` column appended.
+    """
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    for c in ("domain_rank", "_u48", "_dom", "_salt"):
+        if c in df.columns:
+            raise ValueError(
+                f"input already has a {c!r} column, which this "
+                "operator emits/uses internally — rename it first")
+    _NULLS = "\x00__null_domain__"
+    u = u48_col(F.concat(F.lit(f"domaincap:{int(seed)}:"),
+                         F.col(id_col).cast("string")))
+    d = (df.filter(F.col(id_col).isNotNull())
+           .withColumn("_u48", u)
+           .withColumn("_dom", F.coalesce(F.col(domain_col).cast("string"),
+                                          F.lit(_NULLS)))
+           .withColumn("_salt", F.pmod(F.col("_u48"),
+                                       F.lit(int(salt_buckets)))))
+    w1 = (Window.partitionBy("_dom", "_salt")
+          .orderBy("_u48", F.col(id_col)))
+    w2 = Window.partitionBy("_dom").orderBy("_u48", F.col(id_col))
+    return (d.withColumn("_r1", F.row_number().over(w1))
+             .filter(F.col("_r1") <= cap)
+             .withColumn("domain_rank", F.row_number().over(w2))
+             .filter(F.col("domain_rank") <= cap)
+             .drop("_u48", "_dom", "_salt", "_r1"))
+
+
 def quality_tiers(df: DataFrame, id_col: str, stratum_col: str,
                   score_col: str, n_tiers: int = 3,
                   labels: tuple = ("head", "middle", "tail")) -> DataFrame:

@@ -99,3 +99,96 @@ def test_quality_tiers_approx_matches_exact_cut(spark):
 
     with pytest.raises(ValueError):
         quality_tiers_approx(df, "doc_id", "lang", "q", n_tiers=4)
+
+
+# ---------------------------------------------------------------------------
+# per-domain cap
+# ---------------------------------------------------------------------------
+
+def _cap_docs(spark, n=300, n_dom=5):
+    """Skewed domains: domain 0 holds half the corpus."""
+    rows = [(i, f"dom{0 if i % 2 == 0 else i % n_dom}", f"text {i}")
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, domain string, text string")
+
+
+def _cap_local(ids_by_dom, cap, seed=0):
+    """Single-window formulation: top-cap per domain in (u48, id)."""
+    import hashlib
+
+    def u48(i):
+        return int.from_bytes(
+            hashlib.md5(f"domaincap:{seed}:{i}".encode()).digest()[:6],
+            "little")
+    out = {}
+    for dom, ids in ids_by_dom.items():
+        for rank, i in enumerate(sorted(ids, key=lambda x: (u48(x), x)),
+                                 start=1):
+            if rank <= cap:
+                out[i] = (dom, rank)
+    return out
+
+
+def test_domain_cap_matches_single_window(spark):
+    from collections import defaultdict
+
+    from mehc_curation_spark.operators.sampling import per_domain_cap
+
+    df = _cap_docs(spark)
+    got = {r["doc_id"]: (r["domain"], r["domain_rank"])
+           for r in per_domain_cap(df, "doc_id", "domain", cap=7)
+           .select("doc_id", "domain", "domain_rank").collect()}
+    by_dom = defaultdict(list)
+    for r in df.select("doc_id", "domain").collect():
+        by_dom[r["domain"]].append(r["doc_id"])
+    assert got == _cap_local(by_dom, 7)
+
+
+def test_domain_cap_salt_and_partition_invariant(spark):
+    from mehc_curation_spark.operators.sampling import per_domain_cap
+
+    df = _cap_docs(spark)
+    a = {r["doc_id"] for r in per_domain_cap(
+        df.repartition(1), "doc_id", "domain", cap=5).collect()}
+    b = {r["doc_id"] for r in per_domain_cap(
+        df.repartition(13), "doc_id", "domain", cap=5,
+        salt_buckets=3).collect()}
+    assert a == b
+
+
+def test_domain_cap_larger_cap_is_superset(spark):
+    from mehc_curation_spark.operators.sampling import per_domain_cap
+
+    df = _cap_docs(spark)
+    small = {r["doc_id"] for r in
+             per_domain_cap(df, "doc_id", "domain", cap=3).collect()}
+    big = {r["doc_id"] for r in
+           per_domain_cap(df, "doc_id", "domain", cap=9).collect()}
+    assert small < big
+
+
+def test_domain_cap_null_handling(spark):
+    from mehc_curation_spark.operators.sampling import per_domain_cap
+
+    rows = [(1, None), (2, None), (3, None), (4, "a"), (None, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = per_domain_cap(df, "doc_id", "domain", cap=2).collect()
+    # NULL domains form ONE group (capped together); NULL ids dropped
+    null_dom = [r for r in out if r["domain"] is None]
+    assert len(null_dom) == 2
+    assert all(r["doc_id"] is not None for r in out)
+    assert {r["doc_id"] for r in out if r["domain"] == "a"} == {4}
+
+
+def test_domain_cap_validation(spark):
+    import pytest as _pytest
+
+    from mehc_curation_spark.operators.sampling import per_domain_cap
+
+    df = _cap_docs(spark, n=10)
+    with _pytest.raises(ValueError, match="cap"):
+        per_domain_cap(df, "doc_id", "domain", cap=0)
+    with _pytest.raises(ValueError, match="domain_rank"):
+        per_domain_cap(df.withColumn("domain_rank", F.lit(1)),
+                       "doc_id", "domain", cap=1)

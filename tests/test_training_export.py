@@ -718,3 +718,65 @@ class TestReviewRegressions4:
         out = decode_image(encode_image(px, "raw"), "raw", 4, 4)
         out[0, 0, 0] = 7  # must not raise read-only
         assert out[0, 0, 0] == 7
+
+
+# ---------------------------------------------------------------------------
+# WebDataset reader
+# ---------------------------------------------------------------------------
+
+class TestWdsReader:
+    def test_lossless_roundtrip(self, spark, pairs_df, tmp_path):
+        from mehc_curation_spark.io.export import (
+            export_webdataset,
+            read_webdataset,
+        )
+
+        p = str(tmp_path / "w")
+        man = export_webdataset(pairs_df, p, n_shards=3, seed=0)
+        rt = read_webdataset(spark, p)
+        assert rt.count() == man["rows"] == pairs_df.count()
+        j = rt.join(pairs_df.withColumnRenamed("bytes", "ob"), "image_id")
+        bad = j.filter(
+            (F.col("bytes") != F.coalesce(F.col("ob"), F.lit(b"")))
+            | ~F.get_json_object("meta", "$.caption")
+               .eqNullSafe(F.col("caption"))
+            | (F.get_json_object("meta", "$.phash").cast("long")
+               != F.col("phash"))).count()
+        assert bad == 0
+
+    def test_positions_follow_shard_plan(self, spark, pairs_df, tmp_path):
+        from mehc_curation_spark.io.export import (
+            assign_shards,
+            export_webdataset,
+            read_webdataset,
+        )
+
+        p = str(tmp_path / "w")
+        export_webdataset(pairs_df, p, n_shards=4, seed=2)
+        got = {r["image_id"]: (r["shard"], r["pos"])
+               for r in read_webdataset(spark, p).collect()}
+        exp = {r["image_id"]: (r["shard"], r["pos"])
+               for r in assign_shards(pairs_df, "image_id",
+                                      n_shards=4, seed=2).collect()}
+        assert got == exp
+
+    def test_meta_fields_roundtrip(self, spark, pairs_df, tmp_path):
+        from mehc_curation_spark.io.export import (
+            export_webdataset,
+            read_webdataset,
+        )
+
+        p = str(tmp_path / "w")
+        export_webdataset(pairs_df, p, n_shards=2, seed=0)
+        rt = read_webdataset(spark, p)
+        parsed = rt.select(
+            "image_id",
+            F.get_json_object("meta", "$.w").cast("int").alias("w"),
+            F.get_json_object("meta", "$.fmt").alias("fmt"))
+        j = parsed.join(
+            pairs_df.select("image_id",
+                            F.col("w").alias("ew"),
+                            F.col("fmt").alias("efmt")), "image_id")
+        assert j.filter((F.col("w") != F.col("ew"))
+                        | ~F.col("fmt").eqNullSafe(F.col("efmt"))
+                        ).count() == 0
