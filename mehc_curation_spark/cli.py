@@ -52,10 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("curate", help="full pipeline with dedup gates + resume")
-    c.add_argument("--input_format", choices=["parquet", "csv", "jsonl"],
+    c.add_argument("--input_format",
+                   choices=["parquet", "csv", "jsonl", "wds"],
                    default="parquet",
                    help="input table format; csv/jsonl carry the "
-                        "base64 bytes_b64 interchange column "
+                        "base64 bytes_b64 interchange column; wds "
+                        "reads a WebDataset shard-*.tar directory "
                         "(batch mode only)")
     _add_io(c)
     for flag, help_ in [

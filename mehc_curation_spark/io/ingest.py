@@ -90,19 +90,53 @@ def read_pairs_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return _decode(df)
 
 
+def read_pairs_wds(spark: SparkSession, path: str) -> DataFrame:
+    """Read a WebDataset tar-shard directory (the LAION distribution
+    shape — ``shard-*.tar`` of ``<id>.img`` + ``<id>.json`` members,
+    e.g. one produced by :func:`..io.export.export_webdataset`) into
+    the pinned pairs schema: the JSON sidecar parses against an
+    explicit metadata schema (never inferred) and the payload maps to
+    the binary ``bytes`` column.
+
+    Tar members carry no null/empty distinction, so a zero-length
+    payload reads back as NULL ``bytes`` — which keeps the decode
+    gate's reason labels stable across an export → ingest round trip
+    (the writer renders NULL payloads as empty members)."""
+    from mehc_curation_spark.io.export import read_webdataset
+
+    meta_schema = StructType([
+        StructField("caption", StringType(), True),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("phash", LongType(), True),
+    ])
+    rt = read_webdataset(spark, path)
+    m = F.from_json("meta", meta_schema)
+    return rt.select(
+        "image_id",
+        F.when(F.length("bytes") == 0, F.lit(None).cast("binary"))
+         .otherwise(F.col("bytes")).alias("bytes"),
+        m["w"].alias("w"), m["h"].alias("h"), m["fmt"].alias("fmt"),
+        m["caption"].alias("caption"), m["phash"].alias("phash"))
+
+
 def read_pairs(spark: SparkSession, path: str,
                fmt: str = "parquet") -> DataFrame:
     """Format dispatch for the curate input. ``parquet`` reads the
     native table; ``csv``/``jsonl`` read the base64 interchange shape
-    and decode to the identical pinned schema."""
+    and decode to the identical pinned schema; ``wds`` reads a
+    WebDataset tar-shard directory."""
     if fmt == "parquet":
         return spark.read.schema(PAIRS_SCHEMA).parquet(path)
     if fmt == "csv":
         return read_pairs_csv(spark, path)
     if fmt == "jsonl":
         return read_pairs_jsonl(spark, path)
+    if fmt == "wds":
+        return read_pairs_wds(spark, path)
     raise ValueError(f"unknown input format {fmt!r} "
-                     "(expected parquet|csv|jsonl)")
+                     "(expected parquet|csv|jsonl|wds)")
 
 
 # ---------------------------------------------------------------------------

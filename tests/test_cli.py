@@ -560,6 +560,33 @@ def test_curate_cli_csv_input(tmp_path_factory):
            {k: v for k, v in m_pq.items() if k not in drop}
 
 
+def test_curate_cli_wds_input(tmp_path_factory):
+    """curate --input_format wds (a WebDataset tar-shard directory)
+    produces the same ledger totals as the parquet run over the
+    identical corpus — the export -> re-ingest -> curate loop."""
+    from pyspark.sql import SparkSession
+
+    from mehc_curation_spark.fixtures import write_pairs_parquet
+    from mehc_curation_spark.io.export import export_webdataset
+
+    base = tmp_path_factory.mktemp("cli_wds_in")
+    pq = write_pairs_parquet(str(base / "pq"), 1000, seed=13)
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+    export_webdataset(spark.read.parquet(pq), str(base / "tars"),
+                      n_shards=3, seed=0)
+    m_pq = json.loads(_run(
+        ["curate", "-i", pq, "-o", str(base / "out_pq"), "--cores", "4"]
+    ).stdout.strip().splitlines()[-1])
+    m_wds = json.loads(_run(
+        ["curate", "-i", str(base / "tars"), "-o", str(base / "out_wds"),
+         "--input_format", "wds", "--cores", "4"]
+    ).stdout.strip().splitlines()[-1])
+    drop = ("elapsed_sec", "rows_per_sec")
+    assert {k: v for k, v in m_wds.items() if k not in drop} == \
+           {k: v for k, v in m_pq.items() if k not in drop}
+
+
 def test_export_cli_wds(pairs_file, tmp_path_factory):
     """export --format wds writes tar shards whose manifest totals
     reconcile with the JSON summary."""

@@ -154,3 +154,24 @@ class TestIngestHardening:
                for r in read_pairs_csv(spark, p).collect()}
         for i, c in enumerate(caps):
             assert got[f"c{i:02d}"] == c, (i, c, got[f"c{i:02d}"])
+
+
+def test_curate_over_wds_matches_parquet(spark, pairs_df, tmp_path):
+    """End-to-end: the labels plan over a WebDataset tar ingest equals
+    the plan over the parquet table byte-for-byte — including NULL
+    payloads, which the tar layer renders as empty members and the
+    reader maps back to NULL so decode-gate reasons are stable."""
+    from mehc_curation_spark.io.export import export_webdataset
+    from mehc_curation_spark.io.ingest import read_pairs
+    from mehc_curation_spark.stages.plan import build_labels_plan
+
+    p = str(tmp_path / "wds_in")
+    export_webdataset(pairs_df, p, n_shards=3, seed=0)
+    a = (build_labels_plan(read_pairs(spark, p, "wds")).toPandas()
+         .sort_values("image_id").reset_index(drop=True))
+    b = (build_labels_plan(pairs_df).toPandas()
+         .sort_values("image_id").reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    for c in a.columns:
+        assert a[c].fillna("∅").astype(str).equals(
+            b[c].fillna("∅").astype(str)), c
