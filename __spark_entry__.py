@@ -1871,6 +1871,47 @@ def doc_catalog_row_ops(spark, sf_dir):
              "source string, n_chars long")
 
 
+def doc_catalog_diff(spark, sf_dir):
+    """Row-level snapshot CHANGELOG (io/catalog.py:snapshot_diff —
+    the Iceberg create_changelog_view analog), FULLY value-oracled:
+    build a snapshot table from ``documents``, capture v1, apply a
+    delete (doc_id % 7 = 3), an update (lang := upper(lang) where
+    n_chars % 4 = 1) and an insert-only merge (doc_id % 97 = 0 at
+    doc_id + 1000000), then diff v1 → current. The engine reads ONLY
+    files unique to either manifest (immutable files common to both
+    cannot differ) and suppresses rows that merely moved files
+    unchanged — so the changelog equals the relational delta the
+    DuckDB oracle restates (updates appear only where upper(lang) IS
+    DISTINCT FROM lang; a no-op rewrite is NOT a change)."""
+    import shutil
+    import tempfile
+
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    d = _t(spark, sf_dir, "documents").select(*cols)
+    tmp = tempfile.mkdtemp(prefix="mehc_catdiff_")
+    try:
+        tbl = SnapshotTable(os.path.join(tmp, "docs"))
+        tbl.write(d.repartition(4), stats_cols=("doc_id",))
+        v1 = tbl.current_version()
+        tbl.delete_where(spark, F.col("doc_id") % 7 == 3)
+        tbl.update_where(spark, F.col("n_chars") % 4 == 1,
+                         {"lang": F.upper(F.col("lang"))})
+        src = d.filter(F.col("doc_id") % 97 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("INS:"), F.col("text")).alias("text"),
+            "lang", "source", "n_chars")
+        tbl.merge_upsert(spark, src, "doc_id")
+        pdf = (tbl.snapshot_diff(spark, v1, id_col="doc_id")
+               .select(*cols, "_change_type").toPandas())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "doc_id long, text string, lang string, source string, "
+             "n_chars long, _change_type string")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1913,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_tiers": doc_quality_tiers,
         "doc_fingerprint": doc_fingerprint,
         "doc_catalog_row_ops": doc_catalog_row_ops,
+        "doc_catalog_diff": doc_catalog_diff,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
@@ -2776,6 +2818,37 @@ def oracle_sql() -> dict[str, str]:
                OR doc_id NOT IN (SELECT doc_id FROM src)
             UNION ALL
             SELECT * FROM src
+        """,
+        "doc_catalog_diff": """
+            WITH base AS (
+                SELECT doc_id, text, lang, source, n_chars FROM documents
+            ),
+            del AS (              -- DELETE WHERE doc_id % 7 = 3
+                SELECT doc_id, text, lang, source, n_chars,
+                       'delete' AS _change_type
+                FROM base WHERE doc_id % 7 = 3
+            ),
+            upd AS (              -- UPDATE lang WHERE n_chars % 4 = 1,
+                                  -- but a no-op rewrite is NOT a change
+                SELECT * FROM base
+                WHERE (doc_id IS NULL OR doc_id % 7 <> 3)
+                  AND n_chars % 4 = 1
+                  AND upper(lang) IS DISTINCT FROM lang
+            ),
+            ins AS (              -- insert-only MERGE at doc_id+1000000
+                SELECT doc_id + 1000000 AS doc_id, 'INS:' || text AS text,
+                       lang, source, n_chars, 'insert' AS _change_type
+                FROM base WHERE doc_id % 97 = 0
+            )
+            SELECT * FROM del
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars,
+                   'update_before' AS _change_type FROM upd
+            UNION ALL
+            SELECT doc_id, text, upper(lang) AS lang, source, n_chars,
+                   'update_after' AS _change_type FROM upd
+            UNION ALL
+            SELECT * FROM ins
         """,
         "orders_dup_report": """
             SELECT o_custkey,

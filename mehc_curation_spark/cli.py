@@ -291,7 +291,8 @@ def build_parser() -> argparse.ArgumentParser:
                       "copy-on-write, only affected files rewritten)")
     tm.add_argument("action",
                     choices=["compact", "expire", "orphans", "history",
-                             "delete", "takedown", "update", "merge"])
+                             "delete", "takedown", "update", "merge",
+                             "diff"])
     tm.add_argument("-o", "--output", required=True,
                     help="table path (a run_curate/SnapshotTable output)")
     tm.add_argument("--target_files", type=int, default=8,
@@ -317,6 +318,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "the rest inserted)")
     tm.add_argument("--key", default="image_id",
                     help="merge: key column (default image_id)")
+    tm.add_argument("--from_version", type=int, default=None,
+                    help="diff: base snapshot version")
+    tm.add_argument("--to_version", type=int, default=None,
+                    help="diff: target snapshot version "
+                         "(default current)")
+    tm.add_argument("--diff_out", default=None,
+                    help="diff: optional parquet path for the "
+                         "changelog rows (else counts only)")
     tm.add_argument("--cores", type=int, default=-1)
     tm.add_argument("--master", default=None)
     return p
@@ -415,6 +424,27 @@ def main(argv: list[str] | None = None) -> int:
                 v = t.compact(spark, target_files=args.target_files)
                 print(json.dumps({"compacted_version": v,
                                   "files": len(t.manifest(v)["files"])}))
+                return 0
+            if args.action == "diff":
+                from pyspark.sql import functions as F
+
+                if args.from_version is None:
+                    raise SystemExit("table diff requires --from_version")
+                d = t.snapshot_diff(spark, args.from_version,
+                                    args.to_version, id_col=args.id_col)
+                if args.diff_out:
+                    d.write.mode("overwrite").parquet(args.diff_out)
+                    d = spark.read.parquet(args.diff_out)
+                per = {r["_change_type"]: r["n"] for r in
+                       d.groupBy("_change_type")
+                        .agg(F.count("*").alias("n")).collect()}
+                print(json.dumps({
+                    "from": args.from_version,
+                    "to": (args.to_version if args.to_version is not None
+                           else t.current_version()),
+                    "counts": {k: per.get(k, 0) for k in
+                               ("insert", "delete", "update_before",
+                                "update_after")}}))
                 return 0
             before = t.current_version()
             if args.action == "delete":

@@ -281,3 +281,70 @@ def test_stats_refresh_after_delete_keeps_skipping(spark, tbl):
     assert sel == 0 and total == 2  # rewritten file re-collected id stats
     sel, _ = tbl.files_pruned(("id", 1000, 1010))
     assert sel == 1
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff (row-level changelog)
+# ---------------------------------------------------------------------------
+
+class TestSnapshotDiff:
+    def test_classifies_all_change_types(self, spark, tbl):
+        _mk(spark, tbl)
+        v1 = tbl.current_version()
+        tbl.delete_where(spark, F.col("id") % 10 == 3)
+        tbl.update_where(spark, F.col("id") % 10 == 4,
+                         {"txt": F.upper(F.col("txt"))})
+        tbl.merge_upsert(spark, spark.range(3).select(
+            (F.col("id") + 5000).alias("id"),
+            F.lit("new").alias("txt")), "id")
+        pdf = tbl.snapshot_diff(spark, v1, id_col="id").toPandas()
+        by = {k: set(g["id"]) for k, g in pdf.groupby("_change_type")}
+        assert by["delete"] == {i for i in list(range(100))
+                                + list(range(1000, 1100)) if i % 10 == 3}
+        assert by["insert"] == {5000, 5001, 5002}
+        assert by["update_before"] == by["update_after"] == \
+            {i for i in list(range(100)) + list(range(1000, 1100))
+             if i % 10 == 4}
+        ua = pdf[pdf._change_type == "update_after"]
+        assert all(t.startswith(("A", "B")) for t in ua["txt"])
+
+    def test_same_version_and_compaction_empty(self, spark, tbl):
+        _mk(spark, tbl)
+        v = tbl.current_version()
+        assert tbl.snapshot_diff(spark, v, id_col="id").count() == 0
+        tbl.compact(spark, target_files=1)
+        # rows moved files but did not change -> suppressed
+        assert tbl.snapshot_diff(spark, v, id_col="id").count() == 0
+
+    def test_common_files_never_read(self, spark, tbl):
+        _mk(spark, tbl)
+        v1 = tbl.current_version()
+        # touch only the low-id file (stats-pruned delete)
+        tbl.delete_ids(spark, "id", [3, 7])
+        d = tbl.snapshot_diff(spark, v1, id_col="id")
+        read = {os.path.basename(f) for f in d.inputFiles()}
+        common = set(tbl.manifest(v1)["files"]) & \
+            set(tbl.manifest()["files"])
+        assert common, "expected the untouched file to be carried over"
+        assert not {os.path.basename(f) for f in common} & read
+        assert {r["id"] for r in d.collect()} == {3, 7}
+
+    def test_schema_evolution_aligns_as_null(self, spark, tbl):
+        _mk(spark, tbl)
+        v1 = tbl.current_version()
+        extra = spark.range(9000, 9003).toDF("id").select(
+            "id", F.lit("x").alias("txt"), F.lit(1.5).alias("score"))
+        tbl.write(extra.coalesce(1), mode="append", stats_cols=("id",),
+                  allow_schema_evolution=True)
+        pdf = tbl.snapshot_diff(spark, v1, id_col="id").toPandas()
+        # old rows live in common files -> only the inserts appear
+        assert set(pdf["_change_type"]) == {"insert"}
+        assert set(pdf["id"]) == {9000, 9001, 9002}
+        assert list(pdf["score"]) == [1.5, 1.5, 1.5]
+
+    def test_bad_id_col_raises(self, spark, tbl):
+        _mk(spark, tbl)
+        v1 = tbl.current_version()
+        tbl.delete_ids(spark, "id", [3])
+        with pytest.raises(ValueError, match="id_col"):
+            tbl.snapshot_diff(spark, v1, id_col="nope")
