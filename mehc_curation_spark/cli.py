@@ -407,9 +407,13 @@ def main(argv: list[str] | None = None) -> int:
             from mehc_curation_spark.io.catalog import SnapshotTable
 
             t = SnapshotTable(args.output)
-            if os.path.isdir(os.path.join(args.output, "_state")):
+            if (args.action == "compact"
+                    and os.path.isdir(os.path.join(args.output, "_state"))):
                 # incrementally-curated table: bucket-aware compaction
-                # of the labels table + its state sidecar
+                # of the labels table + its state sidecar. ONLY the
+                # compact action reroutes — a takedown/diff/etc. on an
+                # incremental table must run (or refuse) as itself,
+                # never silently compact instead.
                 from mehc_curation_spark.stages.incremental import (
                     compact_increments,
                 )

@@ -70,7 +70,10 @@ class SnapshotTable:
         return max(versions, default=0)
 
     def manifest(self, version: Optional[int] = None) -> dict:
-        v = version or self.current_version()
+        # `is None`, not falsy: version=0 means the EMPTY pre-creation
+        # snapshot (so snapshot_diff(from_version=0) = "everything
+        # since creation" → all inserts), never "current".
+        v = self.current_version() if version is None else version
         if v == 0:
             return {"version": 0, "files": [], "schema": None, "parent": None}
         with open(self._manifest_path(v)) as f:
@@ -125,6 +128,29 @@ class SnapshotTable:
         return all(json.dumps(f, sort_keys=True) in new_fields
                    for f in json.loads(old_json)["fields"])
 
+    def _stage_data_files(self, df: DataFrame,
+                          stats_cols: Optional[tuple[str, ...]] = None,
+                          ) -> tuple[list[str], dict]:
+        """The one staging protocol every physical write shares
+        (write / compact / row-op rewrite): write ``df`` to a private
+        staging dir, move the parquet files into ``data/`` under
+        uuid-prefixed names (no two commits can collide on a name),
+        and collect footer min/max stats. Returns
+        ``(new_rel_files, new_stats)``; the caller owns the manifest
+        commit."""
+        staging = os.path.join(self.path, "_staging", uuid.uuid4().hex[:12])
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(self.data_dir, exist_ok=True)
+        new_files = []
+        for f in sorted(os.listdir(staging)):
+            if f.endswith(".parquet"):
+                dst = f"{uuid.uuid4().hex[:8]}-{f}"
+                shutil.move(os.path.join(staging, f),
+                            os.path.join(self.data_dir, dst))
+                new_files.append(dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        return new_files, self._collect_file_stats(new_files, stats_cols)
+
     def write(self, df: DataFrame, mode: str = "append",
               properties: Optional[dict] = None,
               allow_schema_evolution: bool = False,
@@ -162,19 +188,7 @@ class SnapshotTable:
                     f"schema mismatch appending to {self.path}: table has "
                     f"{parent_manifest['schema']}")
 
-        staging = os.path.join(self.path, "_staging", uuid.uuid4().hex[:12])
-        df.write.mode("overwrite").parquet(staging)
-        os.makedirs(self.data_dir, exist_ok=True)
-        new_files = []
-        for f in sorted(os.listdir(staging)):
-            if f.endswith(".parquet"):
-                dst_name = f"{uuid.uuid4().hex[:8]}-{f}"
-                shutil.move(os.path.join(staging, f),
-                            os.path.join(self.data_dir, dst_name))
-                new_files.append(dst_name)
-        shutil.rmtree(staging, ignore_errors=True)
-
-        new_stats = self._collect_file_stats(new_files, stats_cols)
+        new_files, new_stats = self._stage_data_files(df, stats_cols)
 
         def build(p, pm):
             if p and pm["schema"] and mode == "append":
@@ -412,18 +426,23 @@ class SnapshotTable:
         same = F.struct(*[F.col(f"a.{c}") for c in val_cols]).eqNullSafe(
             F.struct(*[F.col(f"b.{c}") for c in val_cols]))
 
-        def pick(side_, tag):
-            return [F.col(f"{side_}.{c}").alias(c) for c in all_cols] + \
-                   [F.lit(tag).alias("_change_type")]
+        def tagged(side_, tag):
+            return F.struct(*([F.col(f"{side_}.{c}").alias(c)
+                               for c in all_cols]
+                              + [F.lit(tag).alias("_change_type")]))
 
-        deleted = j.filter(in_a & ~in_b).select(*pick("a", "delete"))
-        inserted = j.filter(in_b & ~in_a).select(*pick("b", "insert"))
-        upd_b = j.filter(in_a & in_b & ~same) \
-                 .select(*pick("a", "update_before"))
-        upd_a = j.filter(in_a & in_b & ~same) \
-                 .select(*pick("b", "update_after"))
-        return deleted.unionByName(inserted).unionByName(upd_b) \
-                      .unionByName(upd_a)
+        # ONE pass over the join (a 4-way union of filtered branches
+        # would re-execute the join — and the changed-file reads under
+        # it — once per change type): unchanged rows drop, matched-
+        # and-different rows explode into their before/after pair.
+        return (j.filter(~(in_a & in_b & same))
+                .select(F.explode(
+                    F.when(in_a & ~in_b, F.array(tagged("a", "delete")))
+                    .when(in_b & ~in_a, F.array(tagged("b", "insert")))
+                    .otherwise(F.array(tagged("a", "update_before"),
+                                       tagged("b", "update_after"))))
+                    .alias("_chg"))
+                .select("_chg.*"))
 
     def compact(self, spark: SparkSession, target_files: int = 8,
                 properties: Optional[dict] = None) -> int:
@@ -459,20 +478,8 @@ class SnapshotTable:
         base_stat_cols = tuple(sorted(
             {c for entry in base.get("stats", {}).values() for c in entry}))
         df = self.read(spark).coalesce(max(1, target_files))
-
-        staging = os.path.join(self.path, "_staging", uuid.uuid4().hex[:12])
-        df.write.mode("overwrite").parquet(staging)
-        os.makedirs(self.data_dir, exist_ok=True)
-        new_files = []
-        for f in sorted(os.listdir(staging)):
-            if f.endswith(".parquet"):
-                dst = f"{uuid.uuid4().hex[:8]}-{f}"
-                shutil.move(os.path.join(staging, f),
-                            os.path.join(self.data_dir, dst))
-                new_files.append(dst)
-        shutil.rmtree(staging, ignore_errors=True)
-        new_stats = self._collect_file_stats(
-            new_files, base_stat_cols or None)
+        new_files, new_stats = self._stage_data_files(
+            df, base_stat_cols or None)
 
         def build(p, pm):
             # Concurrency-safe rewrite: the compacted files REPLACE the
@@ -544,16 +551,34 @@ class SnapshotTable:
 
     def _read_rel_files(self, spark: SparkSession,
                         rel_files: list[str],
-                        with_file_col: bool = False) -> DataFrame:
+                        with_file_col: bool = False,
+                        align_to: Optional[str] = None) -> DataFrame:
         """Read exactly ``rel_files`` (manifest-relative); optionally
         tag each row with its source file (relative path) so affected
-        files can be identified distributively."""
+        files can be identified distributively.
+
+        ``align_to`` (a schema JSON string, normally the pinned
+        manifest schema) reconciles schema evolution: columns the
+        selected files predate are added as typed NULLs and the
+        column order follows the pinned schema — without it, a row op
+        whose affected files all predate an added column would fail
+        to resolve that column (mergeSchema only merges what the
+        READ files contain)."""
         from pyspark.sql import functions as F
 
         df = (spark.read.option("basePath", self.data_dir)
               .option("mergeSchema", "true")
               .parquet(*[os.path.join(self.data_dir, f)
                          for f in rel_files]))
+        if align_to:
+            from pyspark.sql.types import StructType
+
+            target = StructType.fromJson(json.loads(align_to))
+            for field in target.fields:
+                if field.name not in df.columns:
+                    df = df.withColumn(field.name,
+                                       F.lit(None).cast(field.dataType))
+            df = df.select(*[f.name for f in target.fields])
         if with_file_col:
             df = df.withColumn(self._FILE_COL, F.input_file_name())
         return df
@@ -588,23 +613,11 @@ class SnapshotTable:
         base = self.manifest()
         base_stat_cols = tuple(sorted(
             {c for entry in base.get("stats", {}).values() for c in entry}))
-
-        staging = os.path.join(self.path, "_staging", uuid.uuid4().hex[:12])
         # keep file granularity ~the rewritten file count (coalesce =
         # no extra shuffle; a join upstream already repartitioned)
-        rewritten.coalesce(max(1, len(affected))).write \
-            .mode("overwrite").parquet(staging)
-        os.makedirs(self.data_dir, exist_ok=True)
-        new_files = []
-        for f in sorted(os.listdir(staging)):
-            if f.endswith(".parquet"):
-                dst = f"{uuid.uuid4().hex[:8]}-{f}"
-                shutil.move(os.path.join(staging, f),
-                            os.path.join(self.data_dir, dst))
-                new_files.append(dst)
-        shutil.rmtree(staging, ignore_errors=True)
-        new_stats = self._collect_file_stats(new_files,
-                                             base_stat_cols or None)
+        new_files, new_stats = self._stage_data_files(
+            rewritten.coalesce(max(1, len(affected))),
+            base_stat_cols or None)
         affected_set = set(affected)
 
         def build(p, pm):
@@ -655,11 +668,12 @@ class SnapshotTable:
             else list(m["files"])
         if not cand:
             return m["version"]
-        scan = self._read_rel_files(spark, cand, with_file_col=True)
+        scan = self._read_rel_files(spark, cand, with_file_col=True,
+                                    align_to=m["schema"])
         affected = self._collect_affected(scan.filter(cond))
         if not affected:
             return m["version"]
-        keep = (self._read_rel_files(spark, affected)
+        keep = (self._read_rel_files(spark, affected, align_to=m["schema"])
                 .filter(~F.coalesce(cond.cast("boolean"), F.lit(False))))
         return self._commit_rewrite(
             spark, affected, keep, "delete",
@@ -707,12 +721,13 @@ class SnapshotTable:
         # large list: broadcast one-column join, not a giant isin()
         ids_df = spark.createDataFrame([(v,) for v in svals], [id_col])
         # large list: detection + rewrite via broadcast semi/anti joins
-        scan = self._read_rel_files(spark, cand, with_file_col=True)
+        scan = self._read_rel_files(spark, cand, with_file_col=True,
+                                    align_to=m["schema"])
         affected = self._collect_affected(
             scan.join(F.broadcast(ids_df), id_col, "left_semi"))
         if not affected:
             return m["version"]
-        keep = (self._read_rel_files(spark, affected)
+        keep = (self._read_rel_files(spark, affected, align_to=m["schema"])
                 .join(F.broadcast(ids_df), id_col, "left_anti"))
         return self._commit_rewrite(
             spark, affected, keep, "delete",
@@ -742,16 +757,25 @@ class SnapshotTable:
                 f"update_where: assignment to non-existent column(s) "
                 f"{sorted(bad)}; the snapshot schema is pinned")
         scan = self._read_rel_files(spark, list(m["files"]),
-                                    with_file_col=True)
+                                    with_file_col=True,
+                                    align_to=m["schema"])
         affected = self._collect_affected(scan.filter(cond))
         if not affected:
             return m["version"]
-        df = self._read_rel_files(spark, affected)
+        df = self._read_rel_files(spark, affected, align_to=m["schema"])
         old_schema = df.schema.json()
-        for name, expr in assignments.items():
-            new = F.expr(expr) if isinstance(expr, str) else expr
-            df = df.withColumn(name, F.when(cond, new)
-                               .otherwise(F.col(name)))
+        # ONE select: the condition and every assignment RHS resolve
+        # against the PRE-update row (SQL UPDATE semantics) — a
+        # sequential withColumn chain would feed each assignment the
+        # previous one's output ({"a": col("b"), "b": col("a")} must
+        # swap, and a condition on an assigned column must not
+        # re-evaluate against the new value).
+        new_exprs = {name: (F.expr(e) if isinstance(e, str) else e)
+                     for name, e in assignments.items()}
+        df = df.select(*[
+            F.when(cond, new_exprs[c]).otherwise(F.col(c)).alias(c)
+            if c in new_exprs else F.col(c)
+            for c in df.columns])
         if json.loads(df.schema.json()) != json.loads(old_schema):
             raise ValueError(
                 "update_where: assignments changed column types "
@@ -803,20 +827,45 @@ class SnapshotTable:
             agg = src.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count(key_col).alias("nk"),
-                F.countDistinct(key_col).alias("nd")).first()
+                F.countDistinct(key_col).alias("nd"),
+                F.min(key_col).alias("kmin"),
+                F.max(key_col).alias("kmax")).first()
             if agg["nk"] != agg["n"]:
                 raise ValueError("merge_upsert: NULL source key(s)")
             if agg["nd"] != agg["nk"]:
                 raise ValueError(
                     "merge_upsert: duplicate source keys (MERGE "
                     "cardinality: at most one source row per key)")
+            # manifest-stats pruning of the DETECTION scan (same move
+            # as delete_ids): a file whose key-column min/max range
+            # cannot overlap [min(src), max(src)] cannot contain any
+            # matched key — a 3-row label correction against a
+            # million-file table opens only the overlapping files.
+            stats = m.get("stats", {})
+
+            def _may_match(entry) -> bool:
+                rng = entry.get(key_col)
+                if rng is None:
+                    return True  # no stats: must scan (stay sound)
+                try:
+                    return not (rng[1] < agg["kmin"]
+                                or rng[0] > agg["kmax"])
+                except TypeError:
+                    return True  # incomparable stats: must scan
+            cand = [f for f in m["files"]
+                    if _may_match(stats.get(f, {}))]
             keys = src.select(key_col)
-            scan = self._read_rel_files(spark, list(m["files"]),
-                                        with_file_col=True)
-            affected = self._collect_affected(
-                scan.join(F.broadcast(keys), key_col, "left_semi"))
+            affected = []
+            if cand:
+                scan = self._read_rel_files(spark, cand,
+                                            with_file_col=True,
+                                            align_to=m["schema"])
+                affected = self._collect_affected(
+                    scan.join(F.broadcast(keys), key_col, "left_semi"))
             if affected:
-                untouched_rows = (self._read_rel_files(spark, affected)
+                untouched_rows = (self._read_rel_files(
+                                      spark, affected,
+                                      align_to=m["schema"])
                                   .join(F.broadcast(keys), key_col,
                                         "left_anti")
                                   .select(*table_cols))

@@ -195,7 +195,7 @@ def per_domain_cap(df: DataFrame, id_col: str, domain_col: str,
 
     if cap < 1:
         raise ValueError("cap must be >= 1")
-    for c in ("domain_rank", "_u48", "_dom", "_salt"):
+    for c in ("domain_rank", "_u48", "_dom", "_salt", "_r1"):
         if c in df.columns:
             raise ValueError(
                 f"input already has a {c!r} column, which this "

@@ -178,6 +178,17 @@ def test_table_row_ops_cli(tmp_path_factory):
     rows = current_rows()
     assert rows[5] == "UPD" and rows[900] == "NEW" and len(rows) == 89
 
+    # a _state sidecar dir must NOT reroute row actions into the
+    # incremental-compaction intercept (only `compact` reroutes) — a
+    # takedown that silently compacts instead is a legal-hold failure
+    os.makedirs(os.path.join(tbl, "_state"), exist_ok=True)
+    out = json.loads(_run(["table", "delete", "-o", tbl, "--cores", "4",
+                           "--where", "id = 2"])
+                     .stdout.strip().splitlines()[-1])
+    assert out["changed"] is True
+    rows = current_rows()
+    assert 2 not in rows and len(rows) == 88
+
 
 def test_crossdedup_cli_text_and_embedding(tmp_path_factory):
     """crossdedup subcommand: decontaminate candidates vs a reference

@@ -348,3 +348,98 @@ class TestSnapshotDiff:
         tbl.delete_ids(spark, "id", [3])
         with pytest.raises(ValueError, match="id_col"):
             tbl.snapshot_diff(spark, v1, id_col="nope")
+
+
+# ---------------------------------------------------------------------------
+# review regressions: UPDATE pre-row semantics, schema evolution, pruning
+# ---------------------------------------------------------------------------
+
+class TestUpdateSemantics:
+    def test_assignments_see_pre_update_row(self, spark, tbl):
+        # SQL UPDATE evaluates every RHS against the OLD row: a swap
+        # must swap (a withColumn chain would feed b the new a)
+        df = spark.createDataFrame([(1, 10, 20), (2, 30, 40)],
+                                   "id long, a long, b long")
+        tbl.write(df.coalesce(1), stats_cols=("id",))
+        tbl.update_where(spark, F.col("a") == 10,
+                         {"a": F.col("b"), "b": F.col("a")})
+        rows = {r["id"]: (r["a"], r["b"])
+                for r in tbl.read(spark).collect()}
+        assert rows[1] == (20, 10)
+        assert rows[2] == (30, 40)
+
+    def test_condition_on_assigned_column(self, spark, tbl):
+        # condition references a column the first assignment rewrites:
+        # the SECOND assignment must still fire (old-row condition)
+        _mk(spark, tbl)
+        tbl.update_where(spark, "txt = 'a1'",
+                         {"txt": "'z1'", "id": "id + 100000"})
+        rows = {r["txt"]: r["id"] for r in tbl.read(spark).collect()}
+        assert rows["z1"] == 100001
+        assert "a1" not in rows
+
+
+class TestRowOpsAfterSchemaEvolution:
+    def _evolve(self, spark, tbl):
+        _mk(spark, tbl)  # two pre-evolution files (no `score`)
+        extra = spark.range(9000, 9003).toDF("id").select(
+            "id", F.lit("x").alias("txt"), F.lit(1.5).alias("score"))
+        tbl.write(extra.coalesce(1), mode="append", stats_cols=("id",),
+                  allow_schema_evolution=True)
+
+    def test_update_condition_mixing_old_and_evolved_cols(self, spark, tbl):
+        self._evolve(spark, tbl)
+        # affected file predates the evolution -> needs NULL alignment
+        tbl.update_where(spark, "(score > 2.0) OR id = 5",
+                         {"txt": "upper(txt)"})
+        rows = {r["id"]: r for r in tbl.read(spark).collect()}
+        assert rows[5]["txt"] == "A5" and rows[5]["score"] is None
+        assert rows[6]["txt"] == "a6"
+
+    def test_merge_key_in_pre_evolution_file(self, spark, tbl):
+        self._evolve(spark, tbl)
+        src = spark.createDataFrame([(7, "merged", 9.9)],
+                                    "id long, txt string, score double")
+        tbl.merge_upsert(spark, src, "id")
+        rows = {r["id"]: r for r in tbl.read(spark).collect()}
+        assert rows[7]["txt"] == "merged" and rows[7]["score"] == 9.9
+        assert rows[9000]["score"] == 1.5
+
+    def test_delete_on_evolved_column(self, spark, tbl):
+        self._evolve(spark, tbl)
+        tbl.delete_where(spark, "score > 1.0")
+        ids = {r["id"] for r in tbl.read(spark).collect()}
+        assert not ids & {9000, 9001, 9002}
+        assert 5 in ids  # NULL score -> condition NULL -> row kept
+
+
+def test_merge_detection_pruned_by_key_stats(spark, tbl, monkeypatch):
+    """A source whose key range cannot overlap a file's recorded
+    min/max stats must never open that file — detection included."""
+    _mk(spark, tbl)
+    low_file = tbl.manifest(1)["files"][0]  # the 0-99 file
+    calls = []
+    orig = SnapshotTable._read_rel_files
+
+    def spy(self, spark_, rel_files, with_file_col=False, align_to=None):
+        calls.append(list(rel_files))
+        return orig(self, spark_, rel_files,
+                    with_file_col=with_file_col, align_to=align_to)
+    monkeypatch.setattr(SnapshotTable, "_read_rel_files", spy)
+    src = spark.createDataFrame([(1001, "upd"), (1098, "upd2")],
+                                "id long, txt string")
+    tbl.merge_upsert(spark, src, "id")
+    assert calls, "expected at least the detection scan"
+    assert all(low_file not in c for c in calls)
+    rows = {r["id"]: r["txt"] for r in tbl.read(spark).collect()}
+    assert rows[1001] == "upd" and rows[1098] == "upd2"
+    assert rows[0] == "a0" and len(rows) == 200
+
+
+def test_snapshot_diff_from_version_zero_is_all_inserts(spark, tbl):
+    """from_version=0 = the empty pre-creation snapshot ('everything
+    since creation'), never a silent diff of current-vs-current."""
+    _mk(spark, tbl)
+    pdf = tbl.snapshot_diff(spark, 0, id_col="id").toPandas()
+    assert set(pdf["_change_type"]) == {"insert"}
+    assert len(pdf) == 200

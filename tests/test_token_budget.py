@@ -192,3 +192,18 @@ def test_domain_cap_validation(spark):
     with _pytest.raises(ValueError, match="domain_rank"):
         per_domain_cap(df.withColumn("domain_rank", F.lit(1)),
                        "doc_id", "domain", cap=1)
+
+
+def test_domain_cap_rejects_all_reserved_columns(spark):
+    """Every internal column — including _r1, which the operator
+    overwrites with row_number and then drops — must be refused on
+    input, not silently clobbered."""
+    import pytest as _pytest
+
+    from mehc_curation_spark.operators.sampling import per_domain_cap
+    base = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("d").alias("domain"))
+    for c in ("domain_rank", "_u48", "_dom", "_salt", "_r1"):
+        bad = base.withColumn(c, F.lit(1))
+        with _pytest.raises(ValueError, match=c):
+            per_domain_cap(bad, "doc_id", "domain", cap=2)
