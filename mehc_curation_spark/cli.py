@@ -292,7 +292,7 @@ def build_parser() -> argparse.ArgumentParser:
     tm.add_argument("action",
                     choices=["compact", "expire", "orphans", "history",
                              "delete", "takedown", "update", "merge",
-                             "diff"])
+                             "diff", "tag", "untag", "rollback"])
     tm.add_argument("-o", "--output", required=True,
                     help="table path (a run_curate/SnapshotTable output)")
     tm.add_argument("--target_files", type=int, default=8,
@@ -326,6 +326,12 @@ def build_parser() -> argparse.ArgumentParser:
     tm.add_argument("--diff_out", default=None,
                     help="diff: optional parquet path for the "
                          "changelog rows (else counts only)")
+    tm.add_argument("--name", default=None,
+                    help="tag/untag: tag name (tagged snapshots "
+                         "survive expire until untagged)")
+    tm.add_argument("--at", default=None,
+                    help="tag: version to pin (default current); "
+                         "rollback: target version or tag name")
     tm.add_argument("--cores", type=int, default=-1)
     tm.add_argument("--master", default=None)
     return p
@@ -376,7 +382,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"py_files": path}))
         return 0
 
-    if args.cmd == "table" and args.action in ("orphans", "history", "expire"):
+    if args.cmd == "table" and args.action in (
+            "orphans", "history", "expire", "tag", "untag", "rollback"):
         # metadata/filesystem-only actions need no SparkSession
         from mehc_curation_spark.io.catalog import SnapshotTable
 
@@ -387,6 +394,27 @@ def main(argv: list[str] | None = None) -> int:
             removed = t.expire_snapshots(keep_last=args.keep_last)
             print(json.dumps({"files_removed": removed,
                               "current": t.current_version()}))
+        elif args.action == "tag":
+            if not args.name:
+                raise SystemExit("table tag requires --name")
+            at = (int(args.at) if args.at and args.at.isdigit()
+                  else args.at)
+            v = t.tag(args.name, at)
+            print(json.dumps({"tag": args.name, "version": v}))
+        elif args.action == "untag":
+            if not args.name:
+                raise SystemExit("table untag requires --name")
+            t.drop_tag(args.name)
+            print(json.dumps({"untagged": args.name,
+                              "tags": t.tags()}))
+        elif args.action == "rollback":
+            if args.at is None:
+                raise SystemExit("table rollback requires --at "
+                                 "(version or tag)")
+            target = int(args.at) if args.at.isdigit() else args.at
+            v = t.rollback(target)
+            print(json.dumps({"rolled_back_to": t.resolve_ref(target),
+                              "new_version": v}))
         else:
             hist = []
             for v in range(1, t.current_version() + 1):
@@ -396,7 +424,8 @@ def main(argv: list[str] | None = None) -> int:
                 hist.append({"version": v, "files": len(m["files"]),
                              "properties": m.get("properties", {})})
             print(json.dumps({"current": t.current_version(),
-                              "snapshots": hist}))
+                              "snapshots": hist,
+                              "tags": t.tags()}))
         return 0
 
     from mehc_curation_spark.session import get_spark

@@ -69,10 +69,15 @@ class SnapshotTable:
                     and f[1:-5].isdigit()]
         return max(versions, default=0)
 
-    def manifest(self, version: Optional[int] = None) -> dict:
+    def manifest(self, version=None) -> dict:
         # `is None`, not falsy: version=0 means the EMPTY pre-creation
         # snapshot (so snapshot_diff(from_version=0) = "everything
-        # since creation" → all inserts), never "current".
+        # since creation" → all inserts), never "current". A string
+        # resolves as a tag name (Iceberg ref analog), so every
+        # manifest-routed read (read / files_pruned / snapshot_diff /
+        # read_incremental) accepts tags for free.
+        if isinstance(version, str):
+            version = self.resolve_ref(version)
         v = self.current_version() if version is None else version
         if v == 0:
             return {"version": 0, "files": [], "schema": None, "parent": None}
@@ -960,11 +965,132 @@ class SnapshotTable:
                     removed += 1
         return removed
 
+    # -- refs: tags + rollback ------------------------------------------
+    #
+    # Iceberg refs analog: a TAG pins a snapshot version under a name
+    # ("prod", "pre-migration-audit") — tagged snapshots are retained
+    # by expire_snapshots regardless of keep_last, and every
+    # manifest-routed read accepts a tag wherever it accepts a version.
+    # ROLLBACK re-commits an old snapshot's content as a NEW version
+    # (history is preserved; nothing is deleted), the
+    # rollback_to_snapshot analog for "the re-scrub was wrong, serve
+    # yesterday's labels while we fix it".
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.meta_dir, "refs.json")
+
+    def tags(self) -> dict:
+        """Current tag map ``{name: version}``."""
+        try:
+            with open(self._refs_path()) as f:
+                return dict(json.load(f).get("tags", {}))
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def resolve_ref(self, ref) -> int:
+        """A version int passes through; a string resolves as a tag."""
+        if not isinstance(ref, str):
+            return ref
+        tags = self.tags()
+        if ref not in tags:
+            raise KeyError(
+                f"{self.path}: no tag {ref!r} (tags: {sorted(tags)})")
+        return tags[ref]
+
+    def _mutate_refs(self, fn) -> dict:
+        """Read-modify-write refs.json under an exclusive lock file
+        (same single-writer discipline as the manifest CAS, but refs
+        are mutable so a lock beats linked immutable versions).
+        Durable: tmp + fsync + rename."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        lock = self._refs_path() + ".lock"
+        deadline = time.time() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"{self.path}: refs lock held too long ({lock}); "
+                        "remove it if its owner crashed")
+                time.sleep(0.05)
+        try:
+            refs = {"tags": self.tags()}
+            refs = fn(refs)
+            tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(refs, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._refs_path())
+            return refs
+        finally:
+            os.remove(lock)
+
+    def tag(self, name: str, version=None) -> int:
+        """Pin ``version`` (default current) under ``name``. Re-tagging
+        an existing name moves it. Returns the pinned version."""
+        v = self.resolve_ref(version) if version is not None \
+            else self.current_version()
+        if v < 1 or not os.path.exists(self._manifest_path(v)):
+            raise FileNotFoundError(
+                f"{self.path}: cannot tag v{v} — no such snapshot")
+
+        def mut(refs):
+            refs["tags"][name] = v
+            return refs
+        self._mutate_refs(mut)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        def mut(refs):
+            if name not in refs["tags"]:
+                raise KeyError(f"{self.path}: no tag {name!r}")
+            del refs["tags"][name]
+            return refs
+        self._mutate_refs(mut)
+
+    def rollback(self, version) -> int:
+        """Re-commit snapshot ``version`` (int or tag) as a NEW current
+        version — content identical (files/stats/schema), history
+        preserved. Aborts if the target's data files were already
+        expired off disk."""
+        self._refuse_on_ledger("rollback")
+        v = self.resolve_ref(version)
+        if v < 1 or not os.path.exists(self._manifest_path(v)):
+            raise FileNotFoundError(
+                f"{self.path}: cannot rollback to v{v} — no such "
+                "snapshot (expired?)")
+        m = self.manifest(v)
+        missing = [f for f in m["files"]
+                   if not os.path.exists(os.path.join(self.data_dir, f))]
+        if missing:
+            raise FileNotFoundError(
+                f"{self.path}: rollback target v{v} references data "
+                f"files no longer on disk (expired/orphan-swept), e.g. "
+                f"{missing[:3]}")
+
+        def build(p, pm):
+            return {
+                "ts": time.time(),
+                "files": list(m["files"]),
+                "stats": dict(m.get("stats", {})),
+                "schema": m["schema"],
+                "properties": {**(m.get("properties") or {}),
+                               "rollback_of": v},
+            }
+        return self._commit_manifest(build)
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop manifests older than the newest `keep_last` and delete
-        data files no newer manifest references. Returns files removed."""
+        data files no newer manifest references. Returns files removed.
+        Tagged snapshots are ALWAYS retained (manifest + data files) —
+        dropping the tag releases them."""
         cur = self.current_version()
         keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
+        keep_versions.update(v for v in self.tags().values() if v <= cur)
         live_files: set[str] = set()
         known: set[str] = set()
         for v in range(1, cur + 1):
@@ -978,6 +1104,8 @@ class SnapshotTable:
         # the next expire), never a readable manifest that references
         # deleted data.
         for v in range(1, max(1, cur - keep_last + 1)):
+            if v in keep_versions:
+                continue  # tagged: retained until the tag drops
             p = self._manifest_path(v)
             if os.path.exists(p):
                 os.remove(p)

@@ -281,3 +281,80 @@ def test_compaction_and_orphan_cleanup(spark, tmp_path):
     # nothing referenced was touched
     assert t.read(spark).count() == 600
     assert t.read(spark, version=v - 1).count() == 600
+
+
+# ---------------------------------------------------------------------------
+# refs: tags + rollback (Iceberg ref analog)
+# ---------------------------------------------------------------------------
+
+class TestTagsAndRollback:
+    def test_tag_resolves_everywhere_manifest_does(self, spark, tbl):
+        tbl.write(spark.range(5).toDF("id"))
+        tbl.write(spark.range(5, 8).toDF("id"))
+        assert tbl.tag("prod", 1) == 1
+        assert tbl.tags() == {"prod": 1}
+        # every manifest-routed read accepts the tag
+        assert tbl.read(spark, version="prod").count() == 5
+        assert tbl.manifest("prod")["version"] == 1
+        pdf = tbl.snapshot_diff(spark, "prod", id_col="id").toPandas()
+        assert set(pdf["_change_type"]) == {"insert"}
+        assert set(pdf["id"]) == {5, 6, 7}
+
+    def test_tag_default_current_and_retag_moves(self, spark, tbl):
+        tbl.write(spark.range(3).toDF("id"))
+        assert tbl.tag("latest") == 1
+        tbl.write(spark.range(3, 5).toDF("id"))
+        assert tbl.tag("latest") == 2  # re-tag moves the name
+        assert tbl.tags() == {"latest": 2}
+        tbl.drop_tag("latest")
+        assert tbl.tags() == {}
+        with pytest.raises(KeyError):
+            tbl.drop_tag("latest")
+        with pytest.raises(KeyError, match="no tag"):
+            tbl.read(spark, version="latest")
+
+    def test_tag_nonexistent_version_refused(self, spark, tbl):
+        tbl.write(spark.range(3).toDF("id"))
+        with pytest.raises(FileNotFoundError):
+            tbl.tag("future", 99)
+
+    def test_tagged_snapshot_survives_expire(self, spark, tbl):
+        tbl.write(spark.range(3).toDF("id"))
+        tbl.write(spark.range(3, 6).toDF("id"), mode="overwrite")
+        tbl.write(spark.range(6, 9).toDF("id"), mode="overwrite")
+        tbl.tag("audit", 1)
+        tbl.expire_snapshots(keep_last=1)
+        # v1 manifest + data retained by the tag; v2 expired
+        assert tbl.read(spark, version="audit").count() == 3
+        assert sorted(r["id"] for r in
+                      tbl.read(spark, version="audit").collect()) == [0, 1, 2]
+        with pytest.raises(FileNotFoundError):
+            tbl.manifest(2)
+        # dropping the tag releases v1 on the next expire
+        tbl.drop_tag("audit")
+        tbl.expire_snapshots(keep_last=1)
+        with pytest.raises(FileNotFoundError):
+            tbl.manifest(1)
+
+    def test_rollback_restores_content_as_new_version(self, spark, tbl):
+        tbl.write(spark.range(5).toDF("id"))
+        tbl.write(spark.range(100, 103).toDF("id"), mode="overwrite")
+        v = tbl.rollback(1)
+        assert v == 3 and tbl.current_version() == 3
+        assert sorted(r["id"] for r in tbl.read(spark).collect()) == \
+            [0, 1, 2, 3, 4]
+        assert tbl.manifest()["properties"]["rollback_of"] == 1
+        # history preserved: v2 still readable
+        assert tbl.read(spark, version=2).count() == 3
+        # rollback accepts a tag
+        tbl.tag("v2", 2)
+        tbl.rollback("v2")
+        assert sorted(r["id"] for r in tbl.read(spark).collect()) == \
+            [100, 101, 102]
+
+    def test_rollback_to_expired_snapshot_refused(self, spark, tbl):
+        tbl.write(spark.range(3).toDF("id"))
+        tbl.write(spark.range(5).toDF("id"), mode="overwrite")
+        tbl.expire_snapshots(keep_last=1)
+        with pytest.raises(FileNotFoundError, match="rollback"):
+            tbl.rollback(1)
