@@ -1912,6 +1912,47 @@ def doc_catalog_diff(spark, sf_dir):
              "n_chars long, _change_type string")
 
 
+def doc_zorder_scan(spark, sf_dir):
+    """Z-order clustered compaction + multi-column pruned range read
+    (io/catalog.py:compact(cluster_by=...) over operators/zorder.py —
+    the OPTIMIZE ZORDER BY analog), FULLY value-oracled: build a
+    snapshot table from ``documents``, z-order-compact it on
+    (n_chars, doc_id), then serve a 2-D range read through the
+    manifest-stats pruned path. The oracle restates the plain
+    relational answer — skipping must be SOUND (no row lost, no row
+    added), which is exactly what the value hash checks. The pruning
+    RATIO itself is asserted engine-side: if the clustered layout
+    stops skipping on either column, this query raises rather than
+    silently scanning everything (tests/test_zorder.py pins the exact
+    ratios)."""
+    import shutil
+    import tempfile
+
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    d = _t(spark, sf_dir, "documents").select(*cols)
+    hi_id = d.agg(F.max("doc_id")).first()[0]
+    ranges = [("n_chars", 200, 400), ("doc_id", 0, hi_id // 4)]
+    tmp = tempfile.mkdtemp(prefix="mehc_zorder_")
+    try:
+        tbl = SnapshotTable(os.path.join(tmp, "docs"))
+        tbl.write(d.repartition(16), stats_cols=("n_chars", "doc_id"))
+        tbl.compact(spark, target_files=16,
+                    cluster_by=("n_chars", "doc_id"))
+        for col, lo, hi in ranges:
+            sel, total = tbl.files_pruned((col, lo, hi))
+            if total >= 8 and sel == total:
+                raise AssertionError(
+                    f"z-order layout stopped pruning on {col}: "
+                    f"{sel}/{total} files selected")
+        pdf = tbl.read(spark, between=ranges).select(*cols).toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "doc_id long, lang string, source string, n_chars long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1955,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_catalog_row_ops": doc_catalog_row_ops,
         "doc_catalog_diff": doc_catalog_diff,
+        "doc_zorder_scan": doc_zorder_scan,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
@@ -2849,6 +2891,13 @@ def oracle_sql() -> dict[str, str]:
                    'update_after' AS _change_type FROM upd
             UNION ALL
             SELECT * FROM ins
+        """,
+        "doc_zorder_scan": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE n_chars BETWEEN 200 AND 400
+              AND doc_id BETWEEN 0 AND
+                  (SELECT max(doc_id) // 4 FROM documents)
         """,
         "orders_dup_report": """
             SELECT o_custkey,

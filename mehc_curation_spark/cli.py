@@ -297,6 +297,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="table path (a run_curate/SnapshotTable output)")
     tm.add_argument("--target_files", type=int, default=8,
                     help="compact: files to coalesce into")
+    tm.add_argument("--cluster_by", default=None,
+                    help="compact: comma-separated numeric columns to "
+                         "Z-ORDER the rewrite by (every output file "
+                         "covers a tight range in ALL of them; range "
+                         "reads on any prune files)")
     tm.add_argument("--keep_last", type=int, default=2,
                     help="expire: snapshots to keep")
     tm.add_argument("--where", default=None,
@@ -454,9 +459,15 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(compact_increments(spark, args.output)))
                 return 0
             if args.action == "compact":
-                v = t.compact(spark, target_files=args.target_files)
+                cb = (tuple(s.strip() for s in args.cluster_by.split(",")
+                            if s.strip())
+                      if args.cluster_by else None)
+                v = t.compact(spark, target_files=args.target_files,
+                              cluster_by=cb)
                 print(json.dumps({"compacted_version": v,
-                                  "files": len(t.manifest(v)["files"])}))
+                                  "files": len(t.manifest(v)["files"]),
+                                  **({"cluster_by": list(cb)} if cb
+                                     else {})}))
                 return 0
             if args.action == "diff":
                 from pyspark.sql import functions as F

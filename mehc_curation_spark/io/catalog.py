@@ -302,27 +302,41 @@ class SnapshotTable:
 
     # -- read ---------------------------------------------------------------
 
+    @staticmethod
+    def _between_list(between) -> list[tuple]:
+        """Normalize ``between``: one (col, lo, hi) triple or a list of
+        them (multi-column skipping over a z-ordered layout ANDs the
+        per-column prunes)."""
+        if between is None:
+            return []
+        if isinstance(between[0], str):
+            return [tuple(between)]
+        return [tuple(b) for b in between]
+
     def read(self, spark: SparkSession,
-             version: Optional[int] = None,
-             between: Optional[tuple[str, float, float]] = None) -> DataFrame:
-        """Read a snapshot; `between=(col, lo, hi)` additionally prunes
-        at the FILE level using the manifest's per-file min/max stats
-        (files whose range cannot overlap are never opened — the
-        Iceberg data-skipping analog) and applies the row-level filter
-        on what remains. Files without recorded stats are always read
-        (skipping must be sound, never lossy)."""
+             version=None,
+             between=None) -> DataFrame:
+        """Read a snapshot; `between=(col, lo, hi)` — or a LIST of such
+        triples (ANDed; the multi-column read a z-ordered layout
+        serves) — additionally prunes at the FILE level using the
+        manifest's per-file min/max stats (files whose range cannot
+        overlap are never opened — the Iceberg data-skipping analog)
+        and applies the row-level filter on what remains. Files
+        without recorded stats are always read (skipping must be
+        sound, never lossy)."""
         m = self.manifest(version)
         if not m["files"]:
             raise FileNotFoundError(f"{self.path}: no committed snapshot")
         files = m["files"]
-        if between is not None:
-            col, lo, hi = between
+        ranges = self._between_list(between)
+        if ranges:
             stats = m.get("stats", {})
-            files = [
-                f for f in files
-                if col not in stats.get(f, {})
-                or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
-            ]
+            for col, lo, hi in ranges:
+                files = [
+                    f for f in files
+                    if col not in stats.get(f, {})
+                    or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+                ]
             if not files:
                 # empty selection: preserve schema via a no-row filter
                 full = (spark.read.option("basePath", self.data_dir)
@@ -338,23 +352,25 @@ class SnapshotTable:
         # reconciles pre-evolution files (missing columns read as NULL)
         df = (spark.read.option("basePath", self.data_dir)
               .option("mergeSchema", "true").parquet(*paths))
-        if between is not None:
+        if ranges:
             from pyspark.sql import functions as F
 
-            col, lo, hi = between
-            df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            for col, lo, hi in ranges:
+                df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return df
 
-    def files_pruned(self, between: tuple[str, float, float],
-                     version: Optional[int] = None) -> tuple[int, int]:
+    def files_pruned(self, between,
+                     version=None) -> tuple[int, int]:
         """(selected, total) file counts for a range read — the
-        observable data-skipping ratio (used by tests/monitoring)."""
+        observable data-skipping ratio (used by tests/monitoring).
+        ``between`` is one (col, lo, hi) triple or a list (ANDed)."""
         m = self.manifest(version)
-        col, lo, hi = between
         stats = m.get("stats", {})
-        sel = [f for f in m["files"]
-               if col not in stats.get(f, {})
-               or not (stats[f][col][1] < lo or stats[f][col][0] > hi)]
+        sel = list(m["files"])
+        for col, lo, hi in self._between_list(between):
+            sel = [f for f in sel
+                   if col not in stats.get(f, {})
+                   or not (stats[f][col][1] < lo or stats[f][col][0] > hi)]
         return len(sel), len(m["files"])
 
     def read_incremental(self, spark: SparkSession, since_version: int,
@@ -450,7 +466,8 @@ class SnapshotTable:
                 .select("_chg.*"))
 
     def compact(self, spark: SparkSession, target_files: int = 8,
-                properties: Optional[dict] = None) -> int:
+                properties: Optional[dict] = None,
+                cluster_by: Optional[tuple[str, ...]] = None) -> int:
         """Rewrite-data-files analog (the small-files cure): read the
         current snapshot, coalesce into ``target_files`` right-sized
         files, and commit them as a NEW overwrite snapshot with the
@@ -460,6 +477,15 @@ class SnapshotTable:
         and a footer read; periodic compaction keeps scan parallelism
         matched to data volume. Time travel still sees the
         pre-compaction snapshots until ``expire_snapshots``.
+
+        ``cluster_by=(colA, colB, ...)`` additionally Z-ORDERS the
+        rewrite (OPTIMIZE ZORDER BY analog): rows are range-partitioned
+        on the interleaved-bit Morton value of the named numeric
+        columns, so every output file covers a tight hyper-rectangle
+        in ALL of them and range reads on ANY clustered column prune
+        files (see :mod:`..operators.zorder`). Stats for the clustered
+        columns are recorded so :meth:`read`'s ``between`` pruning
+        sees them.
 
         Refused on LEDGER-managed tables (a run_curate output): their
         layout is already one right-sized file per phash bucket, the
@@ -482,9 +508,17 @@ class SnapshotTable:
         # destroyed data skipping for non-default tables)
         base_stat_cols = tuple(sorted(
             {c for entry in base.get("stats", {}).values() for c in entry}))
-        df = self.read(spark).coalesce(max(1, target_files))
+        if cluster_by:
+            from mehc_curation_spark.operators.zorder import zorder_layout
+
+            df = zorder_layout(self.read(spark), cluster_by,
+                               max(1, target_files))
+            stat_cols = tuple(sorted(set(base_stat_cols) | set(cluster_by)))
+        else:
+            df = self.read(spark).coalesce(max(1, target_files))
+            stat_cols = base_stat_cols
         new_files, new_stats = self._stage_data_files(
-            df, base_stat_cols or None)
+            df, stat_cols or None)
 
         def build(p, pm):
             # Concurrency-safe rewrite: the compacted files REPLACE the
@@ -522,7 +556,9 @@ class SnapshotTable:
                 # properties hold application state — e.g. a persisted
                 # IVF index's centroid matrix — must not brick it
                 "properties": {**pm.get("properties", {}),
-                               **(properties or {}), "compaction": True},
+                               **(properties or {}), "compaction": True,
+                               **({"cluster_by": list(cluster_by)}
+                                  if cluster_by else {})},
             }
 
         return self._commit_manifest(build)
