@@ -1953,6 +1953,119 @@ def doc_zorder_scan(spark, sf_dir):
         pdf, "doc_id long, lang string, source string, n_chars long")
 
 
+_URL_SYNTH_SQL = """
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN concat('https://www.', source,
+                         '.example.com:443/a/b?utm_source=t&b=2&a=1#frag')
+      WHEN 1 THEN concat('https://', source, '.example.com/a/b?a=1&b=2')
+      WHEN 2 THEN concat('HTTP://', upper(source), '.EXAMPLE.COM:80/c/')
+      WHEN 3 THEN concat('http://', source, '.example.com/c')
+      WHEN 4 THEN concat('https://', source, '.example.com/d?gclid=x&id=',
+                         doc_id % 7)
+      ELSE concat('https://', source, '.example.com/d?id=', doc_id % 7)
+    END
+"""
+
+
+#: DuckDB restatement of canonicalize_url_col, step by step. Every
+#: regexp is anchored (^ or $), which makes Spark's replace-ALL and
+#: DuckDB's replace-FIRST semantics coincide; the param filter/sort
+#: uses list lambdas mirroring F.filter/F.array_sort.
+_URL_CANON_ORACLE = r"""
+    WITH base AS (
+        SELECT doc_id, """ + _URL_SYNTH_SQL + r""" AS url
+        FROM documents
+        WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    ),
+    s1 AS (
+        SELECT doc_id, url,
+               regexp_replace(trim(url), '#.*$', '') AS u
+        FROM base
+    ),
+    s2 AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://',
+                                    1)) AS scheme,
+               regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, url, scheme,
+               regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                              '^www\.', '') AS host0,
+               regexp_replace(rest, '^[^/?]*', '') AS pathq
+        FROM s2
+    ),
+    s4 AS (
+        SELECT doc_id, url, scheme,
+               CASE WHEN scheme = 'http'
+                    THEN regexp_replace(host0, ':80$', '')
+                    WHEN scheme = 'https'
+                    THEN regexp_replace(host0, ':443$', '')
+                    ELSE host0 END AS host,
+               regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+               regexp_extract(pathq, '\?(.*)$', 1) AS query
+        FROM s3
+    ),
+    s5 AS (
+        SELECT doc_id, url, scheme, host,
+               CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(path0, '/+$', '') END AS path,
+               array_to_string(list_sort(list_filter(
+                   string_split(query, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p,
+                       '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)(=.*)?$')
+               )), '&') AS qs
+        FROM s4
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               scheme || '://' || host || path ||
+               CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+               AS canonical_url
+        FROM s5
+    )
+"""
+
+
+def _url_docs(spark, sf_dir):
+    """Deterministic messy-URL corpus derived from ``documents`` (the
+    testdata has no URL column): six crawl-noise variants — default
+    ports, WWW/case, tracking params, fragments, param order, trailing
+    slash — built so variants 0/1, 2/3 and 4/5 canonicalize pairwise
+    equal. The oracle restates the same CASE verbatim."""
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id").isNotNull()
+                    & F.col("source").isNotNull())
+            .select("doc_id", F.expr(_URL_SYNTH_SQL).alias("url")))
+
+
+def doc_url_canonical(spark, sf_dir):
+    """URL canonicalization (operators/urls.py:canonicalize_url_col —
+    pure Catalyst regexp/array chain, no UDF), FULLY value-oracled:
+    fragment strip, scheme+host lowercase, default-port and www strip,
+    tracking-param removal + bytewise param sort, trailing-slash
+    normalization — the DuckDB oracle restates every step with the
+    same RE2-compatible anchored patterns (anchored patterns make
+    Spark's replace-all and DuckDB's replace-first equivalent)."""
+    from mehc_curation_spark.operators.urls import canonicalize_url_col
+
+    return _url_docs(spark, sf_dir).select(
+        "doc_id", "url",
+        canonicalize_url_col(F.col("url")).alias("canonical_url"))
+
+
+def doc_url_dedup(spark, sf_dir):
+    """Canonical-URL keep-first dedup (operators/urls.py:url_dedup):
+    one hash aggregate on the canonical key + semi-join back — the
+    same plan shape as exact text dedup (holds at 10^12 rows). FULLY
+    value-oracled: min(doc_id) per canonical form."""
+    from mehc_curation_spark.operators.urls import url_dedup
+
+    return (url_dedup(_url_docs(spark, sf_dir), "url", "doc_id")
+            .select("doc_id", "canonical_url"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1997,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_catalog_row_ops": doc_catalog_row_ops,
         "doc_catalog_diff": doc_catalog_diff,
         "doc_zorder_scan": doc_zorder_scan,
+        "doc_url_canonical": doc_url_canonical,
+        "doc_url_dedup": doc_url_dedup,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
@@ -2898,6 +3013,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars BETWEEN 200 AND 400
               AND doc_id BETWEEN 0 AND
                   (SELECT max(doc_id) // 4 FROM documents)
+        """,
+        "doc_url_canonical": _URL_CANON_ORACLE + """
+            SELECT doc_id, url, canonical_url FROM canon
+        """,
+        "doc_url_dedup": _URL_CANON_ORACLE + """
+            SELECT min(doc_id) AS doc_id, canonical_url
+            FROM canon GROUP BY canonical_url
         """,
         "orders_dup_report": """
             SELECT o_custkey,
