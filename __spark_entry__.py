@@ -2066,6 +2066,92 @@ def doc_url_dedup(spark, sf_dir):
             .select("doc_id", "canonical_url"))
 
 
+#: deterministic HTML page wrapped around each document's text (the
+#: testdata has no markup column): head/title metadata, comment, nav
+#: chrome, heading with an entity, body paragraphs (newlines become
+#: <br/>), tracking script, footer. Engine-neutral SQL: concat /
+#: replace / chr(10) behave identically in Spark SQL and DuckDB on
+#: the NOT-NULL inputs both sides filter to.
+_HTML_SYNTH_SQL = """
+    concat('<html><head><title>d', doc_id,
+           '</title></head><body><!-- hdr --><nav><a href="/">Home',
+           '</a> | <a href="/b">About</a></nav><h1>Doc &amp; ',
+           doc_id, '</h1><p>',
+           replace(text, chr(10), '<br/>'),
+           '</p><script>track(', doc_id,
+           ');</script><footer>Example &amp; Co</footer></body></html>')
+"""
+
+#: DuckDB restatement of operators/html.py:extract_text_col — same
+#: RE2-compatible patterns, same order, 'g' flag standing in for
+#: Spark's replace-all default.
+_HTML_EXTRACT_ORACLE = r"""
+    WITH base AS (
+        SELECT doc_id, """ + _HTML_SYNTH_SQL + r""" AS html
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    s1 AS (
+        SELECT doc_id, html,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(html,
+            '(?is)<script(\s[^>]*)?>.*?</script>', '', 'g'),
+            '(?is)<style(\s[^>]*)?>.*?</style>', '', 'g'),
+            '(?is)<head(\s[^>]*)?>.*?</head>', '', 'g'),
+            '(?is)<nav(\s[^>]*)?>.*?</nav>', '', 'g'),
+            '(?is)<footer(\s[^>]*)?>.*?</footer>', '', 'g'),
+            '(?is)<aside(\s[^>]*)?>.*?</aside>', '', 'g') AS t
+        FROM base
+    ),
+    s2 AS (
+        SELECT doc_id, html,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            t,
+            '(?s)<!--.*?-->', '', 'g'),
+            '(?i)<br(\s[^>]*)?/?>', chr(10), 'g'),
+            '(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|header|section|article|main)>',
+            chr(10), 'g'),
+            '<[^>]*>', '', 'g') AS t
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, html,
+          regexp_replace(
+            replace(replace(replace(replace(replace(replace(t,
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+            '[ ' || chr(9) || chr(13) || ']+', ' ', 'g') AS t
+        FROM s2
+    ),
+    extracted AS (
+        SELECT doc_id,
+          array_to_string(list_filter(
+            list_transform(string_split(t, chr(10)), x -> trim(x)),
+            x -> x <> ''), chr(10)) AS text_extracted
+        FROM s3
+    )
+"""
+
+
+def doc_html_extract(spark, sf_dir):
+    """HTML → visible-text extraction (operators/html.py:
+    extract_text_col — WET-extraction analog, pure Catalyst regexp
+    chain, no UDF/parser), FULLY value-oracled: script/style/head/
+    nav/footer/aside blocks dropped with contents, comments dropped,
+    <br> + block closers become newlines, remaining tags stripped,
+    basic entities decoded (&amp; last), whitespace normalized. The
+    DuckDB oracle restates the chain pattern-for-pattern."""
+    from mehc_curation_spark.operators.html import extract_text_col
+
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id").isNotNull()
+                    & F.col("text").isNotNull())
+            .select("doc_id", F.expr(_HTML_SYNTH_SQL).alias("html"))
+            .select("doc_id",
+                    extract_text_col(F.col("html"))
+                    .alias("text_extracted")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2112,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_zorder_scan": doc_zorder_scan,
         "doc_url_canonical": doc_url_canonical,
         "doc_url_dedup": doc_url_dedup,
+        "doc_html_extract": doc_html_extract,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
@@ -3020,6 +3107,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_url_dedup": _URL_CANON_ORACLE + """
             SELECT min(doc_id) AS doc_id, canonical_url
             FROM canon GROUP BY canonical_url
+        """,
+        "doc_html_extract": _HTML_EXTRACT_ORACLE + """
+            SELECT doc_id, text_extracted FROM extracted
         """,
         "orders_dup_report": """
             SELECT o_custkey,
