@@ -1979,7 +1979,8 @@ _URL_CANON_ORACLE = r"""
     ),
     s1 AS (
         SELECT doc_id, url,
-               regexp_replace(trim(url), '#.*$', '') AS u
+               regexp_replace(regexp_replace(url, '\s+', '', 'g'),
+                              '#.*$', '') AS u
         FROM base
     ),
     s2 AS (
@@ -2020,7 +2021,9 @@ _URL_CANON_ORACLE = r"""
     ),
     canon AS (
         SELECT doc_id, url,
-               scheme || '://' || host || path ||
+               CASE WHEN scheme = '' THEN ''
+                    ELSE scheme || '://' END
+               || host || path ||
                CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
                AS canonical_url
         FROM s5

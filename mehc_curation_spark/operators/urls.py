@@ -32,6 +32,9 @@ def canonicalize_url_col(url: Column) -> Column:
     """Canonical form of an absolute http(s) URL, as a pure Catalyst
     expression:
 
+    0. remove ALL whitespace (browsers strip tabs/newlines from URLs;
+       a literal space is never URL data — %20 is — and removing them
+       outright is what makes the chain idempotent on junk input);
     1. strip the fragment (``#...``);
     2. lowercase the scheme and host (path/query stay case-sensitive);
     3. drop the scheme's default port (``:80`` http, ``:443`` https);
@@ -43,7 +46,7 @@ def canonicalize_url_col(url: Column) -> Column:
     NULL in → NULL out. Non-URL strings pass through steps that don't
     apply (no scheme → no scheme-dependent port strip).
     """
-    u = F.regexp_replace(F.trim(url), "#.*$", "")
+    u = F.regexp_replace(F.regexp_replace(url, r"\s+", ""), "#.*$", "")
     scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     host = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
@@ -60,10 +63,15 @@ def canonicalize_url_col(url: Column) -> Column:
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
     qs = F.array_join(params, "&")
+    # scheme-less input stays scheme-less (prepending '://' would make
+    # the result re-parse differently — canonicalization must be
+    # idempotent: canon(canon(u)) == canon(u), pinned by tests)
+    prefix = F.when(scheme == "", F.lit("")) \
+              .otherwise(F.concat(scheme, F.lit("://")))
     return F.when(
         url.isNull(), F.lit(None).cast("string")
     ).otherwise(
-        F.concat(scheme, F.lit("://"), host, path,
+        F.concat(prefix, host, path,
                  F.when(qs != "", F.concat(F.lit("?"), qs))
                  .otherwise(F.lit(""))))
 

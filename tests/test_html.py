@@ -56,3 +56,22 @@ def test_nested_blocks_and_lists(spark):
     ])
     assert got[0] == "one\ntwo\ntail"
     assert got[1] == "quoted\nafter"
+
+
+def test_extraction_total_on_adversarial_batch(spark):
+    """Never raises and never returns NULL for non-NULL input, over a
+    seeded batch of broken markup (unclosed tags, nested comments,
+    entity fragments, angle-bracket soup) — ONE Spark job."""
+    import random
+
+    rng = random.Random(99)
+    bits = ["<p>", "</p>", "<div", ">", "<!--", "-->", "&amp;", "&",
+            "<script>", "</script>", "<br", "/>", "text", " ", "\n",
+            "<head>", "</head>", "<h1>", "</h1>", "&#39;", "<<>>", "\t"]
+    docs = ["".join(rng.choice(bits)
+                    for _ in range(rng.randint(0, 40)))
+            for _ in range(1200)]
+    df = spark.createDataFrame([(d,) for d in docs], "html string")
+    out = df.select(extract_text_col(F.col("html")).alias("t")).collect()
+    assert all(r["t"] is not None for r in out)
+    assert all("\x00" not in r["t"] for r in out)

@@ -66,3 +66,36 @@ def test_url_dedup_partition_invariant(spark):
     b = {r["id"] for r in url_dedup(df.repartition(13), "url", "id")
          .collect()}
     assert a == b and len(a) == 15  # 5 hosts x 3 k-values
+
+
+def test_canonicalization_idempotent_on_adversarial_batch(spark):
+    """canon(canon(u)) == canon(u) over a seeded grammar of URL-ish
+    and junk strings — ONE Spark job for the whole batch (the op has
+    no scalar twin; idempotence is its contract invariant)."""
+    import random
+
+    rng = random.Random(1234)
+    schemes = ["http", "https", "HTTP", "ftp", ""]
+    hosts = ["www.Ex.COM", "ex.com:443", "ex.com:80", "a.b.c", "", "127.0.0.1:8080"]
+    paths = ["", "/", "/x", "/x/", "//", "/a b", "/x/y/z///"]
+    queries = ["", "?", "?a=1", "?utm_source=x", "?b=2&a=1&a=0",
+               "?ref&ref=2", "?=v", "?a==b&"]
+    frags = ["", "#", "#f", "#a#b"]
+    urls = []
+    for _ in range(1500):
+        if rng.random() < 0.15:
+            urls.append("".join(rng.choice("<>?&#:/=%a1 ")
+                                for _ in range(rng.randint(0, 30))))
+        else:
+            s = rng.choice(schemes)
+            urls.append((s + "://" if s else "") + rng.choice(hosts)
+                        + rng.choice(paths) + rng.choice(queries)
+                        + rng.choice(frags))
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    c1 = canonicalize_url_col(F.col("url"))
+    once = df.select(c1.alias("c")).collect()
+    again = (df.select(c1.alias("c"))
+             .select(canonicalize_url_col(F.col("c")).alias("c2"),
+                     F.col("c")).collect())
+    assert all(r["c2"] == r["c"] for r in again)
+    assert all(r["c"] is not None for r in once)  # total on junk
