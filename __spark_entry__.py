@@ -2136,6 +2136,34 @@ _HTML_EXTRACT_ORACLE = r"""
 """
 
 
+def doc_optout_filter(spark, sf_dir):
+    """Do-not-train / opt-out compliance gate (operators/
+    compliance.py:apply_optout — dot-boundary domain-SUFFIX matching,
+    literal arrays_overlap under the threshold, exploded equi-join
+    above it), FULLY value-oracled in label mode: hosts are
+    ``<lang>.<source>.example.com``, the opt-out list mixes parent
+    domains (``srcK.example.com`` covers every lang subdomain), one
+    exact full host (``en.src1.example.com``), and a substring trap
+    (``ample.com`` must match NOTHING). The oracle restates the
+    match semantically per (lang, source)."""
+    from mehc_curation_spark.operators.compliance import apply_optout
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id").isNotNull()
+                 & F.col("lang").isNotNull()
+                 & F.col("source").isNotNull())
+         .select("doc_id", "lang", "source",
+                 F.concat(F.lit("https://"), F.col("lang"), F.lit("."),
+                          F.col("source"), F.lit(".example.com/p/"),
+                          F.col("doc_id")).alias("url")))
+    optout = spark.createDataFrame(
+        [("src2.example.com",), ("src5.example.com",),
+         ("src8.example.com",), ("en.src1.example.com",),
+         ("ample.com",)], "domain string")
+    return (apply_optout(d, "url", optout, action="label")
+            .select("doc_id", "lang", "source", "opted_out"))
+
+
 def doc_html_extract(spark, sf_dir):
     """HTML → visible-text extraction (operators/html.py:
     extract_text_col — WET-extraction analog, pure Catalyst regexp
@@ -2202,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_canonical": doc_url_canonical,
         "doc_url_dedup": doc_url_dedup,
         "doc_html_extract": doc_html_extract,
+        "doc_optout_filter": doc_optout_filter,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
@@ -3113,6 +3142,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_html_extract": _HTML_EXTRACT_ORACLE + """
             SELECT doc_id, text_extracted FROM extracted
+        """,
+        "doc_optout_filter": """
+            SELECT doc_id, lang, source,
+                   (source IN ('src2', 'src5', 'src8')
+                    OR (lang = 'en' AND source = 'src1')) AS opted_out
+            FROM documents
+            WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+              AND source IS NOT NULL
         """,
         "orders_dup_report": """
             SELECT o_custkey,

@@ -1,0 +1,105 @@
+"""Opt-out / license compliance gate — honor a publisher opt-out or
+takedown list before anything else touches the corpus (the robots.txt
+/ "do-not-train" registry shape: a list of DOMAINS, where opting out
+``example.com`` must also cover ``img.cdn.example.com``).
+
+Matching is by DOMAIN SUFFIX on dot boundaries: a row's host matches
+an opt-out entry iff the entry equals the host or a parent domain of
+it (never substring matching — ``ample.com`` must NOT match
+``example.com``).
+
+Scale shape: the opt-out list is small next to the corpus (thousands
+to low millions). Below ``literal_threshold`` entries the match is a
+single ``arrays_overlap`` against one plan-literal array — zero
+shuffle, zero join, rides the scan. Above it, each row explodes its
+~4 domain suffixes and left-anti/semi-joins the (broadcast) list on
+the suffix — an equi-join, never the non-equi ``LIKE '%.'||domain``
+shape that cannot hash-partition. Everything is Catalyst; no UDF.
+
+Reference parity note: the reference engine has no provenance surface
+(id+SMILES CSVs); this is web-corpus governance the graft adds,
+alongside URL canonicalization (operators/urls.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["url_domain_col", "domain_suffixes_col", "apply_optout"]
+
+
+def url_domain_col(url: Column) -> Column:
+    """Lowercase host of a URL (scheme optional, port/path/query/
+    fragment dropped, whitespace stripped). NULL in → NULL out; a
+    bare domain string passes through lowercased."""
+    u = F.regexp_replace(url, r"\s+", "")
+    return F.lower(F.regexp_extract(
+        u, r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/:?#]*)", 1))
+
+
+def domain_suffixes_col(domain: Column) -> Column:
+    """All dot-boundary suffixes of a domain, most-specific first:
+    ``a.b.c`` → ``[a.b.c, b.c, c]`` (pure Catalyst transform/slice)."""
+    parts = F.split(domain, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."))
+
+
+def apply_optout(df: DataFrame, url_col: str, optout: DataFrame,
+                 action: str = "drop", flag_col: str = "opted_out",
+                 literal_threshold: int = 10_000) -> DataFrame:
+    """Apply a domain opt-out list to a corpus.
+
+    ``optout``: 1-column DataFrame of domains (case-insensitive,
+    surrounding whitespace ignored, NULL/empty entries dropped).
+    ``action='drop'`` removes matching rows (NULL URLs are KEPT — no
+    identity to match on; filter them elsewhere if policy says so);
+    ``action='label'`` appends boolean ``flag_col`` instead, for
+    audit-before-delete flows.
+    """
+    if action not in ("drop", "label"):
+        raise ValueError(f"apply_optout: action {action!r}")
+    if len(optout.columns) != 1:
+        raise ValueError("apply_optout: optout must have exactly one "
+                         f"column, got {optout.columns}")
+    if flag_col in df.columns:
+        raise ValueError(f"apply_optout: {flag_col!r} already a column")
+    dom_norm = F.lower(F.trim(F.col(optout.columns[0])))
+    entries = (optout.select(dom_norm.alias("_opt"))
+               .filter(F.col("_opt").isNotNull() & (F.col("_opt") != ""))
+               .distinct())
+    suffixes = domain_suffixes_col(url_domain_col(F.col(url_col)))
+
+    n = entries.count()
+    if n <= literal_threshold:
+        lst = [r["_opt"] for r in entries.collect()]
+        matched = F.when(
+            F.col(url_col).isNull(), F.lit(False)
+        ).otherwise(F.arrays_overlap(
+            suffixes, F.array(*[F.lit(d) for d in sorted(lst)])
+            if lst else F.array().cast("array<string>")))
+    else:
+        # big-list path: explode suffixes, semi-join on the suffix —
+        # needs a row key to fold the explosion back
+        key = "_optout_rowid"
+        with_key = df.withColumn(key, F.monotonically_increasing_id())
+        hit_keys = (with_key
+                    .select(key, F.explode(suffixes).alias("_opt"))
+                    .join(F.broadcast(entries), "_opt", "left_semi")
+                    .select(key).distinct())
+        flagged = (with_key
+                   .join(hit_keys.withColumn("_hit", F.lit(True)),
+                         key, "left")
+                   .withColumn(flag_col,
+                               F.coalesce(F.col("_hit"), F.lit(False)))
+                   .drop(key, "_hit"))
+        if action == "label":
+            return flagged
+        return flagged.filter(~F.col(flag_col)).drop(flag_col)
+
+    if action == "label":
+        return df.withColumn(flag_col, matched)
+    return df.filter(~matched)

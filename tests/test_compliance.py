@@ -1,0 +1,74 @@
+"""Opt-out / do-not-train compliance gate: domain-suffix matching on
+dot boundaries, literal-array and exploded-join paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mehc_curation_spark.operators.compliance import (
+    apply_optout,
+    domain_suffixes_col,
+    url_domain_col,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "https://img.cdn.example.com/a?x=1"),
+         (2, "http://example.com/b"),
+         (3, "https://ample.com/c"),        # substring trap
+         (4, "https://sub.ample.com/d"),
+         (5, "https://other.org/e"),
+         (6, None),
+         (7, "HTTPS://WWW.Example.COM:443/f")],
+        "id long, url string")
+
+
+def _optout(spark):
+    return spark.createDataFrame(
+        [("Example.com ",), ("dead.test",), (None,), ("",)],
+        "domain string")
+
+
+def test_domain_and_suffixes(spark):
+    row = (spark.range(1)
+           .select(url_domain_col(F.lit("HTTPS://A.B.C:8080/x#f"))
+                   .alias("d"))
+           .select("d", domain_suffixes_col(F.col("d")).alias("s"))
+           .first())
+    assert row["d"] == "a.b.c"
+    assert row["s"] == ["a.b.c", "b.c", "c"]
+
+
+@pytest.mark.parametrize("threshold", [10_000, 0])
+def test_optout_drop_both_paths(spark, threshold):
+    out = apply_optout(_df(spark), "url", _optout(spark),
+                       literal_threshold=threshold)
+    kept = sorted(r["id"] for r in out.collect())
+    # 1 (subdomain), 2 (exact), 7 (www+case+port) match example.com;
+    # 3/4 are the ample.com substring traps and MUST survive;
+    # 6 (NULL url) is kept by contract
+    assert kept == [3, 4, 5, 6]
+
+
+def test_optout_label_mode(spark):
+    out = apply_optout(_df(spark), "url", _optout(spark),
+                       action="label")
+    flags = {r["id"]: r["opted_out"] for r in out.collect()}
+    assert flags == {1: True, 2: True, 3: False, 4: False,
+                     5: False, 6: False, 7: True}
+
+
+def test_optout_validations(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError, match="action"):
+        apply_optout(df, "url", _optout(spark), action="nuke")
+    with pytest.raises(ValueError, match="one"):
+        apply_optout(df, "url", df)
+    with pytest.raises(ValueError, match="already"):
+        apply_optout(df.withColumn("opted_out", F.lit(1)),
+                     "url", _optout(spark), action="label")
+
+
+def test_optout_empty_list_keeps_everything(spark):
+    empty = spark.createDataFrame([], "domain string")
+    assert apply_optout(_df(spark), "url", empty).count() == 7
