@@ -80,17 +80,24 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str,
               canon_col: str = "canonical_url") -> DataFrame:
     """Keep-first deduplication by CANONICAL url: one row per
     canonical form, the keeper being the smallest ``id_col``
-    (deterministic across partitionings). Rows whose URL is NULL are
-    kept as-is (no identity to collapse on).
+    (deterministic across partitionings; ties broken by the remaining
+    columns). Rows whose URL is NULL are kept as-is (no identity to
+    collapse on).
 
-    Scale shape: canonicalization is codegen'd into the scan, the
-    keep-first is ONE hash aggregate (partial map-side combine) on the
-    canonical key + a broadcast-or-shuffle semi-join back — the same
-    plan as exact text dedup, which holds at 10^12 rows.
+    Scale shape: canonicalization is codegen'd into the scan and the
+    keep-first is ONE hash aggregate — ``min(struct(id, rest...))``
+    per canonical key, with map-side partial combine. No join back:
+    an agg-then-semi-join plan would shuffle the corpus a second time
+    against a keeper set that is itself corpus-sized (never
+    broadcastable), which is exactly the shape that falls over at
+    10^12 rows.
     """
     canon = df.withColumn(canon_col, canonicalize_url_col(F.col(url_col)))
-    keepers = (canon.filter(F.col(canon_col).isNotNull())
-               .groupBy(canon_col)
-               .agg(F.min(id_col).alias(id_col)))
-    kept = canon.join(keepers, [canon_col, id_col], "left_semi")
+    rest = [c for c in canon.columns
+            if c not in (canon_col, id_col)]
+    kept = (canon.filter(F.col(canon_col).isNotNull())
+            .groupBy(canon_col)
+            .agg(F.min(F.struct(id_col, *rest)).alias("_keep"))
+            .select(canon_col, "_keep.*")
+            .select(*canon.columns))
     return kept.unionByName(canon.filter(F.col(canon_col).isNull()))

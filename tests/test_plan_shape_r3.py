@@ -153,3 +153,65 @@ def test_bpe_round_is_partial_agg_plus_takeordered(spark):
     assert _count(tree, "HashAggregate") >= 4, tree  # partial+final x2
     assert "Sort [" not in tree.replace(
         "TakeOrderedAndProject", ""), tree  # no global sort node
+
+
+def test_url_canonicalization_no_exchange_no_python(spark):
+    """Canonicalization rides the scan: zero shuffles, zero Python."""
+    from mehc_curation_spark.operators.urls import canonicalize_url_col
+
+    df = spark.createDataFrame([(1, "https://a.com/x")],
+                               "id long, url string")
+    tree = _tree(df.select(canonicalize_url_col(F.col("url"))))
+    assert _count(tree, "Exchange") == 0
+    assert _count(tree, "Python") == 0 and _count(tree, "Arrow") == 0
+
+
+def test_url_dedup_single_exchange_no_join(spark):
+    """Keep-first per canonical url = EXACTLY one hash-agg exchange
+    (min(struct(id, rest)) with map-side partial combine) and NO join
+    — an agg-then-semi-join would shuffle the corpus twice against a
+    corpus-sized keeper set."""
+    from mehc_curation_spark.operators.urls import url_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"https://s{i % 3}.com/p") for i in range(50)],
+        "id long, url string")
+    tree = _tree(url_dedup(df, "url", "id"))
+    assert _count(tree, "Exchange") == 1
+    assert _count(tree, "Join") == 0
+    assert _count(tree, "partial_min") >= 1
+
+
+def test_html_extraction_no_exchange_no_python(spark):
+    from mehc_curation_spark.operators.html import extract_text_col
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "id long, html string")
+    tree = _tree(df.select(extract_text_col(F.col("html"))))
+    assert _count(tree, "Exchange") == 0
+    assert _count(tree, "Python") == 0 and _count(tree, "Arrow") == 0
+
+
+def test_optout_literal_path_no_exchange(spark):
+    """Under the literal threshold the gate is a pure filter on the
+    scan — no join, no shuffle, no Python."""
+    from mehc_curation_spark.operators.compliance import apply_optout
+
+    df = spark.createDataFrame([(1, "https://a.com/x")],
+                               "id long, url string")
+    opt = spark.createDataFrame([("a.com",)], "domain string")
+    tree = _tree(apply_optout(df, "url", opt))
+    assert _count(tree, "Exchange") == 0
+    assert _count(tree, "Python") == 0 and _count(tree, "Arrow") == 0
+
+
+def test_zorder_layout_single_range_exchange(spark):
+    """The clustered rewrite pays exactly ONE range exchange."""
+    from mehc_curation_spark.operators.zorder import zorder_layout
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)],
+                               "x long, y long")
+    tree = _tree(zorder_layout(df, ["x", "y"], 4,
+                               ranges=[(0, 99), (0, 6)]))
+    assert _count(tree, "Exchange") == 1
+    assert "rangepartitioning" in tree.lower()
+    assert _count(tree, "Python") == 0 and _count(tree, "Arrow") == 0
