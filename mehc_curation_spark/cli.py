@@ -452,6 +452,13 @@ def main(argv: list[str] | None = None) -> int:
                     compact_increments,
                 )
 
+                if args.cluster_by:
+                    raise SystemExit(
+                        "table compact --cluster_by does not apply to "
+                        "incrementally-curated tables (their layout is "
+                        "one file per phash bucket, owned by the "
+                        "increment state); compact without --cluster_by"
+                    )
                 if args.target_files != 8:
                     print("note: --target_files does not apply to "
                           "incremental tables (always one file per "

@@ -35,6 +35,7 @@ import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -307,11 +308,27 @@ class SnapshotTable:
         """Normalize ``between``: one (col, lo, hi) triple or a list of
         them (multi-column skipping over a z-ordered layout ANDs the
         per-column prunes)."""
-        if between is None:
+        if not between:
             return []
         if isinstance(between[0], str):
             return [tuple(between)]
         return [tuple(b) for b in between]
+
+    @staticmethod
+    def _stats_may_overlap(entry: dict, col: str, lo, hi) -> bool:
+        """Sound file-skip predicate: False ONLY when the file's
+        recorded [min, max] for ``col`` provably cannot intersect
+        [lo, hi]; missing or incomparable stats mean 'must scan'.
+        The ONE copy of this rule (read / files_pruned / delete_ids /
+        merge detection all route here — a soundness fix must not
+        have to chase four duplicates)."""
+        rng = entry.get(col)
+        if rng is None:
+            return True
+        try:
+            return not (rng[1] < lo or rng[0] > hi)
+        except TypeError:
+            return True
 
     def read(self, spark: SparkSession,
              version=None,
@@ -332,11 +349,9 @@ class SnapshotTable:
         if ranges:
             stats = m.get("stats", {})
             for col, lo, hi in ranges:
-                files = [
-                    f for f in files
-                    if col not in stats.get(f, {})
-                    or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
-                ]
+                files = [f for f in files
+                         if self._stats_may_overlap(stats.get(f, {}),
+                                                    col, lo, hi)]
             if not files:
                 # empty selection: preserve schema via a no-row filter
                 full = (spark.read.option("basePath", self.data_dir)
@@ -369,8 +384,8 @@ class SnapshotTable:
         sel = list(m["files"])
         for col, lo, hi in self._between_list(between):
             sel = [f for f in sel
-                   if col not in stats.get(f, {})
-                   or not (stats[f][col][1] < lo or stats[f][col][0] > hi)]
+                   if self._stats_may_overlap(stats.get(f, {}),
+                                              col, lo, hi)]
         return len(sel), len(m["files"])
 
     def read_incremental(self, spark: SparkSession, since_version: int,
@@ -511,8 +526,24 @@ class SnapshotTable:
         if cluster_by:
             from mehc_curation_spark.operators.zorder import zorder_layout
 
+            # z-value normalization needs per-column [lo, hi]; the
+            # manifest footer stats already hold them per file — fold
+            # min-of-mins/max-of-maxs and skip zorder_layout's
+            # full-table aggregate whenever EVERY file has an entry
+            # for EVERY clustered column (else one agg pass, sound)
+            stats = base.get("stats", {})
+            ranges = None
+            folded = []
+            for c in cluster_by:
+                per_file = [stats.get(f, {}).get(c) for f in base["files"]]
+                if any(r is None for r in per_file) or not per_file:
+                    folded = None
+                    break
+                folded.append((min(r[0] for r in per_file),
+                               max(r[1] for r in per_file)))
+            ranges = folded
             df = zorder_layout(self.read(spark), cluster_by,
-                               max(1, target_files))
+                               max(1, target_files), ranges=ranges)
             stat_cols = tuple(sorted(set(base_stat_cols) | set(cluster_by)))
         else:
             df = self.read(spark).coalesce(max(1, target_files))
@@ -883,18 +914,9 @@ class SnapshotTable:
             # matched key — a 3-row label correction against a
             # million-file table opens only the overlapping files.
             stats = m.get("stats", {})
-
-            def _may_match(entry) -> bool:
-                rng = entry.get(key_col)
-                if rng is None:
-                    return True  # no stats: must scan (stay sound)
-                try:
-                    return not (rng[1] < agg["kmin"]
-                                or rng[0] > agg["kmax"])
-                except TypeError:
-                    return True  # incomparable stats: must scan
             cand = [f for f in m["files"]
-                    if _may_match(stats.get(f, {}))]
+                    if self._stats_may_overlap(stats.get(f, {}), key_col,
+                                               agg["kmin"], agg["kmax"])]
             keys = src.select(key_col)
             affected = []
             if cand:
@@ -1016,12 +1038,21 @@ class SnapshotTable:
         return os.path.join(self.meta_dir, "refs.json")
 
     def tags(self) -> dict:
-        """Current tag map ``{name: version}``."""
+        """Current tag map ``{name: version}``. A refs.json that
+        EXISTS but does not parse raises — mapping corruption to {}
+        would let expire_snapshots delete the very snapshots the tags
+        were holding, and the next mutation would overwrite the
+        evidence."""
         try:
             with open(self._refs_path()) as f:
                 return dict(json.load(f).get("tags", {}))
-        except (FileNotFoundError, json.JSONDecodeError):
+        except FileNotFoundError:
             return {}
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"{self.path}: refs.json is corrupt ({e}); refusing to "
+                "treat it as empty — restore it (or delete it after "
+                "confirming no tag was a legal hold)") from e
 
     def resolve_ref(self, ref) -> int:
         """A version int passes through; a string resolves as a tag."""
@@ -1033,11 +1064,12 @@ class SnapshotTable:
                 f"{self.path}: no tag {ref!r} (tags: {sorted(tags)})")
         return tags[ref]
 
-    def _mutate_refs(self, fn) -> dict:
-        """Read-modify-write refs.json under an exclusive lock file
-        (same single-writer discipline as the manifest CAS, but refs
-        are mutable so a lock beats linked immutable versions).
-        Durable: tmp + fsync + rename."""
+    @contextmanager
+    def _refs_lock(self):
+        """Exclusive refs lock (O_EXCL lock file). Serializes every
+        tag/rollback mutation AND expire_snapshots' retention decision
+        — without it a tag committed between expire's tags() read and
+        its manifest removal would dangle at an expired snapshot."""
         os.makedirs(self.meta_dir, exist_ok=True)
         lock = self._refs_path() + ".lock"
         deadline = time.time() + 30.0
@@ -1053,6 +1085,16 @@ class SnapshotTable:
                         "remove it if its owner crashed")
                 time.sleep(0.05)
         try:
+            yield
+        finally:
+            os.remove(lock)
+
+    def _mutate_refs(self, fn) -> dict:
+        """Read-modify-write refs.json under the refs lock.
+        Durable: tmp + fsync + rename. ``fn`` runs INSIDE the lock, so
+        validation done there (e.g. 'target manifest exists') cannot
+        race a concurrent expire."""
+        with self._refs_lock():
             refs = {"tags": self.tags()}
             refs = fn(refs)
             tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -1062,19 +1104,20 @@ class SnapshotTable:
                 os.fsync(f.fileno())
             os.replace(tmp, self._refs_path())
             return refs
-        finally:
-            os.remove(lock)
 
     def tag(self, name: str, version=None) -> int:
         """Pin ``version`` (default current) under ``name``. Re-tagging
-        an existing name moves it. Returns the pinned version."""
+        an existing name moves it. Returns the pinned version. The
+        existence check runs INSIDE the refs lock, so a tag cannot be
+        committed against a snapshot a concurrent expire is removing
+        (expire takes the same lock for its retention decision)."""
         v = self.resolve_ref(version) if version is not None \
             else self.current_version()
-        if v < 1 or not os.path.exists(self._manifest_path(v)):
-            raise FileNotFoundError(
-                f"{self.path}: cannot tag v{v} — no such snapshot")
 
         def mut(refs):
+            if v < 1 or not os.path.exists(self._manifest_path(v)):
+                raise FileNotFoundError(
+                    f"{self.path}: cannot tag v{v} — no such snapshot")
             refs["tags"][name] = v
             return refs
         self._mutate_refs(mut)
@@ -1123,7 +1166,17 @@ class SnapshotTable:
         """Drop manifests older than the newest `keep_last` and delete
         data files no newer manifest references. Returns files removed.
         Tagged snapshots are ALWAYS retained (manifest + data files) —
-        dropping the tag releases them."""
+        dropping the tag releases them. The tags() read, retention
+        decision, and manifest removal all run under the refs lock so
+        a concurrent tag() cannot land between them and dangle."""
+        with self._refs_lock():
+            live_files, known = self._expire_manifests_locked(keep_last)
+        # the (slow) data sweep needs no lock: removed manifests can no
+        # longer be tagged (tag() validates existence under the lock)
+        return self._sweep_unreferenced(live_files, known_committed=known,
+                                        older_than_sec=86400.0)
+
+    def _expire_manifests_locked(self, keep_last: int) -> tuple[set, set]:
         cur = self.current_version()
         keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
         keep_versions.update(v for v in self.tags().values() if v <= cur)
@@ -1145,8 +1198,7 @@ class SnapshotTable:
             p = self._manifest_path(v)
             if os.path.exists(p):
                 os.remove(p)
-        return self._sweep_unreferenced(live_files, known_committed=known,
-                                        older_than_sec=86400.0)
+        return live_files, known
 
 
 def load_table(spark: SparkSession, identifier: str) -> DataFrame:

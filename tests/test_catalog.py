@@ -358,3 +358,19 @@ class TestTagsAndRollback:
         tbl.expire_snapshots(keep_last=1)
         with pytest.raises(FileNotFoundError, match="rollback"):
             tbl.rollback(1)
+
+
+def test_corrupt_refs_json_refuses_instead_of_empty(spark, tbl):
+    """A refs.json that exists but does not parse must RAISE — mapping
+    it to {} would let expire delete tagged (legal-hold) snapshots and
+    the next mutation would overwrite the evidence."""
+    tbl.write(spark.range(3).toDF("id"))
+    tbl.tag("hold", 1)
+    with open(tbl._refs_path(), "w") as f:
+        f.write('{"tags": {"hold": ')  # truncated
+    with pytest.raises(ValueError, match="corrupt"):
+        tbl.tags()
+    with pytest.raises(ValueError, match="corrupt"):
+        tbl.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="corrupt"):
+        tbl.tag("other", 1)
