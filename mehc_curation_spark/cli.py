@@ -250,6 +250,28 @@ def build_parser() -> argparse.ArgumentParser:
     qs.add_argument("--cores", type=int, default=-1)
     qs.add_argument("--master", default=None)
 
+    oo = sub.add_parser(
+        "optout",
+        help="opt-out / do-not-train compliance gate: drop or label "
+             "rows whose URL's domain (or any parent domain) appears "
+             "on an opt-out list (graft-only capability)")
+    oo.add_argument("-i", "--input", required=True,
+                    help="corpus parquet with a URL column")
+    oo.add_argument("-o", "--output", required=True)
+    oo.add_argument("--list", dest="optout_list", required=True,
+                    help="newline-delimited domain file (parent "
+                         "domains cover subdomains; dot-boundary "
+                         "match, never substring)")
+    oo.add_argument("--url_col", default="url")
+    oo.add_argument("--id_col", default="doc_id",
+                    help="unique row key (required by the big-list "
+                         "join path)")
+    oo.add_argument("--label", action="store_true",
+                    help="append an opted_out boolean instead of "
+                         "dropping (audit-before-delete)")
+    oo.add_argument("--cores", type=int, default=-1)
+    oo.add_argument("--master", default=None)
+
     ex = sub.add_parser(
         "export",
         help="training-export shard writer: deterministic global "
@@ -528,6 +550,37 @@ def main(argv: list[str] | None = None) -> int:
                               "files": len(t.manifest(v)["files"])}))
             return 0
 
+        if args.cmd == "optout":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators.compliance import (
+                apply_optout,
+            )
+
+            with open(args.optout_list) as f:
+                domains = [ln.strip() for ln in f if ln.strip()]
+            df = spark.read.parquet(args.input)
+            opt = spark.createDataFrame([(d,) for d in domains],
+                                        "domain string") \
+                if domains else spark.createDataFrame([], "domain string")
+            out = apply_optout(df, args.url_col, opt,
+                               action="label" if args.label else "drop",
+                               id_col=args.id_col)
+            data_path = os.path.join(args.output, "data")
+            out.write.mode("overwrite").parquet(data_path)
+            written = spark.read.parquet(data_path)
+            n_in = df.count()
+            n_out = written.count()
+            summary = {"rows_in": n_in, "rows_out": n_out,
+                       "list_entries": len(domains),
+                       "mode": "label" if args.label else "drop"}
+            if args.label:
+                summary["opted_out"] = written.filter(
+                    F.col("opted_out")).count()
+            else:
+                summary["dropped"] = n_in - n_out
+            print(json.dumps(summary))
+            return 0
         if args.cmd == "qscore":
             from pyspark.sql import functions as F
 

@@ -643,3 +643,39 @@ def test_export_cli_verify_and_resume(pairs_file, tmp_path_factory):
         ["export", "-i", pairs_file, "-o", out, "--format", "wds",
          "--verify", "--cores", "4"]).stdout.strip().splitlines()[-1])
     assert v2["ok"]
+
+
+def test_optout_cli_drop_and_label(tmp_path_factory):
+    """optout subcommand: parent-domain coverage, substring traps
+    survive, JSON summary reconciles with the written parquet."""
+    base = tmp_path_factory.mktemp("cli_optout")
+    src = str(base / "docs.parquet")
+    lst = str(base / "optout.txt")
+    duckdb.sql(
+        "COPY (SELECT CAST(i AS BIGINT) AS doc_id, "
+        "CASE WHEN i % 3 = 0 THEN 'https://a.optedout.com/p' || i "
+        "     WHEN i % 3 = 1 THEN 'https://notoptedout.com/p' || i "
+        "     ELSE 'https://clean.org/p' || i END AS url "
+        "FROM range(90) r(i)) TO '" + src + "' (FORMAT PARQUET)")
+    with open(lst, "w") as f:
+        f.write("optedout.com\n\n")
+
+    out1 = str(base / "dropped")
+    proc = _run(["optout", "-i", src, "-o", out1, "--list", lst,
+                 "--cores", "4"])
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary == {"rows_in": 90, "rows_out": 60,
+                       "list_entries": 1, "mode": "drop",
+                       "dropped": 30}
+    kept = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out1}/data/*.parquet') "
+        "WHERE url LIKE '%optedout.com%' "
+        "AND url NOT LIKE '%notoptedout%'").fetchone()[0]
+    assert kept == 0
+
+    out2 = str(base / "labeled")
+    proc = _run(["optout", "-i", src, "-o", out2, "--list", lst,
+                 "--label", "--cores", "4"])
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["mode"] == "label" and summary["opted_out"] == 30
+    assert summary["rows_out"] == 90
