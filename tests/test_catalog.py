@@ -374,3 +374,60 @@ def test_corrupt_refs_json_refuses_instead_of_empty(spark, tbl):
         tbl.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="corrupt"):
         tbl.tag("other", 1)
+
+
+def test_concurrent_tag_vs_expire_never_dangles(spark, tmp_path):
+    """Race taggers against expirers: whatever interleaving happens,
+    an accepted tag() must never end up pointing at a snapshot whose
+    manifest an expire removed (the refs lock serializes tag
+    validation with expire's retention decision; a tag that loses the
+    race raises instead of dangling)."""
+    import threading
+
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "race"))
+    n_vers = 6
+    for i in range(n_vers):
+        t.write(spark.range(i * 10, i * 10 + 5).toDF("id"),
+                mode="overwrite")
+
+    accepted: list[tuple[str, int]] = []
+    rejected: list[str] = []
+    errs: list[Exception] = []
+    barrier = threading.Barrier(5)
+
+    def tagger(k):
+        try:
+            barrier.wait()
+            for v in range(1, n_vers + 1):
+                name = f"tag{k}_{v}"
+                try:
+                    accepted.append((name, t.tag(name, v)))
+                except FileNotFoundError:
+                    rejected.append(name)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    def expirer():
+        try:
+            barrier.wait()
+            t.expire_snapshots(keep_last=1)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=tagger, args=(k,))
+               for k in range(4)] + [threading.Thread(target=expirer)]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+
+    assert not errs, errs
+    # THE invariant: every accepted tag's manifest still exists
+    tags = t.tags()
+    for name, v in accepted:
+        if name in tags:  # still present (nothing untags here)
+            assert os.path.exists(t._manifest_path(tags[name])), \
+                f"dangling tag {name} -> v{tags[name]}"
+    # and tagged snapshots stay readable
+    for name in list(tags):
+        assert t.read(spark, version=name).count() == 5
