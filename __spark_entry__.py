@@ -1819,6 +1819,62 @@ def doc_bpe_encode_check(spark, sf_dir):
         "tokens_rejoin_lossless boolean")
 
 
+_UNIGRAM_CACHE: dict = {}
+_UNIGRAM_VOCAB = 160
+
+
+def _unigram_vocab_for(spark, sf_dir):
+    """One unigram train per sf_dir, shared by the check surfaces."""
+    if sf_dir not in _UNIGRAM_CACHE:
+        from mehc_curation_spark.operators.vocab import unigram_train
+
+        _UNIGRAM_CACHE[sf_dir] = unigram_train(
+            _t(spark, sf_dir, "documents"), vocab_size=_UNIGRAM_VOCAB,
+            em_rounds=2)
+    return _UNIGRAM_CACHE[sf_dir]
+
+
+def doc_unigram_check(spark, sf_dir):
+    """Check for the unigram-LM tokenizer (vocab.py:unigram_train /
+    unigram_encode_udf — SentencePiece-style, Kudo 2018, hard-EM so
+    every per-round count is an exact integer): the distributed
+    vocabulary must equal the scalar twin EXACTLY (same seed counting,
+    same Viterbi tie-breaks, same integer unit totals — bit-
+    deterministic across partitionings by construction), the
+    distributed encode must equal the scalar encode on every document,
+    and pieces must rejoin losslessly to the whitespace-normalized
+    text."""
+    from mehc_curation_spark.operators.vocab import (
+        unigram_encode_local,
+        unigram_encode_udf,
+        unigram_train_local,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    v = _unigram_vocab_for(spark, sf_dir)
+    texts = [r[0] for r in d.select("text").collect()]
+    vl = unigram_train_local(texts, vocab_size=_UNIGRAM_VOCAB,
+                             em_rounds=2)
+    enc = unigram_encode_udf(v)
+    got = (d.repartition(16, "doc_id")
+           .select("doc_id", enc(F.col("text")).alias("toks"),
+                   F.concat_ws("", enc(F.col("text"))).alias("joined"),
+                   F.regexp_replace(F.lower(F.trim(F.coalesce(
+                       F.col("text"), F.lit("")))), "[ \t\n\r]+", "")
+                   .alias("norm"))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    loc = (d.select("doc_id", "text").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = unigram_encode_local(list(loc["text"]), v)
+    enc_eq = all(list(a) == b for a, b in zip(got["toks"], exp))
+    rejoin = bool((got["joined"] == got["norm"]).all())
+    return spark.createDataFrame(
+        [(len(got), v == vl, enc_eq, rejoin)],
+        "n_docs long, vocab_matches_scalar_twin boolean, "
+        "encode_matches_scalar_twin boolean, "
+        "tokens_rejoin_lossless boolean")
+
+
 def doc_catalog_row_ops(spark, sf_dir):
     """Copy-on-write row-level catalog ops end-to-end, FULLY value-
     oracled: build a snapshot table from ``documents``, then apply
@@ -2231,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_dedup": doc_url_dedup,
         "doc_html_extract": doc_html_extract,
         "doc_optout_filter": doc_optout_filter,
+        "doc_unigram_check": doc_unigram_check,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
@@ -3372,6 +3429,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_check": """
             SELECT CAST(20 AS BIGINT) AS n_merges,
                    TRUE AS merges_match_scalar_twin
+        """,
+        "doc_unigram_check": """
+            SELECT COUNT(*) AS n_docs,
+                   TRUE AS vocab_matches_scalar_twin,
+                   TRUE AS encode_matches_scalar_twin,
+                   TRUE AS tokens_rejoin_lossless
+            FROM documents
         """,
         "doc_bpe_encode_check": """
             SELECT COUNT(*) AS n_docs,

@@ -292,3 +292,274 @@ def bpe_encode_local(texts: list, merges: list) -> list:
             toks.extend(syms)
         out.append(toks)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style; Kudo 2018, arXiv:1804.10959)
+# ---------------------------------------------------------------------------
+
+#: log-prob charged for a character absent from the vocabulary at
+#: encode time (training guarantees corpus coverage; this is the
+#: unseen-at-serve fallback)
+UNK_LOGP = -100.0
+
+
+def _unigram_viterbi(word: str, logp: dict, max_len: int) -> list:
+    """Best segmentation of ``word`` under piece log-probs: maximize
+    total log-prob; ties break to FEWER pieces, then to the LONGER
+    final piece. Out-of-vocabulary single characters are allowed at
+    :data:`UNK_LOGP` so segmentation is total. ONE implementation
+    shared by the distributed E-step, the encode UDF and the scalar
+    twins — parity by construction, pinned by the driver check."""
+    n = len(word)
+    neg = float("-inf")
+    # per position: (score, -n_pieces, last_piece_len, backptr)
+    best = [(0.0, 0, 0, -1)] + [(neg, 0, 0, -1)] * n
+    for j in range(1, n + 1):
+        bj = None
+        for ln in range(1, min(max_len, j) + 1):
+            i = j - ln
+            si = best[i]
+            if si[0] == neg:
+                continue
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None:
+                if ln != 1:
+                    continue
+                lp = UNK_LOGP
+            key = (si[0] + lp, si[1] - 1, ln)
+            if bj is None or key > (bj[0], bj[1], bj[2]):
+                bj = (key[0], key[1], key[2], i)
+        best[j] = bj if bj is not None else (neg, 0, 0, -1)
+    out: list = []
+    j = n
+    while j > 0:
+        i = best[j][3]
+        out.append(word[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def _unigram_logp(counts: dict) -> tuple[dict, int]:
+    """(log-probs, max piece length) from integer count units —
+    computed the same way everywhere a trained vocab is served."""
+    import math
+
+    total = sum(counts.values())
+    lt = math.log(total)
+    return ({p: math.log(c) - lt for p, c in counts.items()},
+            max((len(p) for p in counts), default=1))
+
+
+def _unigram_em_rounds(words: list, counts: dict, singles: set,
+                       vocab_size: int, em_rounds: int,
+                       seg_counts) -> list:
+    """Shared EM/prune driver (hard-EM / Viterbi counts): the
+    distributed trainer and the scalar twin differ ONLY in how
+    ``seg_counts(words, logp, max_len) -> {piece: units}`` is
+    computed. Hard EM keeps every per-round count an INTEGER, so the
+    distributed aggregation is an exact long sum — bit-deterministic
+    across partitionings, which soft EM's order-dependent float sums
+    cannot be.
+
+    Single characters always survive (with a floor count of 1 when a
+    round stops using them) — segmentation must stay total."""
+    for _ in range(em_rounds):
+        logp, max_len = _unigram_logp(counts)
+        new = seg_counts(words, logp, max_len)
+        counts = {p: u for p, u in new.items() if u > 0}
+        for ch in singles:
+            if ch not in counts:
+                counts[ch] = 1
+        keep_multi = sorted(
+            ((p, u) for p, u in counts.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]))[:max(0, vocab_size - len(singles))]
+        counts = {**{ch: counts[ch] for ch in singles},
+                  **dict(keep_multi)}
+    return sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+
+
+def unigram_train(df: DataFrame, text_col: str = "text",
+                  vocab_size: int = 120, seed_max_len: int = 4,
+                  seed_size: int = 1200, em_rounds: int = 2,
+                  min_freq: int = 2) -> list:
+    """Train a unigram-LM tokenizer vocabulary (SentencePiece-style,
+    Kudo 2018) over the corpus, distributed:
+
+    1. ONE pass collapses the corpus to the (word, freq) table — the
+       only stage that ever touches the corpus (same shape as
+       :func:`bpe_train`);
+    2. seed pieces = the ``seed_size`` most frequent substrings up to
+       ``seed_max_len`` chars (freq-weighted, overlaps counted), via
+       a Catalyst substring explode + map-combinable sum, PLUS every
+       single character (coverage guarantee);
+    3. ``em_rounds`` of hard EM: each round Viterbi-segments every
+       DISTINCT word under the current piece probabilities (a pandas
+       UDF over the vocabulary-sized word table — the Zipf head, not
+       the corpus) and re-counts pieces as freq-weighted INTEGER
+       units summed with an exact long aggregation, then prunes to
+       ``vocab_size`` keeping all single chars.
+
+    Hard EM (Viterbi counts) is chosen deliberately: soft EM's float
+    expected counts depend on reduction order across partitions, so
+    two runs of the same job could train different vocabularies.
+    Integer units make the trainer bit-deterministic — asserted
+    against the scalar twin :func:`unigram_train_local` by the driver
+    check.
+
+    Returns ``[(piece, units)]`` sorted (units DESC, piece ASC).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    words_df = (df.select(F.explode(tokens_col(F.col(text_col)))
+                          .alias("w"))
+                .filter(F.col("w") != "")
+                .groupBy("w").agg(F.count("*").alias("freq")))
+    words_df = words_df.persist()
+    try:
+        subs = words_df.select(
+            "freq",
+            F.explode(F.expr(
+                f"flatten(transform(sequence(1, length(w)), "
+                f"s -> transform(sequence(1, least({int(seed_max_len)}, "
+                f"length(w) - s + 1)), l -> substring(w, s, l))))"
+            )).alias("p"))
+        seed = subs.groupBy("p").agg(F.sum("freq").alias("units"))
+        singles_rows = (seed.filter(F.length("p") == 1)
+                        .select("p", "units").collect())
+        top_rows = (seed.filter((F.length("p") > 1)
+                                & (F.col("units") >= min_freq))
+                    .orderBy(F.desc("units"), F.asc("p"))
+                    .limit(int(seed_size)).collect())
+        singles = {r["p"] for r in singles_rows}
+        counts = {r["p"]: int(r["units"])
+                  for r in [*singles_rows, *top_rows]}
+        words = [(r["w"], int(r["freq"])) for r in words_df.collect()]
+
+        def seg_counts_dist(_words_unused, logp, max_len):
+            schema = ArrayType(StructType([
+                StructField("p", StringType()),
+                StructField("u", LongType()),
+            ]))
+
+            @pandas_udf(schema)
+            def seg(w: pd.Series, freq: pd.Series) -> pd.Series:
+                out = []
+                for word, f in zip(w, freq):
+                    pieces = _unigram_viterbi(word, logp, max_len)
+                    out.append([(p, int(f)) for p in pieces])
+                return pd.Series(out)
+
+            agg = (words_df
+                   .select(F.explode(seg(F.col("w"), F.col("freq")))
+                           .alias("e"))
+                   .groupBy("e.p").agg(F.sum("e.u").alias("u"))
+                   .collect())
+            return {r["p"]: int(r["u"]) for r in agg}
+
+        return _unigram_em_rounds(words, counts, singles, vocab_size,
+                                  em_rounds, seg_counts_dist)
+    finally:
+        words_df.unpersist()
+
+
+def unigram_train_local(texts: list, vocab_size: int = 120,
+                        seed_max_len: int = 4, seed_size: int = 1200,
+                        em_rounds: int = 2, min_freq: int = 2) -> list:
+    """Scalar twin of :func:`unigram_train` — same tokenizer, same
+    seed counting, same hard-EM rounds and (units DESC, piece ASC)
+    ordering — used by the driver check to assert the distributed
+    vocabulary EXACTLY."""
+    import re
+    from collections import Counter
+
+    wfreq: Counter = Counter()
+    for t in texts:
+        t = (t or "").lower().strip()
+        if t:
+            wfreq.update(tok for tok in re.split(r"[ \t\n\r]+", t) if tok)
+    sub: Counter = Counter()
+    for w, f in wfreq.items():
+        for s in range(len(w)):
+            for ln in range(1, min(seed_max_len, len(w) - s) + 1):
+                sub[w[s:s + ln]] += f
+    singles = {p for p in sub if len(p) == 1}
+    counts = {p: u for p, u in sub.items() if len(p) == 1}
+    top = sorted(((p, u) for p, u in sub.items()
+                  if len(p) > 1 and u >= min_freq),
+                 key=lambda t: (-t[1], t[0]))[:seed_size]
+    counts.update(dict(top))
+    words = list(wfreq.items())
+
+    def seg_counts_local(ws, logp, max_len):
+        c: Counter = Counter()
+        for w, f in ws:
+            for p in _unigram_viterbi(w, logp, max_len):
+                c[p] += f
+        return c
+
+    return _unigram_em_rounds(words, counts, singles, vocab_size,
+                              em_rounds, seg_counts_local)
+
+
+def unigram_encode_udf(vocab: list):
+    """Vectorized tokenizer APPLY for a trained unigram vocabulary
+    ``[(piece, units)]``: pandas UDF mapping text -> array<string> of
+    pieces (Viterbi under the trained probabilities — the SAME
+    :func:`_unigram_viterbi` the trainer used). Distinct words memoize
+    per worker (Zipf head = dict hits)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    logp, max_len = _unigram_logp(dict(vocab))
+    memo: dict = {}
+
+    @pandas_udf(ArrayType(StringType()))
+    def encode(text: pd.Series) -> pd.Series:
+        import re
+
+        res = []
+        for t in text:
+            if t is None or not (t := t.lower().strip()):
+                res.append([])
+                continue
+            toks: list = []
+            for w in re.split(r"[ \t\n\r]+", t):
+                if w:
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = _unigram_viterbi(w, logp, max_len)
+                    toks.extend(got)
+            res.append(toks)
+        return pd.Series(res)
+
+    return encode
+
+
+def unigram_encode_local(texts: list, vocab: list) -> list:
+    """Scalar twin of :func:`unigram_encode_udf` for the driver
+    check."""
+    import re
+
+    logp, max_len = _unigram_logp(dict(vocab))
+    out = []
+    for t in texts:
+        t = (t or "").lower().strip()
+        if not t:
+            out.append([])
+            continue
+        toks: list = []
+        for w in re.split(r"[ \t\n\r]+", t):
+            if w:
+                toks.extend(_unigram_viterbi(w, logp, max_len))
+        out.append(toks)
+    return out
