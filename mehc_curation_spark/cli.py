@@ -250,6 +250,28 @@ def build_parser() -> argparse.ArgumentParser:
     qs.add_argument("--cores", type=int, default=-1)
     qs.add_argument("--master", default=None)
 
+    tk = sub.add_parser(
+        "tokenize",
+        help="train a tokenizer on the corpus and/or encode it: "
+             "BPE (Sennrich 2016) or unigram-LM (Kudo 2018), both "
+             "distributed and bit-deterministic (graft-only "
+             "capability)")
+    tk.add_argument("-i", "--input", required=True,
+                    help="corpus parquet with a text column")
+    tk.add_argument("-o", "--output", required=True)
+    tk.add_argument("--algo", choices=["bpe", "unigram"],
+                    default="unigram")
+    tk.add_argument("--text_col", default="text")
+    tk.add_argument("--vocab_size", type=int, default=160,
+                    help="unigram: pieces kept after pruning")
+    tk.add_argument("--n_merges", type=int, default=40,
+                    help="bpe: merge rounds")
+    tk.add_argument("--model", default=None,
+                    help="encode with an existing model.json instead "
+                         "of training on this corpus")
+    tk.add_argument("--cores", type=int, default=-1)
+    tk.add_argument("--master", default=None)
+
     oo = sub.add_parser(
         "optout",
         help="opt-out / do-not-train compliance gate: drop or label "
@@ -550,6 +572,50 @@ def main(argv: list[str] | None = None) -> int:
                               "files": len(t.manifest(v)["files"])}))
             return 0
 
+        if args.cmd == "tokenize":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators import vocab as V
+
+            df = spark.read.parquet(args.input)
+            if args.model:
+                with open(args.model) as f:
+                    model = json.load(f)
+                if model["algo"] != args.algo:
+                    raise SystemExit(
+                        f"--model is a {model['algo']} model; "
+                        f"--algo {args.algo} was requested")
+            elif args.algo == "bpe":
+                model = {"algo": "bpe",
+                         "merges": [list(m) for m in V.bpe_train(
+                             df, args.text_col,
+                             n_merges=args.n_merges)]}
+            else:
+                model = {"algo": "unigram",
+                         "vocab": [[p, u] for p, u in V.unigram_train(
+                             df, args.text_col,
+                             vocab_size=args.vocab_size)]}
+            os.makedirs(args.output, exist_ok=True)
+            with open(os.path.join(args.output, "model.json"), "w") as f:
+                json.dump(model, f, indent=1, sort_keys=True)
+            enc = (V.bpe_encode_udf([tuple(m) for m in model["merges"]])
+                   if model["algo"] == "bpe" else
+                   V.unigram_encode_udf([tuple(v) for v in
+                                         model["vocab"]]))
+            tok_path = os.path.join(args.output, "tokens")
+            (df.withColumn("tokens", enc(F.col(args.text_col)))
+               .write.mode("overwrite").parquet(tok_path))
+            agg = (spark.read.parquet(tok_path)
+                   .agg(F.count("*").alias("n"),
+                        F.sum(F.size("tokens")).alias("total_tokens"))
+                   .first())
+            print(json.dumps({
+                "algo": model["algo"],
+                "model_size": (len(model.get("merges", []))
+                               or len(model.get("vocab", []))),
+                "rows": agg["n"],
+                "total_tokens": int(agg["total_tokens"] or 0)}))
+            return 0
         if args.cmd == "optout":
             from pyspark.sql import functions as F
 

@@ -679,3 +679,40 @@ def test_optout_cli_drop_and_label(tmp_path_factory):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["mode"] == "label" and summary["opted_out"] == 30
     assert summary["rows_out"] == 90
+
+
+def test_tokenize_cli_unigram_and_model_reuse(tmp_path_factory):
+    """tokenize subcommand: unigram train+encode writes model.json +
+    tokens parquet; re-encoding with --model reproduces identical
+    token counts (the model round-trips through JSON)."""
+    base = tmp_path_factory.mktemp("cli_tok")
+    src = str(base / "docs.parquet")
+    duckdb.sql(
+        "COPY (SELECT CAST(i AS BIGINT) AS doc_id, "
+        "'the quick brown fox ' || (i % 7) || ' jumps over the dog' "
+        "AS text FROM range(300) r(i)) TO '" + src
+        + "' (FORMAT PARQUET)")
+
+    out1 = str(base / "trained")
+    s1 = json.loads(_run(["tokenize", "-i", src, "-o", out1,
+                          "--algo", "unigram", "--vocab_size", "40",
+                          "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert s1["algo"] == "unigram" and s1["rows"] == 300
+    assert s1["model_size"] <= 40 and s1["total_tokens"] > 0
+    assert os.path.exists(os.path.join(out1, "model.json"))
+
+    out2 = str(base / "reused")
+    s2 = json.loads(_run(["tokenize", "-i", src, "-o", out2,
+                          "--algo", "unigram",
+                          "--model", os.path.join(out1, "model.json"),
+                          "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert s2["total_tokens"] == s1["total_tokens"]
+
+    # algo mismatch against a saved model refuses
+    proc = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark", "tokenize",
+         "-i", src, "-o", str(base / "x"), "--algo", "bpe",
+         "--model", os.path.join(out1, "model.json"), "--cores", "4"],
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert proc.returncode != 0
+    assert "unigram model" in (proc.stderr + proc.stdout)
