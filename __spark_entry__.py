@@ -806,6 +806,28 @@ def doc_cross_dedup(spark, sf_dir):
                                        shingle_k=3)
 
 
+def doc_eval_decontam(spark, sf_dir):
+    """Eval-set n-gram contamination screening (GPT-3 appx C / PaLM
+    §6.1): per-document fraction of 8-gram positions that appear
+    anywhere in a deterministic 'eval' slice of the corpus
+    (documents whose md5(doc_id) starts with '0' or '1' — ~1/8 of
+    rows), flagged contaminated at the PaLM 70% threshold. Eval
+    n-gram keys are broadcast; join keys are 16-hex md5 prefixes so
+    the exploded train side ships 8-byte surrogates, not n-gram
+    strings. Full value oracle: DuckDB restates tokenization,
+    8-gram construction, the md5-prefix keys and the rounded
+    fraction verbatim."""
+    from mehc_curation_spark.operators.decontam import (
+        eval_ngram_contamination,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.substring(F.md5(F.col("doc_id").cast("string")),
+                              1, 1).isin("0", "1"))
+    return eval_ngram_contamination(d, ev, "doc_id", "text",
+                                    n=8, threshold=0.7)
+
+
 def doc_simhash(spark, sf_dir):
     from mehc_curation_spark.operators.similarity import simhash64_udf
 
@@ -2295,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # UDF-backed but still fully DuckDB-oracled (value-for-value)
         "doc_minhash_neardup": doc_minhash_neardup,
         "doc_cross_dedup": doc_cross_dedup,
+        "doc_eval_decontam": doc_eval_decontam,
         "doc_simhash": doc_simhash,
         "doc_simhash_neardup": doc_simhash_neardup,
         "pairs_exact_dedup": pairs_exact_dedup,
@@ -3276,6 +3299,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(len(list_intersect(x.grams, y.grams))
                         / GREATEST(len(list_distinct(x.grams || y.grams)), 1)::DOUBLE,
                         6) >= 0.3
+        """,
+        # eval-set 8-gram contamination fraction (PaLM definition):
+        # same tokenization, gram construction, md5-prefix keys and
+        # rounded fraction as operators/decontam.py
+        "doc_eval_decontam": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NOT NULL THEN list_filter(
+                           regexp_split_to_array(LOWER(text),
+                               '[ \t\n\r]+'), y -> y <> '')
+                       END AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN LEN(toks) >= 8 THEN
+                           list_transform(range(1, LEN(toks) - 6),
+                               i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2] || ' ' || toks[i+3] || ' '
+                                 || toks[i+4] || ' ' || toks[i+5] || ' '
+                                 || toks[i+6] || ' ' || toks[i+7])
+                       END AS grams
+                FROM tok
+            ), ev AS (
+                SELECT DISTINCT substr(md5(u.ngram), 1, 16) AS gk
+                FROM g, UNNEST(grams) AS u(ngram)
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1')
+            ), h AS (
+                SELECT doc_id,
+                       COUNT(*) FILTER (
+                           WHERE substr(md5(u.ngram), 1, 16)
+                                 IN (SELECT gk FROM ev)) AS n_hit
+                FROM g, UNNEST(grams) AS u(ngram)
+                GROUP BY doc_id
+            )
+            SELECT g.doc_id,
+                   COALESCE(LEN(grams), 0) AS n_ngrams,
+                   COALESCE(h.n_hit, 0) AS n_hit,
+                   CASE WHEN COALESCE(LEN(grams), 0) > 0
+                        THEN ROUND(COALESCE(h.n_hit, 0)
+                                   / LEN(grams)::DOUBLE, 6)
+                   END AS contam_frac,
+                   COALESCE(
+                       CASE WHEN COALESCE(LEN(grams), 0) > 0
+                            THEN ROUND(COALESCE(h.n_hit, 0)
+                                       / LEN(grams)::DOUBLE, 6)
+                       END >= 0.7, FALSE) AS contaminated
+            FROM g LEFT JOIN h USING (doc_id)
         """,
         # cross-corpus text decontamination: brute-force Jaccard
         # between the candidate (doc_id % 5 != 0) and reference
