@@ -272,6 +272,33 @@ def doc_pii_scrub(spark, sf_dir):
     return d.select("doc_id", out.alias("text_scrubbed"))
 
 
+def doc_pii_audit(spark, sf_dir):
+    """Per-document PII class counts (operators/pii_audit.py): spans
+    per class counted on the residue after earlier classes are
+    removed, plus Luhn-validated 16-digit card numbers. Pure Catalyst
+    map — no UDF, no shuffle. The documents corpus carries no PII, so
+    deterministic PII suffixes are planted on doc_id slices (restated
+    verbatim in the oracle) to make every class count nonzero. Full
+    value oracle: DuckDB restates the augmentation, the residue
+    chain, the RE2-safe patterns and the Luhn checksum."""
+    from mehc_curation_spark.operators.pii_audit import pii_audit
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 11 == 0,
+               F.lit(" contact bob@example.com www.bobsite.example or @bobby")
+               ).otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.lit(" card 4111 1111 1111 1111 ok")).otherwise(F.lit("")),
+        F.when(did % 17 == 0,
+               F.lit(" bad 4111111111111112 ssn 123-45-6789"
+                     " call 415-555-2671")).otherwise(F.lit("")),
+    )
+    return pii_audit(d.withColumn("text", aug), "doc_id", "text")
+
+
 def doc_token_stats(spark, sf_dir):
     from mehc_curation_spark.operators.text_stats import (
         bpe_ish_token_count_col,
@@ -2277,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "doc_quality_filter": doc_quality_filter,
         "doc_pii_scrub": doc_pii_scrub,
+        "doc_pii_audit": doc_pii_audit,
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
         "doc_repetition_stats": doc_repetition_stats,
@@ -2497,6 +2525,20 @@ def _u48_sql(expr: str) -> str:
 def oracle_sql() -> dict[str, str]:
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     url = r"(?:https?://|www\.)[^ \t\n\r]+"
+
+    # PII-audit patterns imported from the engine module so the oracle
+    # can never drift from what the Spark side matches
+    from mehc_curation_spark.operators.pii_audit import AUDIT_PATTERNS
+    _AP = dict(AUDIT_PATTERNS)
+    # Luhn checksum over candidate `m` (DuckDB lambda body): digits
+    # doubled at odd 0-based positions from the right, sum % 10 == 0
+    _DIGIT = ("(ascii(substring(regexp_replace(m, '[ -]', '', 'g'),"
+              " i, 1)) - 48)")
+    _LUHN = (
+        "(list_sum(list_transform(range(1, 17), i -> "
+        f"CASE WHEN (16 - i) % 2 = 1 THEN "
+        f"CASE WHEN {_DIGIT} * 2 > 9 THEN {_DIGIT} * 2 - 9 "
+        f"ELSE {_DIGIT} * 2 END ELSE {_DIGIT} END)) % 10 = 0)")
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2621,6 +2663,60 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(regexp_replace(text, '{email}', '', 'g'),
                                   '{url}', '', 'g') AS text_scrubbed
             FROM documents
+        """,
+        # PII audit: residue-chain class counts + Luhn-validated cards
+        # (patterns injected from operators/pii_audit.AUDIT_PATTERNS)
+        "doc_pii_audit": f"""
+            WITH r0 AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 11 = 0
+                          THEN ' contact bob@example.com www.bobsite.example or @bobby'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0
+                          THEN ' card 4111 1111 1111 1111 ok'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 17 = 0
+                          THEN ' bad 4111111111111112 ssn 123-45-6789 call 415-555-2671'
+                          ELSE '' END AS text
+                FROM documents
+            ), r1 AS (
+                SELECT doc_id,
+                       COALESCE(len(regexp_extract_all(text, '{_AP["email"]}')), 0) AS n_email,
+                       regexp_replace(text, '{_AP["email"]}', '', 'g') AS t
+                FROM r0
+            ), r2 AS (
+                SELECT doc_id, n_email,
+                       COALESCE(len(regexp_extract_all(t, '{_AP["url"]}')), 0) AS n_url,
+                       regexp_replace(t, '{_AP["url"]}', '', 'g') AS t
+                FROM r1
+            ), r3 AS (
+                SELECT doc_id, n_email, n_url,
+                       COALESCE(len(regexp_extract_all(t, '{_AP["card"]}')), 0) AS n_card_like,
+                       COALESCE(len(list_filter(
+                           regexp_extract_all(t, '{_AP["card"]}'),
+                           m -> {_LUHN})), 0) AS n_card_valid,
+                       regexp_replace(t, '{_AP["card"]}', '', 'g') AS t
+                FROM r2
+            ), r4 AS (
+                SELECT doc_id, n_email, n_url, n_card_like, n_card_valid,
+                       COALESCE(len(regexp_extract_all(t, '{_AP["ssn"]}')), 0) AS n_ssn,
+                       regexp_replace(t, '{_AP["ssn"]}', '', 'g') AS t
+                FROM r3
+            ), r5 AS (
+                SELECT doc_id, n_email, n_url, n_card_like, n_card_valid, n_ssn,
+                       COALESCE(len(regexp_extract_all(t, '{_AP["phone"]}')), 0) AS n_phone,
+                       regexp_replace(t, '{_AP["phone"]}', '', 'g') AS t
+                FROM r4
+            )
+            SELECT doc_id, n_email, n_url, n_card_like, n_card_valid,
+                   n_ssn, n_phone,
+                   COALESCE(len(regexp_extract_all(t, '{_AP["handle"]}')), 0) AS n_handle,
+                   n_email + n_url + n_card_valid + n_ssn + n_phone
+                     + COALESCE(len(regexp_extract_all(t, '{_AP["handle"]}')), 0) AS n_pii,
+                   (n_email + n_url + n_card_valid + n_ssn + n_phone
+                     + COALESCE(len(regexp_extract_all(t, '{_AP["handle"]}')), 0)) > 0 AS has_pii
+            FROM r5
         """,
         "doc_token_stats": r"""
             SELECT doc_id,
