@@ -1600,6 +1600,19 @@ def pairs_export_shards(spark, sf_dir):
             .select("image_id", "shard", "pos"))
 
 
+def pairs_caption_junk(spark, sf_dir):
+    """Stock-photo / crawl-junk caption classification over the
+    image+caption corpus (operators/text_stats.py junk_caption_flags):
+    URL / email / digit-blob / filename / photo-boilerplate flags, the
+    LAION-style caption gates. Pure Catalyst rlike — fuses into the
+    curate scan. Full value oracle (DuckDB RE2 restates each regex)."""
+    from mehc_curation_spark.operators.text_stats import junk_caption_flags
+
+    df = spark.read.parquet(_pairs_path())
+    flags = junk_caption_flags(F.col("caption"))
+    return df.select("image_id", *[v.alias(k) for k, v in flags.items()])
+
+
 def _pairs_csv_path(n: int = 2000, seed: int = 42) -> str:
     """Deterministic CSV rendering of the pairs fixture (base64
     interchange shape), cached beside the parquet fixture."""
@@ -2354,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_ar_buckets": pairs_ar_buckets,
         "pairs_export_shards": pairs_export_shards,
         "pairs_csv_scan": pairs_csv_scan,
+        "pairs_caption_junk": pairs_caption_junk,
         "pairs_compute_phash": pairs_compute_phash,
         "pairs_compute_phash_check": pairs_compute_phash_check,
         "pairs_wds_export_check": pairs_wds_export_check,
@@ -3532,6 +3546,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i.w * i.h AS INTEGER) AS area
             FROM read_parquet('{_pairs_cache_file()}') i
             LEFT JOIN comp c ON i.image_id = c.id
+        """,
+        "pairs_caption_junk": f"""
+            SELECT image_id,
+                   regexp_matches(caption, '(?i)(https?://|www\\.)')
+                       AS has_url,
+                   regexp_matches(caption,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+                       AS has_email,
+                   regexp_matches(caption, '[0-9]{{8,}}')
+                       AS long_digit_run,
+                   regexp_matches(caption,
+                       '(?i)\\.(jpe?g|png|gif|webp|bmp|tiff?)\\b')
+                       AS filename_like,
+                   regexp_matches(caption,
+                       '(?i)\\b(photo(graph)?s?|image|picture)\\b')
+                       AS photo_boilerplate,
+                   (regexp_matches(caption, '(?i)(https?://|www\\.)')
+                    OR regexp_matches(caption,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+                    OR regexp_matches(caption, '[0-9]{{8,}}')
+                    OR regexp_matches(caption,
+                       '(?i)\\.(jpe?g|png|gif|webp|bmp|tiff?)\\b'))
+                       AS is_junk
+            FROM read_parquet('{_pairs_cache_file()}')
         """,
         "pairs_ar_buckets": _ar_buckets_sql(),
         "pairs_export_shards": f"""

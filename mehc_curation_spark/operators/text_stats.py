@@ -233,3 +233,41 @@ def source_reputation(df: DataFrame, source_col: str = "source",
         ((F.col("exact_dup_rate") > max_dup_rate) |
          (F.coalesce("avg_dup_word_frac", F.lit(0.0)) > max_rep))
         .alias("flagged"))
+
+
+def junk_caption_flags(c: Column) -> dict[str, Column]:
+    """Stock-photo / crawl-junk caption flags — the LAION-style caption
+    quality gates an image+caption curation pipeline runs before
+    training-set admission (Schuhmann et al. 2022 §3 filter captions
+    that are URLs, filenames, bare digit blobs, or photo boilerplate).
+
+    All flags are single-pass Catalyst ``rlike`` predicates (Java
+    regex), each chosen to parse identically under DuckDB's RE2 so the
+    driver oracle can restate them verbatim:
+
+    - ``has_url``         http(s):// or www. anywhere
+    - ``has_email``       user@host.tld shape
+    - ``long_digit_run``  >= 8 consecutive digits (SKUs, phone blobs)
+    - ``filename_like``   an image-file extension (.jpg/.png/...)
+    - ``photo_boilerplate`` bare "photo / image / picture" wording
+    - ``is_junk``         any of the hard flags above EXCEPT
+      photo_boilerplate (which is a soft signal: real captions say
+      "a photograph of ..." too)
+
+    NULL caption -> every flag NULL (rlike propagates NULL in both
+    engines). The flags are cheap enough to fuse into the main curate
+    scan at 100 TB — pure codegen, no shuffle, no UDF.
+    """
+    has_url = c.rlike(r"(?i)(https?://|www\.)")
+    has_email = c.rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    digits = c.rlike(r"[0-9]{8,}")
+    fname = c.rlike(r"(?i)\.(jpe?g|png|gif|webp|bmp|tiff?)\b")
+    boiler = c.rlike(r"(?i)\b(photo(graph)?s?|image|picture)\b")
+    return {
+        "has_url": has_url,
+        "has_email": has_email,
+        "long_digit_run": digits,
+        "filename_like": fname,
+        "photo_boilerplate": boiler,
+        "is_junk": has_url | has_email | digits | fname,
+    }
