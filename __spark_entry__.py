@@ -711,6 +711,38 @@ def emb_cosine_topk(spark, sf_dir):
                        q, k=10, round_to=4)
 
 
+def emb_aesthetic(spark, sf_dir):
+    """Aesthetic-style frozen linear head over the embedding column
+    (operators/similarity.py aesthetic_scores — LAION-aesthetics
+    pattern): score + admission flag, pure Catalyst. Full value oracle
+    (DuckDB list_dot_product against the same weight literals)."""
+    from mehc_curation_spark.operators.similarity import aesthetic_scores
+
+    e = _t(spark, sf_dir, "embeddings")
+    return aesthetic_scores(e, "embedding", "vec_id", dim=64, seed=11,
+                            threshold=0.0)
+
+
+def _aesthetic_sql() -> str:
+    from mehc_curation_spark.operators.similarity import head_weights
+
+    w, b = head_weights(64, seed=11)
+    wlist = ", ".join(repr(x) for x in w)
+    return f"""
+        WITH s AS (
+            SELECT vec_id,
+                   CASE WHEN embedding IS NOT NULL AND len(embedding) = 64
+                        THEN ROUND(list_dot_product(
+                                 CAST(embedding AS DOUBLE[]),
+                                 [{wlist}]::DOUBLE[]) + ({b!r}), 4)
+                   END AS aesthetic
+            FROM embeddings
+        )
+        SELECT vec_id, aesthetic, aesthetic >= 0.0 AS pass_aesthetic
+        FROM s
+    """
+
+
 def emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup, exact all-pairs baseline (id_a < id_b,
     cos >= 0.4 on the synthetic corpus whose max off-diagonal cos ≈ 0.5)."""
@@ -2353,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_check": doc_unigram_check,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
+        "emb_aesthetic": emb_aesthetic,
         "emb_near_dup": emb_near_dup,
         "emb_alignment": emb_alignment,
         # UDF-backed but still fully DuckDB-oracled (value-for-value)
@@ -3347,6 +3380,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
         """,
+        "emb_aesthetic": _aesthetic_sql(),
         "emb_cosine_topk": """
             SELECT e.vec_id,
                    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -581,6 +581,54 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
 
+def head_weights(dim: int, seed: int = 11) -> tuple[list[float], float]:
+    """Deterministic linear-head parameters: uniform(-1, 1) weights +
+    a bias, rounded to 6 decimals so both engines can restate them as
+    exact literals. Stands in for a trained aesthetic/safety head's
+    frozen weights (at deploy time those are literals too)."""
+    rng = np.random.RandomState(seed)
+    w = [round(float(x), 6) for x in rng.uniform(-1.0, 1.0, size=dim)]
+    b = round(float(rng.uniform(-0.5, 0.5)), 6)
+    return w, b
+
+
+def linear_head_col(vec_col: Column, weights: Sequence[float],
+                    bias: float) -> Column:
+    """Affine head over an embedding column — pure Catalyst: zip_with
+    product + left-fold sum in double, plus the bias. NULL or
+    wrong-length vectors score NULL (zip_with pads the short side with
+    NULL, which the guard turns into an explicit NULL instead of a
+    poisoned sum)."""
+    w = [float(x) for x in weights]
+    wcol = F.array(*[F.lit(x) for x in w])
+    dot = F.aggregate(
+        F.zip_with(vec_col, wcol, lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(F.size(vec_col) == len(w), dot + F.lit(float(bias)))
+
+
+def aesthetic_scores(df: DataFrame, vec_col: str, id_col: str,
+                     dim: int, seed: int = 11, threshold: float = 0.0,
+                     round_to: int = 4) -> DataFrame:
+    """Aesthetic-style linear head over an embedding column (the
+    LAION-aesthetics pattern, Schuhmann et al. 2022: a small frozen
+    regressor over CLIP embeddings gates training-set admission).
+
+    The head here is seed-deterministic (:func:`head_weights`) — the
+    swap point for real trained weights is the ``weights``/``bias``
+    arguments of :func:`linear_head_col`. Pure Catalyst, no UDF, no
+    shuffle: at 100 TB this fuses into the scan that already reads the
+    embedding column. Scores are rounded before the threshold compare
+    so the kept/dropped decision is reproducible across engines.
+    """
+    w, b = head_weights(dim, seed)
+    score = F.round(linear_head_col(F.col(vec_col), w, b), round_to)
+    return df.select(
+        F.col(id_col),
+        score.alias("aesthetic"),
+        (score >= F.lit(float(threshold))).alias("pass_aesthetic"))
+
+
 def _stack_embeddings(vec: pd.Series, dim: int) -> tuple[np.ndarray, np.ndarray]:
     """(matrix, valid_mask) for a batch of embedding cells: NULL or
     wrong-length vectors become zero rows with valid=False instead of

@@ -162,3 +162,32 @@ def test_alignment_filter_keep_rule(spark):
     kept = {r["id"] for r in
             alignment_filter(df, "va", "vb", threshold=0.3).collect()}
     assert kept == {1}
+
+
+def test_linear_head_known_value(spark):
+    from mehc_curation_spark.operators.similarity import (
+        aesthetic_scores, head_weights, linear_head_col)
+    from pyspark.sql import functions as F
+
+    w, b = head_weights(4, seed=11)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 2.0, 0.0, 0.0])],
+        "id long, v array<float>")
+    got = {r["id"]: r["s"] for r in df.select(
+        "id", F.round(linear_head_col(F.col("v"), w, b), 6).alias("s")
+    ).collect()}
+    assert got[1] == round(w[0] + b, 6)
+    assert got[2] == round(2 * w[1] + b, 6)
+
+
+def test_linear_head_null_and_ragged_score_null(spark):
+    from mehc_curation_spark.operators.similarity import aesthetic_scores
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    rows = {r["vec_id"]: r for r in
+            aesthetic_scores(df, "embedding", "vec_id", dim=4).collect()}
+    assert rows[1]["aesthetic"] is not None
+    assert rows[2]["aesthetic"] is None and rows[2]["pass_aesthetic"] is None
+    assert rows[3]["aesthetic"] is None and rows[3]["pass_aesthetic"] is None
