@@ -333,6 +333,31 @@ def doc_repetition_stats(spark, sf_dir):
     return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
+def doc_profile(spark, sf_dir):
+    """One-pass column profiler (operators/profile.py): per-column
+    null/distinct counts, native-typed min/max rendered to string,
+    average rendered length — one agg + in-plan explode, no driver
+    collect. Full value oracle (DuckDB per-column UNION ALL)."""
+    from mehc_curation_spark.operators.profile import profile_columns
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_columns(d)
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in ("doc_id", "text", "lang", "source", "n_chars"):
+        parts.append(f"""
+            SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT({c}) AS n_nulls,
+                   COUNT(DISTINCT {c}) AS n_distinct,
+                   CAST(MIN({c}) AS VARCHAR) AS min_val,
+                   CAST(MAX({c}) AS VARCHAR) AS max_val,
+                   ROUND(AVG(LENGTH(CAST({c} AS VARCHAR))), 6) AS avg_len
+            FROM documents""")
+    return " UNION ALL ".join(parts)
+
+
 def doc_boilerplate_ngrams(spark, sf_dir):
     """Corpus-level boilerplate: the 5-grams recurring across the most
     documents (distinct doc-frequency, ties broken by the ngram
@@ -2352,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_audit": doc_pii_audit,
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
+        "doc_profile": doc_profile,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_domain_cap": doc_domain_cap,
@@ -2774,6 +2800,7 @@ def oracle_sql() -> dict[str, str]:
                    LENGTH(text) AS n_chars_q
             FROM documents
         """,
+        "doc_profile": _profile_sql(),
         "doc_quality_scores": r"""
             SELECT doc_id,
                    LENGTH(text) AS n_chars_q,
