@@ -358,6 +358,31 @@ def _profile_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def doc_mojibake_fix(spark, sf_dir):
+    """Mojibake repair (rules/textnorm.py fix_mojibake_col): plant a
+    constant UTF-8-as-cp1252 garble on every 13th document, run the
+    Catalyst repair chain, and emit per-row booleans — detected
+    (repair changed the text) and restored (repaired text equals the
+    known-good expectation). The corpus is ASCII, so detection firing
+    ONLY on planted rows and restoration holding on EVERY row are both
+    real assertions the DuckDB oracle states in closed form."""
+    from mehc_curation_spark.rules.textnorm import fix_mojibake_col
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.col("text").isNotNull() & (F.col("doc_id") % 13 == 0)
+    garble = " cafÃ© â€” donâ€™t naÃ¯ve â‚¬5"
+    clean = " café — don’t naïve €5"
+    corrupt = F.when(planted, F.concat(F.col("text"), F.lit(garble))) \
+               .otherwise(F.col("text"))
+    expected = F.when(planted, F.concat(F.col("text"), F.lit(clean))) \
+                .otherwise(F.col("text"))
+    fixed = fix_mojibake_col(corrupt)
+    return d.select(
+        "doc_id",
+        (fixed != corrupt).alias("mojibake_detected"),
+        fixed.eqNullSafe(expected).alias("restored"))
+
+
 def doc_boilerplate_ngrams(spark, sf_dir):
     """Corpus-level boilerplate: the 5-grams recurring across the most
     documents (distinct doc-frequency, ties broken by the ngram
@@ -2378,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
         "doc_profile": doc_profile,
+        "doc_mojibake_fix": doc_mojibake_fix,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_domain_cap": doc_domain_cap,
@@ -2801,6 +2827,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_profile": _profile_sql(),
+        "doc_mojibake_fix": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE doc_id % 13 = 0 END AS mojibake_detected,
+                   TRUE AS restored
+            FROM documents
+        """,
         "doc_quality_scores": r"""
             SELECT doc_id,
                    LENGTH(text) AS n_chars_q,

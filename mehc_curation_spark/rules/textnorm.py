@@ -55,3 +55,66 @@ def normalize_canonical(caption: str | None) -> tuple[str | None, bool]:
     out = _DECIMAL_COMMA_RX.sub(".", out)
     out = _UNIT_RX.sub(r" \1", out)
     return out, out != caption
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (UTF-8 bytes mis-decoded as cp1252/latin-1)
+# ---------------------------------------------------------------------------
+
+# The single most common real-web encoding damage: a UTF-8 document
+# decoded as cp1252 somewhere in the crawl chain turns every non-ASCII
+# char into a 2-3 char garble ("é" -> "Ã©", "'" -> "â€™"). The repair
+# map is DERIVED, not hand-typed: key = target.encode('utf-8') decoded
+# byte-per-byte as cp1252 with a latin-1 fallback for the five code
+# points cp1252 leaves undefined (0x81 8D 8F 90 9D) — the same
+# "sloppy cp1252" convention ftfy uses (public: ftfy docs, Speer 2019).
+
+_MOJIBAKE_TARGETS = (
+    "’‘“”–—…"   # ’ ‘ “ ” – — …
+    "¡¿«»°©®· "
+    "€£¥"                            # € £ ¥
+    "éèêëáàâäãåçíìîïñóòôöõúùûüýßœæø"
+    "ÉÈÁÀÄÇÍÑÓÖÚÜ"
+)
+
+
+def _cp1252ish(bs: bytes) -> str:
+    out = []
+    for b in bs:
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))  # latin-1 fallback (undefined cp1252)
+    return "".join(out)
+
+
+#: garbled-sequence -> intended char, longest keys first so that a key
+#: sharing a prefix with a longer one can never shadow it.
+MOJIBAKE_MAP: dict[str, str] = dict(sorted(
+    {_cp1252ish(t.encode("utf-8")): t for t in _MOJIBAKE_TARGETS}.items(),
+    key=lambda kv: (-len(kv[0]), kv[0])))
+
+
+def fix_mojibake(s: str | None) -> str | None:
+    """Scalar twin of :func:`fix_mojibake_col` (same map, same order)."""
+    if s is None:
+        return None
+    for k, v in MOJIBAKE_MAP.items():
+        if k in s:
+            s = s.replace(k, v)
+    return s
+
+
+def fix_mojibake_col(c):
+    """Catalyst mojibake repair: a chain of literal ``replace`` calls
+    (no regex — the garbles contain metacharacters) applied in the
+    fixed longest-first order. ~60 replaces fuse into one codegen
+    stage; NULL propagates. Not a full re-decoder: text that was
+    double-mojibaked needs two passes (same caveat as ftfy's fast
+    path)."""
+    from pyspark.sql import functions as F
+
+    out = c
+    for k, v in MOJIBAKE_MAP.items():
+        out = F.replace(out, F.lit(k), F.lit(v))
+    return out

@@ -105,3 +105,41 @@ def test_langid_deterministic():
     b = classify_batch(texts)
     for x, y in zip(a, b):
         assert (x == y).all()
+
+
+def test_mojibake_scalar_and_catalyst_agree(spark):
+    from pyspark.sql import functions as F
+
+    from mehc_curation_spark.rules.textnorm import (
+        fix_mojibake, fix_mojibake_col)
+
+    samples = [
+        "cafÃ© â€” donâ€™t",          # accents + dashes + quote
+        "â€œquotedâ€\x9d â€¦ naÃ¯ve",  # undefined-cp1252 byte path
+        "â‚¬5 Â«okÂ» Ã±oÃ±o",
+        "plain ascii stays",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r["f"] for r in
+           df.select(fix_mojibake_col(F.col("t")).alias("f")).collect()]
+    assert got == [fix_mojibake(s) for s in samples]
+    assert got[0] == "café — don’t"
+    assert got[1] == "“quoted” … naïve"
+    assert got[2] == "€5 «ok» ñoño"
+    assert got[3] == "plain ascii stays"
+
+
+def test_mojibake_map_derived_not_typed():
+    from mehc_curation_spark.rules.textnorm import MOJIBAKE_MAP
+
+    from mehc_curation_spark.rules.textnorm import _cp1252ish
+
+    for k, v in MOJIBAKE_MAP.items():
+        assert k != v
+        # every key really is the cp1252-ish mis-decode of its target
+        assert k == _cp1252ish(v.encode("utf-8"))
+    # longest-first ordering so prefix keys can't shadow longer ones
+    lens = [len(k) for k in MOJIBAKE_MAP]
+    assert lens == sorted(lens, reverse=True)
