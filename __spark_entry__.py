@@ -358,6 +358,57 @@ def _profile_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def doc_compression(spark, sf_dir):
+    """Per-document deflate compression ratio (operators/text_stats.py
+    make_compression_ratio_udf) — the CCNet/RefinedWeb-family
+    template-spam signal. Rows-only surface (no SQL deflate);
+    doc_compression_check carries the oracled quality gate."""
+    from mehc_curation_spark.operators.text_stats import (
+        make_compression_ratio_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents").repartition(16, "doc_id")
+    return d.select(
+        "doc_id",
+        make_compression_ratio_udf()(F.col("text")).alias("deflate_ratio"))
+
+
+def doc_compression_check(spark, sf_dir):
+    """Oracled check for the compression-ratio surface: distributed
+    UDF output equals the scalar twin bitwise on every row, is
+    invariant to partitioning (16-partition vs single-partition runs
+    byte-compared), and separates signal from noise — highly
+    repetitive text must compress strictly below the corpus median."""
+    import numpy as np
+
+    from mehc_curation_spark.operators.text_stats import (
+        compression_ratio, make_compression_ratio_udf)
+
+    d = _t(spark, sf_dir, "documents")
+    udf = make_compression_ratio_udf()
+    got = (d.repartition(16, "doc_id")
+           .select("doc_id", udf(F.col("text")).alias("r"))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    got1 = (d.coalesce(1)
+            .select("doc_id", udf(F.col("text")).alias("r"))
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+    local = d.select("doc_id", "text").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = np.array([compression_ratio(t) for t in local["text"]],
+                   dtype="float64")
+    scalar_eq = bool(np.array_equal(got["r"].to_numpy(), exp,
+                                    equal_nan=True))
+    part_inv = bool(np.array_equal(got["r"].to_numpy(),
+                                   got1["r"].to_numpy(), equal_nan=True))
+    med = float(np.nanmedian(exp))
+    spam = compression_ratio("very long caption " * 40)
+    separates = bool(spam is not None and spam < med)
+    return spark.createDataFrame(
+        [(len(got), scalar_eq, part_inv, separates)],
+        "n_docs long, matches_scalar_twin boolean, "
+        "partition_invariant boolean, spam_below_median boolean")
+
+
 def doc_mojibake_fix(spark, sf_dir):
     """Mojibake repair (rules/textnorm.py fix_mojibake_col): plant a
     constant UTF-8-as-cp1252 garble on every 13th document, run the
@@ -2404,6 +2455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "doc_profile": doc_profile,
         "doc_mojibake_fix": doc_mojibake_fix,
+        "doc_compression": doc_compression,
+        "doc_compression_check": doc_compression_check,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_domain_cap": doc_domain_cap,
@@ -2827,6 +2880,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_profile": _profile_sql(),
+        "doc_compression_check": """
+            SELECT COUNT(*) AS n_docs,
+                   TRUE AS matches_scalar_twin,
+                   TRUE AS partition_invariant,
+                   TRUE AS spam_below_median
+            FROM documents
+        """,
         "doc_mojibake_fix": """
             SELECT doc_id,
                    CASE WHEN text IS NULL THEN NULL

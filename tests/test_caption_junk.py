@@ -54,3 +54,28 @@ def test_null_caption_propagates(spark):
 def test_clean_caption_all_false(spark):
     r = _flags(spark, "two boats near a quiet harbor at dusk")
     assert all(v is False for v in r.values()), r
+
+
+def test_compression_ratio_scalar():
+    from mehc_curation_spark.operators.text_stats import compression_ratio
+
+    assert compression_ratio(None) is None
+    assert compression_ratio("") is None
+    spam = compression_ratio("abc " * 200)
+    prose = compression_ratio(
+        "two boats drift near the quiet harbor while gulls wheel over "
+        "the breakwater and a late ferry sounds its horn")
+    assert spam is not None and prose is not None and spam < prose
+
+
+def test_compression_ratio_udf_matches_scalar(spark):
+    from pyspark.sql import functions as F
+
+    from mehc_curation_spark.operators.text_stats import (
+        compression_ratio, make_compression_ratio_udf)
+
+    samples = ["hello world", "aaaa" * 50, "", None, "mixed 123 !?"]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r["r"] for r in df.select(
+        make_compression_ratio_udf()(F.col("t")).alias("r")).collect()]
+    assert got == [compression_ratio(s) for s in samples]
