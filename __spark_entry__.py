@@ -1318,6 +1318,79 @@ def doc_langid_check(spark, sf_dir):
         "scores_bitwise_equal boolean")
 
 
+def pairs_image_borders(spark, sf_dir):
+    """Letterbox / uniform-border metrics over the pairs corpus
+    (operators/multimodal.py image_borders). Rows-only surface;
+    pairs_image_borders_check carries the oracled gate."""
+    from mehc_curation_spark.operators.multimodal import image_borders
+
+    return image_borders(spark.read.parquet(_pairs_path()))
+
+
+def pairs_image_borders_check(spark, sf_dir):
+    """Oracled check for the border surface: (a) the distributed
+    mapInPandas output equals an in-process recompute over the same
+    corpus exactly, and (b) PLANTED raw images with known letterbox /
+    pillarbox / all-flat geometry come back with the exact expected
+    thicknesses — so the check cannot pass vacuously on a corpus with
+    few natural borders."""
+    import numpy as np
+
+    from mehc_curation_spark.codecs.image import decode_image
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+    from mehc_curation_spark.operators.multimodal import image_borders
+    from mehc_curation_spark.rules.decode import decode_reason
+    from mehc_curation_spark.rules.imgquality import border_metrics
+
+    got = (image_borders(spark.read.parquet(_pairs_path())).toPandas()
+           .sort_values("image_id").reset_index(drop=True))
+    pdf = make_pairs_pdf(2000, seed=42).sort_values("image_id") \
+        .reset_index(drop=True)
+    exp_rows = []
+    for r in pdf.itertuples(index=False):
+        if decode_reason(r.bytes, r.fmt, int(r.w), int(r.h)) is None:
+            px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+            exp_rows.append((True,) + border_metrics(px))
+        else:
+            exp_rows.append((False, None, None, None, None, None))
+    cols = ["decode_ok", "border_top", "border_bottom",
+            "border_left", "border_right", "border_frac"]
+    def _canon(v):
+        # pandas stores None as NaN in numeric columns; fold both to
+        # None and compare everything else as float (ints are exact)
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        return float(v) if not isinstance(v, bool) else v
+
+    match = bool(got["image_id"].tolist() == pdf["image_id"].tolist())
+    for i, c in enumerate(cols):
+        gv = [_canon(v) for v in got[c]]
+        ev = [_canon(e[i]) for e in exp_rows]
+        match = match and gv == ev
+
+    rng = np.random.RandomState(0)
+    noise = rng.randint(0, 256, (40, 60, 3), dtype=np.uint8)
+    letter = noise.copy(); letter[:5] = 0; letter[-3:] = 0
+    pillar = noise.copy(); pillar[:, :7] = 255
+    flat = np.full((20, 20, 3), 128, np.uint8)
+    planted = spark.createDataFrame(
+        [("p_letter", letter.tobytes(), 60, 40, "raw"),
+         ("p_pillar", pillar.tobytes(), 60, 40, "raw"),
+         ("p_flat", flat.tobytes(), 20, 20, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    pg = {r["image_id"]: r for r in image_borders(planted).collect()}
+    planted_ok = (
+        (pg["p_letter"]["border_top"], pg["p_letter"]["border_bottom"],
+         pg["p_letter"]["border_left"], pg["p_letter"]["border_right"])
+        == (5, 3, 0, 0)
+        and pg["p_pillar"]["border_left"] == 7
+        and pg["p_pillar"]["border_top"] == 0
+        and pg["p_flat"]["border_frac"] == 1.0)
+    return spark.createDataFrame(
+        [(len(got), match, bool(planted_ok))],
+        "n_images long, matches_local boolean, planted_exact boolean")
+
+
 def pairs_image_features_check(spark, sf_dir):
     """Driver-visible check for the image decode/feature surface: the
     distributed mapInPandas features must equal an in-process pandas
@@ -2506,6 +2579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_export_shards": pairs_export_shards,
         "pairs_csv_scan": pairs_csv_scan,
         "pairs_caption_junk": pairs_caption_junk,
+        "pairs_image_borders": pairs_image_borders,
+        "pairs_image_borders_check": pairs_image_borders_check,
         "pairs_compute_phash": pairs_compute_phash,
         "pairs_compute_phash_check": pairs_compute_phash_check,
         "pairs_wds_export_check": pairs_wds_export_check,
@@ -3700,6 +3775,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i.w * i.h AS INTEGER) AS area
             FROM read_parquet('{_pairs_cache_file()}') i
             LEFT JOIN comp c ON i.image_id = c.id
+        """,
+        "pairs_image_borders_check": f"""
+            SELECT COUNT(*) AS n_images,
+                   TRUE AS matches_local,
+                   TRUE AS planted_exact
+            FROM read_parquet('{_pairs_cache_file()}')
         """,
         "pairs_caption_junk": f"""
             SELECT image_id,

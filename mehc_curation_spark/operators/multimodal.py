@@ -422,3 +422,45 @@ def assign_ar_buckets(df: DataFrame, w_col: str = "w", h_col: str = "h",
         F.col("bucket_w").cast("double") / F.col(w_col).cast("double"),
         F.col("bucket_h").cast("double") / F.col(h_col).cast("double"))
     return out.withColumn("scale", scale)
+
+
+IMAGE_BORDERS_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("decode_ok", BooleanType()),
+    StructField("border_top", IntegerType()),
+    StructField("border_bottom", IntegerType()),
+    StructField("border_left", IntegerType()),
+    StructField("border_right", IntegerType()),
+    StructField("border_frac", DoubleType()),
+])
+
+
+def image_borders(df: DataFrame, tol: int = 8) -> DataFrame:
+    """Uniform-border / letterbox detection (REAL — NumPy codecs
+    decode the payload; kernel: rules/imgquality.py border_metrics).
+
+    Crawled images routinely arrive letterboxed, pillarboxed or framed
+    by player chrome; training on them burns pixels on bars and skews
+    aspect statistics, so curation pipelines measure border thickness
+    and either crop or drop. Same physical shape as image_quality: one
+    decode per image inside the Arrow stage, only five scalars return,
+    payload never shuffles.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mehc_curation_spark.codecs.image import DecodeError, decode_image
+        from mehc_curation_spark.rules.imgquality import border_metrics
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                    rows.append((r.image_id, True) + border_metrics(px, tol))
+                except (DecodeError, TypeError, ValueError):
+                    rows.append((r.image_id, False,
+                                 None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              IMAGE_BORDERS_SCHEMA.fields])
+
+    return (df.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(run, IMAGE_BORDERS_SCHEMA))

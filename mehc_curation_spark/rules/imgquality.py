@@ -77,3 +77,42 @@ def quality_reason(px: np.ndarray, min_dim: int, max_aspect: float,
     if ff > max_flat_frac:
         return "img_flat"
     return None
+
+
+def border_metrics(px: np.ndarray, tol: int = 8) -> tuple[int, int, int, int, float]:
+    """Uniform-border (letterbox / pillarbox / frame) thickness per
+    side over one decoded image (h, w, 3 uint8).
+
+    A row counts as border when its luminance span (max-min) is within
+    ``tol`` AND its mean stays within ``tol`` of the outermost row's
+    mean — i.e. the side is one near-solid color, not merely
+    low-contrast. Each side is measured independently against its own
+    edge anchor (top/bottom bars may be black while a left bar is
+    white). Returns (top, bottom, left, right, border_frac) where
+    border_frac = 1 - inner_area/total_area with
+    inner = max(0, h-top-bottom) * max(0, w-left-right); an all-flat
+    image therefore reports border_frac = 1.0.
+
+    Integer thicknesses and a 4-decimal fraction so distributed and
+    local recomputes compare exactly.
+    """
+    h, w = int(px.shape[0]), int(px.shape[1])
+    luma = np.round(0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                    + 0.114 * px[:, :, 2]).astype(np.int64)
+
+    def _run(spans: np.ndarray, means: np.ndarray) -> int:
+        flat = (spans <= tol) & (np.abs(means - means[0]) <= tol)
+        bad = np.flatnonzero(~flat)
+        return int(bad[0]) if bad.size else int(flat.size)
+
+    row_span = luma.max(axis=1) - luma.min(axis=1)
+    row_mean = luma.mean(axis=1)
+    col_span = luma.max(axis=0) - luma.min(axis=0)
+    col_mean = luma.mean(axis=0)
+    top = _run(row_span, row_mean)
+    bottom = _run(row_span[::-1], row_mean[::-1])
+    left = _run(col_span, col_mean)
+    right = _run(col_span[::-1], col_mean[::-1])
+    inner = max(0, h - top - bottom) * max(0, w - left - right)
+    frac = round(1.0 - inner / (h * w), 4) if h * w else 1.0
+    return top, bottom, left, right, frac

@@ -123,3 +123,44 @@ def test_distributed_matches_local(spark, pairs_df, pairs_pdf):
               *(None if pd.isna(v) else v
                 for v in (g.aspect, g.blur_var, g.entropy, g.flat_frac)))
         assert gv == exp, g.image_id
+
+
+def test_border_metrics_sides_independent():
+    import numpy as np
+
+    from mehc_curation_spark.rules.imgquality import border_metrics
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (50, 50, 3), dtype=np.uint8)
+    img[:4] = 0      # black top bar
+    img[:, -6:] = 0  # black right bar (same frame color at the corner:
+                     # a row crossing a different-colored pillar is not
+                     # uniform, so mixed-color corners break that side)
+    t, b, l, r, frac = border_metrics(img)
+    assert (t, b, l, r) == (4, 0, 0, 6)
+    assert frac == round(1.0 - (46 * 44) / 2500.0, 4)
+
+
+def test_border_metrics_low_contrast_interior_not_border():
+    import numpy as np
+
+    from mehc_curation_spark.rules.imgquality import border_metrics
+
+    # gradient rows: each row is flat (span 0) but means drift beyond
+    # tol, so only the first rows within tol of the edge anchor count
+    img = np.repeat(np.arange(0, 200, 4, dtype=np.uint8)[:, None, None],
+                    repeats=30, axis=1)
+    img = np.repeat(img, 3, axis=2)
+    t, b, l, r, frac = border_metrics(img, tol=8)
+    assert t == 3   # rows 0,4,8 within tol=8 of anchor 0; row 12 not
+    assert l == 0 and r == 0
+
+
+def test_image_borders_operator_decode_failure(spark):
+    from mehc_curation_spark.operators.multimodal import image_borders
+
+    df = spark.createDataFrame(
+        [("bad", b"\x00\x01", 10, 10, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    r = image_borders(df).first()
+    assert r["decode_ok"] is False and r["border_top"] is None
