@@ -1391,6 +1391,93 @@ def pairs_image_borders_check(spark, sf_dir):
         "n_images long, matches_local boolean, planted_exact boolean")
 
 
+def pairs_resize(spark, sf_dir):
+    """Resize-and-re-encode payload transform (longest side -> 64,
+    operators/multimodal.py resize_images). Rows-only surface (binary
+    output is not SQL-expressible); pairs_resize_check carries the
+    oracled gate."""
+    from mehc_curation_spark.operators.multimodal import resize_images
+
+    return resize_images(spark.read.parquet(_pairs_path()), target=64)
+
+
+def pairs_resize_check(spark, sf_dir):
+    """Oracled check for the resize surface: (a) distributed output
+    equals an in-process recompute through the SAME kernels byte-for-
+    byte (md5 of re-encoded payloads, dims, flags); (b) PLANTED images
+    with known geometry resize to exactly the expected dims, an
+    already-small image passes through byte-identical, and upscaling
+    stays off by default; (c) the corpus's planted ~1% corruption
+    surfaces as decode failures on both sides."""
+    import hashlib
+
+    from mehc_curation_spark.codecs.image import (
+        DecodeError, decode_image, encode_image)
+    from mehc_curation_spark.codecs.resize import fit_dims, resize_bilinear
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+    from mehc_curation_spark.operators.multimodal import resize_images
+
+    target = 48
+    got = (resize_images(spark.read.parquet(_pairs_path()), target=target)
+           .toPandas().sort_values("image_id").reset_index(drop=True))
+    pdf = make_pairs_pdf(2000, seed=42).sort_values("image_id") \
+        .reset_index(drop=True)
+
+    def _md5(b):
+        return None if b is None else hashlib.md5(bytes(b)).hexdigest()
+
+    exp_rows = []
+    for r in pdf.itertuples(index=False):
+        try:
+            w, h = int(r.w), int(r.h)
+            px = decode_image(r.bytes, r.fmt, w, h)
+            ow, oh, chg = fit_dims(w, h, target)
+            data = (encode_image(resize_bilinear(px, oh, ow), r.fmt)
+                    if chg else bytes(r.bytes))
+            exp_rows.append((True, chg, _md5(data), ow, oh, r.fmt))
+        except (DecodeError, TypeError, ValueError):
+            exp_rows.append((False, None, None, None, None, None))
+
+    def _canon(v):
+        import numpy as np
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        return v if isinstance(v, (bool, str)) else int(v)
+
+    match = bool(got["image_id"].tolist() == pdf["image_id"].tolist())
+    got_tuples = [
+        (_canon(ok), _canon(rz), _md5(b), _canon(w), _canon(h), f)
+        for ok, rz, b, w, h, f in zip(
+            got["decode_ok"], got["resized"], got["bytes"],
+            got["w"], got["h"], got["fmt"])]
+    exp_tuples = [tuple(_canon(v) if not isinstance(v, str) and v is not None
+                        else v for v in t) for t in exp_rows]
+    match = match and got_tuples == exp_tuples
+    fail_rate = 1.0 - float(got["decode_ok"].mean())
+
+    import numpy as np
+    rng = np.random.RandomState(7)
+    big = rng.randint(0, 256, (40, 60, 3), dtype=np.uint8)     # 60x40
+    small = rng.randint(0, 256, (10, 12, 3), dtype=np.uint8)   # 12x10
+    planted = spark.createDataFrame(
+        [("p_big", big.tobytes(), 60, 40, "raw"),
+         ("p_small", small.tobytes(), 12, 10, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    pg = {r["image_id"]: r for r in
+          resize_images(planted, target=30).collect()}
+    planted_ok = (
+        (pg["p_big"]["w"], pg["p_big"]["h"], pg["p_big"]["resized"])
+        == (30, 20, True)
+        and (pg["p_small"]["w"], pg["p_small"]["h"],
+             pg["p_small"]["resized"]) == (12, 10, False)
+        and bytes(pg["p_small"]["bytes"]) == small.tobytes())
+    return spark.createDataFrame(
+        [(len(got), match, bool(planted_ok),
+          bool(0.0 < fail_rate < 0.05))],
+        "n_images long, matches_local boolean, planted_exact boolean, "
+        "failure_rate_in_range boolean")
+
+
 def pairs_image_features_check(spark, sf_dir):
     """Driver-visible check for the image decode/feature surface: the
     distributed mapInPandas features must equal an in-process pandas
@@ -2581,6 +2668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_caption_junk": pairs_caption_junk,
         "pairs_image_borders": pairs_image_borders,
         "pairs_image_borders_check": pairs_image_borders_check,
+        "pairs_resize": pairs_resize,
+        "pairs_resize_check": pairs_resize_check,
         "pairs_compute_phash": pairs_compute_phash,
         "pairs_compute_phash_check": pairs_compute_phash_check,
         "pairs_wds_export_check": pairs_wds_export_check,
@@ -3780,6 +3869,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_images,
                    TRUE AS matches_local,
                    TRUE AS planted_exact
+            FROM read_parquet('{_pairs_cache_file()}')
+        """,
+        "pairs_resize_check": f"""
+            SELECT COUNT(*) AS n_images,
+                   TRUE AS matches_local,
+                   TRUE AS planted_exact,
+                   TRUE AS failure_rate_in_range
             FROM read_parquet('{_pairs_cache_file()}')
         """,
         "pairs_caption_junk": f"""

@@ -464,3 +464,72 @@ def image_borders(df: DataFrame, tol: int = 8) -> DataFrame:
 
     return (df.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(run, IMAGE_BORDERS_SCHEMA))
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("decode_ok", BooleanType()),
+    StructField("resized", BooleanType()),
+    StructField("bytes", BinaryType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("fmt", StringType()),
+])
+
+
+def resize_images(df: DataFrame, target: int = 256, mode: str = "longest",
+                  upscale: bool = False, out_fmt: str | None = None,
+                  validate: bool = True) -> DataFrame:
+    """Resize payloads so the longest (or shortest) side hits ``target``
+    and re-encode (REAL — NumPy codecs + deterministic bilinear kernel,
+    codecs/resize.py).
+
+    The payload-transform analog of the reference's cleaning
+    projections — per-row ``(new_value, changed?)`` over the payload
+    column with an unchanged fast path
+    (`/root/reference/mehc_curation/cleaning/core/engine.py:36-85`):
+    images already within the bound pass through byte-identical with
+    ``resized=False``; undecodable payloads surface ``decode_ok=False``
+    with NULL bytes (the reference's unprocessable sentinel, F6).
+    ``validate=False`` skips the decode on unchanged rows (use after a
+    validation stage has already gated decodability).
+
+    Returns a pairs-shaped frame (image_id, bytes, w, h, fmt) that
+    downstream ops (compute_phash, export, curate) consume unchanged —
+    join back on image_id for captions. Decode + resample + re-encode
+    all happen inside ONE Arrow stage: bytes cross the JVM->Python
+    boundary once each way and never shuffle.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mehc_curation_spark.codecs.image import (
+            DecodeError, decode_image, encode_image)
+        from mehc_curation_spark.codecs.resize import fit_dims, resize_bilinear
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    w, h = int(r.w), int(r.h)
+                    out_w, out_h, chg = fit_dims(w, h, target, mode, upscale)
+                    fmt = out_fmt or r.fmt
+                    if not chg and fmt == r.fmt:
+                        # unchanged fast path: byte-identical (no
+                        # lossy re-encode); decode only to validate,
+                        # skippable when a validation stage already ran
+                        if validate:
+                            decode_image(r.bytes, r.fmt, w, h)
+                        rows.append((r.image_id, True, False,
+                                     bytes(r.bytes), w, h, r.fmt))
+                        continue
+                    px = decode_image(r.bytes, r.fmt, w, h)
+                    out_px = resize_bilinear(px, out_h, out_w) if chg else px
+                    rows.append((r.image_id, True, chg,
+                                 encode_image(out_px, fmt), out_w, out_h, fmt))
+                except (DecodeError, TypeError, ValueError):
+                    rows.append((r.image_id, False, None, None,
+                                 None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              RESIZE_SCHEMA.fields])
+
+    return (df.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(run, RESIZE_SCHEMA))
