@@ -1478,6 +1478,77 @@ def pairs_resize_check(spark, sf_dir):
         "failure_rate_in_range boolean")
 
 
+def pairs_color_stats(spark, sf_dir):
+    """Color statistics (Hasler–Süsstrunk colorfulness, mean
+    saturation, grayscale detection) over decoded payloads
+    (operators/multimodal.py image_color_stats). Rows-only surface;
+    pairs_color_stats_check carries the oracled gate."""
+    from mehc_curation_spark.operators.multimodal import image_color_stats
+
+    return image_color_stats(spark.read.parquet(_pairs_path()))
+
+
+def pairs_color_stats_check(spark, sf_dir):
+    """Oracled check for the color surface: (a) distributed output
+    equals an in-process recompute through the SAME kernel exactly;
+    (b) PLANTED images with known chroma — a pure luminance gradient,
+    fully saturated stripes — come back with the exact expected
+    grayscale flag and kernel-identical colorfulness, so the check
+    cannot pass vacuously."""
+    import numpy as np
+
+    from mehc_curation_spark.codecs.image import decode_image
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+    from mehc_curation_spark.operators.multimodal import image_color_stats
+    from mehc_curation_spark.rules.decode import decode_reason
+    from mehc_curation_spark.rules.imgquality import color_metrics
+
+    got = (image_color_stats(spark.read.parquet(_pairs_path())).toPandas()
+           .sort_values("image_id").reset_index(drop=True))
+    pdf = make_pairs_pdf(2000, seed=42).sort_values("image_id") \
+        .reset_index(drop=True)
+    exp_rows = []
+    for r in pdf.itertuples(index=False):
+        if decode_reason(r.bytes, r.fmt, int(r.w), int(r.h)) is None:
+            px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+            exp_rows.append((True,) + color_metrics(px))
+        else:
+            exp_rows.append((False, None, None, None))
+
+    def _canon(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        return float(v) if not isinstance(v, bool) else v
+
+    match = bool(got["image_id"].tolist() == pdf["image_id"].tolist())
+    for i, c in enumerate(["decode_ok", "colorfulness", "sat_mean",
+                           "max_chan_spread"]):
+        gv = [_canon(v) for v in got[c]]
+        ev = [_canon(e[i]) for e in exp_rows]
+        match = match and gv == ev
+
+    gray = np.tile(np.arange(40, dtype=np.uint8).reshape(40, 1, 1),
+                   (1, 60, 3))
+    stripes = np.zeros((40, 60, 3), np.uint8)
+    stripes[:, :30, 0] = 255
+    stripes[:, 30:, 2] = 255
+    planted = spark.createDataFrame(
+        [("p_gray", gray.tobytes(), 60, 40, "raw"),
+         ("p_stripes", stripes.tobytes(), 60, 40, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    pg = {r["image_id"]: r for r in image_color_stats(planted).collect()}
+    planted_ok = (
+        pg["p_gray"]["is_grayscale"] is True
+        and pg["p_gray"]["colorfulness"] == 0.0
+        and pg["p_gray"]["max_chan_spread"] == 0
+        and pg["p_stripes"]["is_grayscale"] is False
+        and pg["p_stripes"]["sat_mean"] == 1.0
+        and pg["p_stripes"]["colorfulness"] == color_metrics(stripes)[0])
+    return spark.createDataFrame(
+        [(len(got), match, bool(planted_ok))],
+        "n_images long, matches_local boolean, planted_exact boolean")
+
+
 def pairs_image_features_check(spark, sf_dir):
     """Driver-visible check for the image decode/feature surface: the
     distributed mapInPandas features must equal an in-process pandas
@@ -2670,6 +2741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_image_borders_check": pairs_image_borders_check,
         "pairs_resize": pairs_resize,
         "pairs_resize_check": pairs_resize_check,
+        "pairs_color_stats": pairs_color_stats,
+        "pairs_color_stats_check": pairs_color_stats_check,
         "pairs_compute_phash": pairs_compute_phash,
         "pairs_compute_phash_check": pairs_compute_phash_check,
         "pairs_wds_export_check": pairs_wds_export_check,
@@ -3876,6 +3949,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS matches_local,
                    TRUE AS planted_exact,
                    TRUE AS failure_rate_in_range
+            FROM read_parquet('{_pairs_cache_file()}')
+        """,
+        "pairs_color_stats_check": f"""
+            SELECT COUNT(*) AS n_images,
+                   TRUE AS matches_local,
+                   TRUE AS planted_exact
             FROM read_parquet('{_pairs_cache_file()}')
         """,
         "pairs_caption_junk": f"""

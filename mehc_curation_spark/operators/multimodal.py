@@ -533,3 +533,50 @@ def resize_images(df: DataFrame, target: int = 256, mode: str = "longest",
 
     return (df.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(run, RESIZE_SCHEMA))
+
+
+IMAGE_COLOR_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("decode_ok", BooleanType()),
+    StructField("colorfulness", DoubleType()),
+    StructField("sat_mean", DoubleType()),
+    StructField("max_chan_spread", IntegerType()),
+])
+
+
+def image_color_stats(df: DataFrame, gray_tol: int = 2) -> DataFrame:
+    """Color statistics over decoded payloads (REAL — NumPy codecs;
+    kernel: rules/imgquality.py color_metrics).
+
+    Hasler–Süsstrunk colorfulness + mean saturation + grayscale
+    detection — the color-side quality gates web corpora apply
+    (washed-out scans, monochrome placeholders, document photographs).
+    Same physical shape as image_quality: one decode per image inside
+    the Arrow stage, only scalars return, payload never shuffles.
+    ``is_grayscale`` (max channel spread <= gray_tol) is a pure
+    Catalyst expression over the returned scalars, so the tolerance
+    re-plans JVM-side.
+    """
+    from pyspark.sql import functions as F
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mehc_curation_spark.codecs.image import DecodeError, decode_image
+        from mehc_curation_spark.rules.imgquality import color_metrics
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                    rows.append((r.image_id, True) + color_metrics(px))
+                except (DecodeError, TypeError, ValueError):
+                    rows.append((r.image_id, False, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              IMAGE_COLOR_SCHEMA.fields])
+
+    out = (df.select("image_id", "bytes", "w", "h", "fmt")
+           .mapInPandas(run, IMAGE_COLOR_SCHEMA))
+    return out.withColumn(
+        "is_grayscale",
+        F.when(F.col("decode_ok"),
+               F.col("max_chan_spread") <= F.lit(gray_tol)))

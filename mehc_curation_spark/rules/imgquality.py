@@ -116,3 +116,36 @@ def border_metrics(px: np.ndarray, tol: int = 8) -> tuple[int, int, int, int, fl
     inner = max(0, h - top - bottom) * max(0, w - left - right)
     frac = round(1.0 - inner / (h * w), 4) if h * w else 1.0
     return top, bottom, left, right, frac
+
+
+def color_metrics(px: np.ndarray) -> tuple[float, float, int]:
+    """Scalar color kernel over one decoded image (h, w, 3 uint8).
+
+    Returns (colorfulness, sat_mean, max_chan_spread):
+
+    - ``colorfulness``: the Hasler & Süsstrunk metric (SPIE 2003) —
+      sqrt(σ_rg² + σ_yb²) + 0.3·sqrt(μ_rg² + μ_yb²) over the opponent
+      axes rg = R−G, yb = (R+G)/2 − B. The signal LAION-style corpora
+      use to drop washed-out scans and near-monochrome placeholders.
+    - ``sat_mean``: mean HSV-style saturation, (max−min)/max per pixel
+      (0 where max = 0).
+    - ``max_chan_spread``: max over pixels of (max−min) channel spread
+      — exactly 0 for true grayscale; a tolerance on it tolerates
+      chroma-subsampled "grayscale" JPEGs.
+
+    Floats rounded to 4 decimals so distributed/local runs compare
+    exactly (same policy as :func:`quality_metrics`).
+    """
+    p = px.astype(np.float64)
+    r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+    rg = r - g
+    yb = 0.5 * (r + g) - b
+    colorfulness = round(float(
+        np.sqrt(rg.var() + yb.var())
+        + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)), 4)
+    mx = p.max(axis=2)
+    mn = p.min(axis=2)
+    sat = np.where(mx > 0, (mx - mn) / np.where(mx > 0, mx, 1.0), 0.0)
+    sat_mean = round(float(sat.mean()), 4)
+    max_chan_spread = int((mx - mn).max())
+    return colorfulness, sat_mean, max_chan_spread
