@@ -637,6 +637,17 @@ def doc_dedup_dropall(spark, sf_dir):
     return cleaned.select("doc_id")
 
 
+def doc_edit_dups(spark, sf_dir):
+    """Prefix-blocked Levenshtein near-dup pairs (operators/
+    similarity.py edit_distance_dups) — JVM-side threshold-bounded
+    edit distance within lowercased 8-char-prefix blocks; full value
+    oracle via DuckDB's levenshtein()."""
+    from mehc_curation_spark.operators.similarity import edit_distance_dups
+
+    return edit_distance_dups(_t(spark, sf_dir, "documents"),
+                              max_dist=5, prefix_len=8, max_block=200)
+
+
 def doc_ngram_jaccard(spark, sf_dir):
     """Exact word-trigram Jaccard for candidate pairs (same 30-char
     prefix). Spark side verifies on 64-bit shingle hashes (collision
@@ -2702,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": doc_exact_dedup,
         "doc_dedup_dropall": doc_dedup_dropall,
         "doc_ngram_jaccard": doc_ngram_jaccard,
+        "doc_edit_dups": doc_edit_dups,
         "doc_dedup_clusters": doc_dedup_clusters,
         "doc_substring_dedup": doc_substring_dedup,
         "doc_line_dedup": doc_line_dedup,
@@ -3454,6 +3466,22 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(len(list_distinct(x.grams || y.grams)), 1)::DOUBLE,
                          6) AS jaccard
             FROM sh x JOIN sh y ON x.k = y.k AND x.doc_id < y.doc_id
+        """,
+        "doc_edit_dups": r"""
+            WITH d AS (
+                SELECT doc_id, text,
+                       lower(substr(text, 1, 8)) AS pfx
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) >= 8
+            ), k AS (
+                SELECT d.* FROM d
+                JOIN (SELECT pfx FROM d GROUP BY pfx
+                      HAVING COUNT(*) BETWEEN 2 AND 200) b USING (pfx)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+            FROM k a JOIN k b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.text, b.text) <= 5
         """,
         # full value oracle for the ITERATIVE graph algorithm: DuckDB
         # computes the same connected components by recursive
