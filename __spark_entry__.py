@@ -333,6 +333,18 @@ def doc_repetition_stats(spark, sf_dir):
     return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
+def doc_length_outliers(spark, sf_dir):
+    """Robust per-language length-outlier detection (median + MAD
+    modified z-score, operators/text_stats.py length_outliers); full
+    value oracle via DuckDB median()."""
+    from mehc_curation_spark.operators.text_stats import length_outliers
+
+    out = length_outliers(_t(spark, sf_dir, "documents"),
+                          text_col="text", group_col="lang", k=3.5)
+    return out.select("doc_id", "lang", "n_chars_len", "med_len",
+                      "mad_len", "meanad_len", "robust_z", "is_outlier")
+
+
 def doc_profile(spark, sf_dir):
     """One-pass column profiler (operators/profile.py): per-column
     null/distinct counts, native-typed min/max rendered to string,
@@ -2700,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compression": doc_compression,
         "doc_compression_check": doc_compression_check,
         "doc_repetition_stats": doc_repetition_stats,
+        "doc_length_outliers": doc_length_outliers,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_domain_cap": doc_domain_cap,
         "doc_boilerplate_ngrams": doc_boilerplate_ngrams,
@@ -3158,6 +3171,40 @@ def oracle_sql() -> dict[str, str]:
                          / NULLIF(LEN(list_filter(regexp_split_to_array(
                            text, '[ \t\n\r]+'), y -> y <> '')), 0)::DOUBLE, 6) AS mean_token_len
             FROM documents
+        """,
+        "doc_length_outliers": r"""
+            WITH d AS (
+                SELECT doc_id, lang, length(text) AS n_chars_len
+                FROM documents
+                WHERE text IS NOT NULL AND lang IS NOT NULL
+            ), m AS (
+                SELECT lang, median(n_chars_len) AS med_len
+                FROM d GROUP BY lang
+            ), d1 AS (
+                SELECT d.doc_id, d.lang, d.n_chars_len, m.med_len
+                FROM d JOIN m USING (lang)
+            ), a AS (
+                SELECT lang,
+                       median(abs(n_chars_len - med_len)) AS mad_len,
+                       avg(CAST(2 * abs(n_chars_len - med_len) AS BIGINT))
+                           / 2 AS meanad_len
+                FROM d1 GROUP BY lang
+            ), z AS (
+                SELECT d1.doc_id, d1.lang, d1.n_chars_len, d1.med_len,
+                       a.mad_len, a.meanad_len,
+                       CASE WHEN a.mad_len > 0 THEN
+                            ROUND(0.6745 * (d1.n_chars_len - d1.med_len)
+                                  / a.mad_len, 6)
+                            WHEN a.meanad_len > 0 THEN
+                            ROUND((d1.n_chars_len - d1.med_len)
+                                  / (1.253314 * a.meanad_len), 6)
+                       END AS robust_z
+                FROM d1 JOIN a USING (lang)
+            )
+            SELECT doc_id, lang, n_chars_len, med_len, mad_len,
+                   meanad_len, robust_z,
+                   COALESCE(abs(robust_z) > 3.5, FALSE) AS is_outlier
+            FROM z
         """,
         "doc_repetition_stats": r"""
             WITH t AS (

@@ -311,3 +311,58 @@ def make_compression_ratio_udf(level: int = 6):
                          dtype="float64")
 
     return _ratio
+
+
+def length_outliers(df: DataFrame, text_col: str = "text",
+                    group_col: str = "lang", k: float = 3.5) -> DataFrame:
+    """Robust per-group length-outlier detection (median + MAD).
+
+    The modified z-score of Iglewicz & Hoaglin (1993):
+    ``0.6745 * (len - median) / MAD`` per group, flagging documents
+    whose length is freakishly far from their language's typical
+    length — truncation artifacts, concatenation blowups, binary
+    spill. Median/MAD (not mean/std) so the detector itself survives
+    the outliers it hunts. When MAD = 0 (a majority of the group
+    shares one exact length — common for templated captions) the
+    standard fallback applies: ``(len - median) / (1.253314 *
+    meanAD)``, using the mean absolute deviation. meanAD is computed
+    as ``avg(long(2*|len - med|)) / 2`` — 2x deviations are exact
+    integers even for interpolated .5 medians, so the average is an
+    exact integer sum both here and in the SQL oracle (no
+    float-summation order drift).
+
+    Exact medians via ``F.median`` — two grouped aggregations on the
+    (small-cardinality) group key with broadcast join-backs, so the
+    full corpus shuffles only its (group, length) projection, never
+    text. Groups where MAD = 0 (all-identical lengths) yield NULL
+    robust_z and is_outlier = false, the standard convention. NULL
+    text and NULL group rows are excluded. At 100 TB swap F.median for
+    percentile_approx if the exact sort-based median on the largest
+    language becomes the straggler — the operator contract stays the
+    same.
+
+    Returns (id cols..., group, n_chars_len, med_len, mad_len,
+    meanad_len, robust_z, is_outlier).
+    """
+    d = (df.filter(F.col(text_col).isNotNull()
+                   & F.col(group_col).isNotNull())
+         .withColumn("n_chars_len", F.length(F.col(text_col))))
+    med = (d.groupBy(group_col)
+           .agg(F.median("n_chars_len").alias("med_len")))
+    d1 = d.join(F.broadcast(med), group_col)
+    dev2 = (F.abs(F.col("n_chars_len") - F.col("med_len"))
+            * 2).cast("long")
+    mad = (d1.groupBy(group_col)
+           .agg(F.median(F.abs(F.col("n_chars_len")
+                               - F.col("med_len"))).alias("mad_len"),
+                (F.avg(dev2) / 2).alias("meanad_len")))
+    d2 = d1.join(F.broadcast(mad), group_col)
+    diff = F.col("n_chars_len") - F.col("med_len")
+    z = (F.when(F.col("mad_len") > 0,
+                F.round(F.lit(0.6745) * diff / F.col("mad_len"), 6))
+         .when(F.col("meanad_len") > 0,
+               F.round(diff / (F.lit(1.253314) * F.col("meanad_len")), 6)))
+    return (d2.withColumn("robust_z", z)
+            .withColumn("is_outlier",
+                        F.coalesce(F.abs(F.col("robust_z")) > F.lit(float(k)),
+                                   F.lit(False))))
