@@ -325,6 +325,32 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--cores", type=int, default=-1)
     ex.add_argument("--master", default=None)
 
+    rz = sub.add_parser(
+        "resize",
+        help="resize-and-re-encode image payloads: cap the longest "
+             "(or shortest) side with the deterministic bilinear "
+             "kernel, pass small images through byte-identical, "
+             "optionally recompute phash over the resized pixels "
+             "(graft-only capability)")
+    rz.add_argument("-i", "--input", required=True,
+                    help="pairs parquet (image_id, bytes, w, h, fmt, ...)")
+    rz.add_argument("-o", "--output", required=True)
+    rz.add_argument("--target", type=int, default=256)
+    rz.add_argument("--mode", choices=["longest", "shortest", "exact"],
+                    default="longest")
+    rz.add_argument("--upscale", action="store_true",
+                    help="also scale images below the bound up to it")
+    rz.add_argument("--out_fmt", default=None,
+                    choices=["raw", "bmp", "png", "jpegq"],
+                    help="convert format while resizing (default: keep)")
+    rz.add_argument("--rehash", action="store_true",
+                    help="recompute the phash column from the resized "
+                         "pixels (resizing moves DCT coefficients)")
+    rz.add_argument("--no_validate", action="store_true",
+                    help="skip the decode check on pass-through rows")
+    rz.add_argument("--cores", type=int, default=-1)
+    rz.add_argument("--master", default=None)
+
     pk = sub.add_parser("package", help="build the --py-files zip")
     pk.add_argument("-o", "--output", default="mehc_curation_spark.zip")
 
@@ -679,6 +705,56 @@ def main(argv: list[str] | None = None) -> int:
                               "mean_score": agg["mean_score"],
                               "trained": bool(args.train),
                               "threshold": args.threshold}))
+            return 0
+
+        if args.cmd == "resize":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators.multimodal import (
+                compute_phash,
+                resize_images,
+            )
+
+            df = spark.read.parquet(args.input)
+            resized = resize_images(
+                df, target=args.target, mode=args.mode,
+                upscale=args.upscale, out_fmt=args.out_fmt,
+                validate=not args.no_validate)
+            # carry the non-payload columns (caption, phash, ...)
+            # through an id-equi-join; image_id is the unique key
+            passthrough = [c for c in df.columns
+                           if c not in ("bytes", "w", "h", "fmt")]
+            if args.rehash:
+                # consumed by two plans below; cache so the decode +
+                # resample Arrow stage runs once
+                resized = resized.persist()
+            out = df.select(*passthrough).join(resized, "image_id")
+            if args.rehash:
+                ph = compute_phash(
+                    resized.filter(F.col("decode_ok"))
+                    .select("image_id", "bytes", "w", "h", "fmt"))
+                out = out.join(ph.select("image_id", "phash_computed"),
+                               "image_id", "left")
+                old = (F.col("phash") if "phash" in passthrough
+                       else F.lit(None).cast("long"))
+                out = (out.withColumn(
+                    "phash", F.coalesce("phash_computed", old))
+                    .drop("phash_computed"))
+            out.write.mode("overwrite").parquet(
+                os.path.join(args.output, "data"))
+            if args.rehash:
+                resized.unpersist()
+            agg = (spark.read.parquet(os.path.join(args.output, "data"))
+                   .agg(F.count("*").alias("n"),
+                        F.sum(F.col("resized").cast("int")).alias("resized"),
+                        F.sum((~F.col("decode_ok")).cast("int"))
+                        .alias("undecodable"))
+                   .first())
+            print(json.dumps({
+                "rows": agg["n"], "resized": int(agg["resized"] or 0),
+                "undecodable": int(agg["undecodable"] or 0),
+                "target": args.target, "mode": args.mode,
+                "rehash": bool(args.rehash)}))
             return 0
 
         if args.cmd == "export":
