@@ -1501,6 +1501,104 @@ def pairs_resize_check(spark, sf_dir):
         "failure_rate_in_range boolean")
 
 
+def pairs_crop_borders(spark, sf_dir):
+    """Border-crop payload transform (operators/multimodal.py
+    crop_borders): slice off detected letterbox/pillarbox bars and
+    re-encode. Rows-only surface (binary output); pairs_crop_check
+    carries the oracled gate."""
+    from mehc_curation_spark.operators.multimodal import crop_borders
+
+    return crop_borders(spark.read.parquet(_pairs_path()))
+
+
+def pairs_crop_check(spark, sf_dir):
+    """Oracled check for the crop surface: (a) distributed output
+    equals an in-process recompute through the SAME kernels
+    byte-for-byte; (b) a PLANTED letterboxed image crops to exactly
+    the inner pixels, a border-free image passes through
+    byte-identical, and an all-flat image refuses the crop."""
+    import hashlib
+
+    import numpy as np
+
+    from mehc_curation_spark.codecs.image import (
+        DecodeError, decode_image, encode_image)
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+    from mehc_curation_spark.operators.multimodal import crop_borders
+    from mehc_curation_spark.rules.imgquality import border_metrics
+
+    got = (crop_borders(spark.read.parquet(_pairs_path())).toPandas()
+           .sort_values("image_id").reset_index(drop=True))
+    pdf = make_pairs_pdf(2000, seed=42).sort_values("image_id") \
+        .reset_index(drop=True)
+
+    def _md5(b):
+        return None if b is None else hashlib.md5(bytes(b)).hexdigest()
+
+    exp_rows = []
+    for r in pdf.itertuples(index=False):
+        try:
+            w, h = int(r.w), int(r.h)
+            px = decode_image(r.bytes, r.fmt, w, h)
+            t, b, l, rt, _ = border_metrics(px, 8)
+            nh, nw = h - t - b, w - l - rt
+            keep = (t or b or l or rt) and nh >= 1 and nw >= 1 \
+                and nh * nw >= 0.25 * h * w
+            if keep:
+                exp_rows.append((True, True,
+                                 _md5(encode_image(px[t:h - b, l:w - rt],
+                                                   r.fmt)),
+                                 nw, nh, t, b, l, rt))
+            else:
+                exp_rows.append((True, False, _md5(bytes(r.bytes)),
+                                 w, h, t, b, l, rt))
+        except (DecodeError, TypeError, ValueError):
+            exp_rows.append((False, None, None, None, None,
+                             None, None, None, None))
+
+    def _canon(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        if isinstance(v, (bool, str)):
+            return v
+        return int(v)
+
+    match = bool(got["image_id"].tolist() == pdf["image_id"].tolist())
+    got_tuples = [
+        (_canon(ok), _canon(cr), _md5(by), _canon(w), _canon(h),
+         _canon(ct), _canon(cb), _canon(cl), _canon(crr))
+        for ok, cr, by, w, h, ct, cb, cl, crr in zip(
+            got["decode_ok"], got["cropped"], got["bytes"],
+            got["w"], got["h"], got["crop_top"], got["crop_bottom"],
+            got["crop_left"], got["crop_right"])]
+    exp_tuples = [tuple(v if isinstance(v, str) or v is None else _canon(v)
+                        for v in t) for t in exp_rows]
+    match = match and got_tuples == exp_tuples
+
+    rng = np.random.RandomState(17)
+    inner = rng.randint(60, 200, (30, 60, 3), dtype=np.uint8)
+    letter = np.zeros((40, 60, 3), np.uint8)
+    letter[5:35] = inner
+    noise = rng.randint(0, 256, (40, 60, 3), dtype=np.uint8)
+    flat = np.full((20, 20, 3), 128, np.uint8)
+    planted = spark.createDataFrame(
+        [("p_letter", letter.tobytes(), 60, 40, "raw"),
+         ("p_noise", noise.tobytes(), 60, 40, "raw"),
+         ("p_flat", flat.tobytes(), 20, 20, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    pg = {r["image_id"]: r for r in crop_borders(planted).collect()}
+    planted_ok = (
+        pg["p_letter"]["cropped"] is True
+        and (pg["p_letter"]["w"], pg["p_letter"]["h"]) == (60, 30)
+        and bytes(pg["p_letter"]["bytes"]) == inner.tobytes()
+        and pg["p_noise"]["cropped"] is False
+        and bytes(pg["p_noise"]["bytes"]) == noise.tobytes()
+        and pg["p_flat"]["cropped"] is False)
+    return spark.createDataFrame(
+        [(len(got), match, bool(planted_ok))],
+        "n_images long, matches_local boolean, planted_exact boolean")
+
+
 def pairs_color_stats(spark, sf_dir):
     """Color statistics (Hasler–Süsstrunk colorfulness, mean
     saturation, grayscale detection) over decoded payloads
@@ -2768,6 +2866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_resize_check": pairs_resize_check,
         "pairs_color_stats": pairs_color_stats,
         "pairs_color_stats_check": pairs_color_stats_check,
+        "pairs_crop_borders": pairs_crop_borders,
+        "pairs_crop_check": pairs_crop_check,
         "pairs_compute_phash": pairs_compute_phash,
         "pairs_compute_phash_check": pairs_compute_phash_check,
         "pairs_wds_export_check": pairs_wds_export_check,
@@ -4027,6 +4127,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_pairs_cache_file()}')
         """,
         "pairs_color_stats_check": f"""
+            SELECT COUNT(*) AS n_images,
+                   TRUE AS matches_local,
+                   TRUE AS planted_exact
+            FROM read_parquet('{_pairs_cache_file()}')
+        """,
+        "pairs_crop_check": f"""
             SELECT COUNT(*) AS n_images,
                    TRUE AS matches_local,
                    TRUE AS planted_exact

@@ -580,3 +580,71 @@ def image_color_stats(df: DataFrame, gray_tol: int = 2) -> DataFrame:
         "is_grayscale",
         F.when(F.col("decode_ok"),
                F.col("max_chan_spread") <= F.lit(gray_tol)))
+
+
+CROP_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("decode_ok", BooleanType()),
+    StructField("cropped", BooleanType()),
+    StructField("bytes", BinaryType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("fmt", StringType()),
+    StructField("crop_top", IntegerType()),
+    StructField("crop_bottom", IntegerType()),
+    StructField("crop_left", IntegerType()),
+    StructField("crop_right", IntegerType()),
+])
+
+
+def crop_borders(df: DataFrame, tol: int = 8,
+                 min_keep_frac: float = 0.25) -> DataFrame:
+    """Crop detected uniform borders (letterbox / pillarbox / frames)
+    and re-encode (REAL — NumPy codecs; detector kernel:
+    rules/imgquality.py border_metrics).
+
+    The act-on-it companion to :func:`image_borders`: measure the
+    per-side near-solid runs, slice them off, re-encode. Border-free
+    images pass through byte-identical (``cropped=False``, the
+    reference's unchanged fast path — same payload-transform shape as
+    :func:`resize_images`). The crop REFUSES (passthrough, thicknesses
+    still reported) when the surviving area falls below
+    ``min_keep_frac`` of the original — an almost-all-border image is
+    a placeholder to drop, not a 2-pixel sliver to keep. Undecodable
+    payloads surface ``decode_ok=False`` with NULL bytes.
+
+    One Arrow stage; payload crosses once each way, never shuffles.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mehc_curation_spark.codecs.image import (
+            DecodeError, decode_image, encode_image)
+        from mehc_curation_spark.rules.imgquality import border_metrics
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    w, h = int(r.w), int(r.h)
+                    px = decode_image(r.bytes, r.fmt, w, h)
+                    t, b, l, rt, _frac = border_metrics(px, tol)
+                    new_h, new_w = h - t - b, w - l - rt
+                    keep = (t or b or l or rt) and new_h >= 1 \
+                        and new_w >= 1 \
+                        and new_h * new_w >= min_keep_frac * h * w
+                    if not keep:
+                        rows.append((r.image_id, True, False,
+                                     bytes(r.bytes), w, h, r.fmt,
+                                     t, b, l, rt))
+                        continue
+                    cropped = px[t:h - b, l:w - rt]
+                    rows.append((r.image_id, True, True,
+                                 encode_image(cropped, r.fmt),
+                                 new_w, new_h, r.fmt, t, b, l, rt))
+                except (DecodeError, TypeError, ValueError):
+                    rows.append((r.image_id, False, None, None, None,
+                                 None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              CROP_SCHEMA.fields])
+
+    return (df.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(run, CROP_SCHEMA))
