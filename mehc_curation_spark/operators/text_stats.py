@@ -339,7 +339,9 @@ def length_outliers(df: DataFrame, text_col: str = "text",
     text and NULL group rows are excluded. At 100 TB swap F.median for
     percentile_approx if the exact sort-based median on the largest
     language becomes the straggler — the operator contract stays the
-    same.
+    same. The two-level median makes three passes over the source
+    (med, MAD-given-med, final labeling); persist the slim (id,
+    group, length) projection upstream if the source scan dominates.
 
     Returns (id cols..., group, n_chars_len, med_len, mad_len,
     meanad_len, robust_z, is_outlier).

@@ -215,3 +215,54 @@ def test_zorder_layout_single_range_exchange(spark):
     assert _count(tree, "Exchange") == 1
     assert "rangepartitioning" in tree.lower()
     assert _count(tree, "Python") == 0 and _count(tree, "Arrow") == 0
+
+
+def test_edit_dups_shuffles_only_prefix_key(spark):
+    """Both self-join sides shuffle on the blocking prefix only; the
+    threshold-bounded levenshtein is evaluated INSIDE the join (no
+    post-join filter pass), and no Python node appears. AQE collapses
+    the two identical side subtrees into one exchange + reuse at
+    runtime."""
+    from mehc_curation_spark.operators.similarity import edit_distance_dups
+
+    tree = _tree(edit_distance_dups(_docs(spark)))
+    ex = [ln for ln in tree.splitlines()
+          if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 2 and all("_pfx" in ln for ln in ex), tree
+    join_lines = [ln for ln in tree.splitlines() if "Join" in ln]
+    assert any("levenshtein" in ln for ln in join_lines), tree
+    assert _count(tree, "EvalPython") == 0, tree
+
+
+def test_length_outliers_broadcasts_group_stats(spark):
+    """The per-group median/MAD tables join back via broadcast — the
+    full corpus never shuffles; the only exchanges are the
+    small-cardinality group aggregations."""
+    from mehc_curation_spark.operators.text_stats import length_outliers
+
+    tree = _tree(length_outliers(_docs(spark)))
+    assert _count(tree, "BroadcastHashJoin") == 3, tree
+    assert _count(tree, "SortMergeJoin") == 0, tree
+    ex = [ln for ln in tree.splitlines()
+          if "Exchange hashpartitioning" in ln]
+    assert all("lang" in ln for ln in ex), tree
+
+
+def test_payload_transforms_have_no_exchange(spark):
+    """resize / crop / color stats are embarrassingly parallel: one
+    MapInPandas (Arrow) stage, zero shuffles — the payload crosses the
+    JVM->Python boundary once and never moves between executors."""
+    from mehc_curation_spark.operators.multimodal import (
+        crop_borders,
+        image_color_stats,
+        resize_images,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", b"\x00" * 16, 2, 2, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    for op in (lambda d: resize_images(d, target=8),
+               crop_borders, image_color_stats):
+        tree = _tree(op(pairs))
+        assert _count(tree, "Exchange") == 0, tree
+        assert _count(tree, "MapInPandas") == 1, tree
