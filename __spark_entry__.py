@@ -1599,6 +1599,78 @@ def pairs_crop_check(spark, sf_dir):
         "n_images long, matches_local boolean, planted_exact boolean")
 
 
+def pairs_phash_verify(spark, sf_dir):
+    """Pixel-space PSNR verification of the phash-hamming candidate
+    pairs (operators/multimodal.py verify_pairs_psnr): hashes propose,
+    pixels confirm. Rows-only surface; pairs_phash_verify_check
+    carries the oracled gate."""
+    from mehc_curation_spark.operators.multimodal import verify_pairs_psnr
+    from mehc_curation_spark.operators.similarity import phash_near_dups
+
+    d = spark.read.parquet(_pairs_path())
+    cands = phash_near_dups(d, "phash", "image_id", max_hamming=4)
+    return verify_pairs_psnr(d, cands)
+
+
+def pairs_phash_verify_check(spark, sf_dir):
+    """Oracled check for the PSNR verify stage: (a) the distributed
+    verification of every phash candidate pair equals an in-process
+    recompute through the SAME kernels exactly; (b) non-vacuity — the
+    corpus's planted perfect duplicates surface as capped-PSNR (99 dB)
+    pairs, and every byte-identical pair scores exactly the cap."""
+    import pandas as pd
+
+    from mehc_curation_spark.codecs.image import (
+        DecodeError, decode_image, psnr)
+    from mehc_curation_spark.codecs.resize import resize_bilinear
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+    from mehc_curation_spark.operators.multimodal import verify_pairs_psnr
+    from mehc_curation_spark.operators.similarity import phash_near_dups
+
+    d = spark.read.parquet(_pairs_path())
+    cands = phash_near_dups(d, "phash", "image_id", max_hamming=4)
+    got = (verify_pairs_psnr(d, cands).toPandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    pdf = make_pairs_pdf(2000, seed=42)
+    by_id = {r.image_id: r for r in pdf.itertuples(index=False)}
+
+    def _local(ia, ib):
+        ra, rb = by_id[ia], by_id[ib]
+        try:
+            pa = decode_image(ra.bytes, ra.fmt, int(ra.w), int(ra.h))
+            pb = decode_image(rb.bytes, rb.fmt, int(rb.w), int(rb.h))
+            same = pa.shape == pb.shape
+            if not same:
+                pb = resize_bilinear(pb, pa.shape[0], pa.shape[1])
+            return (True, same, round(min(psnr(pa, pb), 99.0), 4))
+        except (DecodeError, TypeError, ValueError):
+            return (False, None, None)
+
+    match = True
+    n_capped = 0
+    ident_ok = True
+    for r in got.itertuples(index=False):
+        exp = _local(r.id_a, r.id_b)
+        g = (bool(r.decode_ok),
+             None if r.same_dims is None or pd.isna(r.same_dims)
+             else bool(r.same_dims),
+             None if r.psnr_db is None or pd.isna(r.psnr_db)
+             else float(r.psnr_db))
+        match = match and g == exp
+        if g[2] == 99.0:
+            n_capped += 1
+            ra, rb = by_id[r.id_a], by_id[r.id_b]
+            # capped pairs with identical payload bytes must be the
+            # planted perfect dups
+            if bytes(ra.bytes) == bytes(rb.bytes):
+                ident_ok = ident_ok and g[1] is True
+    return spark.createDataFrame(
+        [(len(got), bool(match), bool(n_capped > 0), bool(ident_ok))],
+        "n_pairs long, matches_local boolean, "
+        "planted_dups_cap boolean, identical_bytes_same_dims boolean")
+
+
 def pairs_color_stats(spark, sf_dir):
     """Color statistics (Hasler–Süsstrunk colorfulness, mean
     saturation, grayscale detection) over decoded payloads
@@ -2868,6 +2940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_color_stats_check": pairs_color_stats_check,
         "pairs_crop_borders": pairs_crop_borders,
         "pairs_crop_check": pairs_crop_check,
+        "pairs_phash_verify": pairs_phash_verify,
+        "pairs_phash_verify_check": pairs_phash_verify_check,
         "pairs_compute_phash": pairs_compute_phash,
         "pairs_compute_phash_check": pairs_compute_phash_check,
         "pairs_wds_export_check": pairs_wds_export_check,
@@ -4137,6 +4211,16 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS matches_local,
                    TRUE AS planted_exact
             FROM read_parquet('{_pairs_cache_file()}')
+        """,
+        "pairs_phash_verify_check": f"""
+            SELECT COUNT(*) AS n_pairs,
+                   TRUE AS matches_local,
+                   TRUE AS planted_dups_cap,
+                   TRUE AS identical_bytes_same_dims
+            FROM read_parquet('{_pairs_cache_file()}') a
+            JOIN read_parquet('{_pairs_cache_file()}') b
+              ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 4
         """,
         "pairs_caption_junk": f"""
             SELECT image_id,

@@ -648,3 +648,71 @@ def crop_borders(df: DataFrame, tol: int = 8,
 
     return (df.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(run, CROP_SCHEMA))
+
+
+PSNR_VERIFY_SCHEMA = StructType([
+    StructField("id_a", StringType()),
+    StructField("id_b", StringType()),
+    StructField("decode_ok", BooleanType()),
+    StructField("same_dims", BooleanType()),
+    StructField("psnr_db", DoubleType()),
+])
+
+
+def verify_pairs_psnr(payload_df: DataFrame, pairs_df: DataFrame,
+                      id_col: str = "image_id",
+                      cap_db: float = 99.0) -> DataFrame:
+    """Pixel-space verification of candidate near-dup pairs (REAL —
+    NumPy codecs decode both payloads; PSNR kernel codecs/image.py,
+    dims reconciled through the deterministic bilinear kernel).
+
+    The verify stage for hash-level candidates: phash hamming (or any
+    LSH) proposes, pixels confirm — the same candidates-then-verify
+    shape as the MinHash/Jaccard pipeline, but on the image side. The
+    scale property that matters at 100 TB: payload bytes join (and
+    therefore shuffle) ONLY for the candidate minority — the two
+    id-equi-joins move |pairs| payloads, not the corpus; the corpus
+    itself is never decoded here.
+
+    When the two images differ in resolution the smaller comparison
+    target is produced by resizing side b to side a's dims
+    (``same_dims=False``), so a thumbnail duplicate still verifies
+    high. PSNR is capped at ``cap_db`` (identical pixels would be
+    +inf) and rounded to 4 decimals for distributed/local parity.
+
+    Returns (id_a, id_b, decode_ok, same_dims, psnr_db).
+    """
+    from pyspark.sql import functions as F
+
+    pcols = ("bytes", "w", "h", "fmt")
+    a = payload_df.select(F.col(id_col).alias("id_a"),
+                          *[F.col(c).alias(f"{c}_a") for c in pcols])
+    b = payload_df.select(F.col(id_col).alias("id_b"),
+                          *[F.col(c).alias(f"{c}_b") for c in pcols])
+    j = (pairs_df.select("id_a", "id_b")
+         .join(a, "id_a").join(b, "id_b"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mehc_curation_spark.codecs.image import (
+            DecodeError, decode_image, psnr)
+        from mehc_curation_spark.codecs.resize import resize_bilinear
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    pa = decode_image(r.bytes_a, r.fmt_a,
+                                      int(r.w_a), int(r.h_a))
+                    pb = decode_image(r.bytes_b, r.fmt_b,
+                                      int(r.w_b), int(r.h_b))
+                    same = pa.shape == pb.shape
+                    if not same:
+                        pb = resize_bilinear(pb, pa.shape[0], pa.shape[1])
+                    val = round(min(psnr(pa, pb), cap_db), 4)
+                    rows.append((r.id_a, r.id_b, True, same, val))
+                except (DecodeError, TypeError, ValueError):
+                    rows.append((r.id_a, r.id_b, False, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              PSNR_VERIFY_SCHEMA.fields])
+
+    return j.mapInPandas(run, PSNR_VERIFY_SCHEMA)
