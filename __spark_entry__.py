@@ -653,11 +653,20 @@ def doc_edit_dups(spark, sf_dir):
     """Prefix-blocked Levenshtein near-dup pairs (operators/
     similarity.py edit_distance_dups) — JVM-side threshold-bounded
     edit distance within lowercased 8-char-prefix blocks; full value
-    oracle via DuckDB's levenshtein()."""
+    oracle via DuckDB's levenshtein().
+
+    Oracle-domain note: Spark's levenshtein counts CODEPOINTS while
+    DuckDB's counts BYTES, so they agree only where the two coincide;
+    this oracled surface therefore restricts to documents whose text
+    is one-byte-per-char (octet_length == length, same predicate in
+    both engines). The operator itself is codepoint-based — the
+    correct semantics for multilingual text — and its unicode
+    behavior is pinned by tests/test_edit_dups.py instead."""
     from mehc_curation_spark.operators.similarity import edit_distance_dups
 
-    return edit_distance_dups(_t(spark, sf_dir, "documents"),
-                              max_dist=5, prefix_len=8, max_block=200)
+    d = _t(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text"))
+    return edit_distance_dups(d, max_dist=5, prefix_len=8, max_block=200)
 
 
 def doc_ngram_jaccard(spark, sf_dir):
@@ -1378,17 +1387,10 @@ def pairs_image_borders_check(spark, sf_dir):
             exp_rows.append((False, None, None, None, None, None))
     cols = ["decode_ok", "border_top", "border_bottom",
             "border_left", "border_right", "border_frac"]
-    def _canon(v):
-        # pandas stores None as NaN in numeric columns; fold both to
-        # None and compare everything else as float (ints are exact)
-        if v is None or (isinstance(v, float) and np.isnan(v)):
-            return None
-        return float(v) if not isinstance(v, bool) else v
-
     match = bool(got["image_id"].tolist() == pdf["image_id"].tolist())
     for i, c in enumerate(cols):
-        gv = [_canon(v) for v in got[c]]
-        ev = [_canon(e[i]) for e in exp_rows]
+        gv = [_canon_cell(v) for v in got[c]]
+        ev = [_canon_cell(e[i]) for e in exp_rows]
         match = match and gv == ev
 
     rng = np.random.RandomState(0)
@@ -1432,8 +1434,6 @@ def pairs_resize_check(spark, sf_dir):
     already-small image passes through byte-identical, and upscaling
     stays off by default; (c) the corpus's planted ~1% corruption
     surfaces as decode failures on both sides."""
-    import hashlib
-
     from mehc_curation_spark.codecs.image import (
         DecodeError, decode_image, encode_image)
     from mehc_curation_spark.codecs.resize import fit_dims, resize_bilinear
@@ -1445,10 +1445,7 @@ def pairs_resize_check(spark, sf_dir):
            .toPandas().sort_values("image_id").reset_index(drop=True))
     pdf = make_pairs_pdf(2000, seed=42).sort_values("image_id") \
         .reset_index(drop=True)
-
-    def _md5(b):
-        return None if b is None else hashlib.md5(bytes(b)).hexdigest()
-
+    _md5 = _md5_hex
     exp_rows = []
     for r in pdf.itertuples(index=False):
         try:
@@ -1461,20 +1458,13 @@ def pairs_resize_check(spark, sf_dir):
         except (DecodeError, TypeError, ValueError):
             exp_rows.append((False, None, None, None, None, None))
 
-    def _canon(v):
-        import numpy as np
-        if v is None or (isinstance(v, float) and np.isnan(v)):
-            return None
-        return v if isinstance(v, (bool, str)) else int(v)
-
     match = bool(got["image_id"].tolist() == pdf["image_id"].tolist())
     got_tuples = [
-        (_canon(ok), _canon(rz), _md5(b), _canon(w), _canon(h), f)
-        for ok, rz, b, w, h, f in zip(
-            got["decode_ok"], got["resized"], got["bytes"],
-            got["w"], got["h"], got["fmt"])]
-    exp_tuples = [tuple(_canon(v) if not isinstance(v, str) and v is not None
-                        else v for v in t) for t in exp_rows]
+        tuple(_canon_cell(v, int) for v in t)
+        for t in zip(got["decode_ok"], got["resized"],
+                     [_md5(b) for b in got["bytes"]],
+                     got["w"], got["h"], got["fmt"])]
+    exp_tuples = [tuple(_canon_cell(v, int) for v in t) for t in exp_rows]
     match = match and got_tuples == exp_tuples
     fail_rate = 1.0 - float(got["decode_ok"].mean())
 
@@ -1517,8 +1507,6 @@ def pairs_crop_check(spark, sf_dir):
     byte-for-byte; (b) a PLANTED letterboxed image crops to exactly
     the inner pixels, a border-free image passes through
     byte-identical, and an all-flat image refuses the crop."""
-    import hashlib
-
     import numpy as np
 
     from mehc_curation_spark.codecs.image import (
@@ -1531,10 +1519,7 @@ def pairs_crop_check(spark, sf_dir):
            .sort_values("image_id").reset_index(drop=True))
     pdf = make_pairs_pdf(2000, seed=42).sort_values("image_id") \
         .reset_index(drop=True)
-
-    def _md5(b):
-        return None if b is None else hashlib.md5(bytes(b)).hexdigest()
-
+    _md5 = _md5_hex
     exp_rows = []
     for r in pdf.itertuples(index=False):
         try:
@@ -1556,23 +1541,15 @@ def pairs_crop_check(spark, sf_dir):
             exp_rows.append((False, None, None, None, None,
                              None, None, None, None))
 
-    def _canon(v):
-        if v is None or (isinstance(v, float) and np.isnan(v)):
-            return None
-        if isinstance(v, (bool, str)):
-            return v
-        return int(v)
-
     match = bool(got["image_id"].tolist() == pdf["image_id"].tolist())
     got_tuples = [
-        (_canon(ok), _canon(cr), _md5(by), _canon(w), _canon(h),
-         _canon(ct), _canon(cb), _canon(cl), _canon(crr))
-        for ok, cr, by, w, h, ct, cb, cl, crr in zip(
-            got["decode_ok"], got["cropped"], got["bytes"],
-            got["w"], got["h"], got["crop_top"], got["crop_bottom"],
-            got["crop_left"], got["crop_right"])]
-    exp_tuples = [tuple(v if isinstance(v, str) or v is None else _canon(v)
-                        for v in t) for t in exp_rows]
+        tuple(_canon_cell(v, int) for v in t)
+        for t in zip(got["decode_ok"], got["cropped"],
+                     [_md5(by) for by in got["bytes"]],
+                     got["w"], got["h"], got["crop_top"],
+                     got["crop_bottom"], got["crop_left"],
+                     got["crop_right"])]
+    exp_tuples = [tuple(_canon_cell(v, int) for v in t) for t in exp_rows]
     match = match and got_tuples == exp_tuples
 
     rng = np.random.RandomState(17)
@@ -1708,16 +1685,11 @@ def pairs_color_stats_check(spark, sf_dir):
         else:
             exp_rows.append((False, None, None, None))
 
-    def _canon(v):
-        if v is None or (isinstance(v, float) and np.isnan(v)):
-            return None
-        return float(v) if not isinstance(v, bool) else v
-
     match = bool(got["image_id"].tolist() == pdf["image_id"].tolist())
     for i, c in enumerate(["decode_ok", "colorfulness", "sat_mean",
                            "max_chan_spread"]):
-        gv = [_canon(v) for v in got[c]]
-        ev = [_canon(e[i]) for e in exp_rows]
+        gv = [_canon_cell(v) for v in got[c]]
+        ev = [_canon_cell(e[i]) for e in exp_rows]
         match = match and gv == ev
 
     gray = np.tile(np.arange(40, dtype=np.uint8).reshape(40, 1, 1),
@@ -2006,6 +1978,28 @@ def _pairs_cache_file(n: int = 2000, seed: int = 42) -> str:
     cache = os.environ.get("SPARK_GRAFT_PAIRS_CACHE", "/tmp/mehc_pairs_cache")
     return os.path.join(cache,
                         f"pairs_n{n}_s{seed}_fv{FIXTURE_VERSION}.parquet")
+
+
+def _canon_cell(v, num=float):
+    """Shared cell canonicalizer for the distributed-vs-local image
+    checks: fold pandas NaN/None to None, keep bools (incl. numpy
+    bool_) and strings, normalize remaining numerics via ``num`` so
+    numpy scalars compare equal to python scalars."""
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, str):
+        return v
+    return num(v)
+
+
+def _md5_hex(b):
+    import hashlib
+
+    return None if b is None else hashlib.md5(bytes(b)).hexdigest()
 
 
 def _pairs_path(n: int = 2000, seed: int = 42) -> str:
@@ -3689,11 +3683,14 @@ def oracle_sql() -> dict[str, str]:
             FROM sh x JOIN sh y ON x.k = y.k AND x.doc_id < y.doc_id
         """,
         "doc_edit_dups": r"""
+            -- byte==codepoint domain only: DuckDB levenshtein counts
+            -- bytes, Spark counts codepoints (see doc_edit_dups)
             WITH d AS (
                 SELECT doc_id, text,
                        lower(substr(text, 1, 8)) AS pfx
                 FROM documents
                 WHERE text IS NOT NULL AND length(text) >= 8
+                  AND strlen(text) = length(text)
             ), k AS (
                 SELECT d.* FROM d
                 JOIN (SELECT pfx FROM d GROUP BY pfx

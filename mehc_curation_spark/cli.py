@@ -711,30 +711,24 @@ def main(argv: list[str] | None = None) -> int:
             from pyspark.sql import functions as F
 
             from mehc_curation_spark.operators.multimodal import (
-                compute_phash,
                 resize_images,
             )
 
             df = spark.read.parquet(args.input)
-            resized = resize_images(
+            # non-payload columns (caption, phash, ...) ride THROUGH
+            # the Arrow stage, and --rehash hashes the output pixels
+            # inside the same stage — no id-join, so the resized
+            # payload never shuffles and is decoded exactly once
+            passthrough = tuple(
+                c for c in df.columns
+                if c not in ("image_id", "bytes", "w", "h", "fmt"))
+            out = resize_images(
                 df, target=args.target, mode=args.mode,
                 upscale=args.upscale, out_fmt=args.out_fmt,
-                validate=not args.no_validate)
-            # carry the non-payload columns (caption, phash, ...)
-            # through an id-equi-join; image_id is the unique key
-            passthrough = [c for c in df.columns
-                           if c not in ("bytes", "w", "h", "fmt")]
+                validate=not args.no_validate,
+                passthrough_cols=passthrough,
+                with_phash=args.rehash)
             if args.rehash:
-                # consumed by two plans below; cache so the decode +
-                # resample Arrow stage runs once
-                resized = resized.persist()
-            out = df.select(*passthrough).join(resized, "image_id")
-            if args.rehash:
-                ph = compute_phash(
-                    resized.filter(F.col("decode_ok"))
-                    .select("image_id", "bytes", "w", "h", "fmt"))
-                out = out.join(ph.select("image_id", "phash_computed"),
-                               "image_id", "left")
                 old = (F.col("phash") if "phash" in passthrough
                        else F.lit(None).cast("long"))
                 out = (out.withColumn(
@@ -742,8 +736,6 @@ def main(argv: list[str] | None = None) -> int:
                     .drop("phash_computed"))
             out.write.mode("overwrite").parquet(
                 os.path.join(args.output, "data"))
-            if args.rehash:
-                resized.unpersist()
             agg = (spark.read.parquet(os.path.join(args.output, "data"))
                    .agg(F.count("*").alias("n"),
                         F.sum(F.col("resized").cast("int")).alias("resized"),

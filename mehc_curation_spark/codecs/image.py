@@ -281,6 +281,9 @@ def _decode_jpegq(data: bytes, w: int, h: int) -> np.ndarray:
 _ENCODERS = {"raw": _encode_raw, "bmp": _encode_bmp, "png": _encode_png, "jpegq": _encode_jpegq}
 _DECODERS = {"raw": _decode_raw, "bmp": _decode_bmp, "png": _decode_png, "jpegq": _decode_jpegq}
 
+KNOWN_FORMATS = tuple(_ENCODERS)
+LOSSLESS_FORMATS = ("raw", "bmp", "png")
+
 
 def encode_image(px: np.ndarray, fmt: str) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array in the given format."""

@@ -73,7 +73,8 @@ def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
     wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
     p = px.astype(np.float64)
-    top = p[y0][:, x0] * (1.0 - wx) + p[y0][:, x1] * wx
-    bot = p[y1][:, x0] * (1.0 - wx) + p[y1][:, x1] * wx
+    py0, py1 = p[y0], p[y1]  # gather rows once; each is a full copy
+    top = py0[:, x0] * (1.0 - wx) + py0[:, x1] * wx
+    bot = py1[:, x0] * (1.0 - wx) + py1[:, x1] * wx
     out = top * (1.0 - wy) + bot * wy
     return np.clip(np.round(out), 0, 255).astype(np.uint8)

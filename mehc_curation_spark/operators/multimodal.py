@@ -479,7 +479,9 @@ RESIZE_SCHEMA = StructType([
 
 def resize_images(df: DataFrame, target: int = 256, mode: str = "longest",
                   upscale: bool = False, out_fmt: str | None = None,
-                  validate: bool = True) -> DataFrame:
+                  validate: bool = True,
+                  passthrough_cols: tuple[str, ...] = (),
+                  with_phash: bool = False) -> DataFrame:
     """Resize payloads so the longest (or shortest) side hits ``target``
     and re-encode (REAL — NumPy codecs + deterministic bilinear kernel,
     codecs/resize.py).
@@ -494,45 +496,114 @@ def resize_images(df: DataFrame, target: int = 256, mode: str = "longest",
     ``validate=False`` skips the decode on unchanged rows (use after a
     validation stage has already gated decodability).
 
+    Configuration (mode / out_fmt / target) is validated ONCE at
+    operator construction — a typo raises here on the driver instead
+    of silently nulling every row inside the per-row decode guard.
+
     Returns a pairs-shaped frame (image_id, bytes, w, h, fmt) that
-    downstream ops (compute_phash, export, curate) consume unchanged —
-    join back on image_id for captions. Decode + resample + re-encode
-    all happen inside ONE Arrow stage: bytes cross the JVM->Python
-    boundary once each way and never shuffle.
+    downstream ops (compute_phash, export, curate) consume unchanged.
+    ``passthrough_cols`` carries any further input columns (caption,
+    phash, ...) THROUGH the Arrow stage — at scale this is the right
+    way to keep a full-schema output, because the alternative (an
+    image_id equi-join back to the source) shuffles the whole resized
+    payload across executors. ``with_phash=True`` appends a
+    ``phash_computed`` column hashed from the OUTPUT pixels while they
+    are still in hand (resizing moves DCT coefficients, so the stored
+    phash no longer identifies the new payload) — again inside the
+    same stage, zero extra decodes and zero joins; it forces the
+    decode of unchanged rows (a hash needs pixels). Decode + resample
+    + re-encode all happen inside ONE Arrow stage: bytes cross the
+    JVM->Python boundary once each way and never shuffle.
     """
+    from mehc_curation_spark.codecs.image import KNOWN_FORMATS
+
+    if mode not in ("longest", "shortest", "exact"):
+        raise ValueError(f"unknown resize mode {mode!r}")
+    if int(target) < 1:
+        raise ValueError(f"target must be >= 1, got {target}")
+    if out_fmt is not None and out_fmt not in KNOWN_FORMATS:
+        raise ValueError(
+            f"unknown out_fmt {out_fmt!r}; known: {KNOWN_FORMATS}")
+    payload_cols = ("image_id", "bytes", "w", "h", "fmt")
+    passthrough_cols = tuple(passthrough_cols)
+    clash = [c for c in passthrough_cols if c in payload_cols]
+    if clash:
+        raise ValueError(f"passthrough collides with payload: {clash}")
+    missing = [c for c in passthrough_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"passthrough columns not in input: {missing}")
+    hash_fields = ([StructField("phash_computed", LongType())]
+                   if with_phash else [])
+    out_schema = StructType(list(RESIZE_SCHEMA.fields) + hash_fields
+                            + [df.schema[c] for c in passthrough_cols])
+    out_names = [f.name for f in out_schema.fields]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mehc_curation_spark.codecs.image import (
-            DecodeError, decode_image, encode_image)
+            LOSSLESS_FORMATS, DecodeError, decode_image, encode_image)
+        from mehc_curation_spark.codecs.phash import phash64
         from mehc_curation_spark.codecs.resize import fit_dims, resize_bilinear
 
         for pdf in batches:
             rows = []
-            for r in pdf.itertuples(index=False):
+            # positional tuples: passthrough names need not be valid
+            # python identifiers
+            for r in pdf.itertuples(index=False, name=None):
+                image_id, data, w0, h0, fmt0 = r[:5]
+                extra = r[5:]
                 try:
-                    w, h = int(r.w), int(r.h)
+                    w, h = int(w0), int(h0)
                     out_w, out_h, chg = fit_dims(w, h, target, mode, upscale)
-                    fmt = out_fmt or r.fmt
-                    if not chg and fmt == r.fmt:
+                    fmt = out_fmt or fmt0
+                    if not chg and fmt == fmt0:
                         # unchanged fast path: byte-identical (no
-                        # lossy re-encode); decode only to validate,
-                        # skippable when a validation stage already ran
-                        if validate:
-                            decode_image(r.bytes, r.fmt, w, h)
-                        rows.append((r.image_id, True, False,
-                                     bytes(r.bytes), w, h, r.fmt))
+                        # lossy re-encode); decode only to validate
+                        # or hash, skippable when a validation stage
+                        # already ran
+                        px = (decode_image(data, fmt0, w, h)
+                              if validate or with_phash else None)
+                        hcol = ((phash64(px),) if with_phash else ())
+                        rows.append((image_id, True, False,
+                                     bytes(data), w, h, fmt0)
+                                    + hcol + extra)
                         continue
-                    px = decode_image(r.bytes, r.fmt, w, h)
+                    px = decode_image(data, fmt0, w, h)
                     out_px = resize_bilinear(px, out_h, out_w) if chg else px
-                    rows.append((r.image_id, True, chg,
-                                 encode_image(out_px, fmt), out_w, out_h, fmt))
+                    enc = encode_image(out_px, fmt)
+                    if with_phash:
+                        # hash the pixels a READER of the new payload
+                        # sees: lossy formats quantize, so round-trip
+                        # through the codec before hashing
+                        stored = (out_px if fmt in LOSSLESS_FORMATS
+                                  else decode_image(enc, fmt, out_w, out_h))
+                        hcol = (phash64(stored),)
+                    else:
+                        hcol = ()
+                    rows.append((image_id, True, chg, enc,
+                                 out_w, out_h, fmt) + hcol + extra)
                 except (DecodeError, TypeError, ValueError):
-                    rows.append((r.image_id, False, None, None,
-                                 None, None, None))
-            yield pd.DataFrame(rows, columns=[f.name for f in
-                                              RESIZE_SCHEMA.fields])
+                    # sentinel 0 for the hash (nullified in Catalyst
+                    # below): an OBJECT long column holding Nones goes
+                    # through float64 in the Arrow writer and loses
+                    # low bits of 64-bit hashes
+                    hcol = ((0,) if with_phash else ())
+                    rows.append((image_id, False, None, None,
+                                 None, None, None) + hcol + extra)
+            out = pd.DataFrame(rows, columns=out_names)
+            if with_phash:
+                out["phash_computed"] = \
+                    out["phash_computed"].astype("int64")
+            yield out
 
-    return (df.select("image_id", "bytes", "w", "h", "fmt")
-            .mapInPandas(run, RESIZE_SCHEMA))
+    res = (df.select(*payload_cols, *passthrough_cols)
+           .mapInPandas(run, out_schema))
+    if with_phash:
+        from pyspark.sql import functions as F
+
+        res = res.withColumn(
+            "phash_computed",
+            F.when(F.col("decode_ok"), F.col("phash_computed")))
+    return res
 
 
 IMAGE_COLOR_SCHEMA = StructType([

@@ -54,6 +54,19 @@ def test_max_block_skips_hot_keys(spark):
     assert len(_pairs(df, max_dist=50, max_block=100)) == 45
 
 
+def test_unicode_distance_counts_codepoints(spark):
+    """The operator's distance is CODEPOINT-based (Spark semantics):
+    café vs cafe is ONE edit even though the byte diff is two. The
+    driver oracle restricts itself to the byte==codepoint domain
+    because DuckDB's levenshtein counts bytes (documented in
+    doc_edit_dups)."""
+    df = spark.createDataFrame(
+        [(1, "café del mar sunset"), (2, "cafe del mar sunset")],
+        "doc_id long, text string")
+    got = _pairs(df, max_dist=1, prefix_len=3)
+    assert got == {(1, 2): 1}
+
+
 def test_partition_invariant(spark):
     rows = [(i, "common prefix with tail number %d" % (i % 7))
             for i in range(30)]

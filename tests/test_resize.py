@@ -4,6 +4,7 @@ undecodable sentinel)."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from mehc_curation_spark.codecs.image import decode_image, encode_image, psnr
 from mehc_curation_spark.codecs.resize import fit_dims, resize_bilinear
@@ -140,6 +141,43 @@ def test_resize_validate_off_skips_decode_on_unchanged(spark):
     off = resize_images(df, target=30, validate=False).collect()[0]
     assert on["decode_ok"] is False and on["bytes"] is None
     assert off["decode_ok"] is True and bytes(off["bytes"]) == b"\x00\x01"
+
+
+def test_resize_config_errors_raise_on_driver(spark):
+    """A config typo must raise at operator construction, not silently
+    null every payload through the per-row decode guard (regression:
+    out_fmt='jpeg' used to produce a '100% undecodable' run)."""
+    df, _b, _s = _planted_df(spark)
+    with pytest.raises(ValueError, match="out_fmt"):
+        resize_images(df, target=30, out_fmt="jpeg")
+    with pytest.raises(ValueError, match="mode"):
+        resize_images(df, target=30, mode="longset")
+    with pytest.raises(ValueError, match="target"):
+        resize_images(df, target=0)
+    with pytest.raises(ValueError, match="passthrough"):
+        resize_images(df, target=30, passthrough_cols=("bytes",))
+    with pytest.raises(ValueError, match="passthrough"):
+        resize_images(df, target=30, passthrough_cols=("caption",))
+
+
+def test_resize_passthrough_and_inline_phash(spark):
+    """passthrough columns ride through the Arrow stage (no join) and
+    with_phash hashes the OUTPUT pixels inline."""
+    from mehc_curation_spark.codecs.phash import phash64
+
+    df, big, small = _planted_df(spark)
+    df = df.withColumn("caption", F.concat(F.lit("cap-"), "image_id"))
+    out = {r["image_id"]: r for r in
+           resize_images(df, target=30, passthrough_cols=("caption",),
+                         with_phash=True).collect()}
+    assert out["big_raw"]["caption"] == "cap-big_raw"
+    exp = resize_bilinear(big, 20, 30)
+    assert out["big_raw"]["phash_computed"] == phash64(exp)
+    # unchanged row: hash of the ORIGINAL pixels (decode forced)
+    assert out["small"]["phash_computed"] == phash64(small)
+    # undecodable: hash nulled by the Catalyst mask, caption survives
+    assert out["corrupt"]["phash_computed"] is None
+    assert out["corrupt"]["caption"] == "cap-corrupt"
 
 
 def test_resize_partition_invariant(spark):
