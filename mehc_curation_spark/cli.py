@@ -346,6 +346,10 @@ def build_parser() -> argparse.ArgumentParser:
     rz.add_argument("--rehash", action="store_true",
                     help="recompute the phash column from the resized "
                          "pixels (resizing moves DCT coefficients)")
+    rz.add_argument("--crop", action="store_true",
+                    help="crop uniform borders (letterbox/pillarbox) "
+                         "BEFORE resizing; adds cropped/crop_* columns")
+    rz.add_argument("--crop_tol", type=int, default=8)
     rz.add_argument("--no_validate", action="store_true",
                     help="skip the decode check on pass-through rows")
     rz.add_argument("--cores", type=int, default=-1)
@@ -722,6 +726,19 @@ def main(argv: list[str] | None = None) -> int:
             passthrough = tuple(
                 c for c in df.columns
                 if c not in ("image_id", "bytes", "w", "h", "fmt"))
+            if args.crop:
+                from mehc_curation_spark.operators.multimodal import (
+                    crop_borders,
+                )
+
+                # crop first, then cap resolution; the crop's own
+                # decode_ok is re-derived by the resize stage
+                df = crop_borders(df, tol=args.crop_tol,
+                                  passthrough_cols=passthrough) \
+                    .drop("decode_ok")
+                passthrough = passthrough + ("cropped", "crop_top",
+                                             "crop_bottom", "crop_left",
+                                             "crop_right")
             out = resize_images(
                 df, target=args.target, mode=args.mode,
                 upscale=args.upscale, out_fmt=args.out_fmt,

@@ -669,7 +669,8 @@ CROP_SCHEMA = StructType([
 
 
 def crop_borders(df: DataFrame, tol: int = 8,
-                 min_keep_frac: float = 0.25) -> DataFrame:
+                 min_keep_frac: float = 0.25,
+                 passthrough_cols: tuple[str, ...] = ()) -> DataFrame:
     """Crop detected uniform borders (letterbox / pillarbox / frames)
     and re-encode (REAL — NumPy codecs; detector kernel:
     rules/imgquality.py border_metrics).
@@ -683,9 +684,25 @@ def crop_borders(df: DataFrame, tol: int = 8,
     ``min_keep_frac`` of the original — an almost-all-border image is
     a placeholder to drop, not a 2-pixel sliver to keep. Undecodable
     payloads surface ``decode_ok=False`` with NULL bytes.
+    ``passthrough_cols`` carries further input columns through the
+    Arrow stage (same rationale as :func:`resize_images`: an id-join
+    back would shuffle the payload).
 
     One Arrow stage; payload crosses once each way, never shuffles.
     """
+    payload_cols = ("image_id", "bytes", "w", "h", "fmt")
+    passthrough_cols = tuple(passthrough_cols)
+    clash = [c for c in passthrough_cols
+             if c in payload_cols or c in CROP_SCHEMA.fieldNames()]
+    if clash:
+        raise ValueError(f"passthrough collides with output: {clash}")
+    missing = [c for c in passthrough_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"passthrough columns not in input: {missing}")
+    out_schema = StructType(list(CROP_SCHEMA.fields)
+                            + [df.schema[c] for c in passthrough_cols])
+    out_names = [f.name for f in out_schema.fields]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mehc_curation_spark.codecs.image import (
             DecodeError, decode_image, encode_image)
@@ -693,32 +710,34 @@ def crop_borders(df: DataFrame, tol: int = 8,
 
         for pdf in batches:
             rows = []
-            for r in pdf.itertuples(index=False):
+            for r in pdf.itertuples(index=False, name=None):
+                image_id, data, w0, h0, fmt0 = r[:5]
+                extra = r[5:]
                 try:
-                    w, h = int(r.w), int(r.h)
-                    px = decode_image(r.bytes, r.fmt, w, h)
+                    w, h = int(w0), int(h0)
+                    px = decode_image(data, fmt0, w, h)
                     t, b, l, rt, _frac = border_metrics(px, tol)
                     new_h, new_w = h - t - b, w - l - rt
                     keep = (t or b or l or rt) and new_h >= 1 \
                         and new_w >= 1 \
                         and new_h * new_w >= min_keep_frac * h * w
                     if not keep:
-                        rows.append((r.image_id, True, False,
-                                     bytes(r.bytes), w, h, r.fmt,
-                                     t, b, l, rt))
+                        rows.append((image_id, True, False,
+                                     bytes(data), w, h, fmt0,
+                                     t, b, l, rt) + extra)
                         continue
                     cropped = px[t:h - b, l:w - rt]
-                    rows.append((r.image_id, True, True,
-                                 encode_image(cropped, r.fmt),
-                                 new_w, new_h, r.fmt, t, b, l, rt))
+                    rows.append((image_id, True, True,
+                                 encode_image(cropped, fmt0),
+                                 new_w, new_h, fmt0, t, b, l, rt) + extra)
                 except (DecodeError, TypeError, ValueError):
-                    rows.append((r.image_id, False, None, None, None,
-                                 None, None, None, None, None, None))
-            yield pd.DataFrame(rows, columns=[f.name for f in
-                                              CROP_SCHEMA.fields])
+                    rows.append((image_id, False, None, None, None,
+                                 None, None, None, None, None, None)
+                                + extra)
+            yield pd.DataFrame(rows, columns=out_names)
 
-    return (df.select("image_id", "bytes", "w", "h", "fmt")
-            .mapInPandas(run, CROP_SCHEMA))
+    return (df.select(*payload_cols, *passthrough_cols)
+            .mapInPandas(run, out_schema))
 
 
 PSNR_VERIFY_SCHEMA = StructType([
