@@ -1648,6 +1648,77 @@ def pairs_phash_verify_check(spark, sf_dir):
         "planted_dups_cap boolean, identical_bytes_same_dims boolean")
 
 
+def pairs_exposure(spark, sf_dir):
+    """Exposure + watermark-band signals over decoded payloads
+    (operators/multimodal.py image_exposure). Rows-only surface;
+    pairs_exposure_check carries the oracled gate."""
+    from mehc_curation_spark.operators.multimodal import image_exposure
+
+    return image_exposure(spark.read.parquet(_pairs_path()))
+
+
+def pairs_exposure_check(spark, sf_dir):
+    """Oracled check for the exposure surface: (a) distributed output
+    equals an in-process recompute through the SAME kernels exactly;
+    (b) PLANTED frames behave: an all-black frame reports
+    clip_lo_frac=1.0, an all-white frame clip_hi_frac=1.0, and a
+    smooth image with a noisy burned-in bottom strip scores a
+    watermark edge-ratio far above the clean copy's."""
+    import numpy as np
+
+    from mehc_curation_spark.codecs.image import decode_image
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+    from mehc_curation_spark.operators.multimodal import image_exposure
+    from mehc_curation_spark.rules.decode import decode_reason
+    from mehc_curation_spark.rules.imgquality import (
+        exposure_metrics, watermark_strip_score)
+
+    got = (image_exposure(spark.read.parquet(_pairs_path())).toPandas()
+           .sort_values("image_id").reset_index(drop=True))
+    pdf = make_pairs_pdf(2000, seed=42).sort_values("image_id") \
+        .reset_index(drop=True)
+    exp_rows = []
+    for r in pdf.itertuples(index=False):
+        if decode_reason(r.bytes, r.fmt, int(r.w), int(r.h)) is None:
+            px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+            exp_rows.append((True,) + exposure_metrics(px)
+                            + watermark_strip_score(px))
+        else:
+            exp_rows.append((False,) + (None,) * 6)
+
+    match = bool(got["image_id"].tolist() == pdf["image_id"].tolist())
+    for i, c in enumerate(["decode_ok", "clip_lo_frac", "clip_hi_frac",
+                           "mean_luma", "luma_contrast",
+                           "wm_edge_density", "wm_edge_ratio"]):
+        gv = [_canon_cell(v) for v in got[c]]
+        ev = [_canon_cell(e[i]) for e in exp_rows]
+        match = match and gv == ev
+
+    y, x = np.mgrid[0:40, 0:60]
+    smooth = np.stack([y * 3, x * 2, y + x], axis=2).astype(np.uint8)
+    wm = smooth.copy()
+    wm[-5:] = np.random.RandomState(3).randint(
+        0, 256, (5, 60, 3), dtype=np.uint8)
+    planted = spark.createDataFrame(
+        [("p_black", np.zeros((20, 20, 3), np.uint8).tobytes(),
+          20, 20, "raw"),
+         ("p_white", np.full((20, 20, 3), 255, np.uint8).tobytes(),
+          20, 20, "raw"),
+         ("p_clean", smooth.tobytes(), 60, 40, "raw"),
+         ("p_wm", wm.tobytes(), 60, 40, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    pg = {r["image_id"]: r for r in image_exposure(planted).collect()}
+    planted_ok = (
+        pg["p_black"]["clip_lo_frac"] == 1.0
+        and pg["p_white"]["clip_hi_frac"] == 1.0
+        and pg["p_clean"]["wm_edge_ratio"] < 2.0
+        and pg["p_wm"]["wm_edge_ratio"]
+        > 10.0 * pg["p_clean"]["wm_edge_ratio"])
+    return spark.createDataFrame(
+        [(len(got), match, bool(planted_ok))],
+        "n_images long, matches_local boolean, planted_exact boolean")
+
+
 def pairs_color_stats(spark, sf_dir):
     """Color statistics (Hasler–Süsstrunk colorfulness, mean
     saturation, grayscale detection) over decoded payloads
@@ -2936,6 +3007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_crop_check": pairs_crop_check,
         "pairs_phash_verify": pairs_phash_verify,
         "pairs_phash_verify_check": pairs_phash_verify_check,
+        "pairs_exposure": pairs_exposure,
+        "pairs_exposure_check": pairs_exposure_check,
         "pairs_compute_phash": pairs_compute_phash,
         "pairs_compute_phash_check": pairs_compute_phash_check,
         "pairs_wds_export_check": pairs_wds_export_check,
@@ -4204,6 +4277,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_pairs_cache_file()}')
         """,
         "pairs_crop_check": f"""
+            SELECT COUNT(*) AS n_images,
+                   TRUE AS matches_local,
+                   TRUE AS planted_exact
+            FROM read_parquet('{_pairs_cache_file()}')
+        """,
+        "pairs_exposure_check": f"""
             SELECT COUNT(*) AS n_images,
                    TRUE AS matches_local,
                    TRUE AS planted_exact

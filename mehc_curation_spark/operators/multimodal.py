@@ -806,3 +806,50 @@ def verify_pairs_psnr(payload_df: DataFrame, pairs_df: DataFrame,
                                               PSNR_VERIFY_SCHEMA.fields])
 
     return j.mapInPandas(run, PSNR_VERIFY_SCHEMA)
+
+
+EXPOSURE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("decode_ok", BooleanType()),
+    StructField("clip_lo_frac", DoubleType()),
+    StructField("clip_hi_frac", DoubleType()),
+    StructField("mean_luma", DoubleType()),
+    StructField("luma_contrast", DoubleType()),
+    StructField("wm_edge_density", DoubleType()),
+    StructField("wm_edge_ratio", DoubleType()),
+])
+
+
+def image_exposure(df: DataFrame, clip_lo: int = 2, clip_hi: int = 253,
+                   strip_frac: float = 0.125) -> DataFrame:
+    """Exposure + bottom-strip overlay signals over decoded payloads
+    (REAL — NumPy codecs; kernels rules/imgquality.py
+    exposure_metrics + watermark_strip_score).
+
+    Crushed-black / blown-white fractions, luminance mean/contrast,
+    and the watermark-band edge-density ratio — the remaining cheap
+    pixel-level gates a web corpus applies before spending model
+    compute. One decode serves both kernels inside one Arrow stage;
+    only scalars return, the payload never shuffles.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mehc_curation_spark.codecs.image import DecodeError, decode_image
+        from mehc_curation_spark.rules.imgquality import (
+            exposure_metrics, watermark_strip_score)
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                    rows.append((r.image_id, True)
+                                + exposure_metrics(px, clip_lo, clip_hi)
+                                + watermark_strip_score(px, strip_frac))
+                except (DecodeError, TypeError, ValueError):
+                    rows.append((r.image_id, False,
+                                 None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              EXPOSURE_SCHEMA.fields])
+
+    return (df.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(run, EXPOSURE_SCHEMA))

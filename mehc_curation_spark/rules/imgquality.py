@@ -149,3 +149,51 @@ def color_metrics(px: np.ndarray) -> tuple[float, float, int]:
     sat_mean = round(float(sat.mean()), 4)
     max_chan_spread = int((mx - mn).max())
     return colorfulness, sat_mean, max_chan_spread
+
+
+def exposure_metrics(px: np.ndarray, clip_lo: int = 2,
+                     clip_hi: int = 253) -> tuple[float, float, float, float]:
+    """Scalar exposure kernel over one decoded image (h, w, 3 uint8).
+
+    Returns (clip_lo_frac, clip_hi_frac, mean_luma, luma_contrast):
+    the fraction of pixels whose luminance is crushed to the black
+    (<= clip_lo) or blown to the white (>= clip_hi) end, plus mean and
+    std of luminance. The classic exposure gates — a crawl corpus is
+    full of black placeholder frames, blown-out scans and gray
+    thumbnails that decode fine but train badly.
+
+    Floats rounded to 4 decimals for distributed/local parity.
+    """
+    luma = np.round(0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                    + 0.114 * px[:, :, 2])
+    n = luma.size
+    lo = round(float((luma <= clip_lo).sum()) / n, 4)
+    hi = round(float((luma >= clip_hi).sum()) / n, 4)
+    return (lo, hi, round(float(luma.mean()), 4),
+            round(float(luma.std()), 4))
+
+
+def watermark_strip_score(px: np.ndarray,
+                          strip_frac: float = 0.125) -> tuple[float, float]:
+    """Bottom-strip overlay heuristic over one decoded image.
+
+    Watermarks / captions burned into crawled images overwhelmingly
+    sit in a horizontal band at the bottom; the burned-in text is
+    high-frequency against its local background. Signal: mean absolute
+    horizontal gradient of luminance inside the bottom ``strip_frac``
+    band vs the rest of the image. Returns
+    (strip_edge_density, edge_ratio) where edge_ratio =
+    strip / max(rest, 1e-6), rounded to 4 decimals — ratios well
+    above 1 mean the bottom band is busier than the image, the
+    overlay signature. A heuristic prior, not a classifier: use it to
+    route images to (or gate training of) a real watermark model.
+    """
+    h = px.shape[0]
+    cut = max(1, h - max(1, int(round(h * strip_frac))))
+    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] \
+        + 0.114 * px[:, :, 2]
+    grad = np.abs(np.diff(luma, axis=1))
+    strip = float(grad[cut:].mean()) if grad[cut:].size else 0.0
+    rest = float(grad[:cut].mean()) if grad[:cut].size else 0.0
+    ratio = strip / max(rest, 1e-6)
+    return round(strip, 4), round(min(ratio, 9999.0), 4)
