@@ -533,6 +533,20 @@ def doc_card_drift(spark, sf_dir):
         "tok_p50_rel double, lang_tv double")
 
 
+def doc_temperature_sample(spark, sf_dir):
+    """Temperature-flattened language rebalancing (XLM-R sampling
+    rule, operators/sampling.py temperature_resample): head languages
+    downsampled toward p^alpha, keep decision by the portable u48
+    hash; full value oracle (DuckDB power + the shared u48 SQL)."""
+    from mehc_curation_spark.operators.sampling import temperature_resample
+
+    out = temperature_resample(_t(spark, sf_dir, "documents"),
+                               "doc_id", "lang",
+                               alpha=0.3, budget_frac=0.5, seed=0)
+    return out.select("doc_id", "lang", "n_group",
+                      F.round("keep_frac", 6).alias("keep_frac"), "kept")
+
+
 def doc_stratified_sample(spark, sf_dir):
     """Deterministic corpus-mixture rebalancing (operators/sampling.py):
     keep 25% of en, 50% of de, everything else — keyed on
@@ -2949,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": doc_repetition_stats,
         "doc_length_outliers": doc_length_outliers,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_temperature_sample": doc_temperature_sample,
         "doc_domain_cap": doc_domain_cap,
         "doc_boilerplate_ngrams": doc_boilerplate_ngrams,
         "doc_top_terms": doc_top_terms,
@@ -3616,6 +3631,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, domain_rank FROM r
             WHERE domain_rank <= 10
+        """,
+        "doc_temperature_sample": f"""
+            WITH d AS (
+                SELECT doc_id, lang FROM documents
+                WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+            ), c AS (
+                SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_g
+                FROM d GROUP BY lang
+            ), w AS (
+                SELECT lang, n_g,
+                       power(n_g / (SELECT SUM(n_g) FROM c), 0.3) AS pw
+                FROM c
+            ), f AS (
+                SELECT lang, n_g,
+                       LEAST(1.0,
+                             (0.5 * (SELECT SUM(n_g) FROM c)
+                              * pw / (SELECT SUM(pw) FROM w)) / n_g)
+                           AS keep_frac
+                FROM w
+            )
+            SELECT d.doc_id, d.lang,
+                   CAST(f.n_g AS BIGINT) AS n_group,
+                   ROUND(f.keep_frac, 6) AS keep_frac,
+                   COALESCE(
+                     {_u48_sql("'temp:0:' || d.doc_id")}
+                       < f.keep_frac * 281474976710656.0,
+                     FALSE) AS kept
+            FROM d JOIN f USING (lang)
         """,
         "doc_stratified_sample": """
             WITH u AS (

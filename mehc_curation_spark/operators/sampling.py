@@ -333,3 +333,61 @@ def split_col(id_c: Column, weights: dict[str, float],
     for name, t in thr[:-1][::-1]:
         out = F.when(u < F.lit(t).cast("long"), F.lit(name)).otherwise(out)
     return F.when(id_c.isNotNull(), out)
+
+
+def temperature_resample(df: DataFrame, id_col: str, group_col: str,
+                         alpha: float = 0.3, budget_frac: float = 0.5,
+                         seed: int = 0) -> DataFrame:
+    """Temperature-flattened group rebalancing — the multilingual
+    sampling rule of mBERT/XLM-R (exponentiated-and-renormalized group
+    shares, Conneau et al. 2020 §3.1; Devlin et al. 2019): head
+    groups are downsampled and tail groups kept (or fully retained) so
+    the output mixture follows p_g^alpha instead of the crawl's p_g.
+
+    Target kept rows for group g:  K * p_g^alpha / sum_h p_h^alpha,
+    with K = budget_frac * N; the within-group keep fraction is capped
+    at 1 (tail groups smaller than their target keep everything — no
+    upsampling, this is a sampler not a replicator). The keep decision
+    is the repo's standard portable hash rule:
+    u48("temp:<seed>:" + id) < keep_frac * 2^48 — a row property, so
+    it is deterministic across engines and partitionings and composes
+    with the other samplers (distinct hash domain).
+
+    Plan shape: one grouped count (tiny table), the alpha weights
+    computed over that table JVM-side, one broadcast join back —
+    the corpus itself never shuffles. NULL group or NULL id rows are
+    excluded (no stratum / no hash; documented contract, mirrored by
+    the SQL oracle).
+
+    Appends (n_group, keep_frac, kept) to the input columns.
+    """
+    if not (0.0 < budget_frac <= 1.0):
+        raise ValueError(f"budget_frac in (0, 1], got {budget_frac}")
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    from pyspark.sql.window import Window
+
+    d = df.filter(F.col(group_col).isNotNull()
+                  & F.col(id_col).isNotNull())
+    counts = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n_g"))
+    w = Window.partitionBy()
+    n_total = F.sum("_n_g").over(w)
+    pw = F.pow(F.col("_n_g") / n_total, F.lit(float(alpha)))
+    fr = (counts
+          .withColumn("_pw", pw)
+          .withColumn(
+              "keep_frac",
+              F.least(F.lit(1.0),
+                      (F.lit(float(budget_frac)) * n_total
+                       * (F.col("_pw") / F.sum("_pw").over(w)))
+                      / F.col("_n_g")))
+          .select(group_col, F.col("_n_g").cast("long").alias("n_group"),
+                  "keep_frac"))
+    u = u48_col(F.concat(F.lit(f"temp:{int(seed)}:"),
+                         F.col(id_col).cast("string")))
+    return (d.join(F.broadcast(fr), group_col)
+            .withColumn(
+                "kept",
+                F.coalesce(u < F.col("keep_frac") * F.lit(float(2 ** 48)),
+                           F.lit(False))))
