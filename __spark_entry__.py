@@ -547,6 +547,20 @@ def doc_temperature_sample(spark, sf_dir):
                       F.round("keep_frac", 6).alias("keep_frac"), "kept")
 
 
+def doc_repeat_upsample(spark, sf_dir):
+    """Epoch-weighted mixture materialization (operators/sampling.py
+    repeat_upsample): de ×2.25, en ×0.5, everything else ×1 — floor
+    copies guaranteed, fractional copy by the portable u48 rule; full
+    value oracle (DuckDB CASE + range unnest)."""
+    from mehc_curation_spark.operators.sampling import repeat_upsample
+
+    out = repeat_upsample(_t(spark, sf_dir, "documents"),
+                          "doc_id", "lang",
+                          epochs={"de": 2.25, "en": 0.5},
+                          default_epochs=1.0, seed=0)
+    return out.select("doc_id", "lang", "n_copies", "copy_idx")
+
+
 def doc_stratified_sample(spark, sf_dir):
     """Deterministic corpus-mixture rebalancing (operators/sampling.py):
     keep 25% of en, 50% of de, everything else — keyed on
@@ -2963,6 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": doc_repetition_stats,
         "doc_length_outliers": doc_length_outliers,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_repeat_upsample": doc_repeat_upsample,
         "doc_temperature_sample": doc_temperature_sample,
         "doc_domain_cap": doc_domain_cap,
         "doc_boilerplate_ngrams": doc_boilerplate_ngrams,
@@ -3631,6 +3646,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, domain_rank FROM r
             WHERE domain_rank <= 10
+        """,
+        "doc_repeat_upsample": f"""
+            WITH d AS (
+                SELECT doc_id, lang,
+                       CASE WHEN lang = 'de' THEN 2.25
+                            WHEN lang = 'en' THEN 0.5
+                            ELSE 1.0 END AS r
+                FROM documents
+                WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+            ), n AS (
+                SELECT doc_id, lang,
+                       CAST(FLOOR(r) AS INTEGER)
+                       + CASE WHEN {_u48_sql("'rep:0:' || doc_id")}
+                                   < (r - FLOOR(r)) * 281474976710656.0
+                              THEN 1 ELSE 0 END AS n_copies
+                FROM d
+            )
+            SELECT doc_id, lang, n_copies,
+                   CAST(UNNEST(range(n_copies)) AS INTEGER) AS copy_idx
+            FROM n WHERE n_copies > 0
         """,
         "doc_temperature_sample": f"""
             WITH d AS (

@@ -391,3 +391,59 @@ def temperature_resample(df: DataFrame, id_col: str, group_col: str,
                 "kept",
                 F.coalesce(u < F.col("keep_frac") * F.lit(float(2 ** 48)),
                            F.lit(False))))
+
+
+def repeat_upsample(df: DataFrame, id_col: str, group_col: str,
+                    epochs: dict[str, float],
+                    default_epochs: float = 1.0,
+                    seed: int = 0) -> DataFrame:
+    """Materialize an epoch-weighted mixture with per-group repeat
+    factors that may EXCEED 1 — the data-level form of "books ×2.4,
+    web ×0.5" source weighting (LLaMA-style mixtures; Xie et al. 2023
+    reweighting realized as physical rows for trainers that stream a
+    flat corpus).
+
+    A row in group g with factor r gets ``floor(r)`` guaranteed copies
+    plus one extra iff ``u48("rep:<seed>:" + id) < frac(r) * 2^48`` —
+    the repo's portable hash rule on its own domain, so the fractional
+    epoch is an unbiased per-row Bernoulli that is deterministic
+    across engines/partitionings and composes with the other samplers.
+    ``r < 1`` degrades to plain down-sampling (0 or 1 copies);
+    ``r == 0`` drops the group.
+
+    Plan shape: pure narrow — a CASE over the driver-side dict, one
+    ``explode(sequence(...))``; NO shuffle and NO group-count job (the
+    factors are caller-supplied policy, not data-derived — use
+    ``temperature_resample`` when they should come from the data).
+    At 100 TB upsampling-by-explode is map-side row amplification:
+    output partitions grow by ~max(r), which AQE re-splits downstream.
+
+    Rows with a NULL group or NULL id are excluded (no policy / no
+    hash; same contract as ``temperature_resample``, mirrored by the
+    SQL oracle). Copies carry ``n_copies`` and ``copy_idx`` (0-based);
+    downstream ids should derive ``id || '#' || copy_idx`` if copies
+    must be distinct keys (the export shuffle otherwise co-locates
+    them).
+    """
+    if default_epochs < 0.0:
+        raise ValueError(f"default_epochs must be >= 0, got {default_epochs}")
+    for k, v in epochs.items():
+        if v < 0.0:
+            raise ValueError(f"epochs[{k!r}] must be >= 0, got {v}")
+
+    factor = F.lit(float(default_epochs))
+    for k, v in sorted(epochs.items()):
+        factor = F.when(F.col(group_col) == k,
+                        F.lit(float(v))).otherwise(factor)
+    base = F.floor(factor).cast("int")
+    frac = factor - F.floor(factor)
+    u = u48_col(F.concat(F.lit(f"rep:{int(seed)}:"),
+                         F.col(id_col).cast("string")))
+    n = (base + F.when(u < frac * F.lit(_U48_MAX), 1).otherwise(0))
+    return (df.filter(F.col(group_col).isNotNull()
+                      & F.col(id_col).isNotNull())
+            .withColumn("n_copies", n)
+            .filter(F.col("n_copies") > 0)
+            .withColumn("copy_idx",
+                        F.explode(F.sequence(F.lit(0),
+                                             F.col("n_copies") - 1))))
