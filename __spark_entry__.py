@@ -356,6 +356,17 @@ def doc_profile(spark, sf_dir):
     return profile_columns(d)
 
 
+def doc_skew_report(spark, sf_dir):
+    """Hot-key shuffle diagnostics (operators/profile.py
+    key_skew_report): top source domains by row count with share,
+    skew ratio vs the mean key, and the salt factor that evens them
+    out. Full value oracle (DuckDB identical arithmetic)."""
+    from mehc_curation_spark.operators.profile import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "documents"),
+                           "source", top_k=10)
+
+
 def _profile_sql() -> str:
     parts = []
     for c in ("doc_id", "text", "lang", "source", "n_chars"):
@@ -2971,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
         "doc_profile": doc_profile,
+        "doc_skew_report": doc_skew_report,
         "doc_mojibake_fix": doc_mojibake_fix,
         "doc_compression": doc_compression,
         "doc_compression_check": doc_compression_check,
@@ -3413,6 +3425,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_profile": _profile_sql(),
+        "doc_skew_report": """
+            WITH c AS (
+                SELECT CAST(source AS VARCHAR) AS key, COUNT(*) AS n
+                FROM documents GROUP BY 1
+            ), t AS (
+                SELECT CAST(SUM(n) AS DOUBLE) AS total,
+                       CAST(COUNT(*) AS DOUBLE) AS n_keys
+                FROM c
+            )
+            SELECT key, n,
+                   ROUND(n / total, 6) AS share,
+                   ROUND(n / (total / n_keys), 6) AS skew_ratio,
+                   CAST(CEIL(n / (total / n_keys)) AS INTEGER)
+                       AS suggested_salt
+            FROM c, t
+            ORDER BY n DESC, key ASC NULLS FIRST
+            LIMIT 10
+        """,
         "doc_compression_check": """
             SELECT COUNT(*) AS n_docs,
                    TRUE AS matches_scalar_twin,

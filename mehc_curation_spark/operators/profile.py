@@ -59,3 +59,62 @@ def profile_columns(df: DataFrame, cols: Optional[Sequence[str]] = None,
         for c in cols
     ])
     return one.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10,
+                    sample_fraction: float = 1.0,
+                    id_col: Optional[str] = None) -> DataFrame:
+    """Hot-key diagnostics BEFORE a join/groupBy commits to a key —
+    the "will this shuffle melt an executor" check every 100 TB
+    pipeline runs on its join keys (AQE's skew-join split reacts at
+    runtime; this tells you up front, and sizes the salt).
+
+    One row per top-``top_k`` key (count desc, key-string asc
+    tie-break; NULL keys are a legitimate — and commonly the hottest —
+    group and are reported, rendered as NULL):
+
+    ``key, n, share, skew_ratio, suggested_salt``
+
+    - ``share``       = n / total rows counted
+    - ``skew_ratio``  = n / mean-rows-per-key (1.0 == perfectly even)
+    - ``suggested_salt`` = ceil(skew_ratio): the salt factor that
+      splits the key into chunks of at most the mean key size — the
+      number ``per_domain_cap``-style salting wants.
+
+    ``sample_fraction < 1`` counts only rows whose ``u48(id) <
+    f * 2^48`` (the repo's portable ``hash_sample`` rule on
+    ``id_col``, required then) — at corpus scale a 1% sample ranks
+    hot keys reliably while shuffling 1% of the (key) pairs; counts
+    and derived stats then DESCRIBE THE SAMPLE (scale n by 1/f
+    mentally; share/skew_ratio are scale-free).
+
+    Plan shape: one partial-aggregable groupBy(key) count, a
+    TakeOrderedAndProject for the top-k (never a global sort), and a
+    broadcast of the 1-row totals — the full key census never
+    collects.
+    """
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(f"sample_fraction in (0, 1], got {sample_fraction}")
+    d = df
+    if sample_fraction < 1.0:
+        if id_col is None:
+            raise ValueError("sample_fraction < 1 requires id_col")
+        from mehc_curation_spark.operators.sampling import hash_sample
+        d = hash_sample(df, id_col, sample_fraction)
+    counts = d.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_n_keys"))
+    top = (counts
+           .orderBy(F.desc("n"), F.asc_nulls_first("key"))
+           .limit(int(top_k)))
+    mean = F.col("_total") / F.col("_n_keys")
+    return (top.crossJoin(F.broadcast(totals))
+            .select(
+                "key", "n",
+                F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+                F.round(F.col("n") / mean, 6).alias("skew_ratio"),
+                F.ceil(F.col("n") / mean).cast("int")
+                 .alias("suggested_salt"))
+            .orderBy(F.desc("n"), F.asc_nulls_first("key")))
