@@ -2215,6 +2215,65 @@ def pairs_phash_neardup(spark, sf_dir):
     return phash_near_dups(df, "phash", "image_id", max_hamming=4)
 
 
+def pairs_tile_dups(spark, sf_dir):
+    """Partial-image near-dup pairs by per-tile perceptual hashes
+    (operators/multimodal.py:tile_near_dups): overlay/local-edit
+    variants sharing >= 6 of 16 tile hashes, including pairs global
+    phash misses. Rows-only surface (pixel hashing is not
+    SQL-expressible); pairs_tile_dups_check pins value parity against
+    a brute-force recompute through the same kernel."""
+    from mehc_curation_spark.operators.multimodal import tile_near_dups
+
+    df = spark.read.parquet(_pairs_path())
+    return tile_near_dups(df, grid=4, min_match=6)
+
+
+def pairs_tile_dups_check(spark, sf_dir):
+    """Distributed tile-dup pairs must EQUAL the brute-force all-pairs
+    recompute through the same scalar kernel (exact set + n_match
+    equality, same max_bucket guard), and the surface must be live:
+    pairs found, including >= 1 pair the global hamming-4 phash gate
+    does not find (the operator's reason to exist)."""
+    import collections
+    import itertools
+
+    from mehc_curation_spark.codecs.image import DecodeError, decode_image
+    from mehc_curation_spark.codecs.phash import tile_phashes_of
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+
+    got = {(r["id_a"], r["id_b"]): r["n_match"]
+           for r in pairs_tile_dups(spark, sf_dir).collect()}
+
+    pdf = make_pairs_pdf(2000, seed=42)
+    buckets = collections.defaultdict(list)
+    ph = {}
+    for r in pdf.itertuples(index=False):
+        try:
+            px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+        except (DecodeError, TypeError, ValueError):
+            continue
+        ph[r.image_id] = r.phash
+        for k, v in tile_phashes_of(px, 4):
+            buckets[(k, v)].append(r.image_id)
+    exp = collections.Counter()
+    for ids in buckets.values():
+        if 1 < len(ids) <= 64:
+            for a, b in itertools.combinations(sorted(ids), 2):
+                exp[(a, b)] += 1
+    exp = {p: c for p, c in exp.items() if c >= 6}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    n_missed_by_global = sum(
+        1 for (a, b) in got if ham(ph[a], ph[b]) > 4)
+    return spark.createDataFrame(
+        [(len(got), got == exp, bool(len(got) > 0),
+          bool(n_missed_by_global >= 1))],
+        "n_pairs long, pairs_match_bruteforce boolean, "
+        "found_pairs boolean, finds_what_global_phash_misses boolean")
+
+
 def pairs_phash_clusters(spark, sf_dir):
     """Image near-dup clusters: phash-hamming pairs (<= 4 bits) as
     edges, connected components, then one representative per cluster
@@ -3034,6 +3093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_neardup": doc_simhash_neardup,
         "pairs_exact_dedup": pairs_exact_dedup,
         "pairs_phash_neardup": pairs_phash_neardup,
+        "pairs_tile_dups": pairs_tile_dups,
+        "pairs_tile_dups_check": pairs_tile_dups_check,
         "pairs_phash_clusters": pairs_phash_clusters,
         "pairs_ar_buckets": pairs_ar_buckets,
         "pairs_export_shards": pairs_export_shards,
@@ -4395,6 +4456,16 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS matches_local,
                    TRUE AS planted_exact
             FROM read_parquet('{_pairs_cache_file()}')
+        """,
+        # n_pairs = 168 measured on the seed-42 corpus (deterministic
+        # fixture; 11 of them exceed global hamming 4 — the surface's
+        # reason to exist). The booleans are computed Spark-side
+        # against the brute-force kernel recompute.
+        "pairs_tile_dups_check": """
+            SELECT CAST(168 AS BIGINT) AS n_pairs,
+                   TRUE AS pairs_match_bruteforce,
+                   TRUE AS found_pairs,
+                   TRUE AS finds_what_global_phash_misses
         """,
         "pairs_phash_verify_check": f"""
             SELECT COUNT(*) AS n_pairs,

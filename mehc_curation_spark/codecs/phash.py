@@ -53,3 +53,41 @@ def phash64(px: np.ndarray) -> int:
     bits = (block > med).astype(np.uint64)
     val = np.uint64(np.sum(bits * _BIT_WEIGHTS, dtype=np.uint64))
     return int(val.astype(np.int64))  # wrap into signed bigint range
+
+
+def tile_phashes_of(px: np.ndarray, grid: int = 4) -> list[tuple[int, int]]:
+    """Per-tile perceptual hashes: split the image into a grid×grid
+    of RELATIVE tiles (boundaries at ``i*h//grid``, so a resized
+    variant yields geometrically corresponding tile contents; hash
+    equality under rescale holds for textured tiles, not guaranteed
+    for near-degenerate DCT blocks) and phash each tile independently.
+    Robust to lossy re-encode (quantization noise leaves most tile
+    hashes intact); an overlay/local edit changes ONLY the touched
+    tiles' hashes — the property partial-image dedup exploits.
+
+    Returns ``[(tile_idx, phash64(tile)), ...]`` for the INFORMATIVE
+    tiles only: degenerate (zero-area, when h or w < grid) and
+    perfectly flat tiles (luma-constant — letterbox bars, solid
+    backgrounds) are omitted, because a flat tile's hash is the same
+    for every flat tile in the corpus and would bucket-collide the
+    whole dataset.
+
+    The single source of truth for both the distributed operator
+    (operators/multimodal.py:tile_near_dups) and its brute-force
+    check.
+    """
+    h, w = px.shape[0], px.shape[1]
+    out = []
+    for i in range(grid):
+        y0, y1 = (i * h) // grid, ((i + 1) * h) // grid
+        if y1 <= y0:
+            continue
+        for j in range(grid):
+            x0, x1 = (j * w) // grid, ((j + 1) * w) // grid
+            if x1 <= x0:
+                continue
+            t = px[y0:y1, x0:x1]
+            if int(t.min()) == int(t.max()):
+                continue
+            out.append((i * grid + j, phash64(t)))
+    return out

@@ -1,0 +1,100 @@
+"""Partial-image dedup by per-tile perceptual hashes."""
+
+import numpy as np
+import pytest
+
+from mehc_curation_spark.codecs.image import encode_image
+from mehc_curation_spark.codecs.phash import phash64, tile_phashes_of
+from mehc_curation_spark.operators.multimodal import (tile_near_dups,
+                                                      tile_phashes)
+
+
+def _img(rng, h=64, w=64):
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _row(image_id, px, fmt="png"):
+    return (image_id, encode_image(px, fmt), px.shape[1], px.shape[0],
+            fmt, "caption", 0)
+
+
+SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
+          "caption string, phash long")
+
+
+def test_kernel_flat_and_degenerate_tiles_omitted():
+    rng = np.random.default_rng(1)
+    px = _img(rng)
+    px[:32, :32] = 50  # one flat quadrant
+    got = dict(tile_phashes_of(px, 2))
+    assert 0 not in got and len(got) == 3
+    # h < grid: row bands collapse, no crash, <= grid^2 tiles
+    tiny = rng.integers(0, 256, (2, 40, 3), dtype=np.uint8)
+    idxs = [k for k, _ in tile_phashes_of(tiny, 4)]
+    assert len(idxs) == len(set(idxs)) and len(idxs) <= 8
+
+
+def test_overlay_variant_found_global_phash_blind(spark):
+    """A localized stamp leaves 15/16 tiles identical: tile dedup must
+    pair the variant with the original even when the global hamming
+    gate would not."""
+    rng = np.random.default_rng(7)
+    base = _img(rng)
+    stamped = base.copy()
+    stamped[0:16, 0:16] = 255 - stamped[0:16, 0:16]  # invert one tile
+    others = [_row(f"bg{i}", _img(rng)) for i in range(6)]
+    df = spark.createDataFrame(
+        [_row("orig", base), _row("stamp", stamped)] + others, SCHEMA)
+    out = {(r["id_a"], r["id_b"]): r["n_match"]
+           for r in tile_near_dups(df, grid=4, min_match=6).collect()}
+    assert out == {("orig", "stamp"): 15}
+
+
+def test_lossy_reencode_variant_found(spark):
+    # a jpeg-requantized copy keeps most tile hashes (per-tile phash
+    # is robust to quantization noise): must pair at min_match=6
+    from mehc_curation_spark.codecs.image import decode_image
+    rng = np.random.default_rng(7)
+    base = _img(rng)
+    lossy = decode_image(encode_image(base, "jpegq"), "jpegq", 64, 64)
+    df = spark.createDataFrame(
+        [_row("orig", base), _row("lossy", lossy)], SCHEMA)
+    out = tile_near_dups(df, grid=4, min_match=6).collect()
+    assert len(out) == 1 and out[0]["n_match"] >= 6
+
+
+def test_undecodable_and_bucket_guard(spark):
+    rng = np.random.default_rng(3)
+    a = _img(rng)
+    rows = [_row("a", a), _row("b", a)]  # identical -> 16 matches
+    rows.append(("broken", b"\x00\x01", 64, 64, "png", "c", 0))
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = tile_near_dups(df, grid=4, min_match=16).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [("a", "b")]
+    # max_bucket guard: 5 identical images, bucket size 5 > 4 -> no pairs
+    many = [_row(f"m{i}", a) for i in range(5)]
+    out2 = tile_near_dups(spark.createDataFrame(many, SCHEMA),
+                          grid=4, min_match=1, max_bucket=4).collect()
+    assert out2 == []
+
+
+def test_distributed_equals_kernel(spark):
+    rng = np.random.default_rng(11)
+    imgs = {f"i{k}": _img(rng, h=rng.integers(16, 64),
+                          w=rng.integers(16, 64)) for k in range(20)}
+    df = spark.createDataFrame(
+        [_row(i, px) for i, px in imgs.items()], SCHEMA)
+    got = sorted((r["image_id"], r["tile_idx"], r["tile_hash"])
+                 for r in tile_phashes(df, grid=3).collect())
+    exp = sorted((i, k, v) for i, px in imgs.items()
+                 for k, v in tile_phashes_of(px, 3))
+    assert got == exp
+
+
+def test_plan_single_arrow_stage_slim_shuffle(spark):
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame([_row("x", _img(rng))], SCHEMA)
+    plan = (tile_near_dups(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    # pixels cross Python once; only slim rows shuffle afterwards
+    assert plan.count("MapInPandas") == 1
