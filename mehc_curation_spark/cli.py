@@ -117,12 +117,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reference corpus parquet (eval set / corpus "
                          "already trained on)")
     cd.add_argument("-o", "--output", required=True)
-    cd.add_argument("--mode", choices=["text", "embedding", "exact"],
+    cd.add_argument("--mode", choices=["text", "embedding", "exact",
+                                       "image"],
                     default="text",
                     help="text = shingle-Jaccard MinHash bands; "
                          "embedding = cosine hyperplane-LSH kNN join; "
                          "exact = Bloom-prefiltered exact text match "
-                         "(candidate side stays a narrow map stage)")
+                         "(candidate side stays a narrow map stage); "
+                         "image = per-tile phash exact-match join over "
+                         "pairs-shaped payloads (overlay/re-encode "
+                         "variants of already-curated images)")
     cd.add_argument("--threshold", type=float, default=None,
                     help="similarity threshold (default 0.5 text "
                          "Jaccard / 0.85 embedding cosine)")
@@ -834,6 +838,16 @@ def main(argv: list[str] | None = None) -> int:
                 matches = cross_corpus_text_near_dups(
                     cand, ref, "cand_id", "ref_id", args.text_col,
                     threshold=thr)
+            elif args.mode == "image":
+                from mehc_curation_spark.operators.multimodal import (
+                    cross_corpus_tile_dups,
+                )
+
+                # threshold = matching-tile count (of grid^2 = 16)
+                thr = 6.0 if args.threshold is None else args.threshold
+                matches = cross_corpus_tile_dups(
+                    cand, ref, "cand_id", "ref_id",
+                    min_match=int(thr))
             else:
                 thr = 0.85 if args.threshold is None else args.threshold
                 matches = cross_corpus_near_dups(

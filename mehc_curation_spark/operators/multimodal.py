@@ -862,7 +862,8 @@ TILE_SCHEMA = StructType([
 ])
 
 
-def tile_phashes(df: DataFrame, grid: int = 4) -> DataFrame:
+def tile_phashes(df: DataFrame, grid: int = 4,
+                 id_col: str = "image_id") -> DataFrame:
     """Per-tile perceptual hashes, exploded to one row per informative
     tile (``image_id, tile_idx, tile_hash``) — the signature table for
     partial-image dedup. Kernel: ``codecs/phash.py:tile_phashes_of``
@@ -893,7 +894,10 @@ def tile_phashes(df: DataFrame, grid: int = 4) -> DataFrame:
                 "tile_hash": np.asarray(hs, dtype="int64"),
             })
 
-    return (df.select("image_id", "bytes", "w", "h", "fmt")
+    from pyspark.sql import functions as F
+
+    return (df.select(F.col(id_col).alias("image_id"),
+                      "bytes", "w", "h", "fmt")
             .mapInPandas(run, TILE_SCHEMA))
 
 
@@ -938,5 +942,44 @@ def tile_near_dups(df: DataFrame, grid: int = 4, min_match: int = 6,
         ).alias("p")
     ).select("p.id_a", "p.id_b")
     return (pairs.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_match"))
+            .filter(F.col("n_match") >= min_match))
+
+
+def cross_corpus_tile_dups(cand_df: DataFrame, ref_df: DataFrame,
+                           cand_id_col: str = "image_id",
+                           ref_id_col: str = "image_id",
+                           grid: int = 4, min_match: int = 6,
+                           max_bucket: int = 64) -> DataFrame:
+    """IMAGE decontamination: (cand_id, ref_id, n_match) for every
+    incoming image sharing >= ``min_match`` per-tile perceptual hashes
+    with a reference-corpus image — the pixel twin of
+    ``cross_corpus_text_near_dups`` ("is this crawl image an
+    overlay/re-encode variant of something already curated / in the
+    eval set?"). Exact-match equi-join on (tile_idx, tile_hash):
+    both corpora hash ONCE in their own Arrow stage, then only slim
+    (idx, hash, id) rows shuffle — pixels never cross corpora.
+
+    Skew guard: a (tile_idx, tile_hash) key whose membership exceeds
+    ``max_bucket`` on EITHER side is skipped before the join (the
+    cross product of two degenerate buckets is quadratic; same
+    documented trade-off as the within-corpus generator and the
+    banded text path).
+    """
+    from pyspark.sql import functions as F
+
+    keys = ["tile_idx", "tile_hash"]
+    tc = tile_phashes(cand_df, grid, cand_id_col) \
+        .withColumnRenamed("image_id", "cand_id")
+    tr = tile_phashes(ref_df, grid, ref_id_col) \
+        .withColumnRenamed("image_id", "ref_id")
+    safe_c = tc.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n")) \
+        .filter(F.col("_n") <= max_bucket).drop("_n")
+    safe_r = tr.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n")) \
+        .filter(F.col("_n") <= max_bucket).drop("_n")
+    safe = safe_c.join(safe_r, keys)
+    return (tc.join(safe, keys)
+            .join(tr, keys)
+            .groupBy("cand_id", "ref_id")
             .agg(F.count(F.lit(1)).cast("int").alias("n_match"))
             .filter(F.col("n_match") >= min_match))

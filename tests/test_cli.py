@@ -716,3 +716,40 @@ def test_tokenize_cli_unigram_and_model_reuse(tmp_path_factory):
         cwd=REPO, capture_output=True, text=True, timeout=600)
     assert proc.returncode != 0
     assert "unigram model" in (proc.stderr + proc.stdout)
+
+
+def test_crossdedup_cli_image_tiles(pairs_file, tmp_path_factory):
+    """crossdedup --mode image: per-tile phash decontamination over
+    pairs-shaped payload parquet. Odd/even image_id split of the
+    fixture corpus; planted variant groups straddle the split, so
+    matches must be found. JSON counts reconcile with the data."""
+    base = tmp_path_factory.mktemp("cli_xd_img")
+    cand_p = str(base / "cand.parquet")
+    ref_p = str(base / "ref.parquet")
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{pairs_file}') "
+        "WHERE substr(md5(image_id), 1, 1) < '8') "
+        f"TO '{cand_p}' (FORMAT PARQUET)")
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{pairs_file}') "
+        "WHERE substr(md5(image_id), 1, 1) >= '8') "
+        f"TO '{ref_p}' (FORMAT PARQUET)")
+    n_cand = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{cand_p}')").fetchone()[0]
+    out = str(base / "out_img")
+    res = json.loads(_run(
+        ["crossdedup", "-i", cand_p, "-r", ref_p, "-o", out,
+         "--mode", "image", "--id_col", "image_id", "--drop",
+         "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert res["mode"] == "image" and res["threshold"] == 6.0
+    assert res["candidates"] == n_cand
+    assert 0 < res["flagged"] < res["candidates"]
+    assert res["kept"] == res["candidates"] - res["flagged"]
+    kept_rows = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/data/*.parquet')"
+    ).fetchone()[0]
+    assert kept_rows == res["kept"]
+    n_match_min = duckdb.sql(
+        f"SELECT MIN(n_match) FROM read_parquet('{out}/matches/*.parquet')"
+    ).fetchone()[0]
+    assert n_match_min >= 6

@@ -98,3 +98,41 @@ def test_plan_single_arrow_stage_slim_shuffle(spark):
             .executedPlan().toString())
     # pixels cross Python once; only slim rows shuffle afterwards
     assert plan.count("MapInPandas") == 1
+
+
+def test_cross_corpus_tile_dups(spark):
+    from mehc_curation_spark.operators.multimodal import (
+        cross_corpus_tile_dups,
+    )
+    rng = np.random.default_rng(13)
+    ref_imgs = {f"r{i}": _img(rng) for i in range(5)}
+    leak = ref_imgs["r2"].copy()
+    leak[0:16, 0:16] = 0  # overlay-variant of a reference image
+    cand_rows = [_row("fresh1", _img(rng)), _row("leak", leak),
+                 _row("fresh2", _img(rng))]
+    ref = spark.createDataFrame(
+        [_row(i, px) for i, px in ref_imgs.items()], SCHEMA)
+    cand = spark.createDataFrame(cand_rows, SCHEMA)
+    out = {(r["cand_id"], r["ref_id"]): r["n_match"] for r in
+           cross_corpus_tile_dups(cand, ref, min_match=6).collect()}
+    assert set(out) == {("leak", "r2")}
+    assert out[("leak", "r2")] >= 14  # only the stamped tile(s) differ
+
+
+def test_cross_corpus_bucket_guard_both_sides(spark):
+    from mehc_curation_spark.operators.multimodal import (
+        cross_corpus_tile_dups,
+    )
+    rng = np.random.default_rng(17)
+    a = _img(rng)
+    cand = spark.createDataFrame([_row(f"c{i}", a) for i in range(3)],
+                                 SCHEMA)
+    ref = spark.createDataFrame([_row(f"r{i}", a) for i in range(3)],
+                                SCHEMA)
+    # membership 3 > max_bucket=2 on both sides -> all keys skipped
+    assert cross_corpus_tile_dups(cand, ref, min_match=1,
+                                  max_bucket=2).collect() == []
+    # relaxed guard finds the full 3x3 grid of identical images
+    out = cross_corpus_tile_dups(cand, ref, min_match=16,
+                                 max_bucket=16).collect()
+    assert len(out) == 9
