@@ -148,7 +148,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="corpus parquet (documents / pairs / "
                          "embeddings shaped)")
     cl.add_argument("-o", "--output", required=True)
-    cl.add_argument("--mode", choices=["text", "phash", "embedding"],
+    cl.add_argument("--mode", choices=["text", "phash", "embedding",
+                                       "tiles"],
                     default="text",
                     help="pair generator: text = MinHash-LSH Jaccard; "
                          "phash = banded hamming over the perceptual "
@@ -892,6 +893,18 @@ def main(argv: list[str] | None = None) -> int:
                 thr = args.max_hamming
                 pairs = phash_near_dups(df, "phash", id_col,
                                         max_hamming=args.max_hamming)
+            elif args.mode == "tiles":
+                from mehc_curation_spark.operators.multimodal import (
+                    tile_near_dups,
+                )
+
+                id_col = args.id_col or "image_id"
+                # threshold = matching-tile count (of 16)
+                thr = 6.0 if args.threshold is None else args.threshold
+                if id_col != "image_id":
+                    df = df.withColumnRenamed(id_col, "image_id")
+                    id_col = "image_id"
+                pairs = tile_near_dups(df, grid=4, min_match=int(thr))
             else:
                 id_col = args.id_col or (
                     "vec_id" if "vec_id" in df.columns else "doc_id")

@@ -91,3 +91,19 @@ def tile_phashes_of(px: np.ndarray, grid: int = 4) -> list[tuple[int, int]]:
                 continue
             out.append((i * grid + j, phash64(t)))
     return out
+
+
+def phash64_flip(px: np.ndarray) -> int:
+    """Mirror-invariant perceptual hash: the numerically smaller (as
+    unsigned 64-bit) of phash64(image) and phash64(horizontally
+    mirrored image). A mirrored repost hashes to the SAME value as the
+    original, so exact-equality dedup on this column catches
+    flip-variants that plain phash sees as distant (a horizontal flip
+    negates the odd-column DCT coefficients — typically ~30 bits
+    flip). Canonicalization by unsigned min is order-free: both
+    orientations map to one canonical hash.
+    """
+    a = phash64(px) & 0xFFFFFFFFFFFFFFFF
+    b = phash64(px[:, ::-1]) & 0xFFFFFFFFFFFFFFFF
+    m = a if a <= b else b
+    return int(np.uint64(m).astype(np.int64))

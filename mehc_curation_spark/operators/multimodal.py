@@ -102,7 +102,7 @@ PHASH_SCHEMA = StructType([
 ])
 
 
-def compute_phash(df: DataFrame) -> DataFrame:
+def compute_phash(df: DataFrame, flip_invariant: bool = False) -> DataFrame:
     """Compute the 64-bit DCT perceptual hash FROM PIXELS (REAL —
     decode via the NumPy codecs, hash via ``codecs/phash.py``): the
     operator that produces the ``phash`` dedup-key column the
@@ -110,6 +110,12 @@ def compute_phash(df: DataFrame) -> DataFrame:
     one. One decode per image, Arrow-batched; undecodable payloads
     yield (decode_ok=false, phash_computed=NULL) so downstream dedup
     treats them as singletons rather than colliding on a garbage key.
+
+    ``flip_invariant=True`` emits the mirror-canonical hash
+    (``codecs/phash.py:phash64_flip`` — unsigned-min of both
+    orientations) so exact-equality dedup additionally collapses
+    horizontally mirrored reposts, which plain phash sees ~30+ bits
+    away. Same cost class: one decode, two hashes.
 
     The driver check exploits the fixture invariant that the stored
     column IS phash64(decoded pixels) for every intact payload:
@@ -119,14 +125,15 @@ def compute_phash(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mehc_curation_spark.codecs.image import DecodeError, decode_image
-        from mehc_curation_spark.codecs.phash import phash64
+        from mehc_curation_spark.codecs.phash import phash64, phash64_flip
 
+        hashfn = phash64_flip if flip_invariant else phash64
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 try:
                     px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
-                    rows.append((r.image_id, True, phash64(px)))
+                    rows.append((r.image_id, True, hashfn(px)))
                 except (DecodeError, TypeError, ValueError):
                     # sentinel 0, nullified in Catalyst below: an
                     # OBJECT column of python ints with Nones goes

@@ -753,3 +753,19 @@ def test_crossdedup_cli_image_tiles(pairs_file, tmp_path_factory):
         f"SELECT MIN(n_match) FROM read_parquet('{out}/matches/*.parquet')"
     ).fetchone()[0]
     assert n_match_min >= 6
+
+
+def test_clusters_cli_tiles(pairs_file, tmp_path_factory):
+    """clusters --mode tiles: partial-image near-dup pairs resolved to
+    connected components with one representative each."""
+    out = str(tmp_path_factory.mktemp("cli_cl_tiles") / "out")
+    res = json.loads(_run(
+        ["clusters", "-i", pairs_file, "-o", out, "--mode", "tiles",
+         "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert res["mode"] == "tiles" and res["threshold"] == 6.0
+    assert res["rows"] > res["clusters"] > 0
+    # exactly one representative per cluster
+    reps = duckdb.sql(
+        f"SELECT COUNT(*) FILTER (is_rep), COUNT(DISTINCT cluster) "
+        f"FROM read_parquet('{out}/clusters/*.parquet')").fetchone()
+    assert reps[0] == reps[1] == res["clusters"]

@@ -136,3 +136,25 @@ def test_cross_corpus_bucket_guard_both_sides(spark):
     out = cross_corpus_tile_dups(cand, ref, min_match=16,
                                  max_bucket=16).collect()
     assert len(out) == 9
+
+
+def test_flip_invariant_phash(spark):
+    """compute_phash(flip_invariant=True): a horizontally mirrored
+    copy gets the SAME hash as the original (exact-dedup key), while
+    plain phash puts them far apart."""
+    from mehc_curation_spark.codecs.phash import phash64
+    from mehc_curation_spark.operators.multimodal import compute_phash
+
+    rng = np.random.default_rng(21)
+    base = _img(rng)
+    mirrored = base[:, ::-1].copy()
+    df = spark.createDataFrame(
+        [_row("orig", base), _row("flip", mirrored),
+         ("broken", b"\x00", 64, 64, "png", "c", 0)], SCHEMA)
+    out = {r["image_id"]: (r["decode_ok"], r["phash_computed"])
+           for r in compute_phash(df, flip_invariant=True).collect()}
+    assert out["orig"] == out["flip"] and out["orig"][0] is True
+    assert out["broken"] == (False, None)
+    plain_ham = bin((phash64(base) ^ phash64(mirrored))
+                    & (2 ** 64 - 1)).count("1")
+    assert plain_ham > 8  # plain phash cannot pair them
