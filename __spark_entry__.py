@@ -4457,12 +4457,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS planted_exact
             FROM read_parquet('{_pairs_cache_file()}')
         """,
-        # n_pairs = 168 measured on the seed-42 corpus (deterministic
+        # n_pairs = 166 measured on the seed-42 corpus (deterministic
         # fixture; 11 of them exceed global hamming 4 — the surface's
         # reason to exist). The booleans are computed Spark-side
         # against the brute-force kernel recompute.
         "pairs_tile_dups_check": """
-            SELECT CAST(168 AS BIGINT) AS n_pairs,
+            SELECT CAST(166 AS BIGINT) AS n_pairs,
                    TRUE AS pairs_match_bruteforce,
                    TRUE AS found_pairs,
                    TRUE AS finds_what_global_phash_misses

@@ -129,8 +129,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "variants of already-curated images)")
     cd.add_argument("--threshold", type=float, default=None,
                     help="similarity threshold (default 0.5 text "
-                         "Jaccard / 0.85 embedding cosine)")
-    cd.add_argument("--id_col", default="doc_id")
+                         "Jaccard / 0.85 embedding cosine); for "
+                         "--mode image it is the matching-TILE COUNT, "
+                         "an integer in 1..16 (default 6)")
+    cd.add_argument("--id_col", default=None,
+                    help="id column (default doc_id; image_id for "
+                         "--mode image)")
     cd.add_argument("--text_col", default="text")
     cd.add_argument("--vec_col", default="embedding")
     cd.add_argument("--drop", action="store_true",
@@ -156,7 +160,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "hash; embedding = hyperplane-LSH cosine")
     cl.add_argument("--threshold", type=float, default=None,
                     help="similarity threshold (default 0.5 text "
-                         "Jaccard / 0.9 embedding cosine)")
+                         "Jaccard / 0.9 embedding cosine); for "
+                         "--mode tiles it is the matching-TILE COUNT, "
+                         "an integer in 1..16 (default 6)")
     cl.add_argument("--max_hamming", type=int, default=4,
                     help="phash mode: max bit distance")
     cl.add_argument("--id_col", default=None,
@@ -419,6 +425,21 @@ def build_parser() -> argparse.ArgumentParser:
     tm.add_argument("--cores", type=int, default=-1)
     tm.add_argument("--master", default=None)
     return p
+
+
+def _tile_count(threshold, grid: int = 4) -> int:
+    """Validate a --threshold reused as a matching-tile COUNT (tile
+    modes): must be an integer in 1..grid^2 — a similarity-style
+    fraction like 0.9 would int() to 0 and pass every bucket-sharing
+    pair, which with --drop/--keep_reps deletes unrelated images."""
+    if threshold is None:
+        return 6
+    n = grid * grid
+    if threshold != int(threshold) or not 1 <= int(threshold) <= n:
+        raise SystemExit(
+            f"--threshold for tile matching is a matching-tile COUNT: "
+            f"an integer in 1..{n} (default 6), got {threshold}")
+    return int(threshold)
 
 
 def _takedown_ids(spec: str, table_path: str, id_col: str) -> list:
@@ -812,10 +833,17 @@ def main(argv: list[str] | None = None) -> int:
                 cross_corpus_text_near_dups,
             )
 
+            id_col = args.id_col or (
+                "image_id" if args.mode == "image" else "doc_id")
             cand = spark.read.parquet(args.input) \
-                .withColumnRenamed(args.id_col, "cand_id")
+                .withColumnRenamed(id_col, "cand_id")
             ref = spark.read.parquet(args.reference) \
-                .withColumnRenamed(args.id_col, "ref_id")
+                .withColumnRenamed(id_col, "ref_id")
+            if "cand_id" not in cand.columns or "ref_id" not in ref.columns:
+                raise SystemExit(
+                    f"id column {id_col!r} not found in the input "
+                    f"(pass --id_col; image mode defaults to image_id, "
+                    f"other modes to doc_id)")
             if args.mode == "exact":
                 from mehc_curation_spark.operators.bloom import (
                     bloom_prefilter,
@@ -845,7 +873,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 # threshold = matching-tile count (of grid^2 = 16)
-                thr = 6.0 if args.threshold is None else args.threshold
+                thr = float(_tile_count(args.threshold))
                 matches = cross_corpus_tile_dups(
                     cand, ref, "cand_id", "ref_id",
                     min_match=int(thr))
@@ -863,7 +891,7 @@ def main(argv: list[str] | None = None) -> int:
             n_flagged = flagged_ids.count()
             if args.drop:
                 (cand.join(flagged_ids, "cand_id", "left_anti")
-                 .withColumnRenamed("cand_id", args.id_col)
+                 .withColumnRenamed("cand_id", id_col)
                  .write.mode("overwrite")
                  .parquet(os.path.join(args.output, "data")))
             print(json.dumps({"mode": args.mode, "threshold": thr,
@@ -899,12 +927,10 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 id_col = args.id_col or "image_id"
-                # threshold = matching-tile count (of 16)
-                thr = 6.0 if args.threshold is None else args.threshold
-                if id_col != "image_id":
-                    df = df.withColumnRenamed(id_col, "image_id")
-                    id_col = "image_id"
-                pairs = tile_near_dups(df, grid=4, min_match=int(thr))
+                # threshold = matching-tile count (of grid^2 = 16)
+                thr = float(_tile_count(args.threshold))
+                pairs = tile_near_dups(df, grid=4, min_match=int(thr),
+                                       id_col=id_col)
             else:
                 id_col = args.id_col or (
                     "vec_id" if "vec_id" in df.columns else "doc_id")

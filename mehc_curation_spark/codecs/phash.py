@@ -39,13 +39,16 @@ def _resample_area(gray: np.ndarray, size: int = _M) -> np.ndarray:
     return s / area
 
 
-def phash64(px: np.ndarray) -> int:
-    """Perceptual hash of an (h, w, 3) uint8 RGB image → signed int64."""
-    gray = (
+def _luma(px: np.ndarray) -> np.ndarray:
+    return (
         0.299 * px[:, :, 0].astype(np.float64)
         + 0.587 * px[:, :, 1].astype(np.float64)
         + 0.114 * px[:, :, 2].astype(np.float64)
     )
+
+
+def _phash64_gray(gray: np.ndarray) -> int:
+    """phash64 over an already-extracted float64 luma plane."""
     small = _resample_area(gray, _M)
     dct = _DCT32 @ small @ _DCT32.T
     block = dct[:8, :8].ravel()
@@ -53,6 +56,11 @@ def phash64(px: np.ndarray) -> int:
     bits = (block > med).astype(np.uint64)
     val = np.uint64(np.sum(bits * _BIT_WEIGHTS, dtype=np.uint64))
     return int(val.astype(np.int64))  # wrap into signed bigint range
+
+
+def phash64(px: np.ndarray) -> int:
+    """Perceptual hash of an (h, w, 3) uint8 RGB image → signed int64."""
+    return _phash64_gray(_luma(px))
 
 
 def tile_phashes_of(px: np.ndarray, grid: int = 4) -> list[tuple[int, int]]:
@@ -77,6 +85,13 @@ def tile_phashes_of(px: np.ndarray, grid: int = 4) -> list[tuple[int, int]]:
     check.
     """
     h, w = px.shape[0], px.shape[1]
+    # one luma conversion for the whole image; tile slices of the luma
+    # plane are pointwise identical to luma of the tile slice, so the
+    # hashes match phash64(px[tile]) bit-for-bit. Flatness is tested
+    # on LUMA (what the hash actually sees): an iso-luma colored
+    # gradient hashes to the same degenerate value as a solid bar and
+    # must be skipped too.
+    gray = _luma(px)
     out = []
     for i in range(grid):
         y0, y1 = (i * h) // grid, ((i + 1) * h) // grid
@@ -86,10 +101,10 @@ def tile_phashes_of(px: np.ndarray, grid: int = 4) -> list[tuple[int, int]]:
             x0, x1 = (j * w) // grid, ((j + 1) * w) // grid
             if x1 <= x0:
                 continue
-            t = px[y0:y1, x0:x1]
-            if int(t.min()) == int(t.max()):
+            t = gray[y0:y1, x0:x1]
+            if t.min() == t.max():
                 continue
-            out.append((i * grid + j, phash64(t)))
+            out.append((i * grid + j, _phash64_gray(t)))
     return out
 
 

@@ -909,14 +909,15 @@ def tile_phashes(df: DataFrame, grid: int = 4,
 
 
 def tile_near_dups(df: DataFrame, grid: int = 4, min_match: int = 6,
-                   max_bucket: int = 64) -> DataFrame:
+                   max_bucket: int = 64,
+                   id_col: str = "image_id") -> DataFrame:
     """Partial-image near-dup pairs: images sharing >= ``min_match``
     exact per-tile perceptual hashes — the detector for OVERLAY /
     LOCAL-EDIT variants (watermark stamps, logo corners, small
     retouches) that global phash misses: a localized edit flips
     enough global-DCT bits to escape a hamming-4 gate while 15 of 16
     tiles still hash identically. Measured on the seed-42 fixture
-    corpus: 168 pairs at grid=4/min_match=6, 11 of which global
+    corpus: 166 pairs at grid=4/min_match=6, 11 of which global
     phash (hamming<=4) does NOT find.
 
     Exact-match LSH shape (same machinery as the banded hash dedups):
@@ -932,23 +933,17 @@ def tile_near_dups(df: DataFrame, grid: int = 4, min_match: int = 6,
     """
     from pyspark.sql import functions as F
 
-    tiles = tile_phashes(df, grid)
+    from mehc_curation_spark.operators.similarity import bucket_pairs
+
+    tiles = tile_phashes(df, grid, id_col)
     grouped = (
         tiles.groupBy("tile_idx", "tile_hash")
         .agg(F.sort_array(F.collect_list("image_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(F.transform(
-                F.slice("ids", 1, F.size("ids") - 1),
-                lambda a, i: F.transform(
-                    F.slice("ids", i + 2, F.size("ids")),
-                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
-            ))
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    return (pairs.groupBy("id_a", "id_b")
+    # distinct=False: each (tile, pair) occurrence counts one match
+    return (bucket_pairs(grouped, distinct=False)
+            .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).cast("int").alias("n_match"))
             .filter(F.col("n_match") >= min_match))
 
@@ -971,22 +966,26 @@ def cross_corpus_tile_dups(cand_df: DataFrame, ref_df: DataFrame,
     ``max_bucket`` on EITHER side is skipped before the join (the
     cross product of two degenerate buckets is quadratic; same
     documented trade-off as the within-corpus generator and the
-    banded text path).
+    banded text path). The per-key membership count is a WINDOW over
+    the tile rows, not a separate aggregation of the same Arrow
+    stage — each corpus decodes exactly once, and the window's
+    hash-partitioning on the join keys is reused by the join itself.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     keys = ["tile_idx", "tile_hash"]
-    tc = tile_phashes(cand_df, grid, cand_id_col) \
-        .withColumnRenamed("image_id", "cand_id")
-    tr = tile_phashes(ref_df, grid, ref_id_col) \
-        .withColumnRenamed("image_id", "ref_id")
-    safe_c = tc.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n")) \
-        .filter(F.col("_n") <= max_bucket).drop("_n")
-    safe_r = tr.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n")) \
-        .filter(F.col("_n") <= max_bucket).drop("_n")
-    safe = safe_c.join(safe_r, keys)
-    return (tc.join(safe, keys)
-            .join(tr, keys)
+    w = Window.partitionBy(*keys)
+
+    def hashed(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+        t = tile_phashes(df, grid, id_col) \
+            .withColumnRenamed("image_id", out_id)
+        return (t.withColumn("_n", F.count(F.lit(1)).over(w))
+                .filter(F.col("_n") <= max_bucket).drop("_n"))
+
+    tc = hashed(cand_df, cand_id_col, "cand_id")
+    tr = hashed(ref_df, ref_id_col, "ref_id")
+    return (tc.join(tr, keys)
             .groupBy("cand_id", "ref_id")
             .agg(F.count(F.lit(1)).cast("int").alias("n_match"))
             .filter(F.col("n_match") >= min_match))

@@ -378,9 +378,12 @@ def temperature_resample(df: DataFrame, id_col: str, group_col: str,
           .withColumn("_pw", pw)
           .withColumn(
               "keep_frac",
+              # association mirrors the SQL oracle EXACTLY
+              # (((budget*N)*pw)/sum_pw)/n_g — a different grouping
+              # can differ by 1 ulp and flip a kept decision
               F.least(F.lit(1.0),
-                      (F.lit(float(budget_frac)) * n_total
-                       * (F.col("_pw") / F.sum("_pw").over(w)))
+                      F.lit(float(budget_frac)) * n_total
+                      * F.col("_pw") / F.sum("_pw").over(w)
                       / F.col("_n_g")))
           .select(group_col, F.col("_n_g").cast("long").alias("n_group"),
                   "keep_frac"))

@@ -360,6 +360,27 @@ def _band_entries(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     ).select("_id", "e.band", "e.bh")
 
 
+def bucket_pairs(grouped: DataFrame, distinct: bool = True) -> DataFrame:
+    """(id_a < id_b) candidate pairs from a bucketed frame carrying a
+    sorted ``ids`` array column — the shared pair-explode of EVERY
+    exact-match LSH generator (minhash bands, hyperplane buckets,
+    phash bands, tile hashes). All pairs are emitted in-plan (nested
+    ``transform`` over array slices — no driver loop, no join); with
+    ``distinct=False`` one row per (bucket, pair) occurrence, for
+    callers that COUNT matching buckets per pair."""
+    out = grouped.select(
+        F.explode(
+            F.flatten(F.transform(
+                F.slice("ids", 1, F.size("ids") - 1),
+                lambda a, i: F.transform(
+                    F.slice("ids", i + 2, F.size("ids")),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
+            ))
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return out.distinct() if distinct else out
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 32, bands: int = 8,
                            shingle_k: int = 3,
@@ -385,17 +406,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(F.transform(
-                F.slice("ids", 1, F.size("ids") - 1),
-                lambda a, i: F.transform(
-                    F.slice("ids", i + 2, F.size("ids")),
-                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
-            ))
-        ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
-    return pairs
+    return bucket_pairs(grouped)
 
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
@@ -822,16 +833,7 @@ def embedding_near_dups_lsh(df: DataFrame, vec_col: str, id_col: str,
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    cand = grouped.select(
-        F.explode(
-            F.flatten(F.transform(
-                F.slice("ids", 1, F.size("ids") - 1),
-                lambda a, i: F.transform(
-                    F.slice("ids", i + 2, F.size("ids")),
-                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
-            ))
-        ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
+    cand = bucket_pairs(grouped)
     nv = df.select(F.col(id_col).alias("_nid"),
                    _normalized_vec(F.col(vec_col)).alias("_nv"))
     a = nv.select(F.col("_nid").alias("id_a"), F.col("_nv").alias("_va"))
@@ -888,16 +890,7 @@ def phash_near_dups(df: DataFrame, phash_col: str = "phash",
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    cand = grouped.select(
-        F.explode(
-            F.flatten(F.transform(
-                F.slice("ids", 1, F.size("ids") - 1),
-                lambda a, i: F.transform(
-                    F.slice("ids", i + 2, F.size("ids")),
-                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
-            ))
-        ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
+    cand = bucket_pairs(grouped)
     ph = df.select(F.col(id_col).alias("_pid"), F.col(phash_col).alias("_ph"))
     a = ph.select(F.col("_pid").alias("id_a"), F.col("_ph").alias("_pa"))
     b = ph.select(F.col("_pid").alias("id_b"), F.col("_ph").alias("_pb"))

@@ -769,3 +769,24 @@ def test_clusters_cli_tiles(pairs_file, tmp_path_factory):
         f"SELECT COUNT(*) FILTER (is_rep), COUNT(DISTINCT cluster) "
         f"FROM read_parquet('{out}/clusters/*.parquet')").fetchone()
     assert reps[0] == reps[1] == res["clusters"]
+
+
+def test_tile_threshold_and_id_col_validation(pairs_file, tmp_path_factory):
+    """Tile modes must REFUSE a similarity-style fractional threshold
+    (int(0.9)=0 would pair everything) and fail fast on a wrong id
+    column instead of an opaque AnalysisException."""
+    out = str(tmp_path_factory.mktemp("cli_val") / "o")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark", "clusters",
+         "-i", pairs_file, "-o", out, "--mode", "tiles",
+         "--threshold", "0.9", "--cores", "2"],
+        cwd=REPO, capture_output=True, text=True, timeout=120)
+    assert proc.returncode != 0
+    assert "matching-tile COUNT" in (proc.stderr + proc.stdout)
+    proc = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark", "crossdedup",
+         "-i", pairs_file, "-r", pairs_file, "-o", out,
+         "--mode", "image", "--id_col", "nope", "--cores", "2"],
+        cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert proc.returncode != 0
+    assert "not found" in (proc.stderr + proc.stdout)

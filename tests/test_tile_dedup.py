@@ -158,3 +158,29 @@ def test_flip_invariant_phash(spark):
     plain_ham = bin((phash64(base) ^ phash64(mirrored))
                     & (2 ** 64 - 1)).count("1")
     assert plain_ham > 8  # plain phash cannot pair them
+
+
+def test_cross_corpus_single_decode_per_side(spark):
+    # each corpus must decode exactly ONCE: the skew guard is a window
+    # over the tile rows, not a second consumption of the Arrow stage
+    from mehc_curation_spark.operators.multimodal import (
+        cross_corpus_tile_dups,
+    )
+    rng = np.random.default_rng(23)
+    cand = spark.createDataFrame([_row("c", _img(rng))], SCHEMA)
+    ref = spark.createDataFrame([_row("r", _img(rng))], SCHEMA)
+    plan = (cross_corpus_tile_dups(cand, ref)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("MapInPandas") == 2
+
+
+def test_tile_near_dups_custom_id_col(spark):
+    rng = np.random.default_rng(29)
+    a = _img(rng)
+    df = spark.createDataFrame(
+        [("k1", a.tobytes(), 64, 64, "raw", "c", 0),
+         ("k2", a.tobytes(), 64, 64, "raw", "c", 0)],
+        "img_key string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long")
+    out = tile_near_dups(df, min_match=16, id_col="img_key").collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [("k1", "k2")]
