@@ -83,6 +83,17 @@ def tile_phashes_of(px: np.ndarray, grid: int = 4) -> list[tuple[int, int]]:
     The single source of truth for both the distributed operator
     (operators/multimodal.py:tile_near_dups) and its brute-force
     check.
+
+    Vectorized: tiles of EQUAL shape (all 16 when grid divides the
+    dims; at most 4 shape groups otherwise, since each dimension
+    splits into sizes d and d+1) are stacked and hashed as one batch —
+    stacked ``cumsum`` and per-slice GEMMs perform the identical
+    per-tile arithmetic as the scalar path, so values are
+    BIT-IDENTICAL to ``_phash64_gray`` of each tile (pinned by
+    ``tests/test_tile_dedup.py::test_batched_kernel_matches_scalar``).
+    Each tile hashes from its OWN pixels only (no shared integral
+    image), so identical tile content always yields the identical
+    hash — the invariant overlay detection rests on.
     """
     h, w = px.shape[0], px.shape[1]
     # one luma conversion for the whole image; tile slices of the luma
@@ -91,6 +102,61 @@ def tile_phashes_of(px: np.ndarray, grid: int = 4) -> list[tuple[int, int]]:
     # on LUMA (what the hash actually sees): an iso-luma colored
     # gradient hashes to the same degenerate value as a solid bar and
     # must be skipped too.
+    gray = _luma(px)
+    groups: dict[tuple[int, int], tuple[list[int], list[np.ndarray]]] = {}
+    for i in range(grid):
+        y0, y1 = (i * h) // grid, ((i + 1) * h) // grid
+        if y1 <= y0:
+            continue
+        for j in range(grid):
+            x0, x1 = (j * w) // grid, ((j + 1) * w) // grid
+            if x1 <= x0:
+                continue
+            idxs, ts = groups.setdefault((y1 - y0, x1 - x0), ([], []))
+            idxs.append(i * grid + j)
+            ts.append(gray[y0:y1, x0:x1])
+    out = []
+    for (th, tw), (idxs, ts) in groups.items():
+        batch = np.stack(ts)                       # (k, th, tw)
+        mn = batch.min(axis=(1, 2))
+        keep = batch.max(axis=(1, 2)) != mn        # luma-flat -> skip
+        if not keep.any():
+            continue
+        batch, idxs = batch[keep], [x for x, k in zip(idxs, keep) if k]
+        k = batch.shape[0]
+        # batched area-resample: per-tile integral images (stacked
+        # cumsum == per-tile cumsum additions, bit-exact)
+        ii = np.zeros((k, th + 1, tw + 1), dtype=np.float64)
+        ii[:, 1:, 1:] = np.cumsum(np.cumsum(batch, axis=1), axis=2)
+        ys = (np.arange(_M + 1) * th) // _M
+        xs = (np.arange(_M + 1) * tw) // _M
+        y0s, y1s = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+        x0s, x1s = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+        area = (y1s - y0s)[:, None] * (x1s - x0s)[None, :]
+        s = (ii[:, y1s[:, None], x1s[None, :]]
+             - ii[:, y0s[:, None], x1s[None, :]]
+             - ii[:, y1s[:, None], x0s[None, :]]
+             + ii[:, y0s[:, None], x0s[None, :]])
+        small = s / area
+        # batched DCT: matmul loops per-slice GEMMs identical to the
+        # scalar _DCT32 @ small @ _DCT32.T
+        dct = np.matmul(np.matmul(_DCT32, small), _DCT32.T)
+        block = dct[:, :8, :8].reshape(k, 64)
+        med = np.median(block[:, 1:], axis=1)      # exclude DC
+        bits = (block > med[:, None]).astype(np.uint64)
+        vals = np.sum(bits * _BIT_WEIGHTS[None, :], axis=1,
+                      dtype=np.uint64).astype(np.int64)
+        out.extend(zip(idxs, (int(v) for v in vals)))
+    out.sort()
+    return out
+
+
+def _tile_phashes_scalar(px: np.ndarray, grid: int = 4) -> list[tuple[int, int]]:
+    """Straight-line scalar twin of :func:`tile_phashes_of` (one
+    ``_phash64_gray`` call per tile) — the readable specification the
+    batched kernel must match bit-for-bit; kept for the parity test
+    and for auditing."""
+    h, w = px.shape[0], px.shape[1]
     gray = _luma(px)
     out = []
     for i in range(grid):

@@ -184,3 +184,19 @@ def test_tile_near_dups_custom_id_col(spark):
         "caption string, phash long")
     out = tile_near_dups(df, min_match=16, id_col="img_key").collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [("k1", "k2")]
+
+
+def test_batched_kernel_matches_scalar():
+    """The batched tile kernel must be BIT-IDENTICAL to the scalar
+    per-tile specification across dims (odd sizes, tiles differing by
+    1px, tiny images, flat bands) and grids."""
+    from mehc_curation_spark.codecs.phash import (_tile_phashes_scalar,
+                                                  tile_phashes_of)
+    rng = np.random.default_rng(31)
+    for _ in range(40):
+        h, w = int(rng.integers(2, 80)), int(rng.integers(2, 80))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        if rng.random() < 0.5:
+            px[: max(1, h // 4)] = 7  # letterbox band
+        for g in (2, 4, 5):
+            assert tile_phashes_of(px, g) == _tile_phashes_scalar(px, g)
