@@ -68,6 +68,9 @@ HEADLINE = [
     # and C4-style corpus-wide line dedup with document rewrite
     "emb_semdedup",
     "doc_line_dedup",
+    # round-3 image-axis dedup: decode + 16 per-tile phashes + exact-
+    # match LSH join over the 2000-image fixture corpus (additive key)
+    "pairs_tile_dups",
 ]
 
 
