@@ -367,6 +367,17 @@ def doc_skew_report(spark, sf_dir):
                            "source", top_k=10)
 
 
+def doc_join_fanout(spark, sf_dir):
+    """Pre-join fan-out diagnostics (operators/profile.py
+    join_fanout_report): exact per-key output cardinality of the
+    documents self-join on source — the key census run before
+    committing to a blocking key. Full value oracle."""
+    from mehc_curation_spark.operators.profile import join_fanout_report
+
+    d = _t(spark, sf_dir, "documents")
+    return join_fanout_report(d, d, "source", top_k=10)
+
+
 def _profile_sql() -> str:
     parts = []
     for c in ("doc_id", "text", "lang", "source", "n_chars"):
@@ -3042,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "doc_profile": doc_profile,
         "doc_skew_report": doc_skew_report,
+        "doc_join_fanout": doc_join_fanout,
         "doc_mojibake_fix": doc_mojibake_fix,
         "doc_compression": doc_compression,
         "doc_compression_check": doc_compression_check,
@@ -3486,6 +3498,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_profile": _profile_sql(),
+        "doc_join_fanout": """
+            WITH lc AS (
+                SELECT CAST(source AS VARCHAR) AS key,
+                       COUNT(*) AS n_left
+                FROM documents GROUP BY 1
+            ), rc AS (
+                SELECT CAST(source AS VARCHAR) AS key,
+                       COUNT(*) AS n_right
+                FROM documents GROUP BY 1
+            ), j AS (
+                SELECT key, n_left, n_right,
+                       n_left * n_right AS est_rows
+                FROM lc JOIN rc USING (key)
+            ), t AS (
+                SELECT CAST(SUM(est_rows) AS DOUBLE) AS total FROM j
+            )
+            SELECT key, n_left, n_right, est_rows,
+                   ROUND(est_rows / total, 6) AS share
+            FROM j, t
+            ORDER BY est_rows DESC, key ASC
+            LIMIT 10
+        """,
         "doc_skew_report": """
             WITH c AS (
                 SELECT CAST(source AS VARCHAR) AS key, COUNT(*) AS n

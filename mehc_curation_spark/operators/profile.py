@@ -118,3 +118,43 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10,
                 F.ceil(F.col("n") / mean).cast("int")
                  .alias("suggested_salt"))
             .orderBy(F.desc("n"), F.asc_nulls_first("key")))
+
+
+def join_fanout_report(left: DataFrame, right: DataFrame,
+                       left_key: str, right_key: Optional[str] = None,
+                       top_k: int = 10) -> DataFrame:
+    """Pre-join fan-out diagnostics — "how many rows will this join
+    EMIT per key, and which keys explode": per-key row counts on both
+    sides and the exact per-key output cardinality ``n_left *
+    n_right``, for the ``top_k`` keys by that product (desc, then
+    key-string asc). ``share`` is the key's fraction of the TOTAL join
+    output. Run it before a big equi-join the way ``key_skew_report``
+    is run before a groupBy: a single key carrying 30% of the output
+    is the AQE-skew-split / salting candidate.
+
+    NULL keys are absent by construction — an equi-join emits nothing
+    for NULL = NULL, so they contribute no fan-out (unlike
+    ``key_skew_report``, where a NULL group is a real aggregation
+    group). Keys on only one side likewise emit nothing and are
+    dropped by the inner join of the two count tables.
+
+    Plan shape: one partial-aggregable count per side (slim key rows
+    shuffle, never the payloads), an inner join of the two count
+    tables on the key, a TakeOrderedAndProject for the top-k, and a
+    broadcast 1-row total.
+    """
+    rk = right_key or left_key
+    lc = left.groupBy(F.col(left_key).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(F.col(rk).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_right"))
+    j = lc.join(rc, "key").withColumn(
+        "est_rows", F.col("n_left") * F.col("n_right"))
+    tot = j.agg(F.sum("est_rows").cast("double").alias("_total"))
+    return (j.orderBy(F.desc("est_rows"), F.asc("key"))
+            .limit(int(top_k))
+            .crossJoin(F.broadcast(tot))
+            .select("key", "n_left", "n_right", "est_rows",
+                    F.round(F.col("est_rows") / F.col("_total"), 6)
+                     .alias("share"))
+            .orderBy(F.desc("est_rows"), F.asc("key")))

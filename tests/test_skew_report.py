@@ -66,3 +66,39 @@ def test_plan_has_take_ordered_not_global_sort(spark):
     plan = (key_skew_report(df, "k", top_k=2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_join_fanout_values(spark):
+    from mehc_curation_spark.operators.profile import join_fanout_report
+    left = _df(spark, {"hot": 100, "cold": 10, "only_left": 5})
+    right = _df(spark, {"hot": 50, "cold": 2, "only_right": 7},
+                id_prefix="r")
+    out = {r["key"]: r for r in
+           join_fanout_report(left, right, "k").collect()}
+    # one-sided keys emit nothing
+    assert set(out) == {"hot", "cold"}
+    assert out["hot"]["est_rows"] == 5000 and out["cold"]["est_rows"] == 20
+    assert abs(out["hot"]["share"] - 5000 / 5020) < 1e-6
+    # exactness: the report's est_rows IS the real join cardinality
+    real = left.join(right.withColumnRenamed("doc_id", "rid"), "k").count()
+    assert real == 5020
+
+
+def test_join_fanout_null_keys_excluded(spark):
+    from mehc_curation_spark.operators.profile import join_fanout_report
+    df = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", "x")],
+        "doc_id string, k string")
+    out = join_fanout_report(df, df, "k").collect()
+    assert [(r["key"], r["est_rows"]) for r in out] == [("x", 1)]
+
+
+def test_join_fanout_distinct_keys(spark):
+    from mehc_curation_spark.operators.profile import join_fanout_report
+    left = _df(spark, {"x": 4})
+    right = spark.createDataFrame([("r1", "x"), ("r2", "y")],
+                                  "doc_id string, other_key string")
+    out = join_fanout_report(left, right, "k", right_key="other_key",
+                             top_k=5).collect()
+    assert [(r["key"], r["n_left"], r["n_right"]) for r in out] == \
+        [("x", 4, 1)]
