@@ -137,11 +137,38 @@ def build_parser() -> argparse.ArgumentParser:
                          "--mode image)")
     cd.add_argument("--text_col", default="text")
     cd.add_argument("--vec_col", default="embedding")
+    cd.add_argument("--reference_is_index", action="store_true",
+                    help="image mode: -r points at a tile-signature "
+                         "snapshot table built by `tileindex` instead "
+                         "of payload parquet — the reference corpus "
+                         "is never re-decoded; the index's build grid "
+                         "is adopted for candidate hashing")
     cd.add_argument("--drop", action="store_true",
                     help="also write the decontaminated candidates "
                          "(flagged rows removed) under <output>/data/")
     cd.add_argument("--cores", type=int, default=-1)
     cd.add_argument("--master", default=None)
+
+    ti = sub.add_parser(
+        "tileindex",
+        help="materialize a reference corpus's tile-phash signatures "
+             "as a snapshot table for repeated image decontamination "
+             "(crossdedup --mode image --reference_is_index); "
+             "graft-only capability")
+    ti.add_argument("-i", "--input", required=True,
+                    help="reference corpus parquet (pairs-shaped "
+                         "payloads)")
+    ti.add_argument("-o", "--output", required=True,
+                    help="index table directory (snapshot table)")
+    ti.add_argument("--append", action="store_true",
+                    help="add this batch to the standing index "
+                         "instead of rebuilding it")
+    ti.add_argument("--grid", type=int, default=4,
+                    help="tile grid (grid^2 tiles per image; must "
+                         "match across appends)")
+    ti.add_argument("--id_col", default="image_id")
+    ti.add_argument("--cores", type=int, default=-1)
+    ti.add_argument("--master", default=None)
 
     cl = sub.add_parser(
         "clusters",
@@ -432,9 +459,9 @@ def _tile_count(threshold, grid: int = 4) -> int:
     modes): must be an integer in 1..grid^2 — a similarity-style
     fraction like 0.9 would int() to 0 and pass every bucket-sharing
     pair, which with --drop/--keep_reps deletes unrelated images."""
-    if threshold is None:
-        return 6
     n = grid * grid
+    if threshold is None:
+        return min(6, n)
     if threshold != int(threshold) or not 1 <= int(threshold) <= n:
         raise SystemExit(
             f"--threshold for tile matching is a matching-tile COUNT: "
@@ -825,6 +852,23 @@ def main(argv: list[str] | None = None) -> int:
                              | {"format": m["format"]}))
             return 0
 
+        if args.cmd == "tileindex":
+            from mehc_curation_spark.operators.multimodal import (
+                write_tile_index,
+            )
+
+            ref = spark.read.parquet(args.input)
+            res = write_tile_index(
+                ref, args.output, grid=args.grid, id_col=args.id_col,
+                mode="append" if args.append else "overwrite")
+            from mehc_curation_spark.io.catalog import SnapshotTable
+
+            idx = SnapshotTable(args.output).read(spark)
+            res["n_tiles"] = idx.count()
+            res["n_images"] = idx.select("ref_id").distinct().count()
+            print(json.dumps(res))
+            return 0
+
         if args.cmd == "crossdedup":
             from pyspark.sql import functions as F
 
@@ -833,13 +877,20 @@ def main(argv: list[str] | None = None) -> int:
                 cross_corpus_text_near_dups,
             )
 
+            if args.reference_is_index and args.mode != "image":
+                raise SystemExit(
+                    "--reference_is_index applies to --mode image only")
             id_col = args.id_col or (
                 "image_id" if args.mode == "image" else "doc_id")
             cand = spark.read.parquet(args.input) \
                 .withColumnRenamed(id_col, "cand_id")
-            ref = spark.read.parquet(args.reference) \
-                .withColumnRenamed(id_col, "ref_id")
-            if "cand_id" not in cand.columns or "ref_id" not in ref.columns:
+            if args.reference_is_index:
+                ref = None
+            else:
+                ref = spark.read.parquet(args.reference) \
+                    .withColumnRenamed(id_col, "ref_id")
+            if "cand_id" not in cand.columns or \
+                    (ref is not None and "ref_id" not in ref.columns):
                 raise SystemExit(
                     f"id column {id_col!r} not found in the input "
                     f"(pass --id_col; image mode defaults to image_id, "
@@ -870,13 +921,22 @@ def main(argv: list[str] | None = None) -> int:
             elif args.mode == "image":
                 from mehc_curation_spark.operators.multimodal import (
                     cross_corpus_tile_dups,
+                    read_tile_index,
+                    tile_dups_against_index,
                 )
 
-                # threshold = matching-tile count (of grid^2 = 16)
-                thr = float(_tile_count(args.threshold))
-                matches = cross_corpus_tile_dups(
-                    cand, ref, "cand_id", "ref_id",
-                    min_match=int(thr))
+                if args.reference_is_index:
+                    index, grid = read_tile_index(spark, args.reference)
+                    thr = float(_tile_count(args.threshold, grid=grid))
+                    matches = tile_dups_against_index(
+                        cand, index, "cand_id", grid=grid,
+                        min_match=int(thr))
+                else:
+                    # threshold = matching-tile count (of grid^2 = 16)
+                    thr = float(_tile_count(args.threshold))
+                    matches = cross_corpus_tile_dups(
+                        cand, ref, "cand_id", "ref_id",
+                        min_match=int(thr))
             else:
                 thr = 0.85 if args.threshold is None else args.threshold
                 matches = cross_corpus_near_dups(

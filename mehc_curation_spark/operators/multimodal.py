@@ -19,6 +19,7 @@ uses 2048) so a batch of image bytes stays within Python worker memory.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -971,21 +972,86 @@ def cross_corpus_tile_dups(cand_df: DataFrame, ref_df: DataFrame,
     stage — each corpus decodes exactly once, and the window's
     hash-partitioning on the join keys is reused by the join itself.
     """
+    index = tile_phashes(ref_df, grid, ref_id_col) \
+        .withColumnRenamed("image_id", "ref_id")
+    return tile_dups_against_index(cand_df, index, cand_id_col,
+                                   grid=grid, min_match=min_match,
+                                   max_bucket=max_bucket)
+
+
+def tile_dups_against_index(cand_df: DataFrame, index_df: DataFrame,
+                            cand_id_col: str = "image_id",
+                            grid: int = 4, min_match: int = 6,
+                            max_bucket: int = 64) -> DataFrame:
+    """Tile-phash decontamination against a PRECOMPUTED signature
+    index (``ref_id, tile_idx, tile_hash`` — see
+    :func:`write_tile_index`): the reference corpus is never decoded
+    again. This is the shape a standing 100 TB reference corpus
+    actually runs — signatures are computed once at curation time and
+    every incoming batch joins against the slim index table (16 rows
+    of 20 bytes per reference image, ~3000x smaller than payloads).
+
+    Same join/guard semantics as :func:`cross_corpus_tile_dups`
+    (which delegates here); ``grid`` must equal the index's build
+    grid or tile geometries won't correspond.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     keys = ["tile_idx", "tile_hash"]
     w = Window.partitionBy(*keys)
 
-    def hashed(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
-        t = tile_phashes(df, grid, id_col) \
-            .withColumnRenamed("image_id", out_id)
+    def guarded(t: DataFrame) -> DataFrame:
         return (t.withColumn("_n", F.count(F.lit(1)).over(w))
                 .filter(F.col("_n") <= max_bucket).drop("_n"))
 
-    tc = hashed(cand_df, cand_id_col, "cand_id")
-    tr = hashed(ref_df, ref_id_col, "ref_id")
+    tc = guarded(tile_phashes(cand_df, grid, cand_id_col)
+                 .withColumnRenamed("image_id", "cand_id"))
+    tr = guarded(index_df.select("ref_id", *keys))
     return (tc.join(tr, keys)
             .groupBy("cand_id", "ref_id")
             .agg(F.count(F.lit(1)).cast("int").alias("n_match"))
             .filter(F.col("n_match") >= min_match))
+
+
+TILE_INDEX_GRID_PROP = "tile_grid"
+
+
+def write_tile_index(ref_df: DataFrame, table_path: str, grid: int = 4,
+                     id_col: str = "image_id",
+                     mode: str = "overwrite") -> dict:
+    """Materialize a reference corpus's tile signatures as a snapshot
+    table (``ref_id, tile_idx, tile_hash``) for repeated
+    decontamination via :func:`tile_dups_against_index`. The build
+    grid is recorded in the manifest properties so readers hash
+    candidates with the SAME geometry; ``mode='append'`` adds a new
+    batch of reference images to the standing index (snapshot
+    isolation — a concurrent reader keeps its version).
+    """
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    tiles = tile_phashes(ref_df, grid, id_col) \
+        .withColumnRenamed("image_id", "ref_id")
+    t = SnapshotTable(table_path)
+    if mode == "append" and t.current_version() > 0:
+        prev = t.manifest().get("properties", {}).get(TILE_INDEX_GRID_PROP)
+        if prev is not None and int(prev) != int(grid):
+            raise ValueError(
+                f"index at {table_path} was built with grid={prev}; "
+                f"appending grid={grid} signatures would mix "
+                f"incompatible tile geometries")
+    version = t.write(tiles, mode=mode,
+                      properties={TILE_INDEX_GRID_PROP: int(grid)},
+                      stats_cols=("tile_hash",))
+    return {"version": version, "grid": int(grid), "path": table_path}
+
+
+def read_tile_index(spark, table_path: str):
+    """(signatures_df, grid) for an index written by
+    :func:`write_tile_index`."""
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    t = SnapshotTable(table_path)
+    grid = int(t.manifest().get("properties", {})
+               .get(TILE_INDEX_GRID_PROP, 4))
+    return t.read(spark), grid

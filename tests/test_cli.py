@@ -790,3 +790,45 @@ def test_tile_threshold_and_id_col_validation(pairs_file, tmp_path_factory):
         cwd=REPO, capture_output=True, text=True, timeout=300)
     assert proc.returncode != 0
     assert "not found" in (proc.stderr + proc.stdout)
+
+
+def test_tileindex_cli_and_index_crossdedup(pairs_file, tmp_path_factory):
+    """tileindex builds a signature snapshot table; crossdedup
+    --reference_is_index must produce the same matches as direct
+    image mode over the same split, without re-decoding the ref."""
+    base = tmp_path_factory.mktemp("cli_tidx")
+    cand_p = str(base / "cand.parquet")
+    ref_p = str(base / "ref.parquet")
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{pairs_file}') "
+        "WHERE substr(md5(image_id), 1, 1) < '8') "
+        f"TO '{cand_p}' (FORMAT PARQUET)")
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{pairs_file}') "
+        "WHERE substr(md5(image_id), 1, 1) >= '8') "
+        f"TO '{ref_p}' (FORMAT PARQUET)")
+    idx = str(base / "idx")
+    res = json.loads(_run(
+        ["tileindex", "-i", ref_p, "-o", idx, "--cores", "4"])
+        .stdout.strip().splitlines()[-1])
+    assert res["version"] == 1 and res["grid"] == 4
+    assert res["n_tiles"] >= res["n_images"] > 0
+
+    out_d = str(base / "direct")
+    direct = json.loads(_run(
+        ["crossdedup", "-i", cand_p, "-r", ref_p, "-o", out_d,
+         "--mode", "image", "--cores", "4"]).stdout.strip()
+        .splitlines()[-1])
+    out_i = str(base / "via_idx")
+    via = json.loads(_run(
+        ["crossdedup", "-i", cand_p, "-r", idx, "-o", out_i,
+         "--mode", "image", "--reference_is_index", "--cores", "4"])
+        .stdout.strip().splitlines()[-1])
+    assert via["flagged"] == direct["flagged"] > 0
+    pairs_eq = duckdb.sql(
+        f"SELECT (SELECT COUNT(*) FROM read_parquet('{out_d}/matches/*.parquet') a "
+        f" JOIN read_parquet('{out_i}/matches/*.parquet') b "
+        f" USING (cand_id, ref_id, n_match)) = "
+        f"(SELECT COUNT(*) FROM read_parquet('{out_d}/matches/*.parquet'))"
+    ).fetchone()[0]
+    assert pairs_eq

@@ -200,3 +200,47 @@ def test_batched_kernel_matches_scalar():
             px[: max(1, h // 4)] = 7  # letterbox band
         for g in (2, 4, 5):
             assert tile_phashes_of(px, g) == _tile_phashes_scalar(px, g)
+
+
+def test_index_path_equals_direct_and_appends(spark, tmp_path):
+    from mehc_curation_spark.operators.multimodal import (
+        cross_corpus_tile_dups,
+        read_tile_index,
+        tile_dups_against_index,
+        write_tile_index,
+    )
+    rng = np.random.default_rng(41)
+    ref_imgs = {f"r{i}": _img(rng) for i in range(4)}
+    leak = ref_imgs["r1"].copy()
+    leak[0:16, 0:16] = 0
+    ref = spark.createDataFrame(
+        [_row(i, px) for i, px in ref_imgs.items()], SCHEMA)
+    cand = spark.createDataFrame(
+        [_row("leak", leak), _row("fresh", _img(rng))], SCHEMA)
+
+    idx_path = str(tmp_path / "tile_idx")
+    res = write_tile_index(ref, idx_path, grid=4)
+    assert res["version"] == 1 and res["grid"] == 4
+    index, grid = read_tile_index(spark, idx_path)
+    assert grid == 4
+
+    direct = sorted((r["cand_id"], r["ref_id"], r["n_match"]) for r in
+                    cross_corpus_tile_dups(cand, ref).collect())
+    via_idx = sorted((r["cand_id"], r["ref_id"], r["n_match"]) for r in
+                     tile_dups_against_index(cand, index).collect())
+    assert direct == via_idx and len(direct) == 1
+
+    # append a new reference batch: now a copy of it must match too.
+    # (15, not 16: the zeroed stamp tile is luma-flat and excluded on
+    # BOTH sides, so even identical images share 15 informative tiles)
+    extra = spark.createDataFrame([_row("r_new", leak)], SCHEMA)
+    write_tile_index(extra, idx_path, grid=4, mode="append")
+    index2, _ = read_tile_index(spark, idx_path)
+    got = {(r["cand_id"], r["ref_id"]) for r in
+           tile_dups_against_index(cand, index2, min_match=15).collect()}
+    assert ("leak", "r_new") in got
+
+    # grid mismatch on append is refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="grid"):
+        write_tile_index(extra, idx_path, grid=2, mode="append")
