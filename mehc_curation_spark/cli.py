@@ -138,11 +138,12 @@ def build_parser() -> argparse.ArgumentParser:
     cd.add_argument("--text_col", default="text")
     cd.add_argument("--vec_col", default="embedding")
     cd.add_argument("--reference_is_index", action="store_true",
-                    help="image mode: -r points at a tile-signature "
-                         "snapshot table built by `tileindex` instead "
-                         "of payload parquet — the reference corpus "
-                         "is never re-decoded; the index's build grid "
-                         "is adopted for candidate hashing")
+                    help="image/text modes: -r points at a signature "
+                         "snapshot table built by `tileindex` / "
+                         "`textindex` instead of payload parquet — "
+                         "the reference corpus is never re-decoded / "
+                         "re-shingled; the index's build config is "
+                         "adopted for candidate hashing")
     cd.add_argument("--drop", action="store_true",
                     help="also write the decontaminated candidates "
                          "(flagged rows removed) under <output>/data/")
@@ -169,6 +170,27 @@ def build_parser() -> argparse.ArgumentParser:
     ti.add_argument("--id_col", default="image_id")
     ti.add_argument("--cores", type=int, default=-1)
     ti.add_argument("--master", default=None)
+
+    tx = sub.add_parser(
+        "textindex",
+        help="materialize a reference corpus's MinHash signature "
+             "material (shingles + band keys) as a snapshot table for "
+             "repeated text decontamination (crossdedup --mode text "
+             "--reference_is_index); graft-only capability")
+    tx.add_argument("-i", "--input", required=True,
+                    help="reference corpus parquet (documents-shaped)")
+    tx.add_argument("-o", "--output", required=True,
+                    help="index table directory (snapshot table)")
+    tx.add_argument("--append", action="store_true",
+                    help="add this batch to the standing index "
+                         "instead of rebuilding it")
+    tx.add_argument("--id_col", default="doc_id")
+    tx.add_argument("--text_col", default="text")
+    tx.add_argument("--num_hashes", type=int, default=32)
+    tx.add_argument("--bands", type=int, default=8)
+    tx.add_argument("--shingle_k", type=int, default=3)
+    tx.add_argument("--cores", type=int, default=-1)
+    tx.add_argument("--master", default=None)
 
     cl = sub.add_parser(
         "clusters",
@@ -869,6 +891,23 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(res))
             return 0
 
+        if args.cmd == "textindex":
+            from mehc_curation_spark.operators.similarity import (
+                write_text_index,
+            )
+
+            ref = spark.read.parquet(args.input)
+            res = write_text_index(
+                ref, args.output, args.id_col, args.text_col,
+                num_hashes=args.num_hashes, bands=args.bands,
+                shingle_k=args.shingle_k,
+                mode="append" if args.append else "overwrite")
+            from mehc_curation_spark.io.catalog import SnapshotTable
+
+            res["n_docs"] = SnapshotTable(args.output).read(spark).count()
+            print(json.dumps(res))
+            return 0
+
         if args.cmd == "crossdedup":
             from pyspark.sql import functions as F
 
@@ -877,9 +916,10 @@ def main(argv: list[str] | None = None) -> int:
                 cross_corpus_text_near_dups,
             )
 
-            if args.reference_is_index and args.mode != "image":
+            if args.reference_is_index and args.mode not in ("image",
+                                                             "text"):
                 raise SystemExit(
-                    "--reference_is_index applies to --mode image only")
+                    "--reference_is_index applies to --mode image/text")
             id_col = args.id_col or (
                 "image_id" if args.mode == "image" else "doc_id")
             cand = spark.read.parquet(args.input) \
@@ -915,9 +955,20 @@ def main(argv: list[str] | None = None) -> int:
                                    F.lit(1.0).alias("jaccard")))
             elif args.mode == "text":
                 thr = 0.5 if args.threshold is None else args.threshold
-                matches = cross_corpus_text_near_dups(
-                    cand, ref, "cand_id", "ref_id", args.text_col,
-                    threshold=thr)
+                if args.reference_is_index:
+                    from mehc_curation_spark.operators.similarity import (
+                        read_text_index,
+                        text_dups_against_index,
+                    )
+
+                    index, cfg = read_text_index(spark, args.reference)
+                    matches = text_dups_against_index(
+                        cand, index, "cand_id", args.text_col,
+                        threshold=thr, **cfg)
+                else:
+                    matches = cross_corpus_text_near_dups(
+                        cand, ref, "cand_id", "ref_id", args.text_col,
+                        threshold=thr)
             elif args.mode == "image":
                 from mehc_curation_spark.operators.multimodal import (
                     cross_corpus_tile_dups,

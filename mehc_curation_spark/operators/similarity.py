@@ -344,18 +344,27 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                  for i in range(num_hashes)])
 
 
+def _band_key_cols(bands: int, rows: int) -> list[Column]:
+    """One xxhash64 bucket-key Column per band (band b hashes minhash
+    values h[b*rows .. b*rows+rows-1]) — the SINGLE source of the
+    band-key arithmetic, shared by the exploded entries
+    (:func:`_band_entries`) and the persisted text index
+    (:func:`write_text_index`) so stored and recomputed keys join."""
+    return [F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)]
+
+
 def _band_entries(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     """(_id, band, bh): one banded-signature bucket key per band —
     bh = xxhash64 of the band's `rows` minhash values. Shared by the
     within-corpus and cross-corpus candidate generators so both join
     on identical keys."""
+    keys = _band_key_cols(bands, rows)
     return sig.select(
         "_id",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col(f"h{b * rows + r}")
-                                  for r in range(rows)]).alias("bh"))
-            for b in range(bands)
+            F.struct(F.lit(b).alias("band"), k.alias("bh"))
+            for b, k in enumerate(keys)
         ])).alias("e"),
     ).select("_id", "e.band", "e.bh")
 
@@ -1349,6 +1358,124 @@ def cross_corpus_text_near_dups(cand_df: DataFrame, ref_df: DataFrame,
         pairs.join(a, "_cid").join(b, "_rid")
         .select(F.col("_cid").alias(cand_id_col),
                 F.col("_rid").alias(ref_id_col),
+                F.round(
+                    F.size(F.array_intersect("_sha", "_shb")) /
+                    F.greatest(F.size(F.array_union("_sha", "_shb")),
+                               F.lit(1)).cast("double"), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+TEXT_INDEX_PROPS = ("num_hashes", "bands", "shingle_k")
+
+
+def write_text_index(ref_df: DataFrame, table_path: str,
+                     ref_id_col: str = "doc_id", text_col: str = "text",
+                     num_hashes: int = 32, bands: int = 8,
+                     shingle_k: int = 3, mode: str = "overwrite") -> dict:
+    """Materialize a reference corpus's MinHash signature material as
+    a snapshot table — the text twin of the tile-phash index: shingle
+    ONCE at curation time, then every incoming batch decontaminates
+    against the slim index (``ref_id, shingles array<long>,
+    band_keys array<long>``) without re-tokenizing the reference.
+
+    ``band_keys[b]`` is the same xxhash64 band key
+    :func:`_band_entries` computes (single source:
+    :func:`_band_key_cols`), so stored keys join against
+    recomputed candidate keys exactly. The banding config is pinned in
+    the manifest properties; appends with a different config are
+    refused (mixed configs would silently never band-match).
+    """
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    rows = num_hashes // bands
+    sh = shingle_table(ref_df, ref_id_col, text_col, shingle_k)
+    sig = minhash_signatures(ref_df, ref_id_col, text_col, num_hashes,
+                             shingle_k, shingles=sh)
+    idx = (sig.select("_id",
+                      F.array(*_band_key_cols(bands, rows))
+                       .alias("band_keys"))
+           .join(sh.select("_id", F.col("_sh").alias("shingles")), "_id")
+           .select(F.col("_id").alias("ref_id"), "shingles", "band_keys"))
+    cfg = {"num_hashes": int(num_hashes), "bands": int(bands),
+           "shingle_k": int(shingle_k)}
+    t = SnapshotTable(table_path)
+    if mode == "append" and t.current_version() > 0:
+        prev = t.manifest().get("properties", {})
+        old = {k: int(prev[k]) for k in TEXT_INDEX_PROPS if k in prev}
+        if old and old != cfg:
+            raise ValueError(
+                f"text index at {table_path} was built with {old}; "
+                f"appending {cfg} signatures would mix incompatible "
+                f"banding configs")
+    version = t.write(idx, mode=mode, properties=dict(cfg))
+    return {"version": version, "path": table_path, **cfg}
+
+
+def read_text_index(spark, table_path: str):
+    """(index_df, config) for an index written by
+    :func:`write_text_index`."""
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    t = SnapshotTable(table_path)
+    props = t.manifest().get("properties", {})
+    cfg = {k: int(props.get(k, d)) for k, d in
+           (("num_hashes", 32), ("bands", 8), ("shingle_k", 3))}
+    return t.read(spark), cfg
+
+
+def text_dups_against_index(cand_df: DataFrame, index_df: DataFrame,
+                            cand_id_col: str = "doc_id",
+                            text_col: str = "text",
+                            threshold: float = 0.3,
+                            num_hashes: int = 32, bands: int = 8,
+                            shingle_k: int = 3,
+                            max_bucket: int = 64) -> DataFrame:
+    """Text decontamination against a PRECOMPUTED signature index
+    (see :func:`write_text_index`): only the CANDIDATE side shingles;
+    the reference corpus's stored band keys and shingle arrays serve
+    both the banding join and the exact-Jaccard verify. Semantics are
+    identical to :func:`cross_corpus_text_near_dups` under the same
+    config (pinned by tests) — the banding config MUST be the index's
+    (pass the config ``read_text_index`` returns).
+
+    Returns (cand_id, ref_id, jaccard >= threshold); column names are
+    ``cand_id_col`` and ``ref_id``.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    rows = num_hashes // bands
+    sh_c = shingle_table(cand_df, cand_id_col, text_col, shingle_k) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    while _SHINGLE_CACHE_HOLDER:
+        try:
+            _SHINGLE_CACHE_HOLDER.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # stopped session / already unpersisted
+    _SHINGLE_CACHE_HOLDER.append(sh_c)
+    sig_c = minhash_signatures(cand_df, cand_id_col, text_col, num_hashes,
+                               shingle_k, shingles=sh_c)
+
+    def _capped(entries: DataFrame, id_alias: str) -> DataFrame:
+        w_counts = entries.groupBy("band", "bh").agg(
+            F.count("*").alias("_n")).filter(F.col("_n") <= max_bucket)
+        return (entries.join(w_counts.select("band", "bh"), ["band", "bh"])
+                .select(F.col("_id").alias(id_alias), "band", "bh"))
+
+    bc = _capped(_band_entries(sig_c, bands, rows), "_cid")
+    br = _capped(
+        index_df.select(F.col("ref_id").alias("_id"),
+                        F.posexplode("band_keys").alias("band", "bh")),
+        "_rid")
+    pairs = bc.join(br, ["band", "bh"]).select("_cid", "_rid").distinct()
+
+    a = sh_c.select(F.col("_id").alias("_cid"), F.col("_sh").alias("_sha"))
+    b = index_df.select(F.col("ref_id").alias("_rid"),
+                        F.col("shingles").alias("_shb"))
+    return (
+        pairs.join(a, "_cid").join(b, "_rid")
+        .select(F.col("_cid").alias(cand_id_col),
+                F.col("_rid").alias("ref_id"),
                 F.round(
                     F.size(F.array_intersect("_sha", "_shb")) /
                     F.greatest(F.size(F.array_union("_sha", "_shb")),

@@ -832,3 +832,44 @@ def test_tileindex_cli_and_index_crossdedup(pairs_file, tmp_path_factory):
         f"(SELECT COUNT(*) FROM read_parquet('{out_d}/matches/*.parquet'))"
     ).fetchone()[0]
     assert pairs_eq
+
+
+def test_textindex_cli_and_index_crossdedup(tmp_path_factory):
+    """textindex + crossdedup --mode text --reference_is_index must
+    reproduce the direct text mode's matches over the same split."""
+    base = tmp_path_factory.mktemp("cli_txidx")
+    cand_p = str(base / "cand.parquet")
+    ref_p = str(base / "ref.parquet")
+    duckdb.sql(
+        "COPY (SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        f"WHERE doc_id % 2 = 1) TO '{cand_p}' (FORMAT PARQUET)")
+    duckdb.sql(
+        "COPY (SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        f"WHERE doc_id % 2 = 0) TO '{ref_p}' (FORMAT PARQUET)")
+    idx = str(base / "idx")
+    res = json.loads(_run(
+        ["textindex", "-i", ref_p, "-o", idx, "--cores", "4"])
+        .stdout.strip().splitlines()[-1])
+    assert res["version"] == 1 and res["n_docs"] == 250
+
+    out_d = str(base / "direct")
+    direct = json.loads(_run(
+        ["crossdedup", "-i", cand_p, "-r", ref_p, "-o", out_d,
+         "--mode", "text", "--threshold", "0.3", "--cores", "4"])
+        .stdout.strip().splitlines()[-1])
+    out_i = str(base / "via_idx")
+    via = json.loads(_run(
+        ["crossdedup", "-i", cand_p, "-r", idx, "-o", out_i,
+         "--mode", "text", "--threshold", "0.3",
+         "--reference_is_index", "--cores", "4"])
+        .stdout.strip().splitlines()[-1])
+    assert via["flagged"] == direct["flagged"] > 0
+    same = duckdb.sql(
+        f"SELECT (SELECT COUNT(*) FROM read_parquet('{out_d}/matches/*.parquet') a "
+        f" JOIN read_parquet('{out_i}/matches/*.parquet') b "
+        f" USING (cand_id, ref_id, jaccard)) = "
+        f"(SELECT COUNT(*) FROM read_parquet('{out_d}/matches/*.parquet'))"
+    ).fetchone()[0]
+    assert same
