@@ -3509,7 +3509,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents GROUP BY 1
             ), j AS (
                 SELECT key, n_left, n_right,
-                       n_left * n_right AS est_rows
+                       CAST(n_left AS DOUBLE) * n_right AS est_rows
                 FROM lc JOIN rc USING (key)
             ), t AS (
                 SELECT CAST(SUM(est_rows) AS DOUBLE) AS total FROM j

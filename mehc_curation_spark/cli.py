@@ -484,7 +484,12 @@ def _tile_count(threshold, grid: int = 4) -> int:
     n = grid * grid
     if threshold is None:
         return min(6, n)
-    if threshold != int(threshold) or not 1 <= int(threshold) <= n:
+    try:
+        t = int(threshold)
+        ok = (t == threshold and 1 <= t <= n)
+    except (ValueError, OverflowError):  # NaN / inf survive type=float
+        ok = False
+    if not ok:
         raise SystemExit(
             f"--threshold for tile matching is a matching-tile COUNT: "
             f"an integer in 1..{n} (default 6), got {threshold}")
@@ -929,12 +934,14 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 ref = spark.read.parquet(args.reference) \
                     .withColumnRenamed(id_col, "ref_id")
-            if "cand_id" not in cand.columns or \
-                    (ref is not None and "ref_id" not in ref.columns):
+            bad = ([] if "cand_id" in cand.columns else ["the input"]) \
+                + ([] if ref is None or "ref_id" in ref.columns
+                   else ["the reference"])
+            if bad:
                 raise SystemExit(
-                    f"id column {id_col!r} not found in the input "
-                    f"(pass --id_col; image mode defaults to image_id, "
-                    f"other modes to doc_id)")
+                    f"id column {id_col!r} not found in "
+                    f"{' or '.join(bad)} (pass --id_col; image mode "
+                    f"defaults to image_id, other modes to doc_id)")
             if args.mode == "exact":
                 from mehc_curation_spark.operators.bloom import (
                     bloom_prefilter,

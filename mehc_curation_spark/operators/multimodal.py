@@ -19,7 +19,6 @@ uses 2048) so a batch of image bytes stays within Python worker memory.
 
 from __future__ import annotations
 
-import os
 from typing import Iterator
 
 import numpy as np
@@ -1035,9 +1034,12 @@ def write_tile_index(ref_df: DataFrame, table_path: str, grid: int = 4,
     t = SnapshotTable(table_path)
     if mode == "append" and t.current_version() > 0:
         prev = t.manifest().get("properties", {}).get(TILE_INDEX_GRID_PROP)
-        if prev is not None and int(prev) != int(grid):
+        # STRICT: a missing grid property means unknown provenance —
+        # refuse rather than risk mixing tile geometries
+        if prev is None or int(prev) != int(grid):
             raise ValueError(
-                f"index at {table_path} was built with grid={prev}; "
+                f"index at {table_path} was built with grid="
+                f"{prev if prev is not None else '<unrecorded>'}; "
                 f"appending grid={grid} signatures would mix "
                 f"incompatible tile geometries")
     version = t.write(tiles, mode=mode,
@@ -1048,10 +1050,15 @@ def write_tile_index(ref_df: DataFrame, table_path: str, grid: int = 4,
 
 def read_tile_index(spark, table_path: str):
     """(signatures_df, grid) for an index written by
-    :func:`write_tile_index`."""
+    :func:`write_tile_index`. Refuses a table without the recorded
+    grid — guessing a geometry against an index built with another
+    one would silently never tile-match."""
     from mehc_curation_spark.io.catalog import SnapshotTable
 
     t = SnapshotTable(table_path)
-    grid = int(t.manifest().get("properties", {})
-               .get(TILE_INDEX_GRID_PROP, 4))
-    return t.read(spark), grid
+    props = t.manifest().get("properties", {})
+    if TILE_INDEX_GRID_PROP not in props:
+        raise ValueError(
+            f"{table_path} lacks the {TILE_INDEX_GRID_PROP!r} "
+            f"property — not a tile index written by write_tile_index")
+    return t.read(spark), int(props[TILE_INDEX_GRID_PROP])

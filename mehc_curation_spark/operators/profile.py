@@ -148,8 +148,12 @@ def join_fanout_report(left: DataFrame, right: DataFrame,
         F.count(F.lit(1)).alias("n_left"))
     rc = right.groupBy(F.col(rk).cast("string").alias("key")).agg(
         F.count(F.lit(1)).alias("n_right"))
+    # DOUBLE product: two ~3e9-row sides overflow an int64 product —
+    # exactly the extreme keys this report exists to flag (ANSI mode
+    # would crash; non-ANSI would wrap negative and HIDE the key)
     j = lc.join(rc, "key").withColumn(
-        "est_rows", F.col("n_left") * F.col("n_right"))
+        "est_rows",
+        F.col("n_left").cast("double") * F.col("n_right"))
     tot = j.agg(F.sum("est_rows").cast("double").alias("_total"))
     return (j.orderBy(F.desc("est_rows"), F.asc("key"))
             .limit(int(top_k))

@@ -1319,51 +1319,49 @@ def cross_corpus_text_near_dups(cand_df: DataFrame, ref_df: DataFrame,
     bucket before the bucket join — a degenerate bucket with hundreds
     of members on both sides would expand quadratically; such buckets
     are SKIPPED (documented trade-off, same as the within-corpus
-    generator)."""
+    generator).
+
+    Delegates to :func:`text_dups_against_index` over an in-memory
+    signature frame of the reference (one shared banding/verify body;
+    the persisted-index path and this one cannot drift)."""
+    sh_r, index = _text_index_frame(ref_df, ref_id_col, text_col,
+                                    num_hashes, bands, shingle_k)
+    out = text_dups_against_index(
+        cand_df, index, cand_id_col, text_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        max_bucket=max_bucket)
+    # register AFTER the callee (which clears the holder) so sh_r's
+    # cache survives this plan and is reclaimed on the next call
+    _SHINGLE_CACHE_HOLDER.append(sh_r)
+    if ref_id_col != "ref_id":
+        out = out.withColumnRenamed("ref_id", ref_id_col)
+    return out
+
+
+def _text_index_frame(ref_df: DataFrame, ref_id_col: str, text_col: str,
+                      num_hashes: int, bands: int, shingle_k: int):
+    """(persisted shingle table, signature frame ``ref_id, shingles,
+    band_keys``) for a reference corpus — the single builder behind
+    both :func:`write_text_index` and the in-memory delegation of
+    :func:`cross_corpus_text_near_dups`. The shingle table is
+    persisted because it feeds TWO subtrees (signatures and the
+    shingles column) — without the cache the Arrow shingler would
+    re-tokenize the reference corpus a second time. The CALLER owns
+    the persist handle (register it in ``_SHINGLE_CACHE_HOLDER`` or
+    unpersist after materializing)."""
     from pyspark.storagelevel import StorageLevel
 
     rows = num_hashes // bands
-    # persist both shingle tables: each feeds TWO plan subtrees (the
-    # signature/banding path and the exact-Jaccard verify) — without
-    # the cache the Arrow shingler re-tokenizes both corpora a second
-    # time, the exact double-pass minhash_near_dups' cache removed
-    sh_c = shingle_table(cand_df, cand_id_col, text_col, shingle_k) \
+    sh = shingle_table(ref_df, ref_id_col, text_col, shingle_k) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    sh_r = shingle_table(ref_df, ref_id_col, text_col, shingle_k) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    while _SHINGLE_CACHE_HOLDER:
-        try:
-            _SHINGLE_CACHE_HOLDER.pop().unpersist(blocking=False)
-        except Exception:
-            pass  # stopped session / already unpersisted
-    _SHINGLE_CACHE_HOLDER.extend([sh_c, sh_r])
-    sig_c = minhash_signatures(cand_df, cand_id_col, text_col, num_hashes,
-                               shingle_k, shingles=sh_c)
-    sig_r = minhash_signatures(ref_df, ref_id_col, text_col, num_hashes,
-                               shingle_k, shingles=sh_r)
-
-    def _capped(entries: DataFrame, id_alias: str) -> DataFrame:
-        w_counts = entries.groupBy("band", "bh").agg(
-            F.count("*").alias("_n")).filter(F.col("_n") <= max_bucket)
-        return (entries.join(w_counts.select("band", "bh"), ["band", "bh"])
-                .select(F.col("_id").alias(id_alias), "band", "bh"))
-
-    bc = _capped(_band_entries(sig_c, bands, rows), "_cid")
-    br = _capped(_band_entries(sig_r, bands, rows), "_rid")
-    pairs = bc.join(br, ["band", "bh"]).select("_cid", "_rid").distinct()
-
-    a = sh_c.select(F.col("_id").alias("_cid"), F.col("_sh").alias("_sha"))
-    b = sh_r.select(F.col("_id").alias("_rid"), F.col("_sh").alias("_shb"))
-    return (
-        pairs.join(a, "_cid").join(b, "_rid")
-        .select(F.col("_cid").alias(cand_id_col),
-                F.col("_rid").alias(ref_id_col),
-                F.round(
-                    F.size(F.array_intersect("_sha", "_shb")) /
-                    F.greatest(F.size(F.array_union("_sha", "_shb")),
-                               F.lit(1)).cast("double"), 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    sig = minhash_signatures(ref_df, ref_id_col, text_col, num_hashes,
+                             shingle_k, shingles=sh)
+    idx = (sig.select("_id",
+                      F.array(*_band_key_cols(bands, rows))
+                       .alias("band_keys"))
+           .join(sh.select("_id", F.col("_sh").alias("shingles")), "_id")
+           .select(F.col("_id").alias("ref_id"), "shingles", "band_keys"))
+    return sh, idx
 
 
 TEXT_INDEX_PROPS = ("num_hashes", "bands", "shingle_k")
@@ -1388,39 +1386,44 @@ def write_text_index(ref_df: DataFrame, table_path: str,
     """
     from mehc_curation_spark.io.catalog import SnapshotTable
 
-    rows = num_hashes // bands
-    sh = shingle_table(ref_df, ref_id_col, text_col, shingle_k)
-    sig = minhash_signatures(ref_df, ref_id_col, text_col, num_hashes,
-                             shingle_k, shingles=sh)
-    idx = (sig.select("_id",
-                      F.array(*_band_key_cols(bands, rows))
-                       .alias("band_keys"))
-           .join(sh.select("_id", F.col("_sh").alias("shingles")), "_id")
-           .select(F.col("_id").alias("ref_id"), "shingles", "band_keys"))
+    sh, idx = _text_index_frame(ref_df, ref_id_col, text_col,
+                                num_hashes, bands, shingle_k)
     cfg = {"num_hashes": int(num_hashes), "bands": int(bands),
            "shingle_k": int(shingle_k)}
     t = SnapshotTable(table_path)
     if mode == "append" and t.current_version() > 0:
         prev = t.manifest().get("properties", {})
         old = {k: int(prev[k]) for k in TEXT_INDEX_PROPS if k in prev}
-        if old and old != cfg:
+        # STRICT: properties absent == unknown provenance, refuse —
+        # mixed configs would silently never band-match
+        if old != cfg:
             raise ValueError(
-                f"text index at {table_path} was built with {old}; "
-                f"appending {cfg} signatures would mix incompatible "
-                f"banding configs")
-    version = t.write(idx, mode=mode, properties=dict(cfg))
+                f"text index at {table_path} was built with "
+                f"{old or 'no recorded banding config'}; appending "
+                f"{cfg} signatures would mix incompatible banding "
+                f"configs (rebuild with mode='overwrite')")
+    try:
+        version = t.write(idx, mode=mode, properties=dict(cfg))
+    finally:
+        sh.unpersist(blocking=False)
     return {"version": version, "path": table_path, **cfg}
 
 
 def read_text_index(spark, table_path: str):
     """(index_df, config) for an index written by
-    :func:`write_text_index`."""
+    :func:`write_text_index`. Refuses a table without the recorded
+    banding config — guessing defaults against an index built with a
+    different config would silently never band-match."""
     from mehc_curation_spark.io.catalog import SnapshotTable
 
     t = SnapshotTable(table_path)
     props = t.manifest().get("properties", {})
-    cfg = {k: int(props.get(k, d)) for k, d in
-           (("num_hashes", 32), ("bands", 8), ("shingle_k", 3))}
+    missing = [k for k in TEXT_INDEX_PROPS if k not in props]
+    if missing:
+        raise ValueError(
+            f"{table_path} lacks banding properties {missing} — not a "
+            f"text index written by write_text_index")
+    cfg = {k: int(props[k]) for k in TEXT_INDEX_PROPS}
     return t.read(spark), cfg
 
 

@@ -59,3 +59,20 @@ def test_append_and_config_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="banding config"):
         write_text_index(half_b, p, "ref_id", "text", bands=4,
                          mode="append")
+
+
+def test_plain_table_refused(spark, tmp_path):
+    """A snapshot table without recorded banding properties is NOT a
+    text index: read refuses; append refuses (unknown provenance)."""
+    from mehc_curation_spark.io.catalog import SnapshotTable
+    p = str(tmp_path / "plain")
+    SnapshotTable(p).write(spark.range(3).selectExpr(
+        "CAST(id AS STRING) ref_id",
+        "array(CAST(id AS BIGINT)) shingles",
+        "array(CAST(id AS BIGINT)) band_keys"))
+    with pytest.raises(ValueError, match="lacks banding properties"):
+        read_text_index(spark, p)
+    _, ref = _split(spark)
+    with pytest.raises(ValueError, match="banding config"):
+        write_text_index(ref.limit(5), p, "ref_id", "text",
+                         mode="append")

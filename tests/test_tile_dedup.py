@@ -244,3 +244,15 @@ def test_index_path_equals_direct_and_appends(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="grid"):
         write_tile_index(extra, idx_path, grid=2, mode="append")
+
+
+def test_plain_table_not_a_tile_index(spark, tmp_path):
+    from mehc_curation_spark.io.catalog import SnapshotTable
+    from mehc_curation_spark.operators.multimodal import read_tile_index
+    p = str(tmp_path / "plain")
+    SnapshotTable(p).write(spark.range(3).selectExpr(
+        "CAST(id AS STRING) ref_id", "CAST(id AS INT) tile_idx",
+        "id tile_hash"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="tile_grid"):
+        read_tile_index(spark, p)
