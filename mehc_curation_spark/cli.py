@@ -293,6 +293,29 @@ def build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--cores", type=int, default=-1)
     sd.add_argument("--master", default=None)
 
+    sk = sub.add_parser(
+        "skew",
+        help="shuffle diagnostics before committing to a key: hot-key "
+             "census + salt sizing, or (with --join) the exact "
+             "per-key join fan-out; graft-only capability")
+    sk.add_argument("-i", "--input", required=True,
+                    help="table parquet")
+    sk.add_argument("--key", required=True,
+                    help="grouping / join key column")
+    sk.add_argument("--join", default=None,
+                    help="right-side parquet: report per-key JOIN "
+                         "output cardinality instead of a one-table "
+                         "census")
+    sk.add_argument("--right_key", default=None,
+                    help="right side's key column (default: --key)")
+    sk.add_argument("--top_k", type=int, default=10)
+    sk.add_argument("--sample_fraction", type=float, default=1.0,
+                    help="census only: count a u48-hash sample of "
+                         "rows (requires --id_col)")
+    sk.add_argument("--id_col", default=None)
+    sk.add_argument("--cores", type=int, default=-1)
+    sk.add_argument("--master", default=None)
+
     qs = sub.add_parser(
         "qscore",
         help="model-based quality scoring (distilled linear model "
@@ -894,6 +917,29 @@ def main(argv: list[str] | None = None) -> int:
             res["n_tiles"] = idx.count()
             res["n_images"] = idx.select("ref_id").distinct().count()
             print(json.dumps(res))
+            return 0
+
+        if args.cmd == "skew":
+            df = spark.read.parquet(args.input)
+            if args.join:
+                from mehc_curation_spark.operators.profile import (
+                    join_fanout_report,
+                )
+
+                rep = join_fanout_report(
+                    df, spark.read.parquet(args.join), args.key,
+                    right_key=args.right_key, top_k=args.top_k)
+            else:
+                from mehc_curation_spark.operators.profile import (
+                    key_skew_report,
+                )
+
+                rep = key_skew_report(
+                    df, args.key, top_k=args.top_k,
+                    sample_fraction=args.sample_fraction,
+                    id_col=args.id_col)
+            for row in rep.collect():
+                print(json.dumps(row.asDict()))
             return 0
 
         if args.cmd == "textindex":

@@ -873,3 +873,27 @@ def test_textindex_cli_and_index_crossdedup(tmp_path_factory):
         f"(SELECT COUNT(*) FROM read_parquet('{out_d}/matches/*.parquet'))"
     ).fetchone()[0]
     assert same
+
+
+def test_skew_cli_census_and_join(tmp_path_factory):
+    """skew subcommand: one-table hot-key census and two-table join
+    fan-out, one JSON line per reported key."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = _run(["skew", "-i", docs, "--key", "source",
+                "--top_k", "3", "--cores", "2"]).stdout
+    rows = [json.loads(x) for x in out.strip().splitlines()
+            if x.startswith("{")]
+    assert len(rows) == 3
+    assert rows[0]["n"] >= rows[-1]["n"]
+    assert all(r["suggested_salt"] >= 1 for r in rows)
+    exp = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{docs}') GROUP BY source "
+        f"ORDER BY 1 DESC LIMIT 1").fetchone()[0]
+    assert rows[0]["n"] == exp
+
+    out = _run(["skew", "-i", docs, "--key", "source", "--join", docs,
+                "--top_k", "2", "--cores", "2"]).stdout
+    rows = [json.loads(x) for x in out.strip().splitlines()
+            if x.startswith("{")]
+    assert len(rows) == 2
+    assert rows[0]["est_rows"] == rows[0]["n_left"] * rows[0]["n_right"]
