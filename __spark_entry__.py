@@ -1204,6 +1204,90 @@ def emb_ann_ivf_persisted_check(spark, sf_dir):
         "files_skipped boolean")
 
 
+def _pq_table_path(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    return os.path.join("/tmp/mehc_pq_index", tag)
+
+
+def emb_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): 8 subspaces x 16
+    codes over the 64-d embeddings — an 8-byte code per vector (32x
+    smaller than the float column), ADC lookup-table scan for
+    candidates, exact-cosine re-rank of the top 60. The compressed
+    third leg of the ANN fleet (LSH prunes rows, IVF prunes files, PQ
+    shrinks bytes-per-row scanned)."""
+    from mehc_curation_spark.operators.pq import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return pq_topk(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
+                   q, k=10, m=8, n_codes=16, refine=60)
+
+
+def emb_ann_pq_check(spark, sf_dir):
+    """Quality gate for the PQ path (same pattern as emb_ann_lsh_check):
+    full k rows returned AND every returned id inside the brute-force
+    top-50 (measured: the whole top-10 sits inside brute-top-25 at
+    sf0.01; the 50 margin absorbs codebook sensitivity to fixture
+    regeneration). Any ADC/encode regression flips a boolean and the
+    value-hash comparison goes red."""
+    from mehc_curation_spark.operators.pq import pq_topk
+    from mehc_curation_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    rest = e.filter(F.col("vec_id") != 0)
+    ann = pq_topk(rest, "embedding", "vec_id", q, k=10, m=8, n_codes=16,
+                  refine=60)
+    brute50 = cosine_topk(rest, "embedding", "vec_id", q, k=50)
+    n_ann = ann.count()
+    n_outside = ann.join(brute50, "vec_id", "left_anti").count()
+    return spark.createDataFrame(
+        [(10, n_ann == 10, n_outside == 0)],
+        "k long, returned_full_k boolean, topk_within_brute_top50 boolean")
+
+
+def emb_ann_pq_persisted_check(spark, sf_dir):
+    """Persisted code-table parity + compression proof: querying the
+    stored (id, pq_code) table (ADC over codes only, vectors fetched
+    for just the 60 candidates) returns EXACTLY the in-memory pq_topk
+    rows, and the code column is genuinely compressed (8 bytes/row vs
+    64 floats/row — asserted as total code bytes < 1/10 of vector
+    bytes)."""
+    import shutil
+
+    from mehc_curation_spark.operators.pq import (
+        CODE_COL,
+        pq_topk,
+        pq_topk_from_table,
+        save_pq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    rest = e.filter(F.col("vec_id") != 0)
+    path = _pq_table_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    table, _ = save_pq_index(rest, "embedding", "vec_id", path,
+                             m=8, n_codes=16, seed=42)
+    got = pq_topk_from_table(spark, path, rest, q, k=10, refine=60).collect()
+    exp = pq_topk(rest, "embedding", "vec_id", q, k=10, m=8, n_codes=16,
+                  refine=60).collect()
+    same = ([(r["vec_id"], r["cos"]) for r in got]
+            == [(r["vec_id"], r["cos"]) for r in exp])
+    sizes = table.read(spark).select(
+        F.sum(F.length(CODE_COL)).alias("code_bytes")).first()
+    vec_bytes = rest.select(
+        F.sum(F.size("embedding") * 8).alias("b")).first()["b"]
+    compressed = sizes["code_bytes"] * 10 < vec_bytes
+    return spark.createDataFrame(
+        [(len(got), bool(same), bool(compressed))],
+        "k long, persisted_equals_in_memory boolean, "
+        "code_table_compressed boolean")
+
+
 def _ann_join_frames(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qdf = e.filter(F.col("vec_id") < 8).select(
@@ -3159,6 +3243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cross_dedup": emb_cross_dedup,
         "emb_ann_ivf": emb_ann_ivf,
         "emb_ann_ivf_persisted": emb_ann_ivf_persisted,
+        "emb_ann_pq": emb_ann_pq,
+        "emb_ann_pq_check": emb_ann_pq_check,
+        "emb_ann_pq_persisted_check": emb_ann_pq_persisted_check,
         "pairs_curate_labels": pairs_curate_labels,
         "pairs_image_features": pairs_image_features,
         "pairs_image_quality": pairs_image_quality,
@@ -4702,6 +4789,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    TRUE AS persisted_equals_in_memory,
                    TRUE AS files_skipped
+        """,
+        "emb_ann_pq_check": """
+            SELECT CAST(10 AS BIGINT) AS k,
+                   TRUE AS returned_full_k,
+                   TRUE AS topk_within_brute_top50
+        """,
+        "emb_ann_pq_persisted_check": """
+            SELECT CAST(10 AS BIGINT) AS k,
+                   TRUE AS persisted_equals_in_memory,
+                   TRUE AS code_table_compressed
         """,
         "emb_ann_join_check": """
             SELECT COUNT(*) AS n_queries,

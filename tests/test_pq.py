@@ -1,0 +1,193 @@
+"""Product-quantization ANN (operators/pq.py).
+
+Closed-form anchor: when every subspace of the corpus draws from at
+most ``n_codes`` distinct subvector patterns AND training sees every
+row, the codebooks can reconstruct each vector exactly, so the ADC
+score equals the exact cosine and pq_topk equals brute-force cosine
+top-k bit-for-bit. Random-data tests then cover recall, determinism
+across partition layouts, NULL totality, validation, and the
+persisted code-table path.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mehc_curation_spark.operators.pq import (
+    CODE_COL,
+    make_adc_score_udf,
+    make_pq_encode_udf,
+    pq_topk,
+    pq_topk_from_table,
+    save_pq_index,
+    train_pq,
+)
+from mehc_curation_spark.operators.similarity import cosine_topk
+
+DIM = 16
+M = 4
+DSUB = DIM // M
+
+
+def _rows_from_patterns(rng, n, n_patterns):
+    """Vectors whose every subspace is one of ``n_patterns`` fixed
+    patterns — exactly reconstructable by PQ with n_codes >= patterns.
+    Each pattern is scaled to norm 1/sqrt(M) so every combination is
+    exactly unit-norm: the encoder's per-row L2 normalization is then
+    the identity and cannot smear the patterns across rows."""
+    pats = rng.standard_normal((M, n_patterns, DSUB))
+    pats /= np.linalg.norm(pats, axis=2, keepdims=True) * np.sqrt(M)
+    rows = []
+    for i in range(n):
+        vec = np.concatenate(
+            [pats[j, rng.integers(n_patterns)] for j in range(M)])
+        rows.append((i, [float(x) for x in vec]))
+    return rows
+
+
+def _emb_df(spark, rows, parts=4):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(parts)
+
+
+@pytest.fixture(scope="module")
+def random_df(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(DIM)])
+            for i in range(300)]
+    return _emb_df(spark, rows).cache()
+
+
+class TestExactReconstruction:
+    def test_adc_equals_exact_cosine_when_codebook_covers(self, spark):
+        rng = np.random.default_rng(3)
+        rows = _rows_from_patterns(rng, 120, n_patterns=5)
+        df = _emb_df(spark, rows)
+        books = train_pq(df, "embedding", "vec_id", m=M, n_codes=8,
+                         max_train=10000)
+        q = rows[0][1]
+        got = (df.withColumn(CODE_COL,
+                             make_pq_encode_udf(books)(F.col("embedding")))
+               .withColumn("adc", make_adc_score_udf(books, q)(
+                   F.col(CODE_COL)))
+               .select("vec_id", "adc").toPandas()
+               .set_index("vec_id")["adc"])
+        X = np.array([r[1] for r in rows])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        qn = np.asarray(q) / np.linalg.norm(q)
+        exact = Xn @ qn
+        for i in range(len(rows)):
+            assert got[i] == pytest.approx(exact[i], abs=1e-6), i
+
+    def test_pq_topk_matches_brute_force(self, spark):
+        rng = np.random.default_rng(4)
+        rows = _rows_from_patterns(rng, 200, n_patterns=6)
+        df = _emb_df(spark, rows)
+        q = rows[5][1]
+        ann = pq_topk(df, "embedding", "vec_id", q, k=10, m=M, n_codes=8,
+                      refine=40).toPandas()
+        brute = cosine_topk(df, "embedding", "vec_id", q, k=10).toPandas()
+        assert list(ann["vec_id"]) == list(brute["vec_id"])
+        assert list(ann.columns) == list(brute.columns)
+
+
+class TestRandomData:
+    def test_recall_with_refine(self, random_df):
+        q = random_df.filter("vec_id = 0").first()["embedding"]
+        rest = random_df.filter("vec_id != 0")
+        ann = set(r["vec_id"] for r in pq_topk(
+            rest, "embedding", "vec_id", q, k=10, m=M, n_codes=16,
+            refine=60).collect())
+        brute = set(r["vec_id"] for r in cosine_topk(
+            rest, "embedding", "vec_id", q, k=10).collect())
+        assert len(ann) == 10
+        # exact re-rank over a 60-candidate ADC cut: most of the true
+        # top-10 must survive (measured 10/10 at this seed; bound is
+        # slack for resilience)
+        assert len(ann & brute) >= 7
+
+    def test_partition_invariance(self, spark, random_df):
+        q = random_df.filter("vec_id = 0").first()["embedding"]
+        rest = random_df.filter("vec_id != 0")
+        outs = []
+        for parts in (1, 7, 32):
+            df = rest.repartition(parts)
+            outs.append(pq_topk(df, "embedding", "vec_id", q, k=10,
+                                m=M, n_codes=16, refine=60)
+                        .toPandas().values.tolist())
+        assert outs[0] == outs[1] == outs[2]
+
+    def test_null_and_ragged_vectors_excluded(self, spark, random_df):
+        bad = spark.createDataFrame(
+            [(9001, None), (9002, [1.0, 2.0])],
+            "vec_id long, embedding array<double>")
+        df = random_df.unionByName(bad)
+        books = train_pq(df, "embedding", "vec_id", m=M, n_codes=8)
+        codes = (df.withColumn(CODE_COL,
+                               make_pq_encode_udf(books)(F.col("embedding")))
+                 .filter(F.col("vec_id").isin(9001, 9002))
+                 .select(CODE_COL).collect())
+        assert all(r[0] is None for r in codes)
+        q = random_df.filter("vec_id = 0").first()["embedding"]
+        got = pq_topk(df, "embedding", "vec_id", q, k=10, m=M,
+                      n_codes=8).collect()
+        assert all(r["vec_id"] < 9000 for r in got)
+
+    def test_code_is_m_bytes(self, random_df):
+        books = train_pq(random_df, "embedding", "vec_id", m=M, n_codes=16)
+        row = (random_df.withColumn(
+            CODE_COL, make_pq_encode_udf(books)(F.col("embedding")))
+            .select(CODE_COL).first())
+        assert isinstance(row[0], (bytes, bytearray)) and len(row[0]) == M
+
+
+class TestValidation:
+    def test_dim_not_divisible_raises(self, random_df):
+        with pytest.raises(ValueError, match="not divisible"):
+            train_pq(random_df, "embedding", "vec_id", m=5, n_codes=8)
+
+    def test_n_codes_bounds(self, random_df):
+        with pytest.raises(ValueError, match="n_codes"):
+            train_pq(random_df, "embedding", "vec_id", m=M, n_codes=512)
+
+    def test_all_null_raises(self, spark):
+        df = spark.createDataFrame([(1, None), (2, None)],
+                                   "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="no trainable"):
+            train_pq(df, "embedding", "vec_id", m=M, n_codes=8)
+
+    def test_query_dim_mismatch_raises(self, random_df):
+        books = train_pq(random_df, "embedding", "vec_id", m=M, n_codes=8)
+        with pytest.raises(ValueError, match="query dim"):
+            make_adc_score_udf(books, [1.0, 2.0])
+
+
+class TestPersistedIndex:
+    def test_table_holds_codes_not_vectors(self, spark, random_df, tmp_path):
+        path = str(tmp_path / "pq_idx")
+        table, books = save_pq_index(random_df, "embedding", "vec_id", path,
+                                     m=M, n_codes=16)
+        stored = table.read(spark)
+        assert set(stored.columns) == {"vec_id", CODE_COL}
+        assert stored.count() == random_df.count()
+
+    def test_query_matches_in_memory(self, spark, random_df, tmp_path):
+        path = str(tmp_path / "pq_idx2")
+        save_pq_index(random_df, "embedding", "vec_id", path,
+                      m=M, n_codes=16)
+        q = random_df.filter("vec_id = 0").first()["embedding"]
+        from_table = pq_topk_from_table(
+            spark, path, random_df, q, k=10, refine=60).toPandas()
+        in_mem = pq_topk(random_df, "embedding", "vec_id", q, k=10,
+                         m=M, n_codes=16, refine=60).toPandas()
+        assert from_table.values.tolist() == in_mem.values.tolist()
+
+    def test_non_index_table_raises(self, spark, random_df, tmp_path):
+        from mehc_curation_spark.io.catalog import SnapshotTable
+        from mehc_curation_spark.operators.pq import load_pq_codebooks
+
+        path = str(tmp_path / "plain")
+        t = SnapshotTable(path)
+        t.write(random_df.select("vec_id"), mode="overwrite")
+        with pytest.raises(ValueError, match="not a PQ index"):
+            load_pq_codebooks(t)
