@@ -2300,6 +2300,119 @@ def pairs_exact_dedup(spark, sf_dir):
     return exact_content_dedup(df, "bytes", "image_id")
 
 
+def pairs_meta_audit(spark, sf_dir):
+    """Image-payload metadata audit (operators/imgmeta.py) made
+    non-vacuous: the fixture's PNGs carry no ancillary chunks, so the
+    query first STAMPS per-row provenance (a tEXt 'source'=image_id
+    chunk — the write-side op) and then audits. Rows-only surface
+    (the fixture plants corrupt payloads whose parseability is not
+    SQL-expressible); value parity + the closed-form expectation are
+    pinned by pairs_meta_audit_check."""
+    from mehc_curation_spark.operators.imgmeta import (
+        embed_provenance,
+        image_metadata_audit,
+    )
+
+    df = spark.read.parquet(_pairs_path())
+    tagged = embed_provenance(df, value_col="image_id", key="source")
+    return image_metadata_audit(tagged).select(
+        "image_id", "fmt",
+        F.size("meta_chunks").alias("n_meta"),
+        "meta_bytes", "has_text_meta", "has_exif")
+
+
+def pairs_meta_audit_check(spark, sf_dir):
+    """Value gate for the audit: (a) the distributed audit must equal
+    an in-process recompute through the SAME chunk-walk kernel over
+    the same deterministic corpus (exact equality, including NULL =
+    unauditable on the planted corrupt payloads), (b) every PARSEABLE
+    png row must show exactly the stamped tEXt chunk with its
+    closed-form framed size 19+len(image_id), and (c) some rows must
+    audit NULL (the corrupt plants keep the unauditable branch
+    non-vacuous)."""
+    import pandas as pd
+
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+    from mehc_curation_spark.operators.imgmeta import (
+        _audit_one,
+        embed_png_text_bytes,
+        embed_provenance,
+        image_metadata_audit,
+    )
+
+    df = spark.read.parquet(_pairs_path())
+    tagged = embed_provenance(df, value_col="image_id", key="source")
+    got = (image_metadata_audit(tagged)
+           .select("image_id", "fmt", "meta_bytes", "has_text_meta")
+           .toPandas().sort_values("image_id").reset_index(drop=True))
+    pdf = (make_pairs_pdf(2000, seed=42)
+           .sort_values("image_id").reset_index(drop=True))
+
+    def _local(r):
+        d = r["bytes"]
+        if d is not None and r["fmt"] == "png":
+            try:
+                d = embed_png_text_bytes(bytes(d), "source", r["image_id"])
+            except ValueError:
+                pass
+        return _audit_one(d, r["fmt"])
+
+    exp = pdf.apply(_local, axis=1)
+    exp_bytes = pd.Series([e[2] for e in exp], dtype="Int64")
+    exp_text = pd.Series([e[3] for e in exp], dtype="boolean")
+    got_bytes = got["meta_bytes"].astype("Int64")
+    got_text = got["has_text_meta"].astype("boolean")
+    matches_local = bool(
+        (got_bytes.isna() == exp_bytes.isna()).all()
+        and (got_bytes.dropna() == exp_bytes.dropna()).all()
+        and (got_text.fillna(False) == exp_text.fillna(False)).all())
+    parseable_png = got_bytes.notna() & (got["fmt"] == "png")
+    closed_form = bool(
+        (got_bytes[parseable_png].to_numpy()
+         == (19 + got["image_id"][parseable_png].str.len()).to_numpy()).all()
+        and got_text[parseable_png].all())
+    n_unauditable = int(got_bytes.isna().sum())
+    return spark.createDataFrame(
+        [(len(got), matches_local, closed_form, n_unauditable > 0)],
+        "n_rows long, audit_matches_local boolean, "
+        "stamped_rows_closed_form boolean, corrupt_rows_null boolean")
+
+
+def pairs_meta_scrub_check(spark, sf_dir):
+    """Scrub invariant for the payload-metadata strip: stamping
+    provenance into every PNG and then stripping must return the
+    ORIGINAL bytes exactly (byte-level round-trip, since the fixture
+    PNGs start clean), non-PNG payloads must ride through both ops
+    untouched, and a re-audit of the stripped corpus must be clean.
+    All three facts computed Spark-side; the oracle states them as
+    constants."""
+    from mehc_curation_spark.operators.imgmeta import (
+        embed_provenance,
+        image_metadata_audit,
+        strip_image_metadata,
+    )
+
+    df = spark.read.parquet(_pairs_path())
+    stripped = strip_image_metadata(
+        embed_provenance(df, value_col="image_id", key="source"))
+    orig = df.select("image_id", F.md5("bytes").alias("md5_orig"),
+                     F.col("bytes").isNull().alias("null_orig"))
+    back = stripped.select("image_id", F.md5("bytes").alias("md5_back"),
+                           F.col("bytes").isNull().alias("null_back"))
+    j = orig.join(back, "image_id")
+    n_rows = j.count()
+    n_bad = j.filter(
+        (F.col("null_orig") != F.col("null_back"))
+        | (~F.col("null_orig")
+           & (F.col("md5_orig") != F.col("md5_back")))).count()
+    audit = image_metadata_audit(stripped)
+    n_dirty = audit.filter(F.size("meta_chunks") > 0).count()
+    return spark.createDataFrame(
+        [(n_rows, n_bad == 0, n_dirty == 0)],
+        "n_rows long, strip_roundtrip_byte_exact boolean, "
+        "stripped_corpus_audits_clean boolean")
+
+
 def pairs_phash_neardup(spark, sf_dir):
     """Image near-dup by perceptual-hash hamming distance (banded
     exact-match LSH over the 64-bit phash + popcount verify) — the
@@ -3188,6 +3301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": doc_simhash,
         "doc_simhash_neardup": doc_simhash_neardup,
         "pairs_exact_dedup": pairs_exact_dedup,
+        "pairs_meta_audit": pairs_meta_audit,
+        "pairs_meta_audit_check": pairs_meta_audit_check,
+        "pairs_meta_scrub_check": pairs_meta_scrub_check,
         "pairs_phash_neardup": pairs_phash_neardup,
         "pairs_tile_dups": pairs_tile_dups,
         "pairs_tile_dups_check": pairs_tile_dups_check,
@@ -4513,6 +4629,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE ROW_NUMBER() OVER (
                             PARTITION BY hex(bytes) ORDER BY image_id) = 1
                    END AS keep
+            FROM read_parquet('{_pairs_cache_file()}')
+        """,
+        "pairs_meta_audit_check": f"""
+            SELECT COUNT(*) AS n_rows,
+                   TRUE AS audit_matches_local,
+                   TRUE AS stamped_rows_closed_form,
+                   TRUE AS corrupt_rows_null
+            FROM read_parquet('{_pairs_cache_file()}')
+        """,
+        "pairs_meta_scrub_check": f"""
+            SELECT COUNT(*) AS n_rows,
+                   TRUE AS strip_roundtrip_byte_exact,
+                   TRUE AS stripped_corpus_audits_clean
             FROM read_parquet('{_pairs_cache_file()}')
         """,
         "pairs_phash_neardup": f"""
