@@ -596,6 +596,54 @@ def doc_stratified_sample(spark, sf_dir):
                              {"en": 0.25, "de": 0.5}).select("doc_id", "lang")
 
 
+_DSIR_CACHE: dict = {}
+
+
+def _dsir_weights_for(spark, sf_dir, n_buckets=512):
+    """Fit the DSIR importance model once per sf_dir (target = the
+    corpus's English slice, raw = the whole corpus) — both driver
+    queries and the oracle share the derivation."""
+    if sf_dir not in _DSIR_CACHE:
+        from mehc_curation_spark.operators.sampling import dsir_fit
+
+        d = _t(spark, sf_dir, "documents")
+        _DSIR_CACHE[sf_dir] = dsir_fit(d.filter(F.col("lang") == "en"), d,
+                                       "text", n_buckets=n_buckets)
+    return _DSIR_CACHE[sf_dir]
+
+
+def doc_dsir_scores(spark, sf_dir):
+    """DSIR importance scores (Xie et al. 2023, arXiv:2302.03169):
+    per-document log importance weight over hashed unigram+bigram
+    features (512 buckets on the 'dsirb:' u48 domain), target = the
+    English slice vs raw = the whole corpus. Weights are quantized to
+    integer micro-nats ONCE driver-side, so the per-doc score is an
+    exact integer sum — associative, partition- and engine-invariant.
+    Scoring is ZERO shuffle (plan-literal weight array + one array
+    aggregate). FULL value oracle: DuckDB re-derives the counts, the
+    smoothed log-ratio weights and the integer sums from scratch."""
+    from mehc_curation_spark.operators.sampling import dsir_score_col
+
+    d = _t(spark, sf_dir, "documents")
+    w = _dsir_weights_for(spark, sf_dir)
+    return d.select("doc_id",
+                    dsir_score_col(F.col("text"), w).alias("dsir_logw"))
+
+
+def doc_dsir_sample(spark, sf_dir):
+    """DSIR selection: Gumbel-top-50 on (logw + Gumbel(u48('dsir:0:'
+    || doc_id))) — sampling without replacement proportional to the
+    importance weights, deterministic because the noise is a row
+    property. Full value oracle: the same priority arithmetic, order
+    and cut restated in SQL."""
+    from mehc_curation_spark.operators.sampling import dsir_resample
+
+    d = _t(spark, sf_dir, "documents")
+    w = _dsir_weights_for(spark, sf_dir)
+    return dsir_resample(d, "text", "doc_id", w, n=50,
+                         seed=0).select("doc_id", "dsir_logw")
+
+
 def doc_domain_cap(spark, sf_dir):
     """Per-domain document cap (operators/sampling.py:per_domain_cap)
     — the C4/RefinedWeb "at most N pages per domain" mixture rule.
@@ -3256,6 +3304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compression_check": doc_compression_check,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_length_outliers": doc_length_outliers,
+        "doc_dsir_scores": doc_dsir_scores,
+        "doc_dsir_sample": doc_dsir_sample,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_repeat_upsample": doc_repeat_upsample,
         "doc_temperature_sample": doc_temperature_sample,
@@ -3493,6 +3543,59 @@ def _u48_sql(expr: str) -> str:
         f"('0x' || substr(md5({expr}), {2 * i + 1}, 2))::BIGINT"
         + (f" * {256 ** i}" if i else "")
         for i in range(6))
+
+
+def _dsir_sql() -> str:
+    """Shared CTE block re-deriving the ENTIRE DSIR model in DuckDB:
+    tokenize -> hash n-grams to 512 buckets -> target/raw counts ->
+    add-one-smoothed log-ratio weights in integer micro-nats ->
+    exact per-doc integer score. Mirrors operators/sampling.py's
+    dsir_* functions step for step (same u48 'dsirb:' domain, same
+    quantization)."""
+    b = 512
+    return f"""
+        WITH dtk AS (
+            SELECT doc_id, lang, text,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[ \\t\\n\\r]+'),
+                               y -> y <> '') AS tk
+            FROM documents WHERE text IS NOT NULL
+        ), dng AS (
+            SELECT doc_id, lang,
+                   list_concat(tk, list_transform(
+                       generate_series(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i + 1])) AS ngs
+            FROM dtk
+        ), dex0 AS (
+            SELECT doc_id, lang, unnest(ngs) AS g FROM dng
+        ), dex AS (
+            SELECT doc_id, lang,
+                   ({_u48_sql("'dsirb:' || g")}) % {b} AS b
+            FROM dex0
+        ), dtc AS (
+            SELECT b, COUNT(*) AS n FROM dex WHERE lang = 'en' GROUP BY b
+        ), drc AS (
+            SELECT b, COUNT(*) AS n FROM dex GROUP BY b
+        ), dtot AS (
+            SELECT (SELECT COALESCE(SUM(n), 0) FROM dtc) + {b} AS t_tot,
+                   (SELECT COALESCE(SUM(n), 0) FROM drc) + {b} AS r_tot
+        ), dwt AS (
+            SELECT gs.b,
+                   CAST(round(1000000.0 * (ln(COALESCE(dtc.n, 0) + 1)
+                                           - ln(dtot.t_tot)
+                                           - ln(COALESCE(drc.n, 0) + 1)
+                                           + ln(dtot.r_tot))) AS BIGINT) AS w
+            FROM (SELECT unnest(generate_series(0, {b - 1})) AS b) gs
+            LEFT JOIN dtc ON dtc.b = gs.b
+            LEFT JOIN drc ON drc.b = gs.b, dtot
+        ), dsc0 AS (
+            SELECT dex.doc_id, CAST(SUM(dwt.w) AS BIGINT) AS s
+            FROM dex JOIN dwt ON dwt.b = dex.b GROUP BY dex.doc_id
+        ), dsc AS (
+            SELECT dng.doc_id, COALESCE(dsc0.s, CAST(0 AS BIGINT)) AS s
+            FROM dng LEFT JOIN dsc0 ON dsc0.doc_id = dng.doc_id
+        )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4022,6 +4125,19 @@ def oracle_sql() -> dict[str, str]:
                        < f.keep_frac * 281474976710656.0,
                      FALSE) AS kept
             FROM d JOIN f USING (lang)
+        """,
+        "doc_dsir_scores": _dsir_sql() + """
+            SELECT d.doc_id, dsc.s AS dsir_logw
+            FROM documents d LEFT JOIN dsc ON dsc.doc_id = d.doc_id
+        """,
+        "doc_dsir_sample": _dsir_sql() + f"""
+            SELECT doc_id, s AS dsir_logw FROM dsc
+            ORDER BY (CAST(s AS DOUBLE) / 1000000.0)
+                     + (-ln(-ln(
+                         (({_u48_sql("'dsir:0:' || CAST(doc_id AS VARCHAR)")})
+                          + 0.5) / 281474976710656.0))) DESC,
+                     doc_id
+            LIMIT 50
         """,
         "doc_stratified_sample": """
             WITH u AS (

@@ -450,3 +450,141 @@ def repeat_upsample(df: DataFrame, id_col: str, group_col: str,
             .withColumn("copy_idx",
                         F.explode(F.sequence(F.lit(0),
                                              F.col("n_copies") - 1))))
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169) — select raw-corpus documents that look like a
+# TARGET corpus, by importance weights over hashed n-gram features.
+# ---------------------------------------------------------------------------
+
+_DSIR_SCALE = 1_000_000  # weights quantized to 1e-6 nats, served as longs
+
+
+def dsir_ngrams_col(text_col: Column) -> Column:
+    """Unigrams + bigrams of the whitespace-lowercase tokenization —
+    the DSIR paper's feature space. Pure Catalyst: split, filter,
+    and a sequence-indexed transform for bigrams (guarded, since
+    ``sequence(1, 0)`` would go descending rather than empty)."""
+    toks = F.filter(F.split(F.lower(text_col), r"[ \t\n\r]+"),
+                    lambda t: t != "")
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                           F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def dsir_bucket_col(ngram: Column, n_buckets: int) -> Column:
+    """Feature bucket = u48('dsirb:' || ngram) % n_buckets — the
+    hashing trick on a dedicated domain, restatable in any engine
+    with md5 (never an engine-specific hash)."""
+    return u48_col(F.concat(F.lit("dsirb:"), ngram)) % n_buckets
+
+
+def dsir_bucket_counts(df: DataFrame, text_col: str,
+                       n_buckets: int) -> dict[int, int]:
+    """Exact per-bucket n-gram counts for a corpus: explode -> hash ->
+    count. Map-side combine collapses the shuffle to at most
+    ``n_buckets`` rows per task; the driver receives <= n_buckets
+    longs. NULL texts contribute nothing."""
+    rows = (df.select(F.explode(dsir_ngrams_col(F.col(text_col)))
+                      .alias("_ng"))
+            .select(dsir_bucket_col(F.col("_ng"), n_buckets).alias("_b"))
+            .groupBy("_b").count().collect())
+    return {int(r["_b"]): int(r["count"]) for r in rows}
+
+
+def dsir_weights(target_counts: dict[int, int], raw_counts: dict[int, int],
+                 n_buckets: int) -> list[int]:
+    """Integer-quantized per-bucket log-likelihood ratios.
+
+    w[b] = round(1e6 * (ln(t_b+1) - ln(T+B) - ln(r_b+1) + ln(R+B)))
+    — add-one-smoothed multinomial log ratio in micro-nats. Quantizing
+    ONCE, driver-side, is what makes the downstream score exact and
+    engine-invariant: documents sum INTEGER weights (associative,
+    partition-order-proof), never floats."""
+    import math
+
+    T = sum(target_counts.values()) + n_buckets
+    R = sum(raw_counts.values()) + n_buckets
+    return [round(_DSIR_SCALE
+                  * (math.log(target_counts.get(b, 0) + 1) - math.log(T)
+                     - math.log(raw_counts.get(b, 0) + 1) + math.log(R)))
+            for b in range(n_buckets)]
+
+
+def dsir_score_col(text_col: Column, weights: list[int]) -> Column:
+    """Per-document importance log-weight in micro-nats: sum of the
+    (plan-literal) bucket weights over the doc's n-grams. ZERO
+    shuffle — one array transform + aggregate inside whole-stage
+    codegen; the weight table rides in the plan as an array literal
+    (same pattern as the opt-out list's plan-literal fast path).
+    NULL text -> NULL score."""
+    n_buckets = len(weights)
+    warr = F.lit(weights)
+    return F.when(
+        text_col.isNotNull(),
+        F.aggregate(
+            dsir_ngrams_col(text_col),
+            F.lit(0).cast("long"),
+            lambda acc, ng: acc + F.element_at(
+                warr, (dsir_bucket_col(ng, n_buckets) + 1).cast("int"))))
+
+
+def dsir_fit(target_df: DataFrame, raw_df: DataFrame, text_col: str,
+             n_buckets: int = 512) -> list[int]:
+    """Fit the importance model: two corpus passes (tiny outputs),
+    weights come back as plan-embeddable integers."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    return dsir_weights(dsir_bucket_counts(target_df, text_col, n_buckets),
+                        dsir_bucket_counts(raw_df, text_col, n_buckets),
+                        n_buckets)
+
+
+def gumbel_col(u: Column) -> Column:
+    """Standard Gumbel noise from a u48 column: g = -ln(-ln((u+0.5)/2^48)).
+    The +0.5 centers each lattice cell, keeping the argument strictly
+    inside (0, 1) so neither ln can hit 0 or -inf."""
+    unif = (u.cast("double") + F.lit(0.5)) / F.lit(_U48_MAX)
+    return -F.log(-F.log(unif))
+
+
+def dsir_resample(df: DataFrame, text_col: str, id_col: str,
+                  weights: list[int], n: int,
+                  seed: int = 0) -> DataFrame:
+    """Gumbel-top-n importance resampling: keep the n documents with
+    the largest (log-weight + Gumbel(u48('dsir:' seed ':' id))) —
+    sampling WITHOUT replacement proportionally to the importance
+    weights (the Gumbel-max trick), exactly the paper's selection
+    rule. Deterministic given (corpus, weights, seed): the noise is a
+    row property on a dedicated hash domain, so the same documents
+    are selected on any engine or partitioning.
+
+    Physical shape: score is a zero-shuffle codegen'd expression; the
+    cut is orderBy + limit, which compiles to TakeOrderedAndProject —
+    per-partition heaps of size n, never a global sort. For n beyond
+    heap-friendly sizes, cut by score threshold instead (the
+    token_budget_sample two-level pattern).
+
+    NULL text or NULL id rows carry no score/noise and are excluded
+    (same contract as temperature_resample). Output keeps every input
+    column plus ``dsir_logw`` (micro-nats, exact long)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    for c in ("dsir_logw", "_g"):
+        if c in df.columns:
+            raise ValueError(f"dsir_resample: input already has {c!r}")
+    u = u48_col(F.concat(F.lit(f"dsir:{int(seed)}:"),
+                         F.col(id_col).cast("string")))
+    scored = (df.filter(F.col(text_col).isNotNull()
+                        & F.col(id_col).isNotNull())
+              .withColumn("dsir_logw",
+                          dsir_score_col(F.col(text_col), weights))
+              .withColumn("_g", gumbel_col(u)))
+    pri = F.col("dsir_logw").cast("double") / _DSIR_SCALE + F.col("_g")
+    return (scored.orderBy(pri.desc(), F.col(id_col))
+            .limit(n).drop("_g"))
