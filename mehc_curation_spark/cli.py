@@ -333,6 +333,48 @@ def build_parser() -> argparse.ArgumentParser:
     qs.add_argument("--cores", type=int, default=-1)
     qs.add_argument("--master", default=None)
 
+    ds = sub.add_parser(
+        "dsir",
+        help="DSIR importance resampling (Xie et al. 2023): select "
+             "raw-corpus documents that look like a target corpus "
+             "via hashed n-gram importance weights (graft-only "
+             "capability)")
+    ds.add_argument("-i", "--input", required=True,
+                    help="raw corpus parquet with text + id columns")
+    ds.add_argument("-t", "--target", required=True,
+                    help="target corpus parquet (what selected docs "
+                         "should look like)")
+    ds.add_argument("-o", "--output", required=True)
+    ds.add_argument("-n", "--n_select", type=int, default=1000,
+                    help="documents to select (Gumbel top-n)")
+    ds.add_argument("--text_col", default="text")
+    ds.add_argument("--id_col", default="doc_id")
+    ds.add_argument("--buckets", type=int, default=512,
+                    help="hashed n-gram feature buckets")
+    ds.add_argument("--seed", type=int, default=0)
+    ds.add_argument("--scores_only", action="store_true",
+                    help="write per-doc importance scores for the "
+                         "whole corpus instead of the selection")
+    ds.add_argument("--cores", type=int, default=-1)
+    ds.add_argument("--master", default=None)
+
+    ms = sub.add_parser(
+        "metascrub",
+        help="image-payload metadata audit / strip (PNG ancillary "
+             "chunks: tEXt/iTXt/zTXt, tIME, eXIf — EXIF can embed "
+             "GPS); the image-side twin of the caption PII scrub "
+             "(graft-only capability)")
+    ms.add_argument("-i", "--input", required=True,
+                    help="pairs parquet with bytes + fmt columns")
+    ms.add_argument("-o", "--output", required=True)
+    ms.add_argument("--bytes_col", default="bytes")
+    ms.add_argument("--fmt_col", default="fmt")
+    ms.add_argument("--audit_only", action="store_true",
+                    help="write the audit columns without rewriting "
+                         "payloads")
+    ms.add_argument("--cores", type=int, default=-1)
+    ms.add_argument("--master", default=None)
+
     tk = sub.add_parser(
         "tokenize",
         help="train a tokenizer on the corpus and/or encode it: "
@@ -812,6 +854,82 @@ def main(argv: list[str] | None = None) -> int:
                               "mean_score": agg["mean_score"],
                               "trained": bool(args.train),
                               "threshold": args.threshold}))
+            return 0
+
+        if args.cmd == "dsir":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators.sampling import (
+                dsir_fit,
+                dsir_resample,
+                dsir_score_col,
+            )
+
+            raw = spark.read.parquet(args.input)
+            target = spark.read.parquet(args.target)
+            w = dsir_fit(target, raw, args.text_col,
+                         n_buckets=args.buckets)
+            out_dir = os.path.join(args.output, "data")
+            if args.scores_only:
+                scored = raw.withColumn(
+                    "dsir_logw",
+                    dsir_score_col(F.col(args.text_col), w))
+                scored.write.mode("overwrite").parquet(out_dir)
+                agg = (spark.read.parquet(out_dir)
+                       .agg(F.count("*").alias("n"),
+                            F.round(F.avg(F.col("dsir_logw") / 1e6), 4)
+                            .alias("mean_logw")).first())
+                print(json.dumps({"rows": agg["n"],
+                                  "mean_logw_nats": agg["mean_logw"],
+                                  "buckets": args.buckets,
+                                  "selected": None}))
+                return 0
+            sel = dsir_resample(raw, args.text_col, args.id_col, w,
+                                n=args.n_select, seed=args.seed)
+            sel.write.mode("overwrite").parquet(out_dir)
+            n_out = spark.read.parquet(out_dir).count()
+            print(json.dumps({"rows": n_out, "requested": args.n_select,
+                              "buckets": args.buckets,
+                              "seed": args.seed}))
+            return 0
+
+        if args.cmd == "metascrub":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators.imgmeta import (
+                image_metadata_audit,
+                strip_image_metadata,
+            )
+
+            df = spark.read.parquet(args.input)
+            audited = image_metadata_audit(df, args.bytes_col,
+                                           args.fmt_col)
+            out_dir = os.path.join(args.output, "data")
+            if args.audit_only:
+                audited.write.mode("overwrite").parquet(out_dir)
+                src = spark.read.parquet(out_dir)
+            else:
+                stripped = strip_image_metadata(
+                    audited.drop("meta_chunks", "text_keys",
+                                 "has_text_meta", "has_exif", "has_time")
+                    .withColumnRenamed("meta_bytes", "meta_bytes_removed"),
+                    args.bytes_col, args.fmt_col)
+                stripped.write.mode("overwrite").parquet(out_dir)
+                src = (spark.read.parquet(out_dir)
+                       .withColumnRenamed("meta_bytes_removed",
+                                          "meta_bytes"))
+            agg = src.agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("meta_bytes") > 0).cast("int")).alias("dirty"),
+                F.sum("meta_bytes").alias("meta_bytes"),
+                F.sum(F.col("meta_bytes").isNull().cast("int"))
+                .alias("unauditable")).first()
+            print(json.dumps({
+                "rows": agg["n"],
+                "rows_with_metadata": int(agg["dirty"] or 0),
+                "metadata_bytes": int(agg["meta_bytes"] or 0),
+                "unauditable_rows": int(agg["unauditable"] or 0),
+                "stripped": not args.audit_only}))
             return 0
 
         if args.cmd == "resize":

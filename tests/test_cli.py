@@ -897,3 +897,70 @@ def test_skew_cli_census_and_join(tmp_path_factory):
             if x.startswith("{")]
     assert len(rows) == 2
     assert rows[0]["est_rows"] == rows[0]["n_left"] * rows[0]["n_right"]
+
+
+def test_dsir_cli_scores_and_selection(tmp_path_factory):
+    """dsir subcommand: scores_only writes the whole corpus with exact
+    integer micro-nat scores; selection returns exactly n rows whose
+    mean importance exceeds the corpus mean (the resampler pulls
+    target-like documents)."""
+    base = tmp_path_factory.mktemp("cli_dsir")
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    target = str(base / "target.parquet")
+    duckdb.sql(f"COPY (SELECT * FROM read_parquet('{docs}') "
+               f"WHERE lang = 'en') TO '{target}' (FORMAT PARQUET)")
+
+    out_s = str(base / "scores")
+    res = json.loads(_run(
+        ["dsir", "-i", docs, "-t", target, "-o", out_s, "--scores_only",
+         "--buckets", "256", "--cores", "4"]).stdout.strip()
+        .splitlines()[-1])
+    assert res["rows"] == 500 and res["selected"] is None
+    corpus_mean = duckdb.sql(
+        f"SELECT AVG(dsir_logw) FROM read_parquet('{out_s}/data/*.parquet')"
+    ).fetchone()[0]
+
+    out = str(base / "sel")
+    res = json.loads(_run(
+        ["dsir", "-i", docs, "-t", target, "-o", out, "-n", "100",
+         "--buckets", "256", "--cores", "4"]).stdout.strip()
+        .splitlines()[-1])
+    assert res["rows"] == 100 and res["requested"] == 100
+    sel_mean, n_sel = duckdb.sql(
+        f"SELECT AVG(dsir_logw), COUNT(*) "
+        f"FROM read_parquet('{out}/data/*.parquet')").fetchone()
+    assert n_sel == 100
+    assert sel_mean > corpus_mean
+
+
+def test_metascrub_cli(pairs_file, tmp_path_factory):
+    """metascrub subcommand: audit reports the fixture corpus clean
+    (its PNG encoder writes no ancillary chunks) apart from the
+    planted corrupt payloads (unauditable), and the strip pass leaves
+    every auditable payload byte-identical."""
+    base = tmp_path_factory.mktemp("cli_meta")
+
+    out_a = str(base / "audit")
+    res = json.loads(_run(
+        ["metascrub", "-i", pairs_file, "-o", out_a, "--audit_only",
+         "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert res["stripped"] is False
+    assert res["rows_with_metadata"] == 0
+    assert res["unauditable_rows"] > 0  # planted corrupt PNGs
+    cols = duckdb.sql(
+        f"SELECT * FROM read_parquet('{out_a}/data/*.parquet') LIMIT 0"
+    ).columns
+    assert "meta_chunks" in cols and "has_exif" in cols
+
+    out_s = str(base / "strip")
+    res = json.loads(_run(
+        ["metascrub", "-i", pairs_file, "-o", out_s,
+         "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert res["stripped"] is True and res["rows"] == res["rows"]
+    n_diff = duckdb.sql(f"""
+        SELECT COUNT(*) FROM read_parquet('{pairs_file}') a
+        JOIN read_parquet('{out_s}/data/*.parquet') b USING (image_id)
+        WHERE (a.bytes IS NULL) <> (b.bytes IS NULL)
+           OR (a.bytes IS NOT NULL AND hex(a.bytes) <> hex(b.bytes))
+    """).fetchone()[0]
+    assert n_diff == 0
