@@ -266,3 +266,60 @@ def test_payload_transforms_have_no_exchange(spark):
         tree = _tree(op(pairs))
         assert _count(tree, "Exchange") == 0, tree
         assert _count(tree, "MapInPandas") == 1, tree
+
+
+def test_dsir_score_no_exchange_no_python(spark):
+    """DSIR scoring is a plan-literal weight lookup + array aggregate:
+    pure codegen — zero shuffles, zero Python eval nodes."""
+    from mehc_curation_spark.operators.sampling import dsir_score_col
+
+    tree = _tree(_docs(spark).select(
+        "doc_id", dsir_score_col(F.col("text"), [1] * 64).alias("s")))
+    assert _count(tree, "Exchange") == 0, tree
+    assert _count(tree, "ArrowEvalPython") == 0, tree
+    assert _count(tree, "BatchEvalPython") == 0, tree
+
+
+def test_dsir_resample_takeordered_no_global_sort(spark):
+    """The Gumbel-top-n cut must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global Sort + Limit."""
+    from mehc_curation_spark.operators.sampling import dsir_resample
+
+    tree = _tree(dsir_resample(_docs(spark), "text", "doc_id",
+                               [1] * 64, n=5))
+    assert _count(tree, "TakeOrderedAndProject") == 1, tree
+    assert _count(tree, "Exchange") == 0, tree
+
+
+def test_pq_adc_scan_no_shuffle_single_takeordered(spark):
+    """The PQ candidate cut: encode + ADC are Arrow map stages over a
+    narrow plan; the refine cut is TakeOrderedAndProject; the only
+    shuffle in the whole top-k is the final k-row ordering inside
+    cosine_topk's own cut."""
+    import numpy as np
+
+    from mehc_curation_spark.operators.pq import pq_topk
+
+    rng = np.random.default_rng(0)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = pq_topk(df, "embedding", "vec_id", rows[0][1], k=5, m=2,
+                   n_codes=4, refine=20)
+    tree = _tree(plan)
+    assert _count(tree, "TakeOrderedAndProject") == 2, tree  # refine + k
+    assert _count(tree, "Exchange") == 0, tree
+
+
+def test_metadata_audit_and_strip_no_exchange(spark):
+    """Payload-metadata ops are single Arrow stages over the bytes
+    column: no shuffle anywhere."""
+    from mehc_curation_spark.operators.imgmeta import (
+        image_metadata_audit,
+        strip_image_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [("a", b"\x00", "raw")], "image_id string, bytes binary, fmt string")
+    assert _count(_tree(image_metadata_audit(df)), "Exchange") == 0
+    assert _count(_tree(strip_image_metadata(df)), "Exchange") == 0
