@@ -1336,6 +1336,51 @@ def emb_ann_pq_persisted_check(spark, sf_dir):
         "code_table_compressed boolean")
 
 
+def emb_ann_ivfpq_check(spark, sf_dir):
+    """IVF+PQ composite index (the full Jégou recipe: coarse cells
+    prune FILES via manifest stats, residual-PQ codes shrink the
+    BYTES scanned inside them): the persisted query must return full
+    k, sit inside the brute-force top-50 (measured: whole top-10
+    inside brute-top-25 at sf0.01 with n_probe=8/16 cells), and at
+    least one probed cell must demonstrably skip files."""
+    import shutil
+
+    from mehc_curation_spark.operators.ann_index import probe_cells
+    from mehc_curation_spark.operators.pq import (
+        IVFPQ_CELL_COL,
+        ivfpq_topk_from_table,
+        load_ivfpq,
+        save_ivfpq_index,
+    )
+    from mehc_curation_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    rest = e.filter(F.col("vec_id") != 0)
+    path = _pq_table_path(sf_dir) + "_ivfpq"
+    shutil.rmtree(path, ignore_errors=True)
+    table, centers, _ = save_ivfpq_index(rest, "embedding", "vec_id", path,
+                                         n_cells=16, m=8, n_codes=16,
+                                         seed=42)
+    ann = ivfpq_topk_from_table(spark, path, rest, q, k=10, n_probe=8,
+                                refine=60)
+    brute50 = cosine_topk(rest, "embedding", "vec_id", q, k=50)
+    n_ann = ann.count()
+    n_outside = ann.join(brute50, "vec_id", "left_anti").count()
+    import numpy as np
+
+    qn = np.asarray(list(q), dtype=np.float64)
+    qn = qn / np.sqrt((qn * qn).sum())
+    skipped = False
+    for c in probe_cells(centers, qn, 8):
+        sel, total = table.files_pruned((IVFPQ_CELL_COL, c, c))
+        skipped = skipped or sel < total
+    return spark.createDataFrame(
+        [(10, n_ann == 10, n_outside == 0, bool(skipped))],
+        "k long, returned_full_k boolean, topk_within_brute_top50 boolean, "
+        "files_skipped boolean")
+
+
 def _ann_join_frames(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qdf = e.filter(F.col("vec_id") < 8).select(
@@ -3412,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_pq": emb_ann_pq,
         "emb_ann_pq_check": emb_ann_pq_check,
         "emb_ann_pq_persisted_check": emb_ann_pq_persisted_check,
+        "emb_ann_ivfpq_check": emb_ann_ivfpq_check,
         "pairs_curate_labels": pairs_curate_labels,
         "pairs_image_features": pairs_image_features,
         "pairs_image_quality": pairs_image_quality,
@@ -5044,6 +5090,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    TRUE AS persisted_equals_in_memory,
                    TRUE AS code_table_compressed
+        """,
+        "emb_ann_ivfpq_check": """
+            SELECT CAST(10 AS BIGINT) AS k,
+                   TRUE AS returned_full_k,
+                   TRUE AS topk_within_brute_top50,
+                   TRUE AS files_skipped
         """,
         "emb_ann_join_check": """
             SELECT COUNT(*) AS n_queries,

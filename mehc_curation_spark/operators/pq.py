@@ -45,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, DoubleType
+from pyspark.sql.types import BinaryType, DoubleType, LongType
 
 from mehc_curation_spark.operators.similarity import (
     _stack_embeddings,
@@ -69,17 +69,14 @@ def _normalize_rows(X: np.ndarray) -> np.ndarray:
     return X / np.where(norms > 0, norms, 1.0)
 
 
-def train_pq(df: DataFrame, vec_col: str, id_col: str, m: int = 8,
-             n_codes: int = 16, seed: int = 42, max_train: int = 16384,
-             n_rows: Optional[int] = None) -> np.ndarray:
-    """Train per-subspace codebooks; returns (m, n_codes, dim//m).
-
-    Sample selection mirrors :func:`~.similarity.ivf_index`: a per-row
-    hash filter (`xxhash64(id) % denom == 0` — never ``df.sample``,
-    whose output depends on partition layout), id-ordered, capped —
-    then fixed-seed Lloyd's per subspace (seed varies by subspace so
-    codebooks are independent)."""
-    target = min(max_train, n_codes * 1024)
+def _sample_vectors(df: DataFrame, vec_col: str, id_col: str,
+                    target: int, n_rows: Optional[int] = None,
+                    what: str = "train_pq") -> np.ndarray:
+    """Deterministic, partition-invariant training sample — mirrors
+    :func:`~.similarity.ivf_index`: a per-row hash filter
+    (`xxhash64(id) % denom == 0` — never ``df.sample``, whose output
+    depends on partition layout), id-ordered, capped; NULL and
+    off-modal-dimension vectors dropped."""
     n = df.count() if n_rows is None else n_rows
     denom = max(1, n // target)
     rows = (df.filter(F.xxhash64(F.col(id_col)) % denom == 0)
@@ -92,9 +89,20 @@ def train_pq(df: DataFrame, vec_col: str, id_col: str, m: int = 8,
         dim = Counter(len(v) for v in sample).most_common(1)[0][0]
         sample = [v for v in sample if len(v) == dim]
     if not sample:
-        raise ValueError("train_pq: no trainable vectors (input empty or "
+        raise ValueError(f"{what}: no trainable vectors (input empty or "
                          f"every sampled '{vec_col}' is NULL/empty)")
-    X = _normalize_rows(np.asarray(sample))
+    return np.asarray(sample)
+
+
+def train_pq(df: DataFrame, vec_col: str, id_col: str, m: int = 8,
+             n_codes: int = 16, seed: int = 42, max_train: int = 16384,
+             n_rows: Optional[int] = None) -> np.ndarray:
+    """Train per-subspace codebooks; returns (m, n_codes, dim//m).
+    Fixed-seed Lloyd's per subspace (seed varies by subspace so
+    codebooks are independent); see :func:`_sample_vectors` for the
+    determinism contract of the sample itself."""
+    X = _normalize_rows(_sample_vectors(
+        df, vec_col, id_col, min(max_train, n_codes * 1024), n_rows))
     dim = X.shape[1]
     _validate_pq(dim, m, n_codes)
     dsub = dim // m
@@ -258,6 +266,220 @@ def pq_topk_from_table(spark, table_path: str, vectors_df: DataFrame,
                                 F.col(CODE_COL)))
                 .filter(F.col("_adc").isNotNull())
                 .orderBy(F.col("_adc").desc(), F.col(id_col))
+                .limit(refine).select(id_col))
+    cand = vectors_df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    return cosine_topk(cand, vec_col, id_col, query, k, round_to)
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ composite index — the full Jégou et al. 2011 recipe: a coarse
+# quantizer prunes WHICH FILES are read (cell stats in the manifest),
+# PQ codes over the RESIDUALS shrink the bytes per row scanned. At
+# 10^12 vectors a probe reads ~n_probe/n_cells of the files and ~1/32
+# of the bytes within them — two multiplicative reductions.
+# ---------------------------------------------------------------------------
+
+IVFPQ_CELL_COL = "ivfpq_cell"
+
+
+def save_ivfpq_index(df: DataFrame, vec_col: str, id_col: str,
+                     table_path: str, n_cells: int = 16, m: int = 8,
+                     n_codes: int = 16, seed: int = 42,
+                     max_train: int = 16384):
+    """Train coarse centroids + residual PQ codebooks on one
+    deterministic sample, encode every vector to (cell, m-byte code),
+    and persist ONLY (id, cell, code) — range-partitioned by cell with
+    per-file cell stats so probes skip files. Centroids and codebooks
+    ride in the manifest properties. Vectors are L2-normalized before
+    everything (cosine semantics); the residual r = x-hat - c_cell is
+    what PQ encodes, per the paper — residuals are far more
+    homogeneous than raw vectors, so the same code budget reconstructs
+    them better. Returns (table, centers, codebooks)."""
+    from mehc_curation_spark.io.catalog import SnapshotTable
+    from mehc_curation_spark.operators.similarity import _normalized_vec
+
+    ndf = df.withColumn("_nvec", _normalized_vec(F.col(vec_col)))
+    X = _normalize_rows(_sample_vectors(
+        ndf, "_nvec", id_col, min(max_train, max(n_cells, n_codes) * 1024),
+        what="save_ivfpq_index"))
+    dim = X.shape[1]
+    _validate_pq(dim, m, n_codes)
+    dsub = dim // m
+    centers = _train_kmeans_np(X, n_cells, seed)
+    d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    resid = X - centers[d2.argmin(axis=1)]
+    books = np.stack([
+        _train_kmeans_np(resid[:, j * dsub:(j + 1) * dsub], n_codes,
+                         seed + 1000 + j)
+        for j in range(m)])
+    enc = make_ivfpq_encode_udf(centers, books)
+    codes = (ndf.withColumn("_enc", enc(F.col("_nvec")))
+             .select(F.col(id_col), F.col("_enc.cell").alias(IVFPQ_CELL_COL),
+                     F.col("_enc.code").alias(CODE_COL))
+             .repartitionByRange(n_cells, IVFPQ_CELL_COL)
+             .sortWithinPartitions(IVFPQ_CELL_COL))
+    table = SnapshotTable(table_path)
+    table.write(codes, mode="overwrite",
+                properties={
+                    "ivfpq_centers": json.dumps(centers.tolist()),
+                    "ivfpq_codebooks": json.dumps(books.tolist()),
+                    "ivfpq_n_cells": int(n_cells), "ivfpq_m": int(m),
+                    "ivfpq_n_codes": int(n_codes),
+                    "ivfpq_vec_col": vec_col, "ivfpq_id_col": id_col,
+                    "ivfpq_seed": int(seed)},
+                stats_cols=(IVFPQ_CELL_COL,))
+    return table, centers, books
+
+
+def make_ivfpq_encode_udf(centers: np.ndarray, codebooks: np.ndarray):
+    """struct<cell long, code binary> per vector: cell = nearest
+    centroid (GEMM argmin), code = per-subspace nearest residual
+    centroid. Input must already be L2-normalized (the save path
+    normalizes in-plan). NULL/ragged vectors -> NULL struct fields."""
+    from pyspark.sql.types import StructField, StructType
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    dim = m * dsub
+    c2 = (centers ** 2).sum(axis=1)
+    b2 = (books ** 2).sum(axis=2)
+    out_t = StructType([StructField("cell", LongType()),
+                        StructField("code", BinaryType())])
+
+    @pandas_udf(out_t)
+    def ivfpq_encode(vec: pd.Series) -> pd.DataFrame:
+        n = len(vec)
+        if n == 0:
+            return pd.DataFrame({"cell": pd.array([], dtype="Int64"),
+                                 "code": pd.Series([], dtype=object)})
+        X, valid = _stack_embeddings(vec, dim)
+        d2 = c2[None, :] - 2.0 * (X @ centers.T)
+        cell = d2.argmin(axis=1)
+        resid = X - centers[cell]
+        codes = np.zeros((n, m), dtype=np.uint8)
+        for j in range(m):
+            sub = resid[:, j * dsub:(j + 1) * dsub]
+            dj = b2[j][None, :] - 2.0 * (sub @ books[j].T)
+            codes[:, j] = dj.argmin(axis=1).astype(np.uint8)
+        cell_out = pd.array(cell.astype(np.int64), dtype="Int64")
+        cell_out[~valid] = pd.NA
+        code_out = [codes[i].tobytes() if valid[i] else None
+                    for i in range(n)]
+        return pd.DataFrame({"cell": cell_out,
+                             "code": pd.Series(code_out, dtype=object)})
+
+    return ivfpq_encode
+
+
+def _ivfpq_luts(centers: np.ndarray, codebooks: np.ndarray,
+                query: Sequence[float],
+                cells: Sequence[int]) -> dict[int, np.ndarray]:
+    """Per-probed-cell ADC tables: lut[c][j, t] = ||q_sub_j -
+    c_c_sub_j - B_j[t]||^2, so sum_j lut[c][j, code_j] approximates
+    the squared L2 distance to the reconstructed vector (monotone
+    with cosine on unit vectors: d^2 = 2 - 2 cos)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    q = np.asarray(list(query), dtype=np.float64)
+    if q.shape != (m * dsub,):
+        raise ValueError(f"ivfpq: query dim {q.shape} != index dim "
+                         f"{m * dsub}")
+    qn = np.sqrt((q * q).sum())
+    q = q / (qn if qn > 0 else 1.0)
+    luts = {}
+    for c in cells:
+        qr = (q - centers[c]).reshape(m, dsub)
+        diff = qr[:, None, :] - books  # (m, n_codes, dsub)
+        luts[int(c)] = (diff ** 2).sum(axis=2)
+    return luts
+
+
+def make_ivfpq_adc_udf(centers: np.ndarray, codebooks: np.ndarray,
+                       query: Sequence[float], cells: Sequence[int]):
+    """Approximate squared-L2 over (cell, code) — gather + row-sum per
+    Arrow batch, one LUT per probed cell. Rows outside the probed
+    cells (or with NULL codes) score NULL."""
+    luts = _ivfpq_luts(centers, codebooks, query, cells)
+    m = np.asarray(codebooks).shape[0]
+    cols = np.arange(m)
+
+    @pandas_udf(DoubleType())
+    def ivfpq_adc(cell: pd.Series, code: pd.Series) -> pd.Series:
+        n = len(cell)
+        out = np.full(n, np.nan)
+        codes = np.zeros((n, m), dtype=np.uint8)
+        valid = np.zeros(n, dtype=bool)
+        cl = cell.to_numpy(dtype="float64", na_value=np.nan)
+        for i, c in enumerate(code):
+            if c is not None and len(c) == m and not np.isnan(cl[i]):
+                codes[i] = np.frombuffer(c, dtype=np.uint8)
+                valid[i] = True
+        for c, lut in luts.items():
+            mask = valid & (cl == c)
+            if mask.any():
+                out[mask] = lut[cols[None, :], codes[mask]].sum(axis=1)
+        res = pd.array(out, dtype="Float64")
+        res[np.isnan(out)] = pd.NA
+        return pd.Series(res)
+
+    return ivfpq_adc
+
+
+def load_ivfpq(table) -> tuple[np.ndarray, np.ndarray, dict]:
+    props = table.manifest().get("properties", {})
+    if "ivfpq_centers" not in props:
+        raise ValueError(f"{table.path}: not an IVFPQ index table "
+                         "(no ivfpq_centers in manifest properties)")
+    return (np.asarray(json.loads(props["ivfpq_centers"]), dtype=np.float64),
+            np.asarray(json.loads(props["ivfpq_codebooks"]),
+                       dtype=np.float64),
+            props)
+
+
+def ivfpq_topk_from_table(spark, table_path: str, vectors_df: DataFrame,
+                          query: Sequence[float], k: int = 10,
+                          n_probe: int = 4, refine: Optional[int] = None,
+                          round_to: int = 4) -> DataFrame:
+    """Query the persisted IVFPQ index: file-skipped reads of the
+    probed cells (contiguous-run `between` reads on the cell stats),
+    ADC over the m-byte codes, top-`refine` ascending approximate
+    distance, exact-cosine re-rank against the source vectors
+    (broadcast semi-join of `refine` ids). The double reduction in
+    action: files outside the probed cells are never opened, and the
+    opened ones contribute code bytes, not float vectors."""
+    from mehc_curation_spark.io.catalog import SnapshotTable
+    from mehc_curation_spark.operators.ann_index import probe_cells
+    from mehc_curation_spark.operators.similarity import cosine_topk
+
+    refine = refine or max(4 * k, 50)
+    table = SnapshotTable(table_path)
+    centers, books, props = load_ivfpq(table)
+    id_col, vec_col = props["ivfpq_id_col"], props["ivfpq_vec_col"]
+    q = np.asarray(list(query), dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+    cells = probe_cells(centers, q / (qn if qn > 0 else 1.0), n_probe)
+    runs, start, prev = [], None, None
+    for c in sorted(cells):
+        if start is None:
+            start = prev = c
+        elif c == prev + 1:
+            prev = c
+        else:
+            runs.append((start, prev))
+            start = prev = c
+    runs.append((start, prev))
+    from functools import reduce as _reduce
+
+    parts = [table.read(spark, between=(IVFPQ_CELL_COL, lo, hi))
+             for lo, hi in runs]
+    codes = (_reduce(DataFrame.unionByName, parts)
+             .filter(F.col(IVFPQ_CELL_COL).isin(*[int(c) for c in cells])))
+    adc = make_ivfpq_adc_udf(centers, books, query, cells)
+    cand_ids = (codes
+                .withColumn("_adc", adc(F.col(IVFPQ_CELL_COL),
+                                        F.col(CODE_COL)))
+                .filter(F.col("_adc").isNotNull())
+                .orderBy(F.col("_adc").asc(), F.col(id_col))
                 .limit(refine).select(id_col))
     cand = vectors_df.join(F.broadcast(cand_ids), id_col, "left_semi")
     return cosine_topk(cand, vec_col, id_col, query, k, round_to)

@@ -191,3 +191,103 @@ class TestPersistedIndex:
         t.write(random_df.select("vec_id"), mode="overwrite")
         with pytest.raises(ValueError, match="not a PQ index"):
             load_pq_codebooks(t)
+
+
+class TestIVFPQ:
+    @pytest.fixture(scope="class")
+    def index(self, spark, random_df, tmp_path_factory):
+        from mehc_curation_spark.operators.pq import save_ivfpq_index
+
+        path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+        table, centers, books = save_ivfpq_index(
+            random_df, "embedding", "vec_id", path, n_cells=8, m=M,
+            n_codes=16)
+        return path, table, centers, books
+
+    def test_table_shape_and_stats_pruning(self, spark, index, random_df):
+        from mehc_curation_spark.operators.pq import (
+            CODE_COL,
+            IVFPQ_CELL_COL,
+        )
+
+        path, table, centers, books = index
+        stored = table.read(spark)
+        assert set(stored.columns) == {"vec_id", IVFPQ_CELL_COL, CODE_COL}
+        assert stored.count() == random_df.count()
+        # range partition by cell -> at least one single-cell read must
+        # skip files
+        skipped = False
+        for c in range(8):
+            sel, total = table.files_pruned((IVFPQ_CELL_COL, c, c))
+            skipped = skipped or sel < total
+        assert skipped
+
+    def test_full_probe_recall(self, spark, index, random_df):
+        from mehc_curation_spark.operators.pq import ivfpq_topk_from_table
+        from mehc_curation_spark.operators.similarity import cosine_topk
+
+        path = index[0]
+        q = random_df.filter("vec_id = 0").first()["embedding"]
+        ann = set(r["vec_id"] for r in ivfpq_topk_from_table(
+            spark, path, random_df, q, k=10, n_probe=8,
+            refine=60).collect())
+        brute = set(r["vec_id"] for r in cosine_topk(
+            random_df, "embedding", "vec_id", q, k=10).collect())
+        assert len(ann) == 10
+        # probing ALL cells leaves only PQ quantization loss
+        assert len(ann & brute) >= 7
+
+    def test_partial_probe_full_k_and_deterministic(self, spark, index,
+                                                    random_df):
+        from mehc_curation_spark.operators.pq import ivfpq_topk_from_table
+
+        path = index[0]
+        q = random_df.filter("vec_id = 0").first()["embedding"]
+        a = ivfpq_topk_from_table(spark, path, random_df, q, k=10,
+                                  n_probe=4).toPandas().values.tolist()
+        b = ivfpq_topk_from_table(spark, path, random_df.repartition(13),
+                                  q, k=10, n_probe=4
+                                  ).toPandas().values.tolist()
+        assert len(a) == 10 and a == b
+
+    def test_rebuild_from_any_layout_identical(self, spark, random_df,
+                                               tmp_path_factory):
+        from mehc_curation_spark.operators.pq import (
+            CODE_COL,
+            IVFPQ_CELL_COL,
+            save_ivfpq_index,
+        )
+
+        outs = []
+        for i, parts in enumerate((1, 32)):
+            path = str(tmp_path_factory.mktemp(f"ivfpq_r{i}") / "idx")
+            t, _, _ = save_ivfpq_index(random_df.repartition(parts),
+                                       "embedding", "vec_id", path,
+                                       n_cells=8, m=M, n_codes=16)
+            pdf = (t.read(spark).toPandas()
+                   .sort_values("vec_id").reset_index(drop=True))
+            outs.append([(r["vec_id"], r[IVFPQ_CELL_COL],
+                          bytes(r[CODE_COL]))
+                         for _, r in pdf.iterrows()])
+        assert outs[0] == outs[1]
+
+    def test_null_vectors_get_null_codes(self, spark, random_df, index):
+        from mehc_curation_spark.operators.pq import make_ivfpq_encode_udf
+
+        _, _, centers, books = index
+        bad = spark.createDataFrame(
+            [(9001, None), (9002, [1.0])],
+            "vec_id long, embedding array<double>")
+        got = (bad.withColumn("_e", make_ivfpq_encode_udf(centers, books)(
+            F.col("embedding"))).select("_e.cell", "_e.code").collect())
+        assert all(r["cell"] is None and r["code"] is None for r in got)
+
+    def test_non_index_table_raises(self, spark, random_df, tmp_path):
+        from mehc_curation_spark.io.catalog import SnapshotTable
+        from mehc_curation_spark.operators.pq import load_ivfpq
+
+        path = str(tmp_path / "plain2")
+        t = SnapshotTable(path)
+        t.write(random_df.select("vec_id"), mode="overwrite")
+        with pytest.raises(ValueError, match="not an IVFPQ index"):
+            load_ivfpq(t)
