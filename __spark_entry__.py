@@ -1318,11 +1318,13 @@ def emb_ann_pq_persisted_check(spark, sf_dir):
     rest = e.filter(F.col("vec_id") != 0)
     path = _pq_table_path(sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    table, _ = save_pq_index(rest, "embedding", "vec_id", path,
-                             m=8, n_codes=16, seed=42)
+    table, cb = save_pq_index(rest, "embedding", "vec_id", path,
+                              m=8, n_codes=16, seed=42)
     got = pq_topk_from_table(spark, path, rest, q, k=10, refine=60).collect()
+    # reuse the trained codebooks: parity is structural, and the
+    # in-memory side skips a second count + sample + m k-means
     exp = pq_topk(rest, "embedding", "vec_id", q, k=10, m=8, n_codes=16,
-                  refine=60).collect()
+                  refine=60, codebooks=cb).collect()
     same = ([(r["vec_id"], r["cos"]) for r in got]
             == [(r["vec_id"], r["cos"]) for r in exp])
     sizes = table.read(spark).select(
@@ -2451,8 +2453,8 @@ def pairs_meta_audit_check(spark, sf_dir):
         return _audit_one(d, r["fmt"])
 
     exp = pdf.apply(_local, axis=1)
-    exp_bytes = pd.Series([e[2] for e in exp], dtype="Int64")
-    exp_text = pd.Series([e[3] for e in exp], dtype="boolean")
+    exp_bytes = pd.Series([e[3] for e in exp], dtype="Int64")
+    exp_text = pd.Series([e[4] for e in exp], dtype="boolean")
     got_bytes = got["meta_bytes"].astype("Int64")
     got_text = got["has_text_meta"].astype("boolean")
     matches_local = bool(

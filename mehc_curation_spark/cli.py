@@ -910,8 +910,9 @@ def main(argv: list[str] | None = None) -> int:
                 src = spark.read.parquet(out_dir)
             else:
                 stripped = strip_image_metadata(
-                    audited.drop("meta_chunks", "text_keys",
-                                 "has_text_meta", "has_exif", "has_time")
+                    audited.drop("meta_chunks", "other_ancillary",
+                                 "text_keys", "has_text_meta", "has_exif",
+                                 "has_time", "has_trailing")
                     .withColumnRenamed("meta_bytes", "meta_bytes_removed"),
                     args.bytes_col, args.fmt_col)
                 stripped.write.mode("overwrite").parquet(out_dir)

@@ -51,6 +51,7 @@ from mehc_curation_spark.operators.similarity import (
     _stack_embeddings,
     _train_kmeans_np,
     cosine_topk,
+    sample_training_vectors,
 )
 
 CODE_COL = "pq_code"
@@ -69,40 +70,17 @@ def _normalize_rows(X: np.ndarray) -> np.ndarray:
     return X / np.where(norms > 0, norms, 1.0)
 
 
-def _sample_vectors(df: DataFrame, vec_col: str, id_col: str,
-                    target: int, n_rows: Optional[int] = None,
-                    what: str = "train_pq") -> np.ndarray:
-    """Deterministic, partition-invariant training sample — mirrors
-    :func:`~.similarity.ivf_index`: a per-row hash filter
-    (`xxhash64(id) % denom == 0` — never ``df.sample``, whose output
-    depends on partition layout), id-ordered, capped; NULL and
-    off-modal-dimension vectors dropped."""
-    n = df.count() if n_rows is None else n_rows
-    denom = max(1, n // target)
-    rows = (df.filter(F.xxhash64(F.col(id_col)) % denom == 0)
-            .orderBy(id_col).limit(target).select(vec_col).collect())
-    sample = [np.asarray(r[0], dtype=np.float64)
-              for r in rows if r[0] is not None]
-    if sample:
-        from collections import Counter
-
-        dim = Counter(len(v) for v in sample).most_common(1)[0][0]
-        sample = [v for v in sample if len(v) == dim]
-    if not sample:
-        raise ValueError(f"{what}: no trainable vectors (input empty or "
-                         f"every sampled '{vec_col}' is NULL/empty)")
-    return np.asarray(sample)
-
-
 def train_pq(df: DataFrame, vec_col: str, id_col: str, m: int = 8,
              n_codes: int = 16, seed: int = 42, max_train: int = 16384,
              n_rows: Optional[int] = None) -> np.ndarray:
     """Train per-subspace codebooks; returns (m, n_codes, dim//m).
     Fixed-seed Lloyd's per subspace (seed varies by subspace so
-    codebooks are independent); see :func:`_sample_vectors` for the
-    determinism contract of the sample itself."""
-    X = _normalize_rows(_sample_vectors(
-        df, vec_col, id_col, min(max_train, n_codes * 1024), n_rows))
+    codebooks are independent); see
+    :func:`~.similarity.sample_training_vectors` for the determinism
+    contract of the sample itself (shared with the IVF family)."""
+    X = _normalize_rows(sample_training_vectors(
+        df, vec_col, id_col, min(max_train, n_codes * 1024), n_rows,
+        what="train_pq"))
     dim = X.shape[1]
     _validate_pq(dim, m, n_codes)
     dsub = dim // m
@@ -299,7 +277,7 @@ def save_ivfpq_index(df: DataFrame, vec_col: str, id_col: str,
     from mehc_curation_spark.operators.similarity import _normalized_vec
 
     ndf = df.withColumn("_nvec", _normalized_vec(F.col(vec_col)))
-    X = _normalize_rows(_sample_vectors(
+    X = _normalize_rows(sample_training_vectors(
         ndf, "_nvec", id_col, min(max_train, max(n_cells, n_codes) * 1024),
         what="save_ivfpq_index"))
     dim = X.shape[1]

@@ -969,26 +969,20 @@ def make_cell_assign_udf(centers: np.ndarray):
     return cell_assign
 
 
-def ivf_index(df: DataFrame, vec_col: str, n_cells: int = 16,
-              seed: int = 42, id_col: Optional[str] = None,
-              max_train: int = 16384, n_rows: Optional[int] = None):
-    """Train an IVF coarse quantizer and return (assigned_df, centers):
-    the input with an `_ivf_cell` column and the centroid matrix
-    (n_cells, dim) for query-side probing.
-
-    Training is DETERMINISTIC and partition-invariant: the sample is
-    selected by a per-row hash condition (`xxhash64(id) % m == 0`,
-    never `df.sample`, whose output depends on the partition layout),
-    ordered by id, capped at ``max_train`` rows, and clustered
-    driver-side with a fixed-seed NumPy Lloyd's — the faiss-style
-    recipe (coarse quantizers train on a small sample; thousands of
-    points per cell suffice). Assignment is one vectorized Arrow UDF.
-
-    ``id_col=None`` keeps the legacy behavior of training on every
-    row (small inputs only), still ordered deterministically by the
-    vector bytes."""
-    # sample cap ~1k points/cell: enough for a coarse quantizer
-    target = min(max_train, n_cells * 1024)
+def sample_training_vectors(df: DataFrame, vec_col: str,
+                            id_col: Optional[str], target: int,
+                            n_rows: Optional[int] = None,
+                            what: str = "ivf_index") -> np.ndarray:
+    """Deterministic, partition-invariant training sample shared by
+    every quantizer trainer (IVF, PQ, IVFPQ): rows selected by a
+    per-row hash condition (`xxhash64(id) % m == 0`, never
+    ``df.sample``, whose output depends on the partition layout),
+    ordered by id, capped at ``target``. ``id_col=None`` keeps the
+    legacy behavior of training on every row (small inputs only),
+    still ordered deterministically by the vector bytes. Ragged/
+    corrupt vectors must not crash training: only the modal
+    dimensionality is kept (ties resolve by sample order, which is
+    deterministic — the sample is id-ordered)."""
     if id_col is not None:
         n = df.count() if n_rows is None else n_rows
         denom = max(1, n // target)
@@ -1000,18 +994,32 @@ def ivf_index(df: DataFrame, vec_col: str, n_cells: int = 16,
     sample = [np.asarray(r[0], dtype=np.float64)
               for r in train_df.collect() if r[0] is not None]
     if sample:
-        # ragged/corrupt vectors must not crash training: keep the
-        # modal dimensionality (ties resolve by sample order, which is
-        # deterministic — the sample is id-ordered)
         from collections import Counter
 
         dim = Counter(len(v) for v in sample).most_common(1)[0][0]
         sample = [v for v in sample if len(v) == dim]
     if not sample:
         raise ValueError(
-            "ivf_index: no trainable vectors (input empty or every "
+            f"{what}: no trainable vectors (input empty or every "
             f"sampled '{vec_col}' is NULL/empty)")
-    X = np.asarray(sample)
+    return np.asarray(sample)
+
+
+def ivf_index(df: DataFrame, vec_col: str, n_cells: int = 16,
+              seed: int = 42, id_col: Optional[str] = None,
+              max_train: int = 16384, n_rows: Optional[int] = None):
+    """Train an IVF coarse quantizer and return (assigned_df, centers):
+    the input with an `_ivf_cell` column and the centroid matrix
+    (n_cells, dim) for query-side probing.
+
+    Training is DETERMINISTIC and partition-invariant (see
+    :func:`sample_training_vectors`), clustered driver-side with a
+    fixed-seed NumPy Lloyd's — the faiss-style recipe (coarse
+    quantizers train on a small sample; thousands of points per cell
+    suffice). Assignment is one vectorized Arrow UDF."""
+    # sample cap ~1k points/cell: enough for a coarse quantizer
+    X = sample_training_vectors(df, vec_col, id_col,
+                                min(max_train, n_cells * 1024), n_rows)
     centers = _train_kmeans_np(X, n_cells, seed)
     assigned = df.withColumn("_ivf_cell",
                              make_cell_assign_udf(centers)(F.col(vec_col)))

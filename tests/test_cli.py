@@ -956,7 +956,7 @@ def test_metascrub_cli(pairs_file, tmp_path_factory):
     res = json.loads(_run(
         ["metascrub", "-i", pairs_file, "-o", out_s,
          "--cores", "4"]).stdout.strip().splitlines()[-1])
-    assert res["stripped"] is True and res["rows"] == res["rows"]
+    assert res["stripped"] is True and res["rows"] == 2000
     n_diff = duckdb.sql(f"""
         SELECT COUNT(*) FROM read_parquet('{pairs_file}') a
         JOIN read_parquet('{out_s}/data/*.parquet') b USING (image_id)

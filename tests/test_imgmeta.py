@@ -52,7 +52,7 @@ class TestAudit:
         for i in range(6):
             r = got.loc[f"p{i}"]
             assert list(r["meta_chunks"]) == [] and r["meta_bytes"] == 0
-            assert r["has_text_meta"] is False or r["has_text_meta"] == False  # noqa: E712
+            assert not r["has_text_meta"] and not r["has_trailing"]
         assert list(got.loc["b0"]["meta_chunks"]) == []
         assert got.loc["n0"]["meta_chunks"] is None
 
@@ -66,6 +66,27 @@ class TestAudit:
         assert set(r["meta_chunks"]) == {"eXIf", "tIME"}
         assert r["has_exif"] and r["has_time"] and not r["has_text_meta"]
         assert r["meta_bytes"] == (12 + 16) + (12 + 7)
+
+    def test_pixel_affecting_ancillary_not_metadata(self, spark):
+        """tRNS/gAMA affect rendering: they surface in other_ancillary,
+        count zero removable bytes, and survive the strip verbatim."""
+        png = encode_image(_px(2), "png")
+        png = _inject_before_iend(png, _chunk(b"gAMA", b"\x00\x01\x86\xa0"))
+        png = _inject_before_iend(png, _chunk(b"tRNS", b"\x00\x01\x02"))
+        df = spark.createDataFrame([("x", png, "png")],
+                                   "image_id string, bytes binary, fmt string")
+        r = image_metadata_audit(df).first()
+        assert list(r["meta_chunks"]) == [] and r["meta_bytes"] == 0
+        assert set(r["other_ancillary"]) == {"gAMA", "tRNS"}
+        assert strip_png_metadata_bytes(png) == png
+
+    def test_trailing_bytes_counted(self, spark):
+        png = encode_image(_px(3), "png") + b"JUNKJUNK"
+        df = spark.createDataFrame([("x", png, "png")],
+                                   "image_id string, bytes binary, fmt string")
+        r = image_metadata_audit(df).first()
+        assert r["has_trailing"] and r["meta_bytes"] == 8
+        assert list(r["meta_chunks"]) == []
 
     def test_text_keys_surface(self, spark):
         png = embed_png_text_bytes(encode_image(_px(2), "png"),
@@ -107,6 +128,18 @@ class TestStrip:
         out = strip_png_metadata_bytes(png)
         assert out == encode_image(_px(5), "png")
 
+    def test_audit_clean_implies_strip_identity(self, spark):
+        """The contract the check queries lean on: meta_bytes == 0
+        <=> strip returns the input byte-for-byte — including a PNG
+        carrying preserved (pixel-affecting) ancillary chunks."""
+        png = encode_image(_px(8), "png")
+        png = _inject_before_iend(png, _chunk(b"sRGB", b"\x00"))
+        df = spark.createDataFrame([("x", png, "png")],
+                                   "image_id string, bytes binary, fmt string")
+        r = image_metadata_audit(df).first()
+        assert r["meta_bytes"] == 0
+        assert strip_png_metadata_bytes(png) == png
+
     def test_non_png_passthrough_and_nulls(self, spark, meta_df):
         out = {r["image_id"]: r["bytes"]
                for r in strip_image_metadata(meta_df).collect()}
@@ -121,6 +154,29 @@ class TestStrip:
         assert bytes(strip_image_metadata(df).first()["bytes"]) == png
         tagged = embed_provenance(df, value_col="image_id")
         assert bytes(tagged.first()["bytes"]) == png
+
+
+class TestEmbed:
+    def test_unicode_value_uses_itxt_and_round_trips(self, spark):
+        """Non-latin-1 provenance must NOT be silently dropped: it
+        goes into an iTXt chunk (UTF-8 per spec), audits as text
+        metadata, and the strip still returns the original bytes."""
+        png = encode_image(_px(7), "png")
+        val = "José’s café — 東京"
+        tagged = embed_png_text_bytes(png, "source", val)
+        assert b"iTXt" in tagged
+        df = spark.createDataFrame([("x", tagged, "png")],
+                                   "image_id string, bytes binary, fmt string")
+        r = image_metadata_audit(df).first()
+        assert r["meta_chunks"] == ["iTXt"] and r["has_text_meta"]
+        assert r["text_keys"] == ["source"]
+        assert strip_png_metadata_bytes(tagged) == png
+
+    def test_bad_key_raises_eagerly(self):
+        from mehc_curation_spark.operators.imgmeta import make_embed_text_udf
+
+        with pytest.raises(UnicodeEncodeError):
+            make_embed_text_udf("clé—日本")
 
 
 class TestChunkWalk:
