@@ -1877,6 +1877,73 @@ def pairs_phash_verify_check(spark, sf_dir):
         "planted_dups_cap boolean, identical_bytes_same_dims boolean")
 
 
+def pairs_ssim_verify(spark, sf_dir):
+    """SSIM-extended pixel verification of the phash candidates
+    (Wang et al. 2004 block-SSIM from the SAME single decode as the
+    PSNR column): PSNR measures pointwise error, SSIM structural
+    change — a watermarked near-dup keeps PSNR high but drops SSIM.
+    Rows-only surface; pairs_ssim_verify_check carries the oracled
+    gate."""
+    from mehc_curation_spark.operators.multimodal import verify_pairs_psnr
+    from mehc_curation_spark.operators.similarity import phash_near_dups
+
+    d = spark.read.parquet(_pairs_path())
+    cands = phash_near_dups(d, "phash", "image_id", max_hamming=4)
+    return verify_pairs_psnr(d, cands, include_ssim=True)
+
+
+def pairs_ssim_verify_check(spark, sf_dir):
+    """Oracled check for the SSIM column: (a) the distributed SSIM of
+    every phash candidate pair equals an in-process recompute through
+    the SAME kernel exactly; (b) non-vacuity — byte-identical planted
+    duplicates score EXACTLY 1.0 (the kernel's numerator and
+    denominator are the same float expression on identical inputs),
+    and at least one non-identical pair scores strictly below 1."""
+    import pandas as pd
+
+    from mehc_curation_spark.codecs.image import (
+        DecodeError, decode_image, ssim)
+    from mehc_curation_spark.codecs.resize import resize_bilinear
+    from mehc_curation_spark.fixtures import make_pairs_pdf
+    from mehc_curation_spark.operators.multimodal import verify_pairs_psnr
+    from mehc_curation_spark.operators.similarity import phash_near_dups
+
+    d = spark.read.parquet(_pairs_path())
+    cands = phash_near_dups(d, "phash", "image_id", max_hamming=4)
+    got = (verify_pairs_psnr(d, cands, include_ssim=True).toPandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pdf = make_pairs_pdf(2000, seed=42)
+    by_id = {r.image_id: r for r in pdf.itertuples(index=False)}
+
+    def _local(ia, ib):
+        ra, rb = by_id[ia], by_id[ib]
+        try:
+            pa = decode_image(ra.bytes, ra.fmt, int(ra.w), int(ra.h))
+            pb = decode_image(rb.bytes, rb.fmt, int(rb.w), int(rb.h))
+            if pa.shape != pb.shape:
+                pb = resize_bilinear(pb, pa.shape[0], pa.shape[1])
+            return round(ssim(pa, pb), 4)
+        except (DecodeError, TypeError, ValueError):
+            return None
+
+    match, ident_one, n_below = True, True, 0
+    for r in got.itertuples(index=False):
+        exp = _local(r.id_a, r.id_b)
+        g = (None if r.ssim is None or pd.isna(r.ssim) else float(r.ssim))
+        match = match and g == exp
+        ra, rb = by_id[r.id_a], by_id[r.id_b]
+        ident = (ra.bytes is not None and rb.bytes is not None
+                 and bytes(ra.bytes) == bytes(rb.bytes))
+        if ident:
+            ident_one = ident_one and g == 1.0
+        elif g is not None and g < 1.0:
+            n_below += 1
+    return spark.createDataFrame(
+        [(len(got), bool(match), bool(ident_one), bool(n_below > 0))],
+        "n_pairs long, ssim_matches_local boolean, "
+        "identical_bytes_ssim_one boolean, nonidentical_below_one boolean")
+
+
 def pairs_exposure(spark, sf_dir):
     """Exposure + watermark-band signals over decoded payloads
     (operators/multimodal.py image_exposure). Rows-only surface;
@@ -3418,6 +3485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_crop_borders": pairs_crop_borders,
         "pairs_crop_check": pairs_crop_check,
         "pairs_phash_verify": pairs_phash_verify,
+        "pairs_ssim_verify": pairs_ssim_verify,
+        "pairs_ssim_verify_check": pairs_ssim_verify_check,
         "pairs_phash_verify_check": pairs_phash_verify_check,
         "pairs_exposure": pairs_exposure,
         "pairs_exposure_check": pairs_exposure_check,
@@ -4886,6 +4955,16 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS matches_local,
                    TRUE AS planted_dups_cap,
                    TRUE AS identical_bytes_same_dims
+            FROM read_parquet('{_pairs_cache_file()}') a
+            JOIN read_parquet('{_pairs_cache_file()}') b
+              ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 4
+        """,
+        "pairs_ssim_verify_check": f"""
+            SELECT COUNT(*) AS n_pairs,
+                   TRUE AS ssim_matches_local,
+                   TRUE AS identical_bytes_ssim_one,
+                   TRUE AS nonidentical_below_one
             FROM read_parquet('{_pairs_cache_file()}') a
             JOIN read_parquet('{_pairs_cache_file()}') b
               ON a.image_id < b.image_id

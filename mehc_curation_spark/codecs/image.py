@@ -318,3 +318,38 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def _luma(px: np.ndarray) -> np.ndarray:
+    """BT.601 luma plane (float64) of an (h, w, 3) uint8 image."""
+    p = px.astype(np.float64)
+    return 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+
+
+def ssim(a: np.ndarray, b: np.ndarray, window: int = 8) -> float:
+    """Mean structural similarity (Wang et al. 2004, IEEE TIP 13(4))
+    between two uint8 RGB images of identical shape, on the BT.601
+    luma plane over NON-OVERLAPPING window x window blocks with a
+    uniform window — the fast block variant (stride = window) rather
+    than the paper's sliding 11x11 Gaussian; complements PSNR in the
+    near-dup verify stage because it responds to structural change
+    (edges, texture) where PSNR only measures pointwise error.
+    Deterministic pure NumPy; identical inputs score exactly 1.0
+    (numerator and denominator are the same float expression)."""
+    if a.shape != b.shape:
+        raise ValueError(f"ssim: shape mismatch {a.shape} vs {b.shape}")
+    la, lb = _luma(a), _luma(b)
+    h, w = la.shape
+    win = max(1, min(window, h, w))
+    hh, ww = (h // win) * win, (w // win) * win
+    A = (la[:hh, :ww].reshape(hh // win, win, ww // win, win)
+         .transpose(0, 2, 1, 3).reshape(-1, win * win))
+    B = (lb[:hh, :ww].reshape(hh // win, win, ww // win, win)
+         .transpose(0, 2, 1, 3).reshape(-1, win * win))
+    mu_a, mu_b = A.mean(axis=1), B.mean(axis=1)
+    var_a, var_b = A.var(axis=1), B.var(axis=1)
+    cov = ((A - mu_a[:, None]) * (B - mu_b[:, None])).mean(axis=1)
+    c1, c2 = (0.01 * 255.0) ** 2, (0.03 * 255.0) ** 2
+    s = (((2.0 * mu_a * mu_b + c1) * (2.0 * cov + c2))
+         / ((mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2)))
+    return float(s.mean())

@@ -755,10 +755,14 @@ PSNR_VERIFY_SCHEMA = StructType([
     StructField("psnr_db", DoubleType()),
 ])
 
+PSNR_SSIM_VERIFY_SCHEMA = StructType(
+    PSNR_VERIFY_SCHEMA.fields + [StructField("ssim", DoubleType())])
+
 
 def verify_pairs_psnr(payload_df: DataFrame, pairs_df: DataFrame,
                       id_col: str = "image_id",
-                      cap_db: float = 99.0) -> DataFrame:
+                      cap_db: float = 99.0,
+                      include_ssim: bool = False) -> DataFrame:
     """Pixel-space verification of candidate near-dup pairs (REAL —
     NumPy codecs decode both payloads; PSNR kernel codecs/image.py,
     dims reconciled through the deterministic bilinear kernel).
@@ -777,10 +781,17 @@ def verify_pairs_psnr(payload_df: DataFrame, pairs_df: DataFrame,
     high. PSNR is capped at ``cap_db`` (identical pixels would be
     +inf) and rounded to 4 decimals for distributed/local parity.
 
-    Returns (id_a, id_b, decode_ok, same_dims, psnr_db).
+    Returns (id_a, id_b, decode_ok, same_dims, psnr_db) —
+    ``include_ssim=True`` appends a block-SSIM column (codecs/
+    image.py:ssim, Wang et al. 2004) from the SAME single decode:
+    PSNR measures pointwise error, SSIM structural change, and a
+    near-dup policy often wants both (a recompressed copy scores
+    high on both; a watermarked copy keeps PSNR high but drops SSIM
+    where the overlay breaks structure).
     """
     from pyspark.sql import functions as F
 
+    schema = PSNR_SSIM_VERIFY_SCHEMA if include_ssim else PSNR_VERIFY_SCHEMA
     pcols = ("bytes", "w", "h", "fmt")
     a = payload_df.select(F.col(id_col).alias("id_a"),
                           *[F.col(c).alias(f"{c}_a") for c in pcols])
@@ -791,7 +802,7 @@ def verify_pairs_psnr(payload_df: DataFrame, pairs_df: DataFrame,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mehc_curation_spark.codecs.image import (
-            DecodeError, decode_image, psnr)
+            DecodeError, decode_image, psnr, ssim)
         from mehc_curation_spark.codecs.resize import resize_bilinear
 
         for pdf in batches:
@@ -806,13 +817,19 @@ def verify_pairs_psnr(payload_df: DataFrame, pairs_df: DataFrame,
                     if not same:
                         pb = resize_bilinear(pb, pa.shape[0], pa.shape[1])
                     val = round(min(psnr(pa, pb), cap_db), 4)
-                    rows.append((r.id_a, r.id_b, True, same, val))
+                    row = (r.id_a, r.id_b, True, same, val)
+                    if include_ssim:
+                        row += (round(ssim(pa, pb), 4),)
+                    rows.append(row)
                 except (DecodeError, TypeError, ValueError):
-                    rows.append((r.id_a, r.id_b, False, None, None))
-            yield pd.DataFrame(rows, columns=[f.name for f in
-                                              PSNR_VERIFY_SCHEMA.fields])
+                    row = (r.id_a, r.id_b, False, None, None)
+                    if include_ssim:
+                        row += (None,)
+                    rows.append(row)
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema.fields])
 
-    return j.mapInPandas(run, PSNR_VERIFY_SCHEMA)
+    return j.mapInPandas(run, schema)
 
 
 EXPOSURE_SCHEMA = StructType([
