@@ -1442,6 +1442,53 @@ def emb_ann_join_check(spark, sf_dir):
         "all_within_brute_top50 boolean")
 
 
+def emb_ann_ivfpq_join_check(spark, sf_dir):
+    """Batched kNN join against the PERSISTED IVFPQ index (the
+    compressed-production decontamination shape: candidates come from
+    a cell-key equi-join over 8-byte codes, never the vectors): every
+    query must get its full k=10 rows and every neighbor must sit
+    inside that query's brute-force top-50 (measured: inside top-25
+    at sf0.01 with n_probe=8/16)."""
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from mehc_curation_spark.operators.pq import (
+        ivfpq_join,
+        save_ivfpq_index,
+    )
+    from mehc_curation_spark.operators.similarity import (
+        _dot_col,
+        _normalized_vec,
+    )
+
+    qdf, idx = _ann_join_frames(spark, sf_dir)
+    path = _pq_table_path(sf_dir) + "_ivfpq_join"
+    shutil.rmtree(path, ignore_errors=True)
+    save_ivfpq_index(idx, "embedding", "vec_id", path, n_cells=16,
+                     m=8, n_codes=16, seed=42)
+    ann = ivfpq_join(spark, path, qdf, idx, "embedding", "query_id",
+                     k=10, n_probe=8, refine=60)
+    qn = qdf.select("query_id",
+                    _normalized_vec(F.col("embedding")).alias("_q"))
+    xn = idx.select("vec_id", _normalized_vec(F.col("embedding")).alias("_x"))
+    scored = qn.crossJoin(xn).select(
+        "query_id", "vec_id",
+        F.round(_dot_col(F.col("_q"), F.col("_x")), 4).alias("cos"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    brute50 = scored.withColumn("r", F.row_number().over(w)) \
+        .filter(F.col("r") <= 50).select("query_id", "vec_id")
+    n_queries = qdf.count()
+    per_q = ann.groupBy("query_id").agg(F.count("*").alias("n"))
+    all_full_k = (per_q.filter(F.col("n") == 10).count() == n_queries
+                  and per_q.count() == n_queries)
+    n_outside = ann.join(brute50, ["query_id", "vec_id"], "left_anti").count()
+    return spark.createDataFrame(
+        [(n_queries, bool(all_full_k), n_outside == 0)],
+        "n_queries long, all_queries_full_k boolean, "
+        "all_within_brute_top50 boolean")
+
+
 def _cross_dedup_frames(spark, sf_dir):
     """Deterministic two-corpus split of the embeddings table:
     reference corpus = vec_id % 5 == 0 (the 'eval set' / already-
@@ -3529,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_pq_check": emb_ann_pq_check,
         "emb_ann_pq_persisted_check": emb_ann_pq_persisted_check,
         "emb_ann_ivfpq_check": emb_ann_ivfpq_check,
+        "emb_ann_ivfpq_join_check": emb_ann_ivfpq_join_check,
         "pairs_curate_labels": pairs_curate_labels,
         "pairs_image_features": pairs_image_features,
         "pairs_image_quality": pairs_image_quality,
@@ -5177,6 +5225,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS returned_full_k,
                    TRUE AS topk_within_brute_top50,
                    TRUE AS files_skipped
+        """,
+        "emb_ann_ivfpq_join_check": """
+            SELECT COUNT(*) AS n_queries,
+                   TRUE AS all_queries_full_k,
+                   TRUE AS all_within_brute_top50
+            FROM embeddings WHERE vec_id < 8
         """,
         "emb_ann_join_check": """
             SELECT COUNT(*) AS n_queries,

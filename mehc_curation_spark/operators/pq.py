@@ -461,3 +461,141 @@ def ivfpq_topk_from_table(spark, table_path: str, vectors_df: DataFrame,
                 .limit(refine).select(id_col))
     cand = vectors_df.join(F.broadcast(cand_ids), id_col, "left_semi")
     return cosine_topk(cand, vec_col, id_col, query, k, round_to)
+
+
+def make_probe_cells_udf(centers: np.ndarray, n_probe: int):
+    """array<long> of the ``n_probe`` nearest cells per query vector
+    (normalized in-batch; stable argsort → deterministic ties). NULL/
+    ragged vectors probe nothing (NULL array)."""
+    from pyspark.sql.types import ArrayType
+
+    dim = centers.shape[1]
+    c2 = (centers ** 2).sum(axis=1)
+
+    @pandas_udf(ArrayType(LongType()))
+    def probe_cells_udf(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        X, valid = _stack_embeddings(vec, dim)
+        X = _normalize_rows(X)
+        d2 = c2[None, :] - 2.0 * (X @ centers.T)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.tolist() if ok else None
+                          for row, ok in zip(idx, valid)], dtype=object)
+
+    return probe_cells_udf
+
+
+def make_ivfpq_pairwise_adc_udf(centers: np.ndarray, codebooks: np.ndarray):
+    """Approximate squared-L2 between a (normalized-in-batch) query
+    vector column and an IVFPQ (cell, code) pair: reconstruct =
+    centroid + residual-codebook gather, one vectorized diff per Arrow
+    batch. The pairwise form the kNN JOIN needs — per-query LUTs don't
+    apply when every row carries a different query."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    dim = m * dsub
+
+    @pandas_udf(DoubleType())
+    def pairwise_adc(qvec: pd.Series, cell: pd.Series,
+                     code: pd.Series) -> pd.Series:
+        n = len(qvec)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        Q, qvalid = _stack_embeddings(qvec, dim)
+        Q = _normalize_rows(Q)
+        cl = cell.to_numpy(dtype="float64", na_value=np.nan)
+        codes = np.zeros((n, m), dtype=np.uint8)
+        valid = qvalid & ~np.isnan(cl)
+        for i, c in enumerate(code):
+            if c is not None and len(c) == m:
+                codes[i] = np.frombuffer(c, dtype=np.uint8)
+            else:
+                valid[i] = False
+        recon = np.zeros((n, dim))
+        ci = np.where(valid, cl, 0).astype(np.int64)
+        recon[valid] = centers[ci[valid]]
+        for j in range(m):
+            recon[valid, j * dsub:(j + 1) * dsub] += books[j][
+                codes[valid, j]]
+        d2 = ((Q - recon) ** 2).sum(axis=1)
+        out = pd.array(d2, dtype="Float64")
+        out[~valid] = pd.NA
+        return pd.Series(out)
+
+    return pairwise_adc
+
+
+def ivfpq_join(spark, table_path: str, queries_df: DataFrame,
+               vectors_df: DataFrame, query_vec_col: str,
+               query_id_col: str, k: int = 10, n_probe: int = 4,
+               refine: Optional[int] = None, round_to: int = 4,
+               broadcast_queries: bool = True) -> DataFrame:
+    """Batched kNN JOIN against the persisted IVFPQ index — the
+    production decontamination shape (a query CORPUS against a
+    reference index, not a loop of driver-side probes), over the
+    compressed codes:
+
+    - every query explodes to its ``n_probe`` nearest cells; the
+      candidate join is a cell-key equi-join against the (id, cell,
+      code) table — the INDEX VECTORS never participate in candidate
+      generation, only 8-byte codes do;
+    - pairwise ADC scores the candidates (reconstruct-and-diff — one
+      Arrow stage over the candidate minority);
+    - per-query top-``refine`` by approximate distance (window over
+      candidates), then the exact-cosine verify joins ONLY those ids
+      back to the source vectors; per-query top-k is a second window.
+
+    ``broadcast_queries=True`` broadcasts the slim query probe/vector
+    frames (thousands of queries against a huge index — one scan of
+    the code table); pass False to shuffle-join on the cell key when
+    the query side is itself huge.
+
+    Returns (query_id, index_id, cos, rank), rank 1..k per query
+    (ties: rounded cos then index id — reproducible)."""
+    from pyspark.sql import Window
+
+    from mehc_curation_spark.io.catalog import SnapshotTable
+    from mehc_curation_spark.operators.similarity import (
+        _dot_col,
+        _normalized_vec,
+    )
+
+    refine = refine or max(4 * k, 50)
+    table = SnapshotTable(table_path)
+    centers, books, props = load_ivfpq(table)
+    id_col, vec_col = props["ivfpq_id_col"], props["ivfpq_vec_col"]
+    codes = table.read(spark)
+
+    probes = make_probe_cells_udf(centers, n_probe)
+    q_probes = queries_df.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(probes(F.col(query_vec_col))).alias(IVFPQ_CELL_COL))
+    q_vecs = queries_df.select(
+        F.col(query_id_col).alias("_qid"),
+        _normalized_vec(F.col(query_vec_col)).alias("_qv"))
+    maybe_b = F.broadcast if broadcast_queries else (lambda d: d)
+    cand = (codes.join(maybe_b(q_probes), IVFPQ_CELL_COL)
+            .join(maybe_b(q_vecs), "_qid"))
+    adc = make_ivfpq_pairwise_adc_udf(centers, books)
+    scored = (cand.withColumn("_adc", adc(F.col("_qv"),
+                                          F.col(IVFPQ_CELL_COL),
+                                          F.col(CODE_COL)))
+              .filter(F.col("_adc").isNotNull()))
+    w_ref = Window.partitionBy("_qid").orderBy(F.col("_adc").asc(),
+                                               F.col(id_col))
+    refined = (scored.withColumn("_r", F.row_number().over(w_ref))
+               .filter(F.col("_r") <= refine)
+               .select("_qid", "_qv", F.col(id_col).alias("_iid")))
+    idx_vecs = vectors_df.select(
+        F.col(id_col).alias("_iid"),
+        _normalized_vec(F.col(vec_col)).alias("_iv"))
+    exact = (refined.join(idx_vecs, "_iid")
+             .select("_qid", "_iid",
+                     F.round(_dot_col(F.col("_qv"), F.col("_iv")),
+                             round_to).alias("cos")))
+    w_k = Window.partitionBy("_qid").orderBy(F.desc("cos"), F.col("_iid"))
+    return (exact.withColumn("rank", F.row_number().over(w_k))
+            .filter(F.col("rank") <= k)
+            .select(F.col("_qid").alias(query_id_col),
+                    F.col("_iid").alias(id_col), "cos", "rank"))

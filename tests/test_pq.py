@@ -291,3 +291,60 @@ class TestIVFPQ:
         t.write(random_df.select("vec_id"), mode="overwrite")
         with pytest.raises(ValueError, match="not an IVFPQ index"):
             load_ivfpq(t)
+
+
+class TestIVFPQJoin:
+    @pytest.fixture(scope="class")
+    def jindex(self, spark, random_df, tmp_path_factory):
+        from mehc_curation_spark.operators.pq import save_ivfpq_index
+
+        path = str(tmp_path_factory.mktemp("ivfpq_j") / "idx")
+        save_ivfpq_index(random_df, "embedding", "vec_id", path,
+                         n_cells=8, m=M, n_codes=16)
+        return path
+
+    def _queries(self, random_df, n=6):
+        return (random_df.filter(f"vec_id < {n}")
+                .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    def test_full_probe_matches_per_query_brute(self, spark, jindex,
+                                                random_df):
+        from mehc_curation_spark.operators.pq import ivfpq_join
+        from mehc_curation_spark.operators.similarity import cosine_topk
+
+        got = ivfpq_join(spark, jindex, self._queries(random_df),
+                         random_df, "embedding", "query_id", k=5,
+                         n_probe=8, refine=120).toPandas()
+        assert sorted(got["query_id"].unique()) == [0, 1, 2, 3, 4, 5]
+        for qid, grp in got.groupby("query_id"):
+            assert list(grp["rank"]) == [1, 2, 3, 4, 5]
+            q = random_df.filter(f"vec_id = {qid}").first()["embedding"]
+            brute = [r["vec_id"] for r in cosine_topk(
+                random_df, "embedding", "vec_id", q, k=5).collect()]
+            assert list(grp.sort_values("rank")["vec_id"]) == brute, qid
+
+    def test_broadcast_and_shuffle_paths_agree(self, spark, jindex,
+                                               random_df):
+        from mehc_curation_spark.operators.pq import ivfpq_join
+
+        a = ivfpq_join(spark, jindex, self._queries(random_df), random_df,
+                       "embedding", "query_id", k=5, n_probe=4,
+                       broadcast_queries=True).toPandas()
+        b = ivfpq_join(spark, jindex, self._queries(random_df), random_df,
+                       "embedding", "query_id", k=5, n_probe=4,
+                       broadcast_queries=False).toPandas()
+        key = ["query_id", "rank"]
+        assert (a.sort_values(key).reset_index(drop=True).values.tolist()
+                == b.sort_values(key).reset_index(drop=True)
+                .values.tolist())
+
+    def test_null_query_vector_yields_no_rows(self, spark, jindex,
+                                              random_df):
+        from mehc_curation_spark.operators.pq import ivfpq_join
+
+        queries = self._queries(random_df).unionByName(
+            spark.createDataFrame([(999, None)],
+                                  "query_id long, embedding array<double>"))
+        got = ivfpq_join(spark, jindex, queries, random_df, "embedding",
+                         "query_id", k=5, n_probe=4).toPandas()
+        assert 999 not in set(got["query_id"])
