@@ -532,6 +532,21 @@ def doc_dataset_card(spark, sf_dir):
         "top_lang string, top_lang_rows long")
 
 
+def doc_score_drift(spark, sf_dir):
+    """PSI score-drift monitor (operators/profile.py:score_drift):
+    distribution-level "did my scores move?" between two corpus
+    slices — here the English docs' length distribution (reference)
+    vs everything else (new). Equal-width buckets over the reference
+    range, add-one smoothing, per-bucket (p_ref - p_new) *
+    ln(p_ref/p_new). FULL value oracle: DuckDB re-derives the bounds,
+    the clamped bucket floor, the smoothing and the contributions."""
+    from mehc_curation_spark.operators.profile import score_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return score_drift(d.filter(F.col("lang") == "en"),
+                       d.filter(F.col("lang") != "en"), "n_chars")
+
+
 def doc_card_drift(spark, sf_dir):
     """Corpus-version drift detection (io/card.py:card_drift): cards
     for the full corpus vs a deterministically drifted version
@@ -3475,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": doc_top_terms,
         "doc_dataset_card": doc_dataset_card,
         "doc_card_drift": doc_card_drift,
+        "doc_score_drift": doc_score_drift,
         "doc_tfidf_keywords": doc_tfidf_keywords,
         "doc_quality_model": doc_quality_model,
         "doc_quality_model_check": doc_quality_model_check,
@@ -4171,6 +4187,50 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY score DESC, term ASC) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        "doc_score_drift": """
+            WITH ref AS (
+                SELECT CAST(n_chars AS DOUBLE) AS s FROM documents
+                WHERE lang = 'en' AND n_chars IS NOT NULL
+            ), nw AS (
+                SELECT CAST(n_chars AS DOUBLE) AS s FROM documents
+                WHERE lang <> 'en' AND n_chars IS NOT NULL
+            ), bnd AS (
+                SELECT MIN(s) AS lo,
+                       CASE WHEN MAX(s) > MIN(s)
+                            THEN (MAX(s) - MIN(s)) / 10.0
+                            ELSE 1.0 END AS w
+                FROM ref
+            ), rb AS (
+                SELECT LEAST(9, GREATEST(0,
+                           CAST(FLOOR((s - lo) / w) AS INT))) AS bucket,
+                       COUNT(*) AS n
+                FROM ref, bnd GROUP BY 1
+            ), nb AS (
+                SELECT LEAST(9, GREATEST(0,
+                           CAST(FLOOR((s - lo) / w) AS INT))) AS bucket,
+                       COUNT(*) AS n
+                FROM nw, bnd GROUP BY 1
+            ), gs AS (
+                SELECT unnest(generate_series(0, 9)) AS bucket
+            ), j AS (
+                SELECT gs.bucket,
+                       CAST(COALESCE(rb.n, 0) AS BIGINT) AS n_ref,
+                       CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_new
+                FROM gs LEFT JOIN rb ON rb.bucket = gs.bucket
+                        LEFT JOIN nb ON nb.bucket = gs.bucket
+            ), t AS (
+                SELECT SUM(n_ref) AS tr, SUM(n_new) AS tn FROM j
+            )
+            SELECT bucket, n_ref, n_new,
+                   round((n_ref + 1) / CAST(tr + 10 AS DOUBLE), 6) AS p_ref,
+                   round((n_new + 1) / CAST(tn + 10 AS DOUBLE), 6) AS p_new,
+                   round(((n_ref + 1) / CAST(tr + 10 AS DOUBLE)
+                          - (n_new + 1) / CAST(tn + 10 AS DOUBLE))
+                         * ln(((n_ref + 1) / CAST(tr + 10 AS DOUBLE))
+                              / ((n_new + 1) / CAST(tn + 10 AS DOUBLE))),
+                         6) AS psi_contrib
+            FROM j, t ORDER BY bucket
         """,
         "doc_card_drift": _QSCORE_SQL + r"""
             , t AS (

@@ -162,3 +162,67 @@ def join_fanout_report(left: DataFrame, right: DataFrame,
                     F.round(F.col("est_rows") / F.col("_total"), 6)
                      .alias("share"))
             .orderBy(F.desc("est_rows"), F.asc("key")))
+
+
+def score_drift(df_ref: DataFrame, df_new: DataFrame, col: str,
+                n_buckets: int = 10) -> DataFrame:
+    """Population stability index between two corpus versions' score
+    distributions — the standard production-monitoring statistic for
+    "did my quality/langid/aesthetic scores move after this ingest?"
+    (complements io/card.card_drift's coarse rate flags with a
+    distribution-level signal).
+
+    Buckets are equal-width over the REFERENCE side's [min, max]
+    (out-of-range new-side scores clamp to the edge buckets, so a
+    shifted distribution piles up visibly at an edge); proportions are
+    add-one smoothed (never a log of zero); per-bucket contribution
+    (p_ref - p_new) * ln(p_ref / p_new) >= 0 always, and PSI = the
+    sum (rule of thumb: < 0.1 stable, > 0.25 investigate).
+
+    Physical shape: one min/max aggregate on the reference (two
+    scalars to the driver), then ONE map-combinable groupBy(bucket)
+    per side — no window, no sort; the result is ``n_buckets`` rows
+    (bucket, n_ref, n_new, p_ref, p_new, psi_contrib), each rounded
+    to 6 decimals for engine parity. NULL scores are excluded on both
+    sides (they carry no position in the distribution).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    ref = df_ref.filter(F.col(col).isNotNull())
+    new = df_new.filter(F.col(col).isNotNull())
+    bounds = ref.agg(F.min(F.col(col).cast("double")).alias("lo"),
+                     F.max(F.col(col).cast("double")).alias("hi")).first()
+    if bounds["lo"] is None:
+        raise ValueError(f"score_drift: reference side has no non-NULL "
+                         f"'{col}' values")
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    width = (hi - lo) / n_buckets if hi > lo else 1.0
+
+    def bucket(c):
+        return F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), F.floor(
+            (c.cast("double") - F.lit(lo)) / F.lit(width)))).cast("int")
+
+    def counts(df, name):
+        return (df.select(bucket(F.col(col)).alias("bucket"))
+                .groupBy("bucket").agg(F.count("*").alias(name)))
+
+    spark = df_ref.sparkSession
+    all_buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    joined = (all_buckets
+              .join(counts(ref, "n_ref"), "bucket", "left")
+              .join(counts(new, "n_new"), "bucket", "left")
+              .select("bucket",
+                      F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                      F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    tot = joined.agg(F.sum("n_ref").alias("tr"),
+                     F.sum("n_new").alias("tn")).first()
+    tr, tn = int(tot["tr"]), int(tot["tn"])
+    p_ref = (F.col("n_ref") + 1).cast("double") / F.lit(float(tr + n_buckets))
+    p_new = (F.col("n_new") + 1).cast("double") / F.lit(float(tn + n_buckets))
+    return (joined
+            .withColumn("p_ref", F.round(p_ref, 6))
+            .withColumn("p_new", F.round(p_new, 6))
+            .withColumn("psi_contrib",
+                        F.round((p_ref - p_new) * F.log(p_ref / p_new), 6))
+            .orderBy("bucket"))

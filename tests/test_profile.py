@@ -38,3 +38,68 @@ def test_profile_single_scan_plan(spark):
     df = spark.range(10).selectExpr("id", "cast(id as string) s")
     plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range") == 1  # one scan feeds the whole profile
+
+
+class TestScoreDrift:
+    def _df(self, spark, vals):
+        return spark.createDataFrame([(i, float(v)) for i, v in
+                                      enumerate(vals)],
+                                     "id long, s double")
+
+    def test_identical_distributions_zero_psi(self, spark):
+        from mehc_curation_spark.operators.profile import score_drift
+
+        vals = [float(v) for v in range(100)]
+        got = score_drift(self._df(spark, vals), self._df(spark, vals),
+                          "s").collect()
+        assert len(got) == 10
+        assert all(r["psi_contrib"] == 0.0 for r in got)
+        assert all(r["n_ref"] == r["n_new"] == 10 for r in got)
+
+    def test_shifted_distribution_positive_psi(self, spark):
+        from mehc_curation_spark.operators.profile import score_drift
+
+        ref = self._df(spark, range(100))
+        new = self._df(spark, [v + 200 for v in range(100)])
+        got = score_drift(ref, new, "s").collect()
+        psi = sum(r["psi_contrib"] for r in got)
+        assert psi > 0.25  # "investigate" territory
+        # out-of-range new scores clamp into the TOP edge bucket
+        assert got[9]["n_new"] == 100
+
+    def test_closed_form_two_buckets(self, spark):
+        import math
+
+        from mehc_curation_spark.operators.profile import score_drift
+
+        ref = self._df(spark, [0.0, 0.0, 0.0, 1.0])   # 3 low, 1 high
+        new = self._df(spark, [0.0, 1.0, 1.0, 1.0])   # 1 low, 3 high
+        got = {r["bucket"]: r for r in
+               score_drift(ref, new, "s", n_buckets=2).collect()}
+        pr0, pn0 = 4 / 6, 2 / 6   # add-one smoothed (cnt+1)/(4+2)
+        assert got[0]["psi_contrib"] == round(
+            (pr0 - pn0) * math.log(pr0 / pn0), 6)
+        assert got[0]["p_ref"] == round(pr0, 6)
+
+    def test_null_scores_excluded_and_constant_ref(self, spark):
+        from mehc_curation_spark.operators.profile import score_drift
+
+        ref = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, None)],
+                                    "id long, s double")
+        new = spark.createDataFrame([(1, 5.0), (2, None)],
+                                    "id long, s double")
+        got = score_drift(ref, new, "s").collect()
+        assert sum(r["n_ref"] for r in got) == 2
+        assert sum(r["n_new"] for r in got) == 1
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from mehc_curation_spark.operators.profile import score_drift
+
+        df = self._df(spark, [1.0])
+        with _pt.raises(ValueError, match="n_buckets"):
+            score_drift(df, df, "s", n_buckets=1)
+        empty = spark.createDataFrame([(1, None)], "id long, s double")
+        with _pt.raises(ValueError, match="no non-NULL"):
+            score_drift(empty, df, "s")
