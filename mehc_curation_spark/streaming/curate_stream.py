@@ -351,3 +351,73 @@ def stream_lang_window_counts(labels_stream: DataFrame,
         .select("window", "lang", "rows", "kept",
                 F.round(F.col("kept") / F.col("rows"), 4).alias("keep_rate"))
     )
+
+
+DOCS_STREAM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("source", StringType()),
+    StructField("n_chars", LongType()),
+])
+
+
+def run_stream_decontaminate(spark, input_dir: str, index_table_path: str,
+                             table_path: str, checkpoint_dir: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             threshold: float = 0.5,
+                             schema=None):
+    """Streaming decontamination against a standing text-signature
+    index: every arriving micro-batch of documents is checked against
+    the persisted MinHash index (the index side never re-shingles —
+    its stored band keys and shingle arrays serve both the banding
+    join and the exact-Jaccard verify), contaminated rows are dropped,
+    and the CLEAN rows commit to the snapshot table under the same
+    exactly-once foreachBatch recipe as
+    :func:`run_stream_to_snapshot_table` (idempotent replay via the
+    batch-id high-watermark + manifest walk).
+
+    This is the "filter the firehose against the eval sets" shape: the
+    index is static per run (loaded once, banding config pinned by its
+    manifest), the stream is the crawl. Per-batch flagged counts ride
+    in the snapshot properties so the drop rate is auditable batch by
+    batch. The index-side frame is a snapshot-table read — Spark
+    replans it per micro-batch, and the banded join touches only the
+    batch's shingles (increment-sized work per trigger)."""
+    from mehc_curation_spark.io.catalog import SnapshotTable
+    from mehc_curation_spark.operators.similarity import (
+        read_text_index,
+        text_dups_against_index,
+    )
+
+    index_df, cfg = read_text_index(spark, index_table_path)
+    table = SnapshotTable(table_path)
+    scope = _stream_scope(checkpoint_dir)
+
+    def commit_batch(batch_df, batch_id: int):
+        if _batch_committed(table, scope, int(batch_id)):
+            return
+        flagged = text_dups_against_index(
+            batch_df, index_df, cand_id_col=id_col, text_col=text_col,
+            threshold=threshold, num_hashes=cfg["num_hashes"],
+            bands=cfg["bands"], shingle_k=cfg["shingle_k"])
+        hit_ids = flagged.select(id_col).distinct()
+        clean = batch_df.join(hit_ids, id_col, "left_anti")
+        n_in = batch_df.count()
+        n_clean = clean.count()
+        table.write(clean, mode="append",
+                    properties={"stream_batch_id": int(batch_id),
+                                "stream_scope": scope,
+                                "decontam_in": n_in,
+                                "decontam_flagged": n_in - n_clean})
+        _advance_stream_hwm(table, scope, int(batch_id))
+
+    stream = spark.readStream.schema(
+        schema or DOCS_STREAM_SCHEMA).parquet(input_dir)
+    return (stream.writeStream
+            .foreachBatch(commit_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())

@@ -166,3 +166,65 @@ def test_batch_committed_is_scope_isolated(spark, tmp_path):
     # even though B's bid-0 commit sits above it in snapshot order
     assert _batch_committed(table, scope_a, 2)
     assert not _batch_committed(table, scope_a, 3)
+
+
+def test_stream_decontaminate_against_text_index(spark, tmp_path):
+    """Streaming decontamination: a standing text-signature index is
+    built from a reference corpus; two micro-batch arrivals stream
+    through run_stream_decontaminate; contaminated rows (near-copies
+    of reference docs) never reach the snapshot table, clean ones all
+    do, per-batch flag counts ride in the manifest properties, and a
+    replayed batch id commits nothing twice."""
+    from mehc_curation_spark.operators.similarity import write_text_index
+    from mehc_curation_spark.streaming.curate_stream import (
+        DOCS_STREAM_SCHEMA,
+        run_stream_decontaminate,
+    )
+
+    ref_rows = [(100 + i, f"the quick brown fox jumps over dog {i} "
+                 f"unique tail {i}", "en", "ref", 40) for i in range(5)]
+    ref = spark.createDataFrame(ref_rows, DOCS_STREAM_SCHEMA) \
+        .withColumnRenamed("doc_id", "ref_id")
+    idx_path = str(tmp_path / "txt_idx")
+    write_text_index(ref.selectExpr("ref_id", "text"), idx_path,
+                     ref_id_col="ref_id", num_hashes=32, bands=16,
+                     shingle_k=3)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    tbl = str(tmp_path / "clean_tbl")
+    ck = str(tmp_path / "ck")
+
+    def arrive(rows):
+        spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    # batch 1: one near-copy of ref doc 0 + two clean docs
+    arrive([(1, "the quick brown fox jumps over dog 0 unique tail 0",
+             "en", "crawl", 40),
+            (2, "completely different content about spark engines",
+             "en", "crawl", 40),
+            (3, "another clean document with fresh words", "en",
+             "crawl", 40)])
+    run_stream_decontaminate(spark, in_dir, idx_path, tbl, ck,
+                             threshold=0.5).awaitTermination(300)
+    # batch 2: one more contaminated + one clean
+    arrive([(4, "the quick brown fox jumps over dog 3 unique tail 3",
+             "en", "crawl", 40),
+            (5, "yet more novel text that matches nothing", "en",
+             "crawl", 40)])
+    run_stream_decontaminate(spark, in_dir, idx_path, tbl, ck,
+                             threshold=0.5).awaitTermination(300)
+
+    t = SnapshotTable(tbl)
+    got = sorted(r["doc_id"] for r in t.read(spark).collect())
+    assert got == [2, 3, 5]
+    props = t.manifest().get("properties", {})
+    assert props["decontam_flagged"] == 1 and props["decontam_in"] == 2
+    v_before = t.current_version()
+
+    # replay: same checkpoint, no new arrivals -> no new snapshot
+    run_stream_decontaminate(spark, in_dir, idx_path, tbl, ck,
+                             threshold=0.5).awaitTermination(300)
+    assert t.current_version() == v_before
+    assert sorted(r["doc_id"] for r in t.read(spark).collect()) == [2, 3, 5]
