@@ -375,6 +375,21 @@ def build_parser() -> argparse.ArgumentParser:
     ms.add_argument("--cores", type=int, default=-1)
     ms.add_argument("--master", default=None)
 
+    dr = sub.add_parser(
+        "drift",
+        help="PSI score-drift monitor between two corpus versions' "
+             "score columns (graft-only capability)")
+    dr.add_argument("-i", "--input", required=True,
+                    help="NEW corpus parquet")
+    dr.add_argument("-r", "--reference", required=True,
+                    help="REFERENCE corpus parquet (bucket bounds come "
+                         "from this side)")
+    dr.add_argument("--col", default="q_score",
+                    help="numeric column to compare")
+    dr.add_argument("--buckets", type=int, default=10)
+    dr.add_argument("--cores", type=int, default=-1)
+    dr.add_argument("--master", default=None)
+
     tk = sub.add_parser(
         "tokenize",
         help="train a tokenizer on the corpus and/or encode it: "
@@ -854,6 +869,24 @@ def main(argv: list[str] | None = None) -> int:
                               "mean_score": agg["mean_score"],
                               "trained": bool(args.train),
                               "threshold": args.threshold}))
+            return 0
+
+        if args.cmd == "drift":
+            from mehc_curation_spark.operators.profile import score_drift
+
+            ref = spark.read.parquet(args.reference)
+            new = spark.read.parquet(args.input)
+            rows = score_drift(ref, new, args.col,
+                               n_buckets=args.buckets).collect()
+            psi = round(sum(r["psi_contrib"] for r in rows), 6)
+            verdict = ("stable" if psi < 0.1
+                       else "moderate" if psi < 0.25 else "investigate")
+            print(json.dumps({
+                "psi": psi, "verdict": verdict, "col": args.col,
+                "buckets": [{"bucket": r["bucket"], "n_ref": r["n_ref"],
+                             "n_new": r["n_new"],
+                             "psi_contrib": r["psi_contrib"]}
+                            for r in rows]}))
             return 0
 
         if args.cmd == "dsir":

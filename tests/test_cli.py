@@ -964,3 +964,28 @@ def test_metascrub_cli(pairs_file, tmp_path_factory):
            OR (a.bytes IS NOT NULL AND hex(a.bytes) <> hex(b.bytes))
     """).fetchone()[0]
     assert n_diff == 0
+
+
+def test_drift_cli(tmp_path_factory):
+    """drift subcommand: PSI between the en and non-en length
+    distributions of the sf0.001 documents must be positive with the
+    buckets reconciling against DuckDB counts."""
+    base = tmp_path_factory.mktemp("cli_drift")
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    ref = str(base / "ref.parquet")
+    new = str(base / "new.parquet")
+    duckdb.sql(f"COPY (SELECT * FROM read_parquet('{docs}') WHERE "
+               f"lang = 'en') TO '{ref}' (FORMAT PARQUET)")
+    duckdb.sql(f"COPY (SELECT * FROM read_parquet('{docs}') WHERE "
+               f"lang <> 'en') TO '{new}' (FORMAT PARQUET)")
+    res = json.loads(_run(
+        ["drift", "-i", new, "-r", ref, "--col", "n_chars",
+         "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert res["verdict"] in ("stable", "moderate", "investigate")
+    assert len(res["buckets"]) == 10
+    n_ref = sum(b["n_ref"] for b in res["buckets"])
+    exp = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{ref}') "
+                     "WHERE n_chars IS NOT NULL").fetchone()[0]
+    assert n_ref == exp
+    assert res["psi"] == round(sum(b["psi_contrib"]
+                                   for b in res["buckets"]), 6)
