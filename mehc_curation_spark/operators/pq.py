@@ -582,15 +582,20 @@ def ivfpq_join(spark, table_path: str, queries_df: DataFrame,
                                           F.col(IVFPQ_CELL_COL),
                                           F.col(CODE_COL)))
               .filter(F.col("_adc").isNotNull()))
+    # keep the refine window's shuffle SLIM: only (_qid, id, _adc)
+    # move — the dim-double query vector re-joins onto the <= refine
+    # rows per query afterwards (the ann_join shuffle-path rule)
     w_ref = Window.partitionBy("_qid").orderBy(F.col("_adc").asc(),
-                                               F.col(id_col))
-    refined = (scored.withColumn("_r", F.row_number().over(w_ref))
+                                               F.col("_iid"))
+    refined = (scored.select("_qid", F.col(id_col).alias("_iid"), "_adc")
+               .withColumn("_r", F.row_number().over(w_ref))
                .filter(F.col("_r") <= refine)
-               .select("_qid", "_qv", F.col(id_col).alias("_iid")))
+               .select("_qid", "_iid"))
     idx_vecs = vectors_df.select(
         F.col(id_col).alias("_iid"),
         _normalized_vec(F.col(vec_col)).alias("_iv"))
     exact = (refined.join(idx_vecs, "_iid")
+             .join(maybe_b(q_vecs), "_qid")
              .select("_qid", "_iid",
                      F.round(_dot_col(F.col("_qv"), F.col("_iv")),
                              round_to).alias("cos")))

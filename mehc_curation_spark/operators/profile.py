@@ -179,19 +179,31 @@ def score_drift(df_ref: DataFrame, df_new: DataFrame, col: str,
     (p_ref - p_new) * ln(p_ref / p_new) >= 0 always, and PSI = the
     sum (rule of thumb: < 0.1 stable, > 0.25 investigate).
 
-    Physical shape: one min/max aggregate on the reference (two
-    scalars to the driver), then ONE map-combinable groupBy(bucket)
-    per side — no window, no sort; the result is ``n_buckets`` rows
+    Physical shape: one min/max/count aggregate on the reference
+    (three scalars to the driver), one count-only scan of the new
+    side, then ONE map-combinable groupBy(bucket) per side — no
+    window, no sort, and the groupBys are never evaluated twice
+    (totals never re-aggregate the joined frame); the result is
+    ``n_buckets`` rows
     (bucket, n_ref, n_new, p_ref, p_new, psi_contrib), each rounded
-    to 6 decimals for engine parity. NULL scores are excluded on both
-    sides (they carry no position in the distribution).
+    to 6 decimals for engine parity. NULL and NaN scores are excluded
+    on both sides (they carry no position in the distribution; an
+    unfiltered NaN would poison max() and silently collapse every
+    bucket into one, masking exactly the drift the monitor exists to
+    catch).
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    ref = df_ref.filter(F.col(col).isNotNull())
-    new = df_new.filter(F.col(col).isNotNull())
+
+    def _valid(df):
+        c = F.col(col).cast("double")
+        return df.filter(c.isNotNull() & ~F.isnan(c))
+
+    ref, new = _valid(df_ref), _valid(df_new)
+    # ONE reference pass yields bounds AND the ref total
     bounds = ref.agg(F.min(F.col(col).cast("double")).alias("lo"),
-                     F.max(F.col(col).cast("double")).alias("hi")).first()
+                     F.max(F.col(col).cast("double")).alias("hi"),
+                     F.count("*").alias("tr")).first()
     if bounds["lo"] is None:
         raise ValueError(f"score_drift: reference side has no non-NULL "
                          f"'{col}' values")
@@ -215,9 +227,9 @@ def score_drift(df_ref: DataFrame, df_new: DataFrame, col: str,
               .select("bucket",
                       F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
                       F.coalesce("n_new", F.lit(0)).alias("n_new")))
-    tot = joined.agg(F.sum("n_ref").alias("tr"),
-                     F.sum("n_new").alias("tn")).first()
-    tr, tn = int(tot["tr"]), int(tot["tn"])
+    # totals come from count-only scans (column-pruned), never a
+    # second evaluation of the bucket groupBys
+    tr, tn = int(bounds["tr"]), new.count()
     p_ref = (F.col("n_ref") + 1).cast("double") / F.lit(float(tr + n_buckets))
     p_new = (F.col("n_new") + 1).cast("double") / F.lit(float(tn + n_buckets))
     return (joined

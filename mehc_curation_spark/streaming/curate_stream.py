@@ -271,7 +271,8 @@ def _batch_committed(table, scope: str, batch_id: int) -> bool:
 def run_stream_to_snapshot_table(spark, input_dir: str, table_path: str,
                                  checkpoint_dir: str,
                                  config: CurationConfig = CurationConfig(),
-                                 transform=None):
+                                 transform=None, schema=None,
+                                 batch_transform=None):
     """Streaming ingestion INTO the Iceberg-analog snapshot table:
     each micro-batch commits one snapshot via ``foreachBatch``, so
     consumers get snapshot isolation + time travel over the stream's
@@ -283,7 +284,15 @@ def run_stream_to_snapshot_table(spark, input_dir: str, table_path: str,
     already committed, making the snapshot append idempotent (the
     standard foreachBatch idempotent-sink recipe, here backed by the
     catalog's CAS manifest commit so a concurrent writer can't
-    interleave)."""
+    interleave).
+
+    ``transform`` rewrites the STREAM (stateless/stateful streaming
+    ops); ``batch_transform(batch_df, batch_id) -> (out_df,
+    extra_props)`` rewrites each MICRO-BATCH inside the commit
+    callback (arbitrary batch-only plans — joins against static
+    tables, aggregations without watermarks) and its extra_props ride
+    in the snapshot properties. The exactly-once recipe lives here
+    ONCE; wrappers must not re-implement it."""
     from mehc_curation_spark.io.catalog import SnapshotTable
     from mehc_curation_spark.schema import PAIRS_SCHEMA
 
@@ -293,15 +302,19 @@ def run_stream_to_snapshot_table(spark, input_dir: str, table_path: str,
     def commit_batch(batch_df, batch_id: int):
         if _batch_committed(table, scope, int(batch_id)):
             return  # replay after failure — snapshot already committed
-        table.write(batch_df, mode="append",
-                    properties={"stream_batch_id": int(batch_id),
-                                "stream_scope": scope})
+        props = {"stream_batch_id": int(batch_id), "stream_scope": scope}
+        out_df = batch_df
+        if batch_transform is not None:
+            out_df, extra = batch_transform(batch_df, int(batch_id))
+            props.update(extra or {})
+        table.write(out_df, mode="append", properties=props)
         # high-watermark AFTER the snapshot commit: a crash in between
         # leaves the manifest walk to answer the replay (the manifest
         # exists, so the walk returns True and the hwm catches up).
         _advance_stream_hwm(table, scope, int(batch_id))
 
-    stream = spark.readStream.schema(PAIRS_SCHEMA).parquet(input_dir)
+    stream = spark.readStream.schema(schema or PAIRS_SCHEMA) \
+        .parquet(input_dir)
     if transform is None:
         transform = lambda s: streaming_rule_labels(s, config)  # noqa: E731
     labels = transform(stream)
@@ -367,57 +380,72 @@ def run_stream_decontaminate(spark, input_dir: str, index_table_path: str,
                              id_col: str = "doc_id",
                              text_col: str = "text",
                              threshold: float = 0.5,
+                             max_bucket: int = 4096,
                              schema=None):
     """Streaming decontamination against a standing text-signature
     index: every arriving micro-batch of documents is checked against
     the persisted MinHash index (the index side never re-shingles —
     its stored band keys and shingle arrays serve both the banding
     join and the exact-Jaccard verify), contaminated rows are dropped,
-    and the CLEAN rows commit to the snapshot table under the same
-    exactly-once foreachBatch recipe as
-    :func:`run_stream_to_snapshot_table` (idempotent replay via the
-    batch-id high-watermark + manifest walk).
+    and the CLEAN rows commit via
+    :func:`run_stream_to_snapshot_table`'s ``batch_transform`` hook —
+    the exactly-once recipe (batch-id high-watermark + manifest walk)
+    lives there, not here.
 
     This is the "filter the firehose against the eval sets" shape: the
     index is static per run (loaded once, banding config pinned by its
-    manifest), the stream is the crawl. Per-batch flagged counts ride
-    in the snapshot properties so the drop rate is auditable batch by
-    batch. The index-side frame is a snapshot-table read — Spark
-    replans it per micro-batch, and the banded join touches only the
-    batch's shingles (increment-sized work per trigger)."""
-    from mehc_curation_spark.io.catalog import SnapshotTable
+    manifest), the stream is the crawl. Per-batch in/flagged/null-id
+    counts ride in the snapshot properties so the drop rate is
+    auditable batch by batch.
+
+    Two honesty clauses a "clean table" sink must state:
+    - ``max_bucket`` caps band-bucket fan-out (skew protection in
+      text_dups_against_index). A bucket above the cap is SKIPPED on
+      both sides, so a reference corpus with > max_bucket near-
+      identical docs could let their copies through. The default here
+      is deliberately high (4096 vs the ad-hoc batch default of 64)
+      because an eval-set index is small and recall is the point;
+      lower it only if a hot bucket actually stalls a trigger.
+    - rows with a NULL ``id_col`` cannot be anti-joined against the
+      flag set, so they are EXCLUDED from the clean table entirely
+      (counted as ``decontam_null_id``) — a row that can't be proven
+      clean must not land in a table whose contract is "clean".
+    """
     from mehc_curation_spark.operators.similarity import (
         read_text_index,
         text_dups_against_index,
     )
 
     index_df, cfg = read_text_index(spark, index_table_path)
-    table = SnapshotTable(table_path)
-    scope = _stream_scope(checkpoint_dir)
 
-    def commit_batch(batch_df, batch_id: int):
-        if _batch_committed(table, scope, int(batch_id)):
-            return
-        flagged = text_dups_against_index(
-            batch_df, index_df, cand_id_col=id_col, text_col=text_col,
-            threshold=threshold, num_hashes=cfg["num_hashes"],
-            bands=cfg["bands"], shingle_k=cfg["shingle_k"])
-        hit_ids = flagged.select(id_col).distinct()
-        clean = batch_df.join(hit_ids, id_col, "left_anti")
-        n_in = batch_df.count()
-        n_clean = clean.count()
-        table.write(clean, mode="append",
-                    properties={"stream_batch_id": int(batch_id),
-                                "stream_scope": scope,
-                                "decontam_in": n_in,
-                                "decontam_flagged": n_in - n_clean})
-        _advance_stream_hwm(table, scope, int(batch_id))
+    def decontaminate(batch_df, batch_id):
+        batch_df = batch_df.persist()
+        try:
+            n_in = batch_df.count()
+            keyed = batch_df.filter(F.col(id_col).isNotNull())
+            n_keyed = keyed.count()
+            flagged = text_dups_against_index(
+                keyed, index_df, cand_id_col=id_col, text_col=text_col,
+                threshold=threshold, num_hashes=cfg["num_hashes"],
+                bands=cfg["bands"], shingle_k=cfg["shingle_k"],
+                max_bucket=max_bucket)
+            # FREEZE the flag decision driver-side: the expensive
+            # shingle/band/jaccard plan runs exactly once, the audit
+            # count and the snapshot write then share one immutable
+            # id list (a plan literal, bounded by the micro-batch
+            # size) — no cached frame leaks past the write and no
+            # second evaluation can diverge from the recorded count.
+            hits = [r[0] for r in
+                    flagged.select(id_col).distinct().collect()]
+            clean = (keyed.filter(~F.col(id_col).isin(hits))
+                     if hits else keyed)
+            return clean, {"decontam_in": n_in,
+                           "decontam_flagged": len(hits),
+                           "decontam_null_id": n_in - n_keyed}
+        finally:
+            batch_df.unpersist(blocking=False)
 
-    stream = spark.readStream.schema(
-        schema or DOCS_STREAM_SCHEMA).parquet(input_dir)
-    return (stream.writeStream
-            .foreachBatch(commit_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .outputMode("append")
-            .start())
+    return run_stream_to_snapshot_table(
+        spark, input_dir, table_path, checkpoint_dir,
+        transform=lambda s: s, schema=schema or DOCS_STREAM_SCHEMA,
+        batch_transform=decontaminate)

@@ -208,11 +208,15 @@ def test_stream_decontaminate_against_text_index(spark, tmp_path):
              "crawl", 40)])
     run_stream_decontaminate(spark, in_dir, idx_path, tbl, ck,
                              threshold=0.5).awaitTermination(300)
-    # batch 2: one more contaminated + one clean
+    # batch 2: one more contaminated + one clean + one NULL-id row
+    # (unprovable rows must NOT land in a table whose contract is
+    # "clean" — they are excluded and counted)
     arrive([(4, "the quick brown fox jumps over dog 3 unique tail 3",
              "en", "crawl", 40),
             (5, "yet more novel text that matches nothing", "en",
-             "crawl", 40)])
+             "crawl", 40),
+            (None, "the quick brown fox jumps over dog 1 unique tail 1",
+             "en", "crawl", 40)])
     run_stream_decontaminate(spark, in_dir, idx_path, tbl, ck,
                              threshold=0.5).awaitTermination(300)
 
@@ -220,7 +224,8 @@ def test_stream_decontaminate_against_text_index(spark, tmp_path):
     got = sorted(r["doc_id"] for r in t.read(spark).collect())
     assert got == [2, 3, 5]
     props = t.manifest().get("properties", {})
-    assert props["decontam_flagged"] == 1 and props["decontam_in"] == 2
+    assert props["decontam_flagged"] == 1 and props["decontam_in"] == 3
+    assert props["decontam_null_id"] == 1
     v_before = t.current_version()
 
     # replay: same checkpoint, no new arrivals -> no new snapshot
