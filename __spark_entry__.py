@@ -820,6 +820,31 @@ def doc_dedup_clusters(spark, sf_dir):
     return near_dup_clusters(d, edges, "doc_id", quality_col="n_chars")
 
 
+def doc_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/sampling.py:
+    leakage_safe_split): the split hashes the near-dup COMPONENT's
+    minimum id, so near-duplicate documents never straddle a split
+    boundary (Lee et al. 2022 §4). Edges are the same prefix-blocked
+    word-trigram-Jaccard >= 0.5 pairs as doc_dedup_clusters; the
+    DuckDB oracle recomputes the components with a recursive
+    transitive-closure CTE and restates the u48 split thresholds —
+    a full value oracle over the composed graph + hash pipeline."""
+    from mehc_curation_spark.operators.sampling import leakage_safe_split
+    from mehc_curation_spark.operators.similarity import ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.substring("text", 1, 30).alias("k"))
+    a = keyed.select(F.col("doc_id").alias("id_a"), "k")
+    b = keyed.select(F.col("doc_id").alias("id_b"), "k")
+    pairs = a.join(b, "k").filter(F.col("id_a") < F.col("id_b")) \
+             .select("id_a", "id_b")
+    edges = (ngram_jaccard(d, pairs, "doc_id", "text", shingle_k=3)
+             .filter(F.col("jaccard") >= 0.5).select("id_a", "id_b"))
+    out = leakage_safe_split(
+        d, edges, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split_key", "split")
+
+
 def doc_token_budget_sample(spark, sf_dir):
     """Per-language TOKEN-budget sampling (mixtures are specified in
     tokens, not rows): deterministic u48 priority order, cumulative
@@ -3500,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_edit_dups": doc_edit_dups,
         "doc_dedup_clusters": doc_dedup_clusters,
+        "doc_leakage_split": doc_leakage_split,
         "doc_substring_dedup": doc_substring_dedup,
         "doc_line_dedup": doc_line_dedup,
         "doc_chunks": doc_chunks,
@@ -4557,6 +4583,49 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY d.n_chars DESC, d.doc_id) = 1) AS is_rep,
                    d.n_chars
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        """,
+        # same recursive components, then the split hashes the CLUSTER
+        # key — near-dups provably share a split in both engines.
+        "doc_leakage_split": f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id, substr(text, 1, 30) AS k,
+                       list_distinct(list_transform(
+                           range(1, len(a)-1),
+                           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS grams
+                FROM (SELECT doc_id, text,
+                             string_split_regex(trim(lower(text)), '[ \t\n\r]+') AS a
+                      FROM documents)
+            ),
+            jac AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM sh x JOIN sh y ON x.k = y.k AND x.doc_id < y.doc_id
+                WHERE ROUND(len(list_intersect(x.grams, y.grams))
+                            / GREATEST(len(list_distinct(x.grams || y.grams)), 1)::DOUBLE,
+                            6) >= 0.5
+            ),
+            sym AS (SELECT a, b FROM jac UNION SELECT b, a FROM jac),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+                     FROM reach GROUP BY a),
+            keyed AS (
+                SELECT d.doc_id,
+                       COALESCE(c.cluster, d.doc_id) AS split_key
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            ),
+            u AS (
+                SELECT doc_id, split_key,
+                       {_u48_sql("'split:0:' || split_key")} AS u48
+                FROM keyed
+            )
+            SELECT doc_id, split_key,
+                   CASE WHEN u48 < 225179981368524 THEN 'train'
+                        WHEN u48 < 253327479039590 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
         """,
         "doc_source_reputation": r"""
             WITH t AS (

@@ -335,6 +335,47 @@ def split_col(id_c: Column, weights: dict[str, float],
     return F.when(id_c.isNotNull(), out)
 
 
+def leakage_safe_split(df: DataFrame, pairs: DataFrame, id_col: str,
+                       weights: dict[str, float], seed: int = 0,
+                       src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Cluster-aware train/val/test split: near-duplicates never
+    straddle a split boundary.
+
+    Hashing each row's OWN id (:func:`split_col`) silently leaks when
+    the corpus still contains near-duplicates — two 99%-identical
+    documents land in train and test independently, and the held-out
+    set stops measuring generalization (the published remedy is to
+    split by duplicate CLUSTER, e.g. Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better",
+    §4 train/test leakage). This operator assigns the split from the
+    connected component of the near-dup pair graph: every member of a
+    component shares the component's minimum id as its ``split_key``,
+    so the whole cluster moves together; rows that matched nothing
+    key on their own id and degrade to exactly :func:`split_col`.
+
+    Scale shape: components come from the large-star/small-star
+    edge-contraction loop (edges shuffle, never adjacency lists), the
+    label join back to ``df`` is one hash join on the id, and the
+    split itself is a pure-Catalyst hash over the key — no window, no
+    driver state. The reference keeps no split notion (its pipeline
+    curates a single corpus, `refinement/core/pipeline.py:52-90`);
+    this is part of the training-data layer the graft adds.
+
+    Returns ``df``'s columns plus ``split_key`` and ``split``. NULL
+    ids get a NULL split (same contract as :func:`split_col`).
+    """
+    from .graph import connected_components
+
+    comp = connected_components(pairs, src=src, dst=dst)
+    keyed = (
+        df.join(comp, df[id_col] == comp["id"], "left")
+        .select(df["*"],
+                F.coalesce("component", df[id_col]).alias("split_key"))
+    )
+    return keyed.withColumn(
+        "split", split_col(F.col("split_key"), weights, seed))
+
+
 def temperature_resample(df: DataFrame, id_col: str, group_col: str,
                          alpha: float = 0.3, budget_frac: float = 0.5,
                          seed: int = 0) -> DataFrame:
