@@ -261,6 +261,50 @@ def doc_quality_filter(spark, sf_dir):
                     reason.isNull().alias("keep"))
 
 
+def doc_category_drift(spark, sf_dir):
+    """Categorical PSI (operators/profile.py:category_drift) between
+    two deterministic u48 halves of the documents corpus on the
+    ``lang`` column, top_k=3 so the tail provably pools into
+    ``__other__``. Full value oracle: identical halving, top-k axis,
+    add-one smoothing and PSI arithmetic restated in SQL."""
+    from mehc_curation_spark.operators.profile import category_drift
+    from mehc_curation_spark.operators.sampling import u48_col
+
+    d = _t(spark, sf_dir, "documents")
+    u = u48_col(F.concat(F.lit("catdrift:"), F.col("doc_id")))
+    ref = d.filter(u < F.lit(140737488355328))
+    new = d.filter(u >= F.lit(140737488355328))
+    return category_drift(ref, new, "lang", top_k=3)
+
+
+def doc_label_shift(spark, sf_dir):
+    """Label-transition matrix (operators/profile.py:label_shift)
+    between the shipping length rule (150/420) and a tightened
+    candidate (180/400); the new side also drops a deterministic 2%
+    u48 slice of ids so the ``__absent__`` transition is exercised.
+    Kept rows carry a NULL reason -> ``__null__``. Full value oracle
+    (same rules, slice, matrix and share arithmetic in SQL)."""
+    from mehc_curation_spark.operators.profile import label_shift
+    from mehc_curation_spark.operators.sampling import u48_col
+
+    d = _t(spark, sf_dir, "documents")
+
+    def reason(lo, hi):
+        n = F.length("text")
+        return (
+            F.when(F.col("text").isNull()
+                   | (F.length(F.trim(F.col("text"))) == 0), F.lit("empty"))
+            .when(n < lo, F.lit("too_short"))
+            .when(n > hi, F.lit("too_long"))
+            .otherwise(F.lit(None).cast("string")))
+
+    old = d.select("doc_id", reason(150, 420).alias("drop_reason"))
+    u = u48_col(F.concat(F.lit("lsv2:"), F.col("doc_id")))
+    new = (d.filter(u < F.lit(275845477176442))
+           .select("doc_id", reason(180, 400).alias("drop_reason")))
+    return label_shift(old, new, "doc_id", "drop_reason")
+
+
 def doc_pii_scrub(spark, sf_dir):
     from mehc_curation_spark.rules.pii import PII_PATTERNS
 
@@ -3493,6 +3537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_approx_distinct": doc_approx_distinct,
         "events_sessionize": events_sessionize,
         "doc_quality_filter": doc_quality_filter,
+        "doc_category_drift": doc_category_drift,
+        "doc_label_shift": doc_label_shift,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_pii_audit": doc_pii_audit,
         "doc_token_stats": doc_token_stats,
@@ -3940,6 +3986,81 @@ def oracle_sql() -> dict[str, str]:
                          WHEN LENGTH(text) > 420 THEN 'too_long'
                          ELSE NULL END) IS NULL AS keep
             FROM documents
+        """,
+        "doc_category_drift": f"""
+            WITH base AS (
+                SELECT lang,
+                       {_u48_sql("'catdrift:' || doc_id")} AS u48
+                FROM documents
+            ),
+            rc AS (SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS val,
+                          COUNT(*) AS n
+                   FROM base WHERE u48 < 140737488355328 GROUP BY 1),
+            ncnt AS (SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS val,
+                            COUNT(*) AS n
+                     FROM base WHERE u48 >= 140737488355328 GROUP BY 1),
+            top AS (SELECT val FROM rc ORDER BY n DESC, val LIMIT 3),
+            axis AS (SELECT val AS category FROM top
+                     UNION ALL SELECT '__other__'),
+            pr AS (SELECT CASE WHEN val IN (SELECT val FROM top) THEN val
+                               ELSE '__other__' END AS category,
+                          SUM(n) AS n
+                   FROM rc GROUP BY 1),
+            pn AS (SELECT CASE WHEN val IN (SELECT val FROM top) THEN val
+                               ELSE '__other__' END AS category,
+                          SUM(n) AS n
+                   FROM ncnt GROUP BY 1),
+            tot AS (SELECT
+                (SELECT COUNT(*) FROM base WHERE u48 < 140737488355328) AS tr,
+                (SELECT COUNT(*) FROM base WHERE u48 >= 140737488355328) AS tn,
+                (SELECT COUNT(*) FROM axis) AS ncats),
+            j AS (SELECT a.category,
+                         CAST(COALESCE(pr.n, 0) AS BIGINT) AS n_ref,
+                         CAST(COALESCE(pn.n, 0) AS BIGINT) AS n_new
+                  FROM axis a
+                  LEFT JOIN pr ON a.category = pr.category
+                  LEFT JOIN pn ON a.category = pn.category),
+            p AS (SELECT category, n_ref, n_new,
+                         (n_ref + 1)::DOUBLE / (tr + ncats) AS p_ref,
+                         (n_new + 1)::DOUBLE / (tn + ncats) AS p_new
+                  FROM j, tot)
+            SELECT category, n_ref, n_new,
+                   ROUND(p_ref, 6) AS p_ref,
+                   ROUND(p_new, 6) AS p_new,
+                   ROUND((p_ref - p_new) * ln(p_ref / p_new), 6)
+                       AS psi_contrib
+            FROM p
+        """,
+        "doc_label_shift": f"""
+            WITH lo AS (
+                SELECT doc_id AS id,
+                       COALESCE(
+                           CASE WHEN text IS NULL
+                                     OR LENGTH(TRIM(text)) = 0 THEN 'empty'
+                                WHEN LENGTH(text) < 150 THEN 'too_short'
+                                WHEN LENGTH(text) > 420 THEN 'too_long'
+                                ELSE NULL END, '__null__') AS label_old
+                FROM documents
+            ),
+            ln2 AS (
+                SELECT doc_id AS id,
+                       COALESCE(
+                           CASE WHEN text IS NULL
+                                     OR LENGTH(TRIM(text)) = 0 THEN 'empty'
+                                WHEN LENGTH(text) < 180 THEN 'too_short'
+                                WHEN LENGTH(text) > 400 THEN 'too_long'
+                                ELSE NULL END, '__null__') AS label_new
+                FROM documents
+                WHERE {_u48_sql("'lsv2:' || doc_id")} < 275845477176442
+            ),
+            m AS (SELECT COALESCE(label_old, '__absent__') AS label_old,
+                         COALESCE(label_new, '__absent__') AS label_new,
+                         COUNT(*) AS n
+                  FROM lo FULL OUTER JOIN ln2 USING (id)
+                  GROUP BY 1, 2)
+            SELECT label_old, label_new, CAST(n AS BIGINT) AS n,
+                   ROUND(n::DOUBLE / (SELECT SUM(n) FROM m), 6) AS share
+            FROM m
         """,
         "doc_pii_scrub": f"""
             SELECT doc_id,

@@ -387,6 +387,14 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--col", default="q_score",
                     help="numeric column to compare")
     dr.add_argument("--buckets", type=int, default=10)
+    dr.add_argument("--categorical", action="store_true",
+                    help="treat --col as categorical (lang, fmt, "
+                         "drop_reason): PSI over the top-K reference "
+                         "categories, tail pooled into __other__, "
+                         "NULL its own __null__ category")
+    dr.add_argument("--top_k", type=int, default=20,
+                    help="categorical mode: number of reference-side "
+                         "categories kept before pooling")
     dr.add_argument("--cores", type=int, default=-1)
     dr.add_argument("--master", default=None)
 
@@ -872,21 +880,33 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.cmd == "drift":
-            from mehc_curation_spark.operators.profile import score_drift
+            from mehc_curation_spark.operators.profile import (
+                category_drift,
+                score_drift,
+            )
 
             ref = spark.read.parquet(args.reference)
             new = spark.read.parquet(args.input)
-            rows = score_drift(ref, new, args.col,
-                               n_buckets=args.buckets).collect()
+            if args.categorical:
+                rows = category_drift(ref, new, args.col,
+                                      top_k=args.top_k).collect()
+                detail = [{"category": r["category"], "n_ref": r["n_ref"],
+                           "n_new": r["n_new"],
+                           "psi_contrib": r["psi_contrib"]}
+                          for r in rows]
+            else:
+                rows = score_drift(ref, new, args.col,
+                                   n_buckets=args.buckets).collect()
+                detail = [{"bucket": r["bucket"], "n_ref": r["n_ref"],
+                           "n_new": r["n_new"],
+                           "psi_contrib": r["psi_contrib"]}
+                          for r in rows]
             psi = round(sum(r["psi_contrib"] for r in rows), 6)
             verdict = ("stable" if psi < 0.1
                        else "moderate" if psi < 0.25 else "investigate")
             print(json.dumps({
                 "psi": psi, "verdict": verdict, "col": args.col,
-                "buckets": [{"bucket": r["bucket"], "n_ref": r["n_ref"],
-                             "n_new": r["n_new"],
-                             "psi_contrib": r["psi_contrib"]}
-                            for r in rows]}))
+                "buckets": detail}))
             return 0
 
         if args.cmd == "dsir":

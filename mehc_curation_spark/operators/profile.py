@@ -238,3 +238,113 @@ def score_drift(df_ref: DataFrame, df_new: DataFrame, col: str,
             .withColumn("psi_contrib",
                         F.round((p_ref - p_new) * F.log(p_ref / p_new), 6))
             .orderBy("bucket"))
+
+
+def category_drift(df_ref: DataFrame, df_new: DataFrame, col: str,
+                   top_k: int = 20) -> DataFrame:
+    """PSI between two corpus versions' CATEGORICAL distributions —
+    the companion of :func:`score_drift` for columns with no numeric
+    axis (``lang``, ``fmt``, ``source``, ``drop_reason``). "Did this
+    ingest silently shift the language mixture" is the drift question
+    score buckets cannot answer.
+
+    Category axis = the ``top_k`` reference-side values by count
+    (descending, then value ascending — deterministic); every other
+    value pools into ``__other__`` and NULL is its own ``__null__``
+    category (a label column's NULL usually MEANS something — kept
+    rows — and pooling it with the tail would hide a keep-rate
+    drift). Proportions are add-one smoothed per category, so a
+    category present on one side only still gets a finite
+    contribution; PSI = sum of ``psi_contrib`` (same reading as
+    score_drift: < 0.1 stable, > 0.25 investigate).
+
+    Physical shape: one map-combinable ``groupBy(value)`` count per
+    side (slim string rows shuffle, never payloads), a broadcast join
+    of each count table against the ``top_k``-row axis to pool the
+    tail, and a ``top_k + 2``-row result — no window over data rows,
+    no driver collect of category values.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+
+    def cat(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("__null__"))
+
+    def counts(df):
+        return (df.select(cat(col).alias("val"))
+                .groupBy("val").agg(F.count(F.lit(1)).alias("n")))
+
+    rc, nc = counts(df_ref), counts(df_new)
+    top = rc.orderBy(F.desc("n"), F.asc("val")).limit(int(top_k)) \
+            .select("val")
+
+    def pooled(c):
+        # values outside the reference top-k pool into __other__
+        return (c.join(F.broadcast(top.withColumn("_keep", F.lit(True))),
+                       "val", "left")
+                .select(F.when(F.col("_keep"), F.col("val"))
+                         .otherwise(F.lit("__other__")).alias("category"),
+                        "n")
+                .groupBy("category").agg(F.sum("n").alias("n")))
+
+    spark = df_ref.sparkSession
+    axis = (top.select(F.col("val").alias("category"))
+            .unionByName(spark.createDataFrame([("__other__",)],
+                                               ["category"])))
+    pr, pn = pooled(rc), pooled(nc)
+    joined = (axis
+              .join(pr.withColumnRenamed("n", "n_ref"), "category", "left")
+              .join(pn.withColumnRenamed("n", "n_new"), "category", "left")
+              .select("category",
+                      F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                      F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    tr = df_ref.count()
+    tn = df_new.count()
+    n_cats = joined.count()
+    p_ref = (F.col("n_ref") + 1).cast("double") / F.lit(float(tr + n_cats))
+    p_new = (F.col("n_new") + 1).cast("double") / F.lit(float(tn + n_cats))
+    return (joined
+            .withColumn("p_ref", F.round(p_ref, 6))
+            .withColumn("p_new", F.round(p_new, 6))
+            .withColumn("psi_contrib",
+                        F.round((p_ref - p_new) * F.log(p_ref / p_new), 6))
+            .orderBy(F.desc("n_ref"), F.asc("category")))
+
+
+def label_shift(df_old: DataFrame, df_new: DataFrame, id_col: str,
+                label_col: str) -> DataFrame:
+    """Label-transition matrix between two labelings of one corpus —
+    the "what did this rules update actually change" audit. Run it
+    after shipping a new PII pattern / threshold / rule version:
+    the diagonal is stability, off-diagonal cells name exactly which
+    decision flows grew (``kept -> dropped:pii`` is the reviewable
+    one).
+
+    Full outer join on the id (a row present on one side only gets
+    ``__absent__`` on the other — ingest/takedown between versions is
+    itself a transition worth seeing), NULL labels render as
+    ``__null__``, and the matrix is
+    ``(label_old, label_new, n, share)`` with ``share`` the cell's
+    fraction of all joined rows (rounded to 6 decimals).
+
+    Physical shape: one hash join on the id, then one map-combinable
+    two-column groupBy; the matrix is at most ``(L+2)^2`` rows, so
+    the final share window over it is trivially small.
+    """
+    lo = df_old.select(F.col(id_col).alias("_id"),
+                       F.coalesce(F.col(label_col).cast("string"),
+                                  F.lit("__null__")).alias("label_old"))
+    ln = df_new.select(F.col(id_col).alias("_id"),
+                       F.coalesce(F.col(label_col).cast("string"),
+                                  F.lit("__null__")).alias("label_new"))
+    m = (lo.join(ln, "_id", "full_outer")
+         .select(F.coalesce("label_old", F.lit("__absent__"))
+                  .alias("label_old"),
+                 F.coalesce("label_new", F.lit("__absent__"))
+                  .alias("label_new"))
+         .groupBy("label_old", "label_new")
+         .agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql.window import Window
+    tot = F.sum("n").over(Window.partitionBy())
+    return (m.withColumn("share", F.round(F.col("n") / tot, 6))
+            .orderBy(F.desc("n"), F.asc("label_old"), F.asc("label_new")))

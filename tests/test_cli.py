@@ -989,3 +989,30 @@ def test_drift_cli(tmp_path_factory):
     assert n_ref == exp
     assert res["psi"] == round(sum(b["psi_contrib"]
                                    for b in res["buckets"]), 6)
+
+
+def test_drift_cli_categorical(tmp_path_factory):
+    """drift --categorical: PSI over the lang mixture of two document
+    slices; category counts must reconcile with DuckDB and pooling
+    must land in __other__."""
+    base = tmp_path_factory.mktemp("cli_catdrift")
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    ref = str(base / "ref.parquet")
+    new = str(base / "new.parquet")
+    # slice by id parity so both sides carry every language
+    duckdb.sql(f"COPY (SELECT * FROM read_parquet('{docs}') WHERE "
+               f"doc_id % 2 = 0) TO '{ref}' (FORMAT PARQUET)")
+    duckdb.sql(f"COPY (SELECT * FROM read_parquet('{docs}') WHERE "
+               f"doc_id % 2 = 1) TO '{new}' (FORMAT PARQUET)")
+    res = json.loads(_run(
+        ["drift", "-i", new, "-r", ref, "--col", "lang", "--categorical",
+         "--top_k", "2", "--cores", "4"]).stdout.strip().splitlines()[-1])
+    assert res["verdict"] in ("stable", "moderate", "investigate")
+    cats = {b["category"] for b in res["buckets"]}
+    assert "__other__" in cats and len(cats) == 3  # top 2 + __other__
+    n_ref = sum(b["n_ref"] for b in res["buckets"])
+    exp = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{ref}')").fetchone()[0]
+    assert n_ref == exp
+    assert res["psi"] == round(sum(b["psi_contrib"]
+                                   for b in res["buckets"]), 6)

@@ -103,3 +103,109 @@ class TestScoreDrift:
         empty = spark.createDataFrame([(1, None)], "id long, s double")
         with _pt.raises(ValueError, match="no non-NULL"):
             score_drift(empty, df, "s")
+
+
+class TestCategoryDrift:
+    def _df(self, spark, vals):
+        return spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                     "id long, c string")
+
+    def test_identical_distributions_zero_psi(self, spark):
+        from mehc_curation_spark.operators.profile import category_drift
+
+        vals = ["en"] * 50 + ["fr"] * 30 + ["de"] * 20
+        got = category_drift(self._df(spark, vals), self._df(spark, vals),
+                             "c", top_k=3).collect()
+        # axis = 3 top categories + __other__
+        assert [r["category"] for r in got][:3] == ["en", "fr", "de"]
+        assert {r["category"] for r in got} == {"en", "fr", "de",
+                                                "__other__"}
+        assert all(r["psi_contrib"] == 0.0 for r in got)
+
+    def test_tail_pools_into_other(self, spark):
+        from mehc_curation_spark.operators.profile import category_drift
+
+        ref = ["a"] * 10 + ["b"] * 8 + ["c"] * 4 + ["d"] * 2 + ["e"]
+        new = ["a"] * 10 + ["b"] * 8 + ["c"] * 4 + ["x"] * 3
+        got = {r["category"]: r for r in
+               category_drift(self._df(spark, ref), self._df(spark, new),
+                              "c", top_k=3).collect()}
+        assert got["__other__"]["n_ref"] == 3   # d, d, e
+        assert got["__other__"]["n_new"] == 3   # x, x, x
+        # a new-only category never creates an axis row of its own
+        assert "x" not in got and "d" not in got
+
+    def test_null_is_its_own_category(self, spark):
+        from mehc_curation_spark.operators.profile import category_drift
+
+        ref = ["a"] * 5 + [None] * 5
+        new = ["a"] * 9 + [None]
+        got = {r["category"]: r for r in
+               category_drift(self._df(spark, ref), self._df(spark, new),
+                              "c", top_k=3).collect()}
+        assert got["__null__"]["n_ref"] == 5
+        assert got["__null__"]["n_new"] == 1
+        assert got["__null__"]["psi_contrib"] > 0
+
+    def test_closed_form_smoothing(self, spark):
+        import math
+
+        from mehc_curation_spark.operators.profile import category_drift
+
+        # one category, top_k=1 -> axis = {a, __other__}; tr=tn=2
+        got = {r["category"]: r for r in
+               category_drift(self._df(spark, ["a", "a"]),
+                              self._df(spark, ["a", "a"]),
+                              "c", top_k=1).collect()}
+        assert got["a"]["p_ref"] == round(3 / 4, 6)
+        assert got["__other__"]["p_ref"] == round(1 / 4, 6)
+        assert got["a"]["psi_contrib"] == 0.0
+        # shifted: ref 2xa, new 2xb -> a: (3/4 vs 1/4), other: (1/4 vs 3/4)
+        got2 = {r["category"]: r for r in
+                category_drift(self._df(spark, ["a", "a"]),
+                               self._df(spark, ["b", "b"]),
+                               "c", top_k=1).collect()}
+        want = round((3 / 4 - 1 / 4) * math.log(3.0), 6)
+        assert got2["a"]["psi_contrib"] == want
+        assert got2["__other__"]["psi_contrib"] == want
+
+    def test_validation(self, spark):
+        import pytest
+
+        from mehc_curation_spark.operators.profile import category_drift
+
+        d = self._df(spark, ["a"])
+        with pytest.raises(ValueError):
+            category_drift(d, d, "c", top_k=0)
+
+
+class TestLabelShift:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, label string")
+
+    def test_matrix_counts_and_share(self, spark):
+        from mehc_curation_spark.operators.profile import label_shift
+
+        old = self._df(spark, [(1, "keep"), (2, "keep"), (3, "drop"),
+                               (4, None)])
+        new = self._df(spark, [(1, "keep"), (2, "drop"), (3, "drop"),
+                               (5, "keep")])
+        got = {(r["label_old"], r["label_new"]): r for r in
+               label_shift(old, new, "id", "label").collect()}
+        assert got[("keep", "keep")]["n"] == 1
+        assert got[("keep", "drop")]["n"] == 1
+        assert got[("drop", "drop")]["n"] == 1
+        # id 4 exists only in old (NULL label), id 5 only in new
+        assert got[("__null__", "__absent__")]["n"] == 1
+        assert got[("__absent__", "keep")]["n"] == 1
+        assert sum(r["n"] for r in got.values()) == 5
+        assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-6
+
+    def test_identical_labelings_are_diagonal(self, spark):
+        from mehc_curation_spark.operators.profile import label_shift
+
+        rows = [(i, "keep" if i % 3 else "drop") for i in range(30)]
+        df = self._df(spark, rows)
+        got = label_shift(df, df, "id", "label").collect()
+        assert all(r["label_old"] == r["label_new"] for r in got)
+        assert sum(r["n"] for r in got) == 30
