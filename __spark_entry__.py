@@ -305,6 +305,27 @@ def doc_label_shift(spark, sf_dir):
     return label_shift(old, new, "doc_id", "drop_reason")
 
 
+def doc_rule_ablation(spark, sf_dir):
+    """One-pass rule ablation/overlap report
+    (operators/profile.py:rule_ablation): per-rule total drops, UNIQUE
+    drops (the rule's marginal contribution), and the any-rule total,
+    for a 4-rule caption stack. Full value oracle: the same flags and
+    overlap CASE arithmetic in SQL."""
+    from mehc_curation_spark.operators.profile import rule_ablation
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = F.length(t)
+    digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    rules = {
+        "empty": t.isNull() | (F.length(F.trim(t)) == 0),
+        "too_short": n < 150,
+        "too_long": n > 420,
+        "digit_heavy": digits / F.greatest(n, F.lit(1)) > F.lit(0.12),
+    }
+    return rule_ablation(d, rules)
+
+
 def doc_pii_scrub(spark, sf_dir):
     from mehc_curation_spark.rules.pii import PII_PATTERNS
 
@@ -3539,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_filter": doc_quality_filter,
         "doc_category_drift": doc_category_drift,
         "doc_label_shift": doc_label_shift,
+        "doc_rule_ablation": doc_rule_ablation,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_pii_audit": doc_pii_audit,
         "doc_token_stats": doc_token_stats,
@@ -4030,6 +4052,60 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((p_ref - p_new) * ln(p_ref / p_new), 6)
                        AS psi_contrib
             FROM p
+        """,
+        "doc_rule_ablation": """
+            WITH f AS (
+                SELECT
+                    COALESCE(text IS NULL OR LENGTH(TRIM(text)) = 0,
+                             FALSE) AS r_empty,
+                    COALESCE(LENGTH(text) < 150, FALSE) AS r_short,
+                    COALESCE(LENGTH(text) > 420, FALSE) AS r_long,
+                    COALESCE(
+                        (LENGTH(text) - LENGTH(regexp_replace(
+                             text, '[0-9]', '', 'g')))::DOUBLE
+                        / GREATEST(LENGTH(text), 1) > 0.12,
+                        FALSE) AS r_digit
+                FROM documents
+            ),
+            a AS (
+                SELECT
+                    SUM(CASE WHEN r_empty THEN 1 ELSE 0 END) AS d_empty,
+                    SUM(CASE WHEN r_empty AND NOT (r_short OR r_long
+                             OR r_digit) THEN 1 ELSE 0 END) AS u_empty,
+                    SUM(CASE WHEN r_short THEN 1 ELSE 0 END) AS d_short,
+                    SUM(CASE WHEN r_short AND NOT (r_empty OR r_long
+                             OR r_digit) THEN 1 ELSE 0 END) AS u_short,
+                    SUM(CASE WHEN r_long THEN 1 ELSE 0 END) AS d_long,
+                    SUM(CASE WHEN r_long AND NOT (r_empty OR r_short
+                             OR r_digit) THEN 1 ELSE 0 END) AS u_long,
+                    SUM(CASE WHEN r_digit THEN 1 ELSE 0 END) AS d_digit,
+                    SUM(CASE WHEN r_digit AND NOT (r_empty OR r_short
+                             OR r_long) THEN 1 ELSE 0 END) AS u_digit,
+                    SUM(CASE WHEN r_empty OR r_short OR r_long OR r_digit
+                             THEN 1 ELSE 0 END) AS n_any,
+                    COUNT(*) AS n_rows
+                FROM f
+            )
+            SELECT rule,
+                   CAST(n_drop AS BIGINT) AS n_drop,
+                   CAST(n_unique AS BIGINT) AS n_unique,
+                   CAST(n_any AS BIGINT) AS n_any,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   ROUND(n_drop::DOUBLE / GREATEST(n_rows, 1), 6)
+                       AS drop_share,
+                   ROUND(n_unique::DOUBLE / GREATEST(n_rows, 1), 6)
+                       AS unique_share
+            FROM (
+                SELECT 'empty' AS rule, d_empty AS n_drop,
+                       u_empty AS n_unique, n_any, n_rows FROM a
+                UNION ALL
+                SELECT 'too_short', d_short, u_short, n_any, n_rows FROM a
+                UNION ALL
+                SELECT 'too_long', d_long, u_long, n_any, n_rows FROM a
+                UNION ALL
+                SELECT 'digit_heavy', d_digit, u_digit, n_any, n_rows
+                FROM a
+            )
         """,
         "doc_label_shift": f"""
             WITH lo AS (

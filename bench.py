@@ -226,19 +226,38 @@ def main() -> None:
     # half-width session is frequently the faster configuration
     # (local[16] beat local[32] by ~12% in the width probe on 32
     # cores); both widths are recorded per sample.
+    # Each rep runs in its OWN SUBPROCESS (fresh JVM + fresh Python
+    # workers), not just a fresh SparkSession: with py4j all sessions
+    # of one driver process share one JVM, and a width-W context that
+    # ran earlier in that JVM poisons later narrower contexts
+    # (measured: width-16 reps in a JVM that had run a width-32
+    # context swing 6.6-38.7s; width-16 reps in their own JVM hold
+    # 6.8-10.4s on the same quiet host). A production curation job
+    # owns its executors, so the per-rep JVM is also the faithful
+    # measurement.
+    import subprocess
+
     curate_samples: list[float] = []
     curate_loads: list[float] = []
     curate_widths: list[int] = []
-    widths = [cpus if i % 2 == 0 else max(8, cpus // 2)
-              for i in range(reps)]
+    curate_rows = n_pairs
+    # width bias: the fused Arrow stage keeps ~2 threads busy per task
+    # slot (JVM writer + Python worker), so cpus//2 is the
+    # steady-state-fastest width on a quiet host (measured 6.8-10.4s
+    # at local[16] vs ~18s at local[32] for the same 400k rows) — give
+    # it 3 of 4 samples and keep one full-width sample for the record.
+    half = max(8, cpus // 2)
+    widths = [half if i != 1 else cpus for i in range(reps)]
     for i, width in enumerate(widths):
-        cs = make_spark(width, app=f"mehc-bench-curate-{width}")
-        cs.sparkContext.setLogLevel("ERROR")
-        sec, curate_rows = run_curate_bench(cs, n_pairs, warmup=True)
-        curate_samples.append(round(sec, 3))
-        curate_loads.append(_load1())
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--curate-one", str(width), str(n_pairs)],
+            capture_output=True, text=True, check=True)
+        d = json.loads(proc.stdout.strip().splitlines()[-1])
+        curate_samples.append(d["sec"])
+        curate_loads.append(d["load1"])
         curate_widths.append(width)
-        cs.stop()
+        curate_rows = d["rows"]
 
     queries = {name: min(s) for name, s in samples.items()}
     query_runs = dict(samples)
@@ -318,7 +337,7 @@ def main() -> None:
         # best-of-K with every sample recorded; 'queries' above carries
         # the per-query best.
         "bench_protocol": {
-            "stat": "best-of-K; curate reps in fresh sessions, "
+            "stat": "best-of-K; curate reps in fresh JVM subprocesses, "
                     "widths alternating cpus / cpus//2",
             "headline_reps": reps, "curate_reps": reps,
             "curate_widths": curate_widths,
@@ -473,8 +492,24 @@ network.
                       "scaling_efficiency": round(eff, 3)}))
 
 
+def curate_one() -> None:
+    """One curate rep in THIS process, for the fresh-JVM subprocess
+    protocol: ``python bench.py --curate-one <width> <n_rows>``.
+    Prints one JSON line {"sec": ..., "rows": ..., "load1": ...}."""
+    width = int(sys.argv[sys.argv.index("--curate-one") + 1])
+    n_rows = int(sys.argv[sys.argv.index("--curate-one") + 2])
+    spark = make_spark(width, app=f"mehc-bench-curate-{width}")
+    spark.sparkContext.setLogLevel("ERROR")
+    sec, rows = run_curate_bench(spark, n_rows, warmup=True)
+    spark.stop()
+    print(json.dumps({"sec": round(sec, 3), "rows": rows,
+                      "load1": _load1()}))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--curate-one" in sys.argv:
+        curate_one()
     else:
         main()

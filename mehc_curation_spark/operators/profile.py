@@ -292,9 +292,14 @@ def category_drift(df_ref: DataFrame, df_new: DataFrame, col: str,
             .unionByName(spark.createDataFrame([("__other__",)],
                                                ["category"])))
     pr, pn = pooled(rc), pooled(nc)
+    # pooled count tables hold <= top_k + 1 rows by construction —
+    # broadcast explicitly so the static plan never falls back to a
+    # sort-merge join on a bad post-aggregate size estimate
     joined = (axis
-              .join(pr.withColumnRenamed("n", "n_ref"), "category", "left")
-              .join(pn.withColumnRenamed("n", "n_new"), "category", "left")
+              .join(F.broadcast(pr.withColumnRenamed("n", "n_ref")),
+                    "category", "left")
+              .join(F.broadcast(pn.withColumnRenamed("n", "n_new")),
+                    "category", "left")
               .select("category",
                       F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
                       F.coalesce("n_new", F.lit(0)).alias("n_new")))
@@ -348,3 +353,68 @@ def label_shift(df_old: DataFrame, df_new: DataFrame, id_col: str,
     tot = F.sum("n").over(Window.partitionBy())
     return (m.withColumn("share", F.round(F.col("n") / tot, 6))
             .orderBy(F.desc("n"), F.asc("label_old"), F.asc("label_new")))
+
+
+def rule_ablation(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """One-pass rule ablation/overlap report for a filter stack —
+    "which rules pull their weight, which are redundant" (the
+    filter-stack tuning table every published web-pipeline analysis
+    tabulates; the reference prints only per-stage drop totals,
+    `refinement/core/pipeline.py:92-118`, which cannot say whether a
+    rule's drops are UNIQUE or shadowed by cheaper rules).
+
+    ``rules`` maps rule name -> boolean Column over ``df``'s columns
+    (True = the rule DROPS the row; NULL counts as False). Returns one
+    row per rule::
+
+        rule, n_drop (rows the rule fires on),
+        n_unique (rows ONLY this rule fires on — the rule's real
+        marginal contribution: delete a rule with n_unique=0 and the
+        kept corpus does not change),
+        n_any (rows any rule fires on), n_rows,
+        drop_share (n_drop/n_rows), unique_share (n_unique/n_rows)
+
+    Physical shape: every flag and every pairwise-overlap term folds
+    into ONE map-combinable aggregate over a single scan (no
+    per-rule rescans, no join, no window); the explode runs over the
+    one aggregated row. Rule count is bounded (a stack is tens of
+    rules), so the 2R aggregate expressions stay trivially small.
+    """
+    import functools
+    import operator as op
+
+    if not rules:
+        raise ValueError("rules must be a non-empty mapping")
+    names = list(rules)
+    flags = df.select(*[
+        F.coalesce(rules[n].cast("boolean"), F.lit(False)).alias(n)
+        for n in names])
+    aggs = []
+    for n in names:
+        others = [F.col(m) for m in names if m != n]
+        any_other = functools.reduce(op.or_, others, F.lit(False))
+        aggs.append(F.sum(F.col(n).cast("long")).alias(f"_d_{n}"))
+        aggs.append(F.sum((F.col(n) & ~any_other).cast("long"))
+                    .alias(f"_u_{n}"))
+    any_rule = functools.reduce(op.or_, [F.col(n) for n in names],
+                                F.lit(False))
+    aggs.append(F.sum(any_rule.cast("long")).alias("_any"))
+    aggs.append(F.count(F.lit(1)).alias("_total"))
+    row = flags.agg(*aggs)
+    per_rule = F.array(*[
+        F.struct(F.lit(n).alias("rule"),
+                 F.col(f"_d_{n}").alias("n_drop"),
+                 F.col(f"_u_{n}").alias("n_unique"))
+        for n in names])
+    return (row.select(F.explode(per_rule).alias("r"), "_any", "_total")
+            .select(F.col("r.rule").alias("rule"),
+                    F.col("r.n_drop").alias("n_drop"),
+                    F.col("r.n_unique").alias("n_unique"),
+                    F.col("_any").alias("n_any"),
+                    F.col("_total").alias("n_rows"),
+                    F.round(F.col("r.n_drop")
+                            / F.greatest(F.col("_total"), F.lit(1)), 6)
+                     .alias("drop_share"),
+                    F.round(F.col("r.n_unique")
+                            / F.greatest(F.col("_total"), F.lit(1)), 6)
+                     .alias("unique_share")))

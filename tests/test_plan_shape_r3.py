@@ -323,3 +323,67 @@ def test_metadata_audit_and_strip_no_exchange(spark):
         [("a", b"\x00", "raw")], "image_id string, bytes binary, fmt string")
     assert _count(_tree(image_metadata_audit(df)), "Exchange") == 0
     assert _count(_tree(strip_image_metadata(df)), "Exchange") == 0
+
+
+def test_category_drift_plan_budget(spark):
+    """category_drift: per-side counts are map-combinable hash
+    aggregates, the tail-pooling joins against the top-k axis are
+    BROADCAST (the axis is top_k rows), and no window touches data
+    rows."""
+    from mehc_curation_spark.operators.profile import category_drift
+
+    d = _docs(spark, 60)
+    tree = _tree(category_drift(d, d, "lang", top_k=3))
+    assert _count(tree, "BroadcastHashJoin") >= 2, tree
+    assert _count(tree, "SortMergeJoin") == 0, tree
+    assert _count(tree, "Window") == 0, tree
+
+
+def test_label_shift_single_join_no_python(spark):
+    """label_shift: one join on the id, one two-column hash
+    aggregate; the share window runs over the tiny matrix, and
+    nothing crosses into Python."""
+    from mehc_curation_spark.operators.profile import label_shift
+
+    d = _docs(spark, 60).select(
+        "doc_id", F.when(F.col("lang") == "en", "keep").alias("label"))
+    tree = _tree(label_shift(d, d, "doc_id", "label"))
+    joins = (_count(tree, "SortMergeJoin")
+             + _count(tree, "BroadcastHashJoin")
+             + _count(tree, "ShuffledHashJoin"))
+    assert joins == 1, tree
+    assert _count(tree, "ArrowEvalPython") == 0, tree
+    assert _count(tree, "BatchEvalPython") == 0, tree
+
+
+def test_leakage_safe_split_no_python_no_window(spark):
+    """leakage_safe_split beyond the component loop: the label
+    join-back is one join and the split itself is pure Catalyst
+    (hash + CASE) — no Python eval, no window, no extra exchange on
+    the data rows beyond the join."""
+    from mehc_curation_spark.operators.sampling import leakage_safe_split
+
+    d = _docs(spark, 40)
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = leakage_safe_split(d, edges, "doc_id",
+                             {"train": 0.8, "val": 0.1, "test": 0.1})
+    tree = _tree(out)
+    assert _count(tree, "ArrowEvalPython") == 0, tree
+    assert _count(tree, "BatchEvalPython") == 0, tree
+    assert _count(tree, "Window") == 0, tree
+
+
+def test_rule_ablation_single_aggregate_no_join(spark):
+    """rule_ablation folds every flag and overlap term into ONE
+    map-combinable aggregate over a single scan: no join, no window,
+    no Python."""
+    from mehc_curation_spark.operators.profile import rule_ablation
+
+    d = _docs(spark, 40)
+    tree = _tree(rule_ablation(d, {
+        "short": F.length("text") < 20,
+        "de": F.col("lang") == "de"}))
+    assert _count(tree, "Join") == 0, tree
+    assert _count(tree, "Window") == 0, tree
+    assert _count(tree, "ArrowEvalPython") == 0, tree
+    assert _count(tree, "HashAggregate") >= 1, tree

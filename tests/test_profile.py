@@ -209,3 +209,47 @@ class TestLabelShift:
         got = label_shift(df, df, "id", "label").collect()
         assert all(r["label_old"] == r["label_new"] for r in got)
         assert sum(r["n"] for r in got) == 30
+
+
+class TestRuleAblation:
+    def _df(self, spark):
+        # rows: (id, a_fires, b_fires)
+        rows = [(1, True, False), (2, True, True), (3, False, True),
+                (4, False, False), (5, None, False)]
+        return spark.createDataFrame(rows, "id long, a boolean, b boolean")
+
+    def test_counts_and_unique(self, spark):
+        from pyspark.sql import functions as F
+
+        from mehc_curation_spark.operators.profile import rule_ablation
+
+        got = {r["rule"]: r for r in
+               rule_ablation(self._df(spark),
+                             {"ra": F.col("a"), "rb": F.col("b")}).collect()}
+        # NULL flag counts as not-firing
+        assert got["ra"]["n_drop"] == 2 and got["ra"]["n_unique"] == 1
+        assert got["rb"]["n_drop"] == 2 and got["rb"]["n_unique"] == 1
+        assert got["ra"]["n_any"] == 3 and got["ra"]["n_rows"] == 5
+        assert got["ra"]["drop_share"] == round(2 / 5, 6)
+        assert got["ra"]["unique_share"] == round(1 / 5, 6)
+
+    def test_redundant_rule_has_zero_unique(self, spark):
+        from pyspark.sql import functions as F
+
+        from mehc_curation_spark.operators.profile import rule_ablation
+
+        # rb fires on a strict subset of ra's rows
+        df = self._df(spark)
+        got = {r["rule"]: r for r in
+               rule_ablation(df, {"ra": F.col("a") | F.col("b"),
+                                  "rb": F.col("a") & F.col("b")}).collect()}
+        assert got["rb"]["n_unique"] == 0
+        assert got["ra"]["n_drop"] == got["ra"]["n_any"]
+
+    def test_validation(self, spark):
+        import pytest
+
+        from mehc_curation_spark.operators.profile import rule_ablation
+
+        with pytest.raises(ValueError):
+            rule_ablation(self._df(spark), {})
