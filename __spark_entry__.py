@@ -326,6 +326,28 @@ def doc_rule_ablation(spark, sf_dir):
     return rule_ablation(d, rules)
 
 
+def doc_audit_sample(spark, sf_dir):
+    """Deterministic per-group QA exemplars
+    (operators/sampling.py:audit_sample): 5 docs per length-rule
+    drop_reason (NULL = kept is its own group), ranked on the
+    'audit:'-domain u48 hash axis. The two-phase salted top-n is
+    provably identical to the naive single window, which is exactly
+    what the SQL oracle states."""
+    from mehc_curation_spark.operators.sampling import audit_sample
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    reason = (
+        F.when(F.col("text").isNull()
+               | (F.length(F.trim(F.col("text"))) == 0), F.lit("empty"))
+        .when(n < 150, F.lit("too_short"))
+        .when(n > 420, F.lit("too_long"))
+        .otherwise(F.lit(None).cast("string")))
+    lab = d.select("doc_id", reason.alias("drop_reason"))
+    return (audit_sample(lab, "drop_reason", "doc_id", n_per_group=5)
+            .select("doc_id", "drop_reason", "audit_rank"))
+
+
 def doc_pii_scrub(spark, sf_dir):
     from mehc_curation_spark.rules.pii import PII_PATTERNS
 
@@ -3561,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_category_drift": doc_category_drift,
         "doc_label_shift": doc_label_shift,
         "doc_rule_ablation": doc_rule_ablation,
+        "doc_audit_sample": doc_audit_sample,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_pii_audit": doc_pii_audit,
         "doc_token_stats": doc_token_stats,
@@ -4106,6 +4129,28 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'digit_heavy', d_digit, u_digit, n_any, n_rows
                 FROM a
             )
+        """,
+        "doc_audit_sample": f"""
+            WITH lab AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL
+                                 OR LENGTH(TRIM(text)) = 0 THEN 'empty'
+                            WHEN LENGTH(text) < 150 THEN 'too_short'
+                            WHEN LENGTH(text) > 420 THEN 'too_long'
+                            ELSE NULL END AS drop_reason,
+                       {_u48_sql("'audit:0:' || doc_id")} AS u
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, drop_reason,
+                       ROW_NUMBER() OVER (PARTITION BY drop_reason
+                                          ORDER BY u, doc_id)
+                           AS audit_rank
+                FROM lab
+            )
+            SELECT doc_id, drop_reason, CAST(audit_rank AS INTEGER)
+                       AS audit_rank
+            FROM r WHERE audit_rank <= 5
         """,
         "doc_label_shift": f"""
             WITH lo AS (

@@ -247,7 +247,12 @@ def main() -> None:
     # at local[16] vs ~18s at local[32] for the same 400k rows) — give
     # it 3 of 4 samples and keep one full-width sample for the record.
     half = max(8, cpus // 2)
-    widths = [half if i != 1 else cpus for i in range(reps)]
+    # more curate reps than headline reps: each costs ~30-60s wall
+    # (fresh JVM included) and min() needs at least one rep to land in
+    # a quiet ambient-load window — measured bursts cost 2-5x.
+    curate_reps = int(os.environ.get("SPARK_GRAFT_CURATE_REPS",
+                                     str(max(reps, 6))))
+    widths = [half if i != 1 else cpus for i in range(curate_reps)]
     for i, width in enumerate(widths):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
@@ -338,8 +343,9 @@ def main() -> None:
         # the per-query best.
         "bench_protocol": {
             "stat": "best-of-K; curate reps in fresh JVM subprocesses, "
-                    "widths alternating cpus / cpus//2",
-            "headline_reps": reps, "curate_reps": reps,
+                    "one cpus-wide rep, the rest cpus//2 (the Arrow "
+                    "stage keeps ~2 threads per slot busy)",
+            "headline_reps": reps, "curate_reps": len(widths),
             "curate_widths": curate_widths,
             "curate_width_best":
                 curate_widths[curate_samples.index(curate_sec)]},

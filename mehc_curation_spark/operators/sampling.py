@@ -629,3 +629,51 @@ def dsir_resample(df: DataFrame, text_col: str, id_col: str,
     pri = F.col("dsir_logw").cast("double") / _DSIR_SCALE + F.col("_g")
     return (scored.orderBy(pri.desc(), F.col(id_col))
             .limit(n).drop("_g"))
+
+
+def audit_sample(df: DataFrame, group_col: str, id_col: str,
+                 n_per_group: int = 10, seed: int = 0) -> DataFrame:
+    """Deterministic per-group exemplars for human QA — "show me N
+    examples of every drop_reason" is the audit every rules change
+    triggers, and grabbing the FIRST N of a partition silently
+    over-samples one shard's quirks. Exemplars here are the N
+    smallest values of a dedicated u48 hash axis per group: stable
+    across engines/partitionings/reruns, and a different ``seed``
+    rotates the exhibit without re-reading more data.
+
+    NULL group values form their own group (for a label column NULL
+    usually means "kept" — the audit wants those too); NULL ids are
+    dropped (no hash — the shared sampler contract).
+
+    Scale shape: a single ``row_number`` window partitioned by a
+    ~10-value reason column would sort BILLIONS of rows in one task
+    per reason. Instead top-n runs in two exact phases: (1) per
+    (group, salt-of-hash) — 256 even slices per group, so every sort
+    task is ~1/256th of a group and map-side parallel; (2) a second
+    window over the surviving ``<= 256 * n`` rows per group. A row in
+    the global top-n of its group is in the top-n of its salt slice a
+    fortiori, so phase 1 never evicts a final exemplar — the result
+    is identical to the naive single window (the SQL oracle states
+    exactly that single-window form).
+
+    Returns ``df``'s columns plus ``audit_rank`` (1-based within the
+    group).
+    """
+    from pyspark.sql.window import Window
+
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+    u = u48_col(F.concat(F.lit(f"audit:{int(seed)}:"),
+                         F.col(id_col).cast("string")))
+    salted = (df.filter(F.col(id_col).isNotNull())
+              .withColumn("_u", u)
+              .withColumn("_salt", F.pmod(F.col("_u"), F.lit(256))))
+    w1 = (Window.partitionBy(group_col, "_salt")
+          .orderBy(F.col("_u").asc(), F.col(id_col).asc()))
+    cand = (salted.withColumn("_rk1", F.row_number().over(w1))
+            .filter(F.col("_rk1") <= n_per_group))
+    w2 = (Window.partitionBy(group_col)
+          .orderBy(F.col("_u").asc(), F.col(id_col).asc()))
+    return (cand.withColumn("audit_rank", F.row_number().over(w2))
+            .filter(F.col("audit_rank") <= n_per_group)
+            .drop("_u", "_salt", "_rk1"))
