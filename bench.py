@@ -244,20 +244,27 @@ def main() -> None:
     # width bias: the fused Arrow stage keeps ~2 threads busy per task
     # slot (JVM writer + Python worker), so cpus//2 is the
     # steady-state-fastest width on a quiet host (measured 6.8-10.4s
-    # at local[16] vs ~18s at local[32] for the same 400k rows) — give
-    # it 3 of 4 samples and keep one full-width sample for the record.
+    # at local[16] vs ~18s at local[32] for the same 400k rows) — all
+    # reps but one use it; one full-width sample stays for the record.
     half = max(8, cpus // 2)
     # more curate reps than headline reps: each costs ~30-60s wall
     # (fresh JVM included) and min() needs at least one rep to land in
     # a quiet ambient-load window — measured bursts cost 2-5x.
-    curate_reps = int(os.environ.get("SPARK_GRAFT_CURATE_REPS",
-                                     str(max(reps, 6))))
+    curate_reps = max(1, int(os.environ.get("SPARK_GRAFT_CURATE_REPS",
+                                            str(max(reps, 6)))))
     widths = [half if i != 1 else cpus for i in range(curate_reps)]
     for i, width in enumerate(widths):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--curate-one", str(width), str(n_pairs)],
-            capture_output=True, text=True, check=True)
+            capture_output=True, text=True)
+        if proc.returncode != 0:
+            # surface the child's Spark traceback — CalledProcessError
+            # alone would swallow it
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"curate rep {i} (width {width}) failed with exit "
+                f"{proc.returncode}; stderr tail above")
         d = json.loads(proc.stdout.strip().splitlines()[-1])
         curate_samples.append(d["sec"])
         curate_loads.append(d["load1"])

@@ -890,17 +890,15 @@ def main(argv: list[str] | None = None) -> int:
             if args.categorical:
                 rows = category_drift(ref, new, args.col,
                                       top_k=args.top_k).collect()
-                detail = [{"category": r["category"], "n_ref": r["n_ref"],
-                           "n_new": r["n_new"],
-                           "psi_contrib": r["psi_contrib"]}
-                          for r in rows]
+                key = "category"
             else:
                 rows = score_drift(ref, new, args.col,
                                    n_buckets=args.buckets).collect()
-                detail = [{"bucket": r["bucket"], "n_ref": r["n_ref"],
-                           "n_new": r["n_new"],
-                           "psi_contrib": r["psi_contrib"]}
-                          for r in rows]
+                key = "bucket"
+            detail = [{key: r[key], "n_ref": r["n_ref"],
+                       "n_new": r["n_new"],
+                       "psi_contrib": r["psi_contrib"]}
+                      for r in rows]
             psi = round(sum(r["psi_contrib"] for r in rows), 6)
             verdict = ("stable" if psi < 0.1
                        else "moderate" if psi < 0.25 else "investigate")

@@ -258,11 +258,23 @@ def category_drift(df_ref: DataFrame, df_new: DataFrame, col: str,
     contribution; PSI = sum of ``psi_contrib`` (same reading as
     score_drift: < 0.1 stable, > 0.25 investigate).
 
-    Physical shape: one map-combinable ``groupBy(value)`` count per
-    side (slim string rows shuffle, never payloads), a broadcast join
-    of each count table against the ``top_k``-row axis to pool the
-    tail, and a ``top_k + 2``-row result — no window over data rows,
-    no driver collect of category values.
+    A real value LITERALLY equal to ``__null__`` conflates with the
+    NULL group, and a real ``__other__`` value outside the top-k
+    merges with the tail pool (both documented, not detectable after
+    the coalesce); a real ``__other__`` that makes the top-k would
+    DOUBLE-COUNT an axis row, so that case raises instead. An empty
+    reference side raises (every new-side distribution would read
+    PSI 0.0 "stable" against it — the exact failure a drift monitor
+    exists to catch).
+
+    Physical shape: THREE jobs — the reference top-k (one
+    map-combinable count aggregate, ``top_k`` rows to the driver),
+    then one pooled count aggregate per side (``isin`` against the
+    literal top-k list, no join anywhere); side totals are the sums
+    of the pooled counts (pooling is total-preserving), so no extra
+    count scans. The final smoothing/PSI arithmetic runs as Catalyst
+    expressions over the local ``top_k + 1``-row result frame (same
+    ``round`` semantics as the SQL oracle).
     """
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
@@ -275,40 +287,37 @@ def category_drift(df_ref: DataFrame, df_new: DataFrame, col: str,
                 .groupBy("val").agg(F.count(F.lit(1)).alias("n")))
 
     rc, nc = counts(df_ref), counts(df_new)
-    top = rc.orderBy(F.desc("n"), F.asc("val")).limit(int(top_k)) \
-            .select("val")
+    top_rows = rc.orderBy(F.desc("n"), F.asc("val")) \
+                 .limit(int(top_k)).collect()
+    if not top_rows:
+        raise ValueError(
+            f"category_drift: reference side has no rows for '{col}' — "
+            "every distribution would read PSI 0.0 against it")
+    top_names = [r["val"] for r in top_rows]
+    if "__other__" in top_names:
+        raise ValueError(
+            "category_drift: the reference top-k contains the literal "
+            "value '__other__', which collides with the tail-pool "
+            "sentinel — rename that category upstream")
 
-    def pooled(c):
-        # values outside the reference top-k pool into __other__
-        return (c.join(F.broadcast(top.withColumn("_keep", F.lit(True))),
-                       "val", "left")
-                .select(F.when(F.col("_keep"), F.col("val"))
-                         .otherwise(F.lit("__other__")).alias("category"),
-                        "n")
-                .groupBy("category").agg(F.sum("n").alias("n")))
+    def pooled(cdf):
+        rows = (cdf.select(
+                    F.when(F.col("val").isin(top_names), F.col("val"))
+                     .otherwise(F.lit("__other__")).alias("category"), "n")
+                .groupBy("category").agg(F.sum("n").alias("n")).collect())
+        return {r["category"]: int(r["n"]) for r in rows}
 
-    spark = df_ref.sparkSession
-    axis = (top.select(F.col("val").alias("category"))
-            .unionByName(spark.createDataFrame([("__other__",)],
-                                               ["category"])))
     pr, pn = pooled(rc), pooled(nc)
-    # pooled count tables hold <= top_k + 1 rows by construction —
-    # broadcast explicitly so the static plan never falls back to a
-    # sort-merge join on a bad post-aggregate size estimate
-    joined = (axis
-              .join(F.broadcast(pr.withColumnRenamed("n", "n_ref")),
-                    "category", "left")
-              .join(F.broadcast(pn.withColumnRenamed("n", "n_new")),
-                    "category", "left")
-              .select("category",
-                      F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-                      F.coalesce("n_new", F.lit(0)).alias("n_new")))
-    tr = df_ref.count()
-    tn = df_new.count()
-    n_cats = joined.count()
+    axis = top_names + ["__other__"]
+    tr, tn = sum(pr.values()), sum(pn.values())
+    n_cats = len(axis)
+    spark = df_ref.sparkSession
+    base = spark.createDataFrame(
+        [(c, pr.get(c, 0), pn.get(c, 0)) for c in axis],
+        "category string, n_ref long, n_new long")
     p_ref = (F.col("n_ref") + 1).cast("double") / F.lit(float(tr + n_cats))
     p_new = (F.col("n_new") + 1).cast("double") / F.lit(float(tn + n_cats))
-    return (joined
+    return (base
             .withColumn("p_ref", F.round(p_ref, 6))
             .withColumn("p_new", F.round(p_new, 6))
             .withColumn("psi_contrib",
@@ -386,26 +395,30 @@ def rule_ablation(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     if not rules:
         raise ValueError("rules must be a non-empty mapping")
     names = list(rules)
+    # positional aliases throughout, never name-interpolated ones: a
+    # rule name with a dot would otherwise parse as a struct-field
+    # access in F.col
+    fcols = [f"_f_{i}" for i in range(len(names))]
     flags = df.select(*[
-        F.coalesce(rules[n].cast("boolean"), F.lit(False)).alias(n)
-        for n in names])
+        F.coalesce(rules[n].cast("boolean"), F.lit(False)).alias(fc)
+        for n, fc in zip(names, fcols)])
     aggs = []
-    for n in names:
-        others = [F.col(m) for m in names if m != n]
+    for i, fc in enumerate(fcols):
+        others = [F.col(m) for m in fcols if m != fc]
         any_other = functools.reduce(op.or_, others, F.lit(False))
-        aggs.append(F.sum(F.col(n).cast("long")).alias(f"_d_{n}"))
-        aggs.append(F.sum((F.col(n) & ~any_other).cast("long"))
-                    .alias(f"_u_{n}"))
-    any_rule = functools.reduce(op.or_, [F.col(n) for n in names],
+        aggs.append(F.sum(F.col(fc).cast("long")).alias(f"_d_{i}"))
+        aggs.append(F.sum((F.col(fc) & ~any_other).cast("long"))
+                    .alias(f"_u_{i}"))
+    any_rule = functools.reduce(op.or_, [F.col(fc) for fc in fcols],
                                 F.lit(False))
     aggs.append(F.sum(any_rule.cast("long")).alias("_any"))
     aggs.append(F.count(F.lit(1)).alias("_total"))
     row = flags.agg(*aggs)
     per_rule = F.array(*[
         F.struct(F.lit(n).alias("rule"),
-                 F.col(f"_d_{n}").alias("n_drop"),
-                 F.col(f"_u_{n}").alias("n_unique"))
-        for n in names])
+                 F.col(f"_d_{i}").alias("n_drop"),
+                 F.col(f"_u_{i}").alias("n_unique"))
+        for i, n in enumerate(names)])
     return (row.select(F.explode(per_rule).alias("r"), "_any", "_total")
             .select(F.col("r.rule").alias("rule"),
                     F.col("r.n_drop").alias("n_drop"),

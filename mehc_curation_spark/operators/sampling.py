@@ -663,6 +663,11 @@ def audit_sample(df: DataFrame, group_col: str, id_col: str,
 
     if n_per_group < 1:
         raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+    for c in ("_u", "_salt", "_rk1", "audit_rank"):
+        if c in df.columns:
+            raise ValueError(
+                f"input already has a {c!r} column, which this "
+                "operator emits/uses internally — rename it first")
     u = u48_col(F.concat(F.lit(f"audit:{int(seed)}:"),
                          F.col(id_col).cast("string")))
     salted = (df.filter(F.col(id_col).isNotNull())

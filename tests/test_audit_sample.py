@@ -70,3 +70,9 @@ def test_null_id_dropped_and_validation(spark):
     assert [r["id"] for r in got] == [1]
     with pytest.raises(ValueError):
         audit_sample(df, "g", "id", n_per_group=0)
+
+
+def test_internal_column_collision_raises(spark):
+    df = spark.createDataFrame([(1, "x", 9)], "id long, g string, _u long")
+    with pytest.raises(ValueError, match="_u"):
+        audit_sample(df, "g", "id", n_per_group=1)

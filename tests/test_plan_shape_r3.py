@@ -326,17 +326,18 @@ def test_metadata_audit_and_strip_no_exchange(spark):
 
 
 def test_category_drift_plan_budget(spark):
-    """category_drift: per-side counts are map-combinable hash
-    aggregates, the tail-pooling joins against the top-k axis are
-    BROADCAST (the axis is top_k rows), and no window touches data
-    rows."""
+    """category_drift: the per-side pooled counts run as
+    map-combinable hash aggregates with an isin CASE against the
+    driver-collected top-k (no join anywhere), and the returned frame
+    is local arithmetic — no join, no window, no Python in its plan
+    either."""
     from mehc_curation_spark.operators.profile import category_drift
 
     d = _docs(spark, 60)
     tree = _tree(category_drift(d, d, "lang", top_k=3))
-    assert _count(tree, "BroadcastHashJoin") >= 2, tree
-    assert _count(tree, "SortMergeJoin") == 0, tree
+    assert _count(tree, "Join") == 0, tree
     assert _count(tree, "Window") == 0, tree
+    assert _count(tree, "ArrowEvalPython") == 0, tree
 
 
 def test_label_shift_single_join_no_python(spark):

@@ -253,3 +253,54 @@ class TestRuleAblation:
 
         with pytest.raises(ValueError):
             rule_ablation(self._df(spark), {})
+
+
+class TestCategoryDriftGuards:
+    def _df(self, spark, vals):
+        return spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                     "id long, c string")
+
+    def test_empty_reference_raises(self, spark):
+        import pytest
+
+        from mehc_curation_spark.operators.profile import category_drift
+
+        empty = self._df(spark, ["a"]).filter("id < 0")
+        with pytest.raises(ValueError, match="reference side has no rows"):
+            category_drift(empty, self._df(spark, ["a"]), "c")
+
+    def test_sentinel_in_topk_raises(self, spark):
+        import pytest
+
+        from mehc_curation_spark.operators.profile import category_drift
+
+        bad = self._df(spark, ["__other__", "__other__", "x"])
+        with pytest.raises(ValueError, match="__other__"):
+            category_drift(bad, bad, "c", top_k=2)
+
+    def test_sentinel_outside_topk_merges_with_tail(self, spark):
+        from mehc_curation_spark.operators.profile import category_drift
+
+        ref = self._df(spark, ["a"] * 5 + ["b"] * 4 + ["__other__", "z"])
+        got = {r["category"]: r for r in
+               category_drift(ref, ref, "c", top_k=2).collect()}
+        assert got["__other__"]["n_ref"] == 2  # literal + z, merged
+        n_total = sum(r["n_ref"] for r in got.values())
+        assert n_total == 11
+
+
+class TestRuleAblationNames:
+    def test_dotted_rule_name(self, spark):
+        from pyspark.sql import functions as F
+
+        from mehc_curation_spark.operators.profile import rule_ablation
+
+        df = spark.createDataFrame([(1, "xx"), (2, "yyyy")],
+                                   "id long, t string")
+        got = {r["rule"]: r for r in
+               rule_ablation(df, {"len.check": F.length("t") < 3,
+                                  "has y": F.col("t").contains("y")})
+               .collect()}
+        assert got["len.check"]["n_drop"] == 1
+        assert got["has y"]["n_drop"] == 1
+        assert got["len.check"]["n_unique"] == 1
