@@ -1569,6 +1569,69 @@ def emb_ann_join_check(spark, sf_dir):
         "all_within_brute_top50 boolean")
 
 
+def emb_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining
+    (operators/similarity.py:hard_negatives): per anchor, the 5 most
+    similar OTHER vectors below the near-dup ceiling (cos < 0.98),
+    mined corpus-vs-itself through the bucket-key kNN join
+    (broadcast_queries=False — probe sets shuffle, vectors don't).
+    Rows-only surface; emb_hard_negatives_check carries the oracled
+    invariants."""
+    from mehc_curation_spark.operators.similarity import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(e, "embedding", "vec_id", k=5, max_cos=0.98,
+                          probe_hamming=3)
+
+
+def emb_hard_negatives_check(spark, sf_dir):
+    """Invariants of the mined hard negatives: every anchor is
+    covered, no self-pairs, every cos below the near-dup ceiling,
+    every negative inside its anchor's brute-force top-50 OTHER rows,
+    ranks contiguous from 1. n_anchors comes from SQL on the oracle
+    side."""
+    from pyspark.sql import Window as W
+
+    from mehc_curation_spark.operators.similarity import (
+        _dot_col,
+        _normalized_vec,
+        hard_negatives,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    hn = hard_negatives(e, "embedding", "vec_id", k=5, max_cos=0.98,
+                        probe_hamming=3)
+    qn = e.select(F.col("vec_id").alias("anchor_id"),
+                  _normalized_vec(F.col("embedding")).alias("_q"))
+    xn = e.select(F.col("vec_id").alias("negative_id"),
+                  _normalized_vec(F.col("embedding")).alias("_x"))
+    scored = (qn.crossJoin(xn)
+              .filter(F.col("anchor_id") != F.col("negative_id"))
+              .select("anchor_id", "negative_id",
+                      F.round(_dot_col(F.col("_q"), F.col("_x")), 4)
+                       .alias("cos")))
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos"),
+                                           F.col("negative_id"))
+    brute50 = (scored.withColumn("r", F.row_number().over(w))
+               .filter(F.col("r") <= 50)
+               .select("anchor_id", "negative_id"))
+    n_anchors = e.count()
+    covered = hn.select("anchor_id").distinct().count() == n_anchors
+    n_self = hn.filter(F.col("anchor_id") == F.col("negative_id")).count()
+    n_above = hn.filter(F.col("cos") >= 0.98).count()
+    n_outside = hn.join(brute50, ["anchor_id", "negative_id"],
+                        "left_anti").count()
+    per_a = hn.groupBy("anchor_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx"))
+    contiguous = per_a.filter(F.col("n") != F.col("mx")).count() == 0
+    return spark.createDataFrame(
+        [(n_anchors, bool(covered), n_self == 0, n_above == 0,
+          n_outside == 0, bool(contiguous))],
+        "n_anchors long, all_anchors_covered boolean, "
+        "no_self_pairs boolean, all_below_near_dup_ceiling boolean, "
+        "all_within_brute_top50 boolean, ranks_contiguous boolean")
+
+
 def emb_ann_ivfpq_join_check(spark, sf_dir):
     """Batched kNN join against the PERSISTED IVFPQ index (the
     compressed-production decontamination shape: candidates come from
@@ -3702,6 +3765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": doc_langid,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_join": emb_ann_join,
+        "emb_hard_negatives": emb_hard_negatives,
+        "emb_hard_negatives_check": emb_hard_negatives_check,
         "emb_cross_dedup": emb_cross_dedup,
         "emb_ann_ivf": emb_ann_ivf,
         "emb_ann_ivf_persisted": emb_ann_ivf_persisted,
@@ -5602,6 +5667,15 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS all_queries_full_k,
                    TRUE AS all_within_brute_top50
             FROM embeddings WHERE vec_id < 8
+        """,
+        "emb_hard_negatives_check": """
+            SELECT COUNT(*) AS n_anchors,
+                   TRUE AS all_anchors_covered,
+                   TRUE AS no_self_pairs,
+                   TRUE AS all_below_near_dup_ceiling,
+                   TRUE AS all_within_brute_top50,
+                   TRUE AS ranks_contiguous
+            FROM embeddings
         """,
         "emb_ann_join_check": """
             SELECT COUNT(*) AS n_queries,

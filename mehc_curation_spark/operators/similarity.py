@@ -1264,6 +1264,56 @@ def ann_join(queries_df: DataFrame, index_df: DataFrame, vec_col: str,
                     F.col("_iid").alias(index_id_col), "cos", "rank"))
 
 
+def hard_negatives(df: DataFrame, vec_col: str, id_col: str, k: int = 10,
+                   max_cos: float = 0.98, k_fetch: Optional[int] = None,
+                   n_planes: int = 8, probe_hamming: int = 2,
+                   seed: int = 42, round_to: int = 4) -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor row, the
+    ``k`` most similar OTHER rows with cosine < ``max_cos`` — the
+    batch-construction input of contrastive image-text training
+    (Radford et al. 2021 CLIP relies on in-batch negatives; mined hard
+    negatives are the published upgrade, e.g. Oquab et al. 2023 §4 /
+    the standard dual-encoder retrieval recipe). A hard negative must
+    be SIMILAR but not the same item: self-pairs and near-duplicates
+    (cos >= ``max_cos``) are excluded — feeding a model its anchor's
+    unlabeled duplicate as a negative actively corrupts training.
+
+    Built on :func:`ann_join` with the corpus as BOTH sides
+    (``broadcast_queries=False`` — the query side is the whole corpus,
+    so probe sets shuffle on the bucket key and only (bucket, id)
+    pairs move). ``k_fetch`` (default ``2 * k + 8``) controls how many
+    raw neighbors are fetched per anchor before the self/near-dup
+    exclusion re-rank; raise it for corpora where an anchor can have
+    many near-duplicates. Like every LSH path here, neighbor quality
+    is governed by probe depth — the driver check asserts
+    subset-of-brute plus the exclusion invariants.
+
+    Returns (anchor_id, negative_id, cos, rank) with rank 1..k per
+    anchor (anchors whose bucket neighborhood is exhausted return
+    fewer than k — a corpus-geometry fact, not an error).
+    """
+    from pyspark.sql import Window
+
+    if k_fetch is None:
+        k_fetch = 2 * k + 8
+    if k_fetch < k + 1:
+        raise ValueError(f"k_fetch={k_fetch} must be >= k+1={k + 1} "
+                         "(self-pair exclusion alone costs one slot)")
+    anchors = df.select(F.col(id_col).alias("anchor_id"), vec_col)
+    index = df.select(F.col(id_col).alias("negative_id"), vec_col)
+    cand = ann_join(anchors, index, vec_col, "anchor_id", "negative_id",
+                    k=k_fetch, n_planes=n_planes,
+                    probe_hamming=probe_hamming, seed=seed,
+                    round_to=round_to, broadcast_queries=False)
+    filt = cand.filter((F.col("anchor_id") != F.col("negative_id"))
+                       & (F.col("cos") < F.lit(float(max_cos))))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"),
+                                                F.col("negative_id"))
+    return (filt.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("anchor_id", "negative_id", "cos", "rank"))
+
+
 # ---------------------------------------------------------------------------
 # cross-corpus near-dup — dedup candidates against a reference corpus
 # ---------------------------------------------------------------------------

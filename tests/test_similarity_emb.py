@@ -191,3 +191,54 @@ def test_linear_head_null_and_ragged_score_null(spark):
     assert rows[1]["aesthetic"] is not None
     assert rows[2]["aesthetic"] is None and rows[2]["pass_aesthetic"] is None
     assert rows[3]["aesthetic"] is None and rows[3]["pass_aesthetic"] is None
+
+
+class TestHardNegatives:
+    def _df(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(40):
+            v = rng.normal(size=8)
+            rows.append((i, (v / np.linalg.norm(v)).tolist()))
+        # 100: exact duplicate of anchor 0 (cos = 1.0 -> excluded)
+        rows.append((100, rows[0][1]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_excludes_self_and_near_dups(self, spark):
+        from mehc_curation_spark.operators.similarity import hard_negatives
+
+        df = self._df(spark)
+        got = hard_negatives(df, "embedding", "vec_id", k=3,
+                             max_cos=0.98, probe_hamming=3).collect()
+        assert all(r["anchor_id"] != r["negative_id"] for r in got)
+        assert all(r["cos"] < 0.98 for r in got)
+        # anchor 0's duplicate (id 100) must never be its negative
+        zero = [r["negative_id"] for r in got if r["anchor_id"] == 0]
+        assert 100 not in zero and zero  # excluded, yet others found
+
+    def test_negatives_subset_of_brute(self, spark):
+        import numpy as np
+
+        from mehc_curation_spark.operators.similarity import hard_negatives
+
+        df = self._df(spark)
+        pdf = df.toPandas()
+        vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+                for r in pdf.itertuples()}
+        got = hard_negatives(df, "embedding", "vec_id", k=3,
+                             max_cos=0.98, probe_hamming=3).collect()
+        for r in got:
+            a, n = vecs[r["anchor_id"]], vecs[r["negative_id"]]
+            cos = float(a @ n / (np.linalg.norm(a) * np.linalg.norm(n)))
+            assert abs(round(cos, 4) - r["cos"]) <= 1e-4
+
+    def test_k_fetch_validation(self, spark):
+        import pytest as _pytest
+
+        from mehc_curation_spark.operators.similarity import hard_negatives
+
+        df = self._df(spark)
+        with _pytest.raises(ValueError):
+            hard_negatives(df, "embedding", "vec_id", k=5, k_fetch=5)
