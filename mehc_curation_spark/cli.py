@@ -675,6 +675,22 @@ def main(argv: list[str] | None = None) -> int:
                               "tags": t.tags()}))
         return 0
 
+    # Friendly missing-path errors BEFORE paying Spark startup: a bad
+    # -i/-r/-t otherwise surfaces as a raw AnalysisException traceback
+    # deep inside the job (documented friction in the verify recipe).
+    # Only plain local paths are checked — URIs (scheme://) and globs
+    # are the storage layer's business.
+    for attr, flag in (("input", "-i/--input"),
+                       ("reference", "-r/--reference"),
+                       ("target", "-t/--target")):
+        p = getattr(args, attr, None)
+        if (isinstance(p, str) and p and "://" not in p
+                and not any(ch in p for ch in "*?[")
+                and not os.path.exists(p)):
+            sys.stderr.write(
+                f"error: {flag} path does not exist: {p}\n")
+            return 2
+
     from mehc_curation_spark.session import get_spark
 
     spark = get_spark(f"mehc-{args.cmd}", master=args.master, cores=args.cores)
@@ -1413,6 +1429,12 @@ def main(argv: list[str] | None = None) -> int:
                 metrics = run_curate(spark, args.input, args.output, cfg,
                                      resume=args.resume,
                                      input_format=args.input_format)
+            if metrics.get("resumed_noop"):
+                sys.stderr.write(
+                    "nothing to do: all "
+                    f"{len(metrics['buckets_done'])} buckets already "
+                    "committed in the ledger; pass --no_resume to "
+                    "recompute from scratch\n")
             print(json.dumps(metrics))
             if args.get_output:
                 from pyspark.sql import functions as F

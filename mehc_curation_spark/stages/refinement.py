@@ -160,7 +160,7 @@ def run_curate(
                     "snapshot_version": SnapshotTable(output_path).current_version(),
                     "buckets_done": sorted(done), "buckets_new": [],
                     "rows": 0, "kept": 0, "elapsed_sec": 0.0,
-                    "rows_per_sec": None}
+                    "rows_per_sec": None, "resumed_noop": True}
 
     # Explicit repartition on the bucket key: co-locates each phash's
     # rows (dedup needs it anyway) and defuses caption-length/language
@@ -248,4 +248,5 @@ def run_curate(
         "kept": sum(e["kept"] for e in per_bucket.values()),
         "elapsed_sec": elapsed,
         "rows_per_sec": (total_rows / elapsed) if elapsed > 0 else None,
+        "resumed_noop": False,
     }

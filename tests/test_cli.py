@@ -1016,3 +1016,51 @@ def test_drift_cli_categorical(tmp_path_factory):
     assert n_ref == exp
     assert res["psi"] == round(sum(b["psi_contrib"]
                                    for b in res["buckets"]), 6)
+
+
+def test_missing_path_friendly_error(tmp_path_factory):
+    """A nonexistent local -i path fails fast with a one-line error on
+    stderr and exit 2, before Spark startup (so: quickly)."""
+    import time
+
+    out = str(tmp_path_factory.mktemp("cli_err") / "out")
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark", "curate",
+         "-i", "/no/such/pairs.parquet", "-o", out, "--cores", "2"],
+        cwd=REPO, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 2
+    assert "path does not exist" in proc.stderr
+    assert "/no/such/pairs.parquet" in proc.stderr
+    assert "Traceback" not in proc.stderr
+    # no Spark session was paid for: well under JVM startup cost
+    assert time.time() - t0 < 30
+    # URIs and globs are passed through to the storage layer (the
+    # check must not reject them pre-Spark just because os.path says
+    # they don't exist): a glob of a real dir still runs.
+    docs = "/root/testdata/sf0.001"
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark", "skew",
+         "-i", os.path.join(docs, "documents*.parquet"),
+         "--key", "lang", "--cores", "2"],
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert proc2.returncode == 0, proc2.stderr[-3000:]
+
+
+def test_curate_resume_noop_message(pairs_file, tmp_path_factory):
+    """Re-running a completed curate resumes from the bucket ledger:
+    exit 0, resumed_noop=true in the metrics JSON, and an explicit
+    'nothing to do' notice on stderr (was silent — verify-recipe
+    friction)."""
+    out = str(tmp_path_factory.mktemp("cli_noop") / "curate_out")
+    first = json.loads(_run(
+        ["curate", "-i", pairs_file, "-o", out, "--cores", "4"]
+    ).stdout.strip().splitlines()[-1])
+    assert first["resumed_noop"] is False
+
+    again = _run(["curate", "-i", pairs_file, "-o", out, "--cores", "4"])
+    metrics = json.loads(again.stdout.strip().splitlines()[-1])
+    assert metrics["resumed_noop"] is True
+    assert metrics["rows"] == 0 and metrics["buckets_new"] == []
+    assert "nothing to do" in again.stderr
+    assert "--no_resume" in again.stderr
