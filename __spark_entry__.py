@@ -1632,6 +1632,95 @@ def emb_hard_negatives_check(spark, sf_dir):
         "all_within_brute_top50 boolean, ranks_contiguous boolean")
 
 
+def _margin_frames(spark, sf_dir):
+    """Shared query/index split for the margin-mining surfaces:
+    queries = vec_id % 4 == 0 (125 at sf0.01), index = the rest."""
+    e = _t(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    idx = e.filter(F.col("vec_id") % 4 != 0)
+    return qdf, idx
+
+
+def emb_margin_mine(spark, sf_dir):
+    """Margin-based pair mining, exact baseline
+    (operators/similarity.py:margin_mine, method='exact'): forward
+    top-4 candidates scored with the Artetxe & Schwenk 2019 RATIO
+    margin (cos over the mean of both sides' k-NN cosine averages),
+    mined pairs = margin >= 1.2. FULL value oracle: the margin is one
+    double division of exact-integer operands (scaled rounded
+    cosines), so DuckDB reproduces it bit-for-bit."""
+    from mehc_curation_spark.operators.similarity import margin_mine
+
+    qdf, idx = _margin_frames(spark, sf_dir)
+    return margin_mine(qdf, idx, "embedding", "query_id", "vec_id",
+                       k=4, threshold=1.2, method="exact")
+
+
+def emb_margin_mine_lsh(spark, sf_dir):
+    """Margin mining through the bucket-key ANN kNN join (the 100 TB
+    path: both kNN directions are LSH candidate joins, vectors never
+    shuffle for candidate generation). Rows-only surface;
+    emb_margin_mine_check carries the oracled invariants."""
+    from mehc_curation_spark.operators.similarity import margin_mine
+
+    qdf, idx = _margin_frames(spark, sf_dir)
+    return margin_mine(qdf, idx, "embedding", "query_id", "vec_id",
+                       k=4, threshold=1.2, method="lsh",
+                       n_planes=8, probe_hamming=4)
+
+
+def emb_margin_mine_check(spark, sf_dir):
+    """Invariants tying the LSH path to the exact baseline (both at
+    threshold=0 so the FULL margin population is compared):
+    - cos equal on every intersection pair (the verify stage computes
+      true dot products, LSH only gates candidates);
+    - lsh margin >= exact margin on every intersection pair (missing
+      a true neighbor can only SHRINK a denominator — the one-sided
+      ANN bias, so LSH mining never silently under-reports a pair it
+      surfaced);
+    - recall of the exact high-margin (>=1.2) population >= 0.8
+      (measured 36/40 = 0.9 at sf0.01 with planes=8/probe=4;
+      deterministic — fixed seed, fixed input);
+    - both forward lists full (k=4 rows per query) — the bias
+      direction above is only guaranteed for full lists.
+    n_queries comes from SQL on the oracle side."""
+    from mehc_curation_spark.operators.similarity import margin_mine
+
+    qdf, idx = _margin_frames(spark, sf_dir)
+    ex = margin_mine(qdf, idx, "embedding", "query_id", "vec_id",
+                     k=4, threshold=0.0, method="exact")
+    ls = margin_mine(qdf, idx, "embedding", "query_id", "vec_id",
+                     k=4, threshold=0.0, method="lsh",
+                     n_planes=8, probe_hamming=4)
+    n_queries = qdf.count()
+    exf = ex.select("query_id", "vec_id",
+                    F.col("cos").alias("_ce"),
+                    F.col("margin").alias("_me"))
+    lsf = ls.select("query_id", "vec_id",
+                    F.col("cos").alias("_cl"),
+                    F.col("margin").alias("_ml"))
+    inter = exf.join(lsf, ["query_id", "vec_id"])
+    n_inter = inter.count()
+    cos_eq = inter.filter(F.col("_ce") != F.col("_cl")).count() == 0
+    one_sided = inter.filter(F.col("_ml") < F.col("_me")).count() == 0
+    hi = exf.filter(F.col("_me") >= 1.2)
+    n_hi = hi.count()
+    n_hi_found = hi.join(lsf, ["query_id", "vec_id"]).count()
+    recall_ok = n_hi == 0 or (n_hi_found / n_hi) >= 0.8
+    full_ex = (ex.groupBy("query_id").count()
+               .filter(F.col("count") == 4).count() == n_queries)
+    full_ls = (ls.groupBy("query_id").count()
+               .filter(F.col("count") == 4).count() == n_queries)
+    return spark.createDataFrame(
+        [(n_queries, n_inter > 0, bool(cos_eq), bool(one_sided),
+          bool(recall_ok), bool(full_ex and full_ls))],
+        "n_queries long, intersection_nonempty boolean, "
+        "cos_equal_on_intersection boolean, "
+        "lsh_margin_never_below_exact boolean, "
+        "high_margin_recall_ge_08 boolean, forward_lists_full boolean")
+
+
 def emb_ann_ivfpq_join_check(spark, sf_dir):
     """Batched kNN join against the PERSISTED IVFPQ index (the
     compressed-production decontamination shape: candidates come from
@@ -3767,6 +3856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_join": emb_ann_join,
         "emb_hard_negatives": emb_hard_negatives,
         "emb_hard_negatives_check": emb_hard_negatives_check,
+        "emb_margin_mine": emb_margin_mine,
+        "emb_margin_mine_lsh": emb_margin_mine_lsh,
+        "emb_margin_mine_check": emb_margin_mine_check,
         "emb_cross_dedup": emb_cross_dedup,
         "emb_ann_ivf": emb_ann_ivf,
         "emb_ann_ivf_persisted": emb_ann_ivf_persisted,
@@ -5682,6 +5774,62 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS all_queries_full_k,
                    TRUE AS all_within_brute_top50
             FROM embeddings WHERE vec_id < 8
+        """,
+        "emb_margin_mine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding
+                       FROM embeddings WHERE vec_id % 4 = 0),
+                 x AS (SELECT vec_id, embedding
+                       FROM embeddings WHERE vec_id % 4 <> 0),
+                 scored AS (
+                   SELECT q.query_id, x.vec_id,
+                          ROUND(list_cosine_similarity(
+                              CAST(q.embedding AS DOUBLE[]),
+                              CAST(x.embedding AS DOUBLE[])), 4) AS cos
+                   FROM q, x),
+                 fwd AS (
+                   SELECT query_id, vec_id, cos FROM (
+                     SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id) AS r
+                     FROM scored) WHERE r <= 4),
+                 bwd AS (
+                   SELECT query_id, vec_id, cos FROM (
+                     SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos DESC, query_id) AS r
+                     FROM scored) WHERE r <= 4),
+                 aq AS (SELECT query_id,
+                               SUM(CAST(ROUND(cos * 10000) AS BIGINT)) AS sq,
+                               COUNT(*) AS nq
+                        FROM fwd GROUP BY query_id),
+                 ai AS (SELECT vec_id,
+                               SUM(CAST(ROUND(cos * 10000) AS BIGINT)) AS si,
+                               COUNT(*) AS ni
+                        FROM bwd GROUP BY vec_id),
+                 pairs AS (
+                   SELECT f.query_id, f.vec_id, f.cos,
+                          ROUND(CAST(CAST(ROUND(f.cos * 10000) AS BIGINT)
+                                     * 2 * a.nq * b.ni AS DOUBLE)
+                                / CAST(a.sq * b.ni + b.si * a.nq AS DOUBLE),
+                                6) AS margin
+                   FROM fwd f
+                   JOIN aq a USING (query_id)
+                   JOIN ai b ON f.vec_id = b.vec_id
+                   WHERE a.sq * b.ni + b.si * a.nq > 0)
+            SELECT query_id, vec_id, cos, margin,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY query_id
+                     ORDER BY margin DESC, vec_id) AS INT) AS rank
+            FROM pairs WHERE margin >= 1.2
+        """,
+        "emb_margin_mine_check": """
+            SELECT COUNT(*) AS n_queries,
+                   TRUE AS intersection_nonempty,
+                   TRUE AS cos_equal_on_intersection,
+                   TRUE AS lsh_margin_never_below_exact,
+                   TRUE AS high_margin_recall_ge_08,
+                   TRUE AS forward_lists_full
+            FROM embeddings WHERE vec_id % 4 = 0
         """,
         "emb_near_dup_lsh_check": """
             SELECT COUNT(*) AS n_exact,

@@ -1781,3 +1781,130 @@ def edit_distance_dups(df: DataFrame, text_col: str = "text",
                     F.col(f"b.{id_col}").alias("id_b"),
                     dist.alias("dist"))
             .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist)))
+
+
+# ---------------------------------------------------------------------------
+# margin-based pair mining (ratio margin over bidirectional kNN)
+# ---------------------------------------------------------------------------
+
+def margin_mine(queries_df: DataFrame, index_df: DataFrame, vec_col: str,
+                query_id_col: str, index_id_col: str, k: int = 4,
+                threshold: float = 1.05, round_to: int = 4,
+                method: str = "lsh", max_rows: Optional[int] = 200_000,
+                n_planes: int = 8, probe_hamming: int = 2,
+                seed: int = 42) -> DataFrame:
+    """Margin-based pair mining: forward kNN candidates scored with the
+    RATIO margin of Artetxe & Schwenk 2019 ("Margin-based Parallel
+    Corpus Mining with Multilingual Sentence Embeddings", ACL; the
+    CCMatrix/LASER mining criterion, all public):
+
+        margin(x, y) = cos(x, y) /
+            ((avg cos of x to its k-NN in Y + avg cos of y to its k-NN
+              in X) / 2)
+
+    Raw cosine over-fires in dense neighborhoods (a "hub" y looks
+    close to everything); dividing by the two local densities keeps
+    only pairs that stand OUT of their neighborhoods — the published
+    fix. Used for bitext mining, caption-transfer pair mining, and
+    soft-dup triage between two corpora. No analog in the reference
+    repo (its dedup is exact/within-corpus only).
+
+    Physical shape:
+    - ``method="lsh"`` (the 100 TB path): both kNN directions run
+      through :func:`ann_join`'s bucket-key equi-join — only
+      (bucket, id) pairs shuffle for candidates, vectors never move
+      for candidate generation, no driver-side collect.
+    - ``method="exact"``: normalized cross join + two row_number
+      windows — the correctness baseline the DuckDB oracle can
+      replicate value-for-value; guarded by ``max_rows`` per side
+      (quadratic by design, like :func:`embedding_near_dups_exact`).
+
+    Determinism contract (shared with the SQL oracle): cosines are
+    rounded to ``round_to`` then scaled to exact integers
+    (``round(cos * 10^round_to)``), so the per-side top-k sums are
+    order-independent integers and the margin is ONE double division
+    of integer-valued operands — bit-equal across engines and
+    partitionings. Pairs whose denominator is <= 0 (possible with
+    anti-correlated neighborhoods) have no defined margin and are
+    excluded.
+
+    Returns (query_id, index_id, cos, margin, rank): forward top-k
+    pairs with margin >= ``threshold``, rank 1..n per query by
+    (margin DESC, index_id) — rank 1 is the argmax-margin match the
+    "forward" strategy of the paper keeps.
+    """
+    from pyspark.sql import Window
+
+    if method not in ("lsh", "exact"):
+        raise ValueError(f"margin_mine: unknown method {method!r} "
+                         "(use 'lsh' or 'exact')")
+    if query_id_col == index_id_col:
+        raise ValueError(
+            "margin_mine: query_id_col and index_id_col must differ "
+            f"(both {query_id_col!r}) — alias one side first")
+    scale = 10 ** round_to
+    if method == "exact":
+        if max_rows is not None:
+            for side, name in ((queries_df, "queries"), (index_df, "index")):
+                probe = side.limit(max_rows + 1).count()
+                if probe > max_rows:
+                    raise ValueError(
+                        f"margin_mine(method='exact'): {name} side "
+                        f"exceeds max_rows={max_rows}; use "
+                        f"method='lsh' or pass max_rows=None to force")
+        qn = queries_df.select(F.col(query_id_col).alias("_qid"),
+                               _normalized_vec(F.col(vec_col)).alias("_q"))
+        xn = index_df.select(F.col(index_id_col).alias("_iid"),
+                             _normalized_vec(F.col(vec_col)).alias("_x"))
+        scored = qn.crossJoin(xn).select(
+            "_qid", "_iid",
+            F.round(_dot_col(F.col("_q"), F.col("_x")),
+                    round_to).alias("cos"))
+        wq = Window.partitionBy("_qid").orderBy(F.desc("cos"),
+                                                F.col("_iid"))
+        fwd = (scored.withColumn("_r", F.row_number().over(wq))
+               .filter(F.col("_r") <= k).drop("_r"))
+        wi = Window.partitionBy("_iid").orderBy(F.desc("cos"),
+                                                F.col("_qid"))
+        bwd = (scored.withColumn("_r", F.row_number().over(wi))
+               .filter(F.col("_r") <= k).drop("_r"))
+    else:
+        fwd = ann_join(queries_df, index_df, vec_col,
+                       query_id_col, index_id_col, k=k,
+                       n_planes=n_planes, probe_hamming=probe_hamming,
+                       seed=seed, round_to=round_to,
+                       broadcast_queries=False) \
+            .select(F.col(query_id_col).alias("_qid"),
+                    F.col(index_id_col).alias("_iid"), "cos")
+        bwd = ann_join(index_df, queries_df, vec_col,
+                       index_id_col, query_id_col, k=k,
+                       n_planes=n_planes, probe_hamming=probe_hamming,
+                       seed=seed, round_to=round_to,
+                       broadcast_queries=False) \
+            .select(F.col(query_id_col).alias("_qid"),
+                    F.col(index_id_col).alias("_iid"), "cos")
+
+    cs = F.round(F.col("cos") * scale).cast("long")
+    aq = (fwd.select("_qid", cs.alias("_cs"))
+          .groupBy("_qid")
+          .agg(F.sum("_cs").alias("_sq"), F.count("*").alias("_nq")))
+    ai = (bwd.select("_iid", cs.alias("_cs"))
+          .groupBy("_iid")
+          .agg(F.sum("_cs").alias("_si"), F.count("*").alias("_ni")))
+    # margin = cos / ((sum_q/n_q + sum_i/n_i) / 2) computed as ONE
+    # double division of exact-integer operands (see docstring)
+    num = (cs * F.lit(2) * F.col("_nq") * F.col("_ni")).cast("double")
+    den = (F.col("_sq") * F.col("_ni")
+           + F.col("_si") * F.col("_nq")).cast("double")
+    pairs = (fwd.join(aq, "_qid").join(ai, "_iid")
+             .filter(F.col("_sq") * F.col("_ni")
+                     + F.col("_si") * F.col("_nq") > 0)
+             .select("_qid", "_iid", "cos",
+                     F.round(num / den, 6).alias("margin")))
+    wr = Window.partitionBy("_qid").orderBy(F.desc("margin"),
+                                            F.col("_iid"))
+    return (pairs.filter(F.col("margin") >= float(threshold))
+            .withColumn("rank", F.row_number().over(wr))
+            .select(F.col("_qid").alias(query_id_col),
+                    F.col("_iid").alias(index_id_col),
+                    "cos", "margin", "rank"))
