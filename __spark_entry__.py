@@ -1721,6 +1721,23 @@ def emb_margin_mine_check(spark, sf_dir):
         "high_margin_recall_ge_08 boolean, forward_lists_full boolean")
 
 
+def emb_retrieval_eval(spark, sf_dir):
+    """kNN label-retrieval evaluation of the embedding corpus
+    (operators/similarity.py:retrieval_eval, method='exact'): per
+    query (vec_id % 4 == 0), the rank of the first same-label index
+    row in its exact-cosine top-10 and the count of same-label rows
+    there — recall@k / first-relevant-rank, the standard probe that a
+    curated corpus still separates its concepts. FULL value oracle."""
+    from mehc_curation_spark.operators.similarity import retrieval_eval
+
+    e = _t(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label")
+    idx = e.filter(F.col("vec_id") % 4 != 0)
+    return retrieval_eval(qdf, idx, "embedding", "query_id", "vec_id",
+                          rel_col="label", k=10, method="exact")
+
+
 def emb_ann_ivfpq_join_check(spark, sf_dir):
     """Batched kNN join against the PERSISTED IVFPQ index (the
     compressed-production decontamination shape: candidates come from
@@ -3857,6 +3874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hard_negatives": emb_hard_negatives,
         "emb_hard_negatives_check": emb_hard_negatives_check,
         "emb_margin_mine": emb_margin_mine,
+        "emb_retrieval_eval": emb_retrieval_eval,
         "emb_margin_mine_lsh": emb_margin_mine_lsh,
         "emb_margin_mine_check": emb_margin_mine_check,
         "emb_cross_dedup": emb_cross_dedup,
@@ -5821,6 +5839,33 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY query_id
                      ORDER BY margin DESC, vec_id) AS INT) AS rank
             FROM pairs WHERE margin >= 1.2
+        """,
+        "emb_retrieval_eval": """
+            WITH q AS (SELECT vec_id AS query_id, embedding, label
+                       FROM embeddings WHERE vec_id % 4 = 0),
+                 x AS (SELECT vec_id, embedding, label
+                       FROM embeddings WHERE vec_id % 4 <> 0),
+                 topk AS (
+                   SELECT query_id, vec_id, r FROM (
+                     SELECT q.query_id, x.vec_id,
+                            ROW_NUMBER() OVER (
+                              PARTITION BY q.query_id
+                              ORDER BY ROUND(list_cosine_similarity(
+                                  CAST(q.embedding AS DOUBLE[]),
+                                  CAST(x.embedding AS DOUBLE[])), 4) DESC,
+                                x.vec_id) AS r
+                     FROM q, x) WHERE r <= 10),
+                 hits AS (
+                   SELECT t.query_id, MIN(t.r) AS first_rel_rank,
+                          COUNT(*) AS rel_in_topk
+                   FROM topk t
+                   JOIN x ON t.vec_id = x.vec_id
+                   JOIN q ON t.query_id = q.query_id
+                   WHERE q.label = x.label
+                   GROUP BY t.query_id)
+            SELECT q.query_id, h.first_rel_rank,
+                   COALESCE(h.rel_in_topk, 0) AS rel_in_topk
+            FROM q LEFT JOIN hits h USING (query_id)
         """,
         "emb_margin_mine_check": """
             SELECT COUNT(*) AS n_queries,

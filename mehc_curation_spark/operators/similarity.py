@@ -1908,3 +1908,87 @@ def margin_mine(queries_df: DataFrame, index_df: DataFrame, vec_col: str,
             .select(F.col("_qid").alias(query_id_col),
                     F.col("_iid").alias(index_id_col),
                     "cos", "margin", "rank"))
+
+
+def retrieval_eval(queries_df: DataFrame, index_df: DataFrame, vec_col: str,
+                   query_id_col: str, index_id_col: str,
+                   rel_col: str = "label", k: int = 10,
+                   method: str = "exact", max_rows: Optional[int] = 200_000,
+                   round_to: int = 4, n_planes: int = 8,
+                   probe_hamming: int = 2, seed: int = 42) -> DataFrame:
+    """Per-query retrieval relevance over an embedding index — the
+    standard kNN label-retrieval evaluation (recall@k / first-relevant
+    rank; e.g. Jégou et al. 2011 §V eval protocol, the zero-shot kNN
+    probe of the self-supervised literature). A curation pipeline runs
+    this to monitor whether the kept corpus still separates classes /
+    concepts after filtering and dedup.
+
+    For every query row: rank its top-``k`` index neighbors by exact
+    cosine (ties by index id), mark neighbors whose ``rel_col`` equals
+    the query's, and report
+
+        (query_id, first_rel_rank, rel_in_topk)
+
+    with ``first_rel_rank`` NULL and ``rel_in_topk`` 0 when no
+    relevant row reaches the top-k (every query appears exactly once
+    — recall@j for any j <= k is then AVG(first_rel_rank <= j)).
+
+    ``method="exact"`` ranks against the FULL index (cross join +
+    window, ``max_rows``-guarded — the oracle-replicable baseline).
+    ``method="lsh"`` ranks within :func:`ann_join`'s bucket-key
+    candidates (the 100 TB path: ranks are positions among surfaced
+    candidates, the production shape of an ANN-served eval). NULL
+    ``rel_col`` on a query matches nothing; NULL on an index row is
+    never relevant (SQL equality semantics, shared with the oracle).
+    """
+    from pyspark.sql import Window
+
+    if method not in ("lsh", "exact"):
+        raise ValueError(f"retrieval_eval: unknown method {method!r} "
+                         "(use 'lsh' or 'exact')")
+    if query_id_col == index_id_col:
+        raise ValueError(
+            "retrieval_eval: query_id_col and index_id_col must differ "
+            f"(both {query_id_col!r}) — alias one side first")
+    if method == "exact":
+        if max_rows is not None:
+            for side, name in ((queries_df, "queries"), (index_df, "index")):
+                probe = side.limit(max_rows + 1).count()
+                if probe > max_rows:
+                    raise ValueError(
+                        f"retrieval_eval(method='exact'): {name} side "
+                        f"exceeds max_rows={max_rows}; use "
+                        f"method='lsh' or pass max_rows=None to force")
+        qn = queries_df.select(F.col(query_id_col).alias("_qid"),
+                               _normalized_vec(F.col(vec_col)).alias("_q"))
+        xn = index_df.select(F.col(index_id_col).alias("_iid"),
+                             _normalized_vec(F.col(vec_col)).alias("_x"))
+        scored = qn.crossJoin(xn).select(
+            "_qid", "_iid",
+            F.round(_dot_col(F.col("_q"), F.col("_x")),
+                    round_to).alias("cos"))
+        w = Window.partitionBy("_qid").orderBy(F.desc("cos"), F.col("_iid"))
+        topk = (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+    else:
+        topk = ann_join(queries_df, index_df, vec_col,
+                        query_id_col, index_id_col, k=k,
+                        n_planes=n_planes, probe_hamming=probe_hamming,
+                        seed=seed, round_to=round_to,
+                        broadcast_queries=False) \
+            .select(F.col(query_id_col).alias("_qid"),
+                    F.col(index_id_col).alias("_iid"), "rank")
+
+    q_rel = queries_df.select(F.col(query_id_col).alias("_qid"),
+                              F.col(rel_col).alias("_q_rel"))
+    i_rel = index_df.select(F.col(index_id_col).alias("_iid"),
+                            F.col(rel_col).alias("_i_rel"))
+    hits = (topk.join(i_rel, "_iid").join(q_rel, "_qid")
+            .filter(F.col("_q_rel") == F.col("_i_rel"))
+            .groupBy("_qid")
+            .agg(F.min("rank").alias("first_rel_rank"),
+                 F.count("*").alias("rel_in_topk")))
+    return (q_rel.select("_qid").join(hits, "_qid", "left")
+            .select(F.col("_qid").alias(query_id_col),
+                    "first_rel_rank",
+                    F.coalesce("rel_in_topk", F.lit(0)).alias("rel_in_topk")))
