@@ -305,6 +305,24 @@ def doc_label_shift(spark, sf_dir):
     return label_shift(old, new, "doc_id", "drop_reason")
 
 
+def doc_threshold_sweep(spark, sf_dir):
+    """Filter-threshold calibration sweep
+    (operators/profile.py:threshold_sweep): per-language precision /
+    recall / F1 curves for the rule "keep docs with n_chars >=
+    threshold" against a text marker label, over a 12-bin fixed-width
+    grid on [0, 600) — the tuning curve for this engine's own gate
+    knobs (e.g. the per-language perplexity thresholds). One
+    map-combinable scan + a window over <= n_groups * n_bins rows;
+    every metric is a single division of exact integer counts. FULL
+    value oracle."""
+    from mehc_curation_spark.operators.profile import threshold_sweep
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_marker", F.col("text").contains("the"))
+    return threshold_sweep(d, "n_chars", "_marker",
+                           lo=0.0, hi=600.0, n_bins=12, group_col="lang")
+
+
 def doc_rule_ablation(spark, sf_dir):
     """One-pass rule ablation/overlap report
     (operators/profile.py:rule_ablation): per-rule total drops, UNIQUE
@@ -3752,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_category_drift": doc_category_drift,
         "doc_label_shift": doc_label_shift,
         "doc_rule_ablation": doc_rule_ablation,
+        "doc_threshold_sweep": doc_threshold_sweep,
         "doc_audit_sample": doc_audit_sample,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_pii_audit": doc_pii_audit,
@@ -4250,6 +4269,46 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((p_ref - p_new) * ln(p_ref / p_new), 6)
                        AS psi_contrib
             FROM p
+        """,
+        "doc_threshold_sweep": """
+            WITH d AS (
+              SELECT lang,
+                     LEAST(GREATEST(FLOOR(
+                       (CAST(n_chars AS DOUBLE) - 0.0) / 50.0), 0), 11)
+                       AS _bin,
+                     CASE WHEN text LIKE '%the%' THEN 1 ELSE 0 END AS _y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND text IS NOT NULL
+                AND lang IS NOT NULL),
+            per_bin AS (
+              SELECT lang, _bin, COUNT(*) AS _n, SUM(_y) AS _p
+              FROM d GROUP BY lang, _bin),
+            totals AS (
+              SELECT lang, _bin,
+                     CAST(SUM(_n) OVER (PARTITION BY lang
+                       ORDER BY _bin DESC ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT) AS kept,
+                     CAST(SUM(_p) OVER (PARTITION BY lang
+                       ORDER BY _bin DESC ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+                     CAST(SUM(_n) OVER (PARTITION BY lang) AS BIGINT)
+                       AS n_rows,
+                     CAST(SUM(_p) OVER (PARTITION BY lang) AS BIGINT)
+                       AS n_pos
+              FROM per_bin)
+            SELECT lang, ROUND(0.0 + _bin * 50.0, 9) AS threshold,
+                   kept, tp, n_rows, n_pos,
+                   CASE WHEN kept > 0 THEN
+                     ROUND(CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE), 6)
+                   END AS "precision",
+                   CASE WHEN n_pos > 0 THEN
+                     ROUND(CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+                   END AS recall,
+                   CASE WHEN kept + n_pos > 0 THEN
+                     ROUND((2.0 * CAST(tp AS DOUBLE))
+                           / CAST(kept + n_pos AS DOUBLE), 6)
+                   END AS f1
+            FROM totals
         """,
         "doc_rule_ablation": """
             WITH f AS (

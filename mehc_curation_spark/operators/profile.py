@@ -431,3 +431,88 @@ def rule_ablation(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
                     F.round(F.col("r.n_unique")
                             / F.greatest(F.col("_total"), F.lit(1)), 6)
                      .alias("unique_share")))
+
+
+def threshold_sweep(df: DataFrame, score_col: str, label_col: str,
+                    lo: float, hi: float, n_bins: int = 20,
+                    group_col: Optional[str] = None) -> DataFrame:
+    """Filter-threshold calibration sweep: for every candidate cutoff
+    on a fixed-width grid over ``[lo, hi)``, the precision / recall /
+    F1 of the rule "keep rows with ``score_col`` >= threshold" against
+    the boolean ``label_col`` — the tuning curve for a quality /
+    perplexity / alignment gate (the per-language ppl thresholds of
+    this engine's own refinement stage are exactly this knob; cf. the
+    reference's fixed per-step valid/invalid conditions,
+    ``/root/reference/mehc_curation/validation/config/validation_config.py:22-86``,
+    which a user calibrates by sweeping).
+
+    ``group_col`` yields one independent curve per group (e.g. per
+    language). Rows with NULL score or NULL label are excluded (and
+    with ``group_col``, NULL groups too) — documented contract shared
+    with the SQL oracle.
+
+    Scale shape (100 TB): rows collapse into per-(group, bin) partial
+    aggregates in ONE scan — map-side combinable, no row-level shuffle
+    — and the cumulative >=-threshold counts come from a window over
+    the ≤ ``n_groups * n_bins`` aggregated rows. Scores outside
+    [lo, hi) clamp to the edge bins. Exact integer counts everywhere;
+    precision/recall/F1 are single divisions of integers (F1 via
+    2*TP / (kept + positives), algebraically 2TP/(2TP+FP+FN)), so
+    every value is bit-reproducible across engines and partitionings.
+
+    Returns one row per OCCUPIED (group?, bin) — empty bins yield no
+    row: ``(group?, threshold, kept, tp, n_rows, n_pos, precision,
+    recall, f1)`` — ``precision`` NULL when nothing is kept.
+    """
+    from pyspark.sql import Window
+
+    if n_bins < 1:
+        raise ValueError(f"threshold_sweep: n_bins={n_bins} must be >= 1")
+    if not (hi > lo):
+        raise ValueError(f"threshold_sweep: need hi > lo, got [{lo}, {hi})")
+    step = (float(hi) - float(lo)) / int(n_bins)
+    d = df.filter(F.col(score_col).isNotNull()
+                  & F.col(label_col).isNotNull())
+    gcols = []
+    if group_col is not None:
+        d = d.filter(F.col(group_col).isNotNull())
+        gcols = [group_col]
+    bin_idx = F.least(
+        F.greatest(F.floor((F.col(score_col).cast("double") - F.lit(float(lo)))
+                           / F.lit(step)), F.lit(0)),
+        F.lit(int(n_bins) - 1))
+    per_bin = (d.select(*gcols, bin_idx.alias("_bin"),
+                        F.col(label_col).cast("boolean").alias("_y"))
+               .groupBy(*gcols, "_bin")
+               .agg(F.count("*").alias("_n"),
+                    F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_p")))
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    # kept(threshold=edge of bin b) = rows in bins >= b
+    w_ge = (wg.orderBy(F.desc("_bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    totals = (per_bin
+              .withColumn("kept", F.sum("_n").over(w_ge))
+              .withColumn("tp", F.sum("_p").over(w_ge))
+              .withColumn("n_rows", F.sum("_n").over(
+                  wg.orderBy("_bin").rowsBetween(
+                      Window.unboundedPreceding,
+                      Window.unboundedFollowing)))
+              .withColumn("n_pos", F.sum("_p").over(
+                  wg.orderBy("_bin").rowsBetween(
+                      Window.unboundedPreceding,
+                      Window.unboundedFollowing))))
+    threshold = F.round(F.lit(float(lo)) + F.col("_bin") * F.lit(step), 9)
+    precision = F.when(F.col("kept") > 0,
+                       F.round(F.col("tp").cast("double")
+                               / F.col("kept").cast("double"), 6))
+    recall = F.when(F.col("n_pos") > 0,
+                    F.round(F.col("tp").cast("double")
+                            / F.col("n_pos").cast("double"), 6))
+    f1 = F.when(F.col("kept") + F.col("n_pos") > 0,
+                F.round((F.lit(2.0) * F.col("tp").cast("double"))
+                        / (F.col("kept") + F.col("n_pos")).cast("double"),
+                        6))
+    return totals.select(
+        *gcols, threshold.alias("threshold"), "kept", "tp",
+        "n_rows", "n_pos", precision.alias("precision"),
+        recall.alias("recall"), f1.alias("f1"))

@@ -304,3 +304,71 @@ class TestRuleAblationNames:
         assert got["len.check"]["n_drop"] == 1
         assert got["has y"]["n_drop"] == 1
         assert got["len.check"]["n_unique"] == 1
+
+
+class TestThresholdSweep:
+    def _df(self, spark):
+        # scores 0..9, label = score >= 5 (perfectly separable at 5)
+        rows = [(i, float(i), i >= 5, "g" if i % 2 else "h")
+                for i in range(10)]
+        return spark.createDataFrame(
+            rows, "id long, score double, y boolean, grp string")
+
+    def test_hand_computed_ungrouped(self, spark):
+        from mehc_curation_spark.operators.profile import threshold_sweep
+
+        res = {r["threshold"]: r for r in threshold_sweep(
+            self._df(spark), "score", "y", lo=0.0, hi=10.0,
+            n_bins=10).collect()}
+        assert len(res) == 10  # every bin occupied
+        # threshold 5.0 keeps exactly the positives
+        r5 = res[5.0]
+        assert (r5["kept"], r5["tp"], r5["n_rows"], r5["n_pos"]) == \
+            (5, 5, 10, 5)
+        assert r5["precision"] == 1.0 and r5["recall"] == 1.0 \
+            and r5["f1"] == 1.0
+        # threshold 0.0 keeps everything
+        r0 = res[0.0]
+        assert r0["kept"] == 10 and r0["precision"] == 0.5 \
+            and r0["recall"] == 1.0
+        # threshold 8.0 keeps 2 positives: precision 1, recall 0.4
+        r8 = res[8.0]
+        assert r8["kept"] == 2 and r8["precision"] == 1.0 \
+            and r8["recall"] == 0.4
+
+    def test_grouped_and_clamping(self, spark):
+        from mehc_curation_spark.operators.profile import threshold_sweep
+
+        d = self._df(spark)
+        res = threshold_sweep(d, "score", "y", lo=2.0, hi=8.0,
+                              n_bins=3, group_col="grp").collect()
+        # per-group totals must be the group sizes (out-of-range
+        # scores clamp into edge bins, they are never dropped)
+        by_g = {}
+        for r in res:
+            by_g.setdefault(r["grp"], []).append(r)
+        for g, rows in by_g.items():
+            assert all(r["n_rows"] == 5 for r in rows)
+            ks = sorted(r["threshold"] for r in rows)
+            assert ks == [2.0, 4.0, 6.0]
+            # kept is monotone nonincreasing in threshold
+            kept = [r["kept"] for r in sorted(
+                rows, key=lambda r: r["threshold"])]
+            assert kept == sorted(kept, reverse=True)
+
+    def test_null_exclusion_and_guards(self, spark):
+        import pytest
+
+        from mehc_curation_spark.operators.profile import threshold_sweep
+
+        d = spark.createDataFrame(
+            [(1, 1.0, True, "g"), (2, None, True, "g"),
+             (3, 2.0, None, "g"), (4, 3.0, False, None)],
+            "id long, score double, y boolean, grp string")
+        rows = threshold_sweep(d, "score", "y", lo=0.0, hi=4.0,
+                               n_bins=4, group_col="grp").collect()
+        assert sum(r["n_rows"] for r in rows) / len(rows) == 1  # only id 1
+        with pytest.raises(ValueError, match="n_bins"):
+            threshold_sweep(d, "score", "y", lo=0.0, hi=1.0, n_bins=0)
+        with pytest.raises(ValueError, match="hi > lo"):
+            threshold_sweep(d, "score", "y", lo=1.0, hi=1.0)
