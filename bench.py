@@ -37,6 +37,54 @@ def _load1() -> float:
         return -1.0
 
 
+def _ambient_probe(n_threads: int = 8, reps: int = 2) -> dict:
+    """Self-calibrating ambient-contention probe, run while THIS
+    process is otherwise idle: a fixed workload (40 multiplications of
+    256x256 float64 matrices; NumPy releases the GIL) timed once on a
+    single thread (``t1_ms``) and once as the makespan of
+    ``n_threads`` concurrent threads (``t8_ms``), best of ``reps``.
+
+    load1 cannot separate OUR job's contribution from other tenants'
+    (it is sampled while our own 16-32-thread rep is or was just
+    running); this pair can. The workload is an elementwise int64 LCG
+    sweep — NumPy never BLAS-threads elementwise ops, so ``t1_ms``
+    really is one core's time (quiet ~25-50 ms): it stretching means
+    the scheduler is starving even a single thread, and
+    ``t8_ms / t1_ms`` is the effective parallel slowdown — near 1-2
+    when cores are free (thread start + GIL churn keeps it above 1),
+    large when external load owns the cores. Recorded before every
+    curate rep so each sample carries an honest host-business
+    measurement that our own run cannot pollute."""
+    import threading
+
+    import numpy as np
+
+    base = np.arange(1_000_000, dtype=np.int64)
+
+    def work():
+        x = base
+        for _ in range(20):
+            x = x * np.int64(6364136223846793005) \
+                + np.int64(1442695040888963407)
+
+    work()  # warmup: page-fault the base array, JIT nothing, cache it
+    t1 = float("inf")
+    t8 = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        work()
+        t1 = min(t1, (time.perf_counter() - t0) * 1000.0)
+        threads = [threading.Thread(target=work)
+                   for _ in range(n_threads)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        t8 = min(t8, (time.perf_counter() - t0) * 1000.0)
+    return {"t1_ms": round(t1, 1), "t8_ms": round(t8, 1)}
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -251,9 +299,13 @@ def main() -> None:
     # (fresh JVM included) and min() needs at least one rep to land in
     # a quiet ambient-load window — measured bursts cost 2-5x.
     curate_reps = max(1, int(os.environ.get("SPARK_GRAFT_CURATE_REPS",
-                                            str(max(reps, 6)))))
+                                            str(max(2 * reps, 8)))))
     widths = [half if i != 1 else cpus for i in range(curate_reps)]
+    curate_probes: list[float] = []
     for i, width in enumerate(widths):
+        # ambient probe BEFORE the rep (we are idle here): a quiet
+        # host reads ~40-80 ms, an oversubscribed one several hundred
+        curate_probes.append(_ambient_probe())
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--curate-one", str(width), str(n_pairs)],
@@ -278,6 +330,7 @@ def main() -> None:
     queries["curate_pairs"] = round(curate_sec, 3)
     query_runs["curate_pairs"] = curate_samples
     query_loads["curate_pairs"] = curate_loads
+    query_probes = {"curate_pairs": curate_probes}
 
     # Incremental curation: the claim that matters at 10^12 rows is
     # that an increment's cost tracks the INCREMENT, not the corpus —
@@ -361,6 +414,14 @@ def main() -> None:
         # before the session started): slow samples with load1 >> cpus
         # in use are ambient host load, not regressions.
         "query_loads": query_loads,
+        # self-calibrating ambient-contention probe taken BEFORE each
+        # curate rep while this process is idle: t1_ms = fixed NumPy
+        # workload single-thread (quiet ~50 ms), t8_ms = same workload
+        # as an 8-thread makespan; t8/t1 ~ effective parallel slowdown.
+        # Unlike load1 the probe cannot be polluted by our own
+        # just-finished rep, so (sample_sec, probe) pairs separate
+        # host business from regressions.
+        "query_probes_ms": query_probes,
         # the continuous-ingestion story measured: same pipeline, 10%
         # of the corpus arriving late — compare rows_per_sec here with
         # n_pairs/curate_sec to see what NOT re-curating the other 90%
@@ -417,11 +478,13 @@ def scaling() -> None:
             "print(json.dumps({'sec': sec, 'rows': rows}))"
         )
         l0 = _load1()
+        r_probe = _ambient_probe()
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)), check=True)
         r = json.loads(out.stdout.strip().splitlines()[-1])
         r["load1_before"], r["load1_after"] = l0, _load1()
+        r["probe_before"] = r_probe
         return r
 
     runs: dict[int, list[dict]] = {lo: [], hi: []}

@@ -398,6 +398,29 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--cores", type=int, default=-1)
     dr.add_argument("--master", default=None)
 
+    sw = sub.add_parser(
+        "sweep",
+        help="filter-threshold calibration: precision/recall/F1 of "
+             "'keep score_col >= t' against a boolean reference "
+             "column over a fixed-width threshold grid, optionally "
+             "one curve per group — the tuning report for gate knobs "
+             "like the per-language ppl thresholds (graft-only "
+             "capability)")
+    sw.add_argument("-i", "--input", required=True,
+                    help="parquet with the score + label columns")
+    sw.add_argument("--score_col", required=True)
+    sw.add_argument("--label_col", required=True,
+                    help="boolean reference column")
+    sw.add_argument("--lo", type=float, required=True,
+                    help="grid lower edge (inclusive)")
+    sw.add_argument("--hi", type=float, required=True,
+                    help="grid upper edge (exclusive)")
+    sw.add_argument("--bins", type=int, default=20)
+    sw.add_argument("--group_col", default=None,
+                    help="one independent curve per value (e.g. lang)")
+    sw.add_argument("--cores", type=int, default=-1)
+    sw.add_argument("--master", default=None)
+
     tk = sub.add_parser(
         "tokenize",
         help="train a tokenizer on the corpus and/or encode it: "
@@ -921,6 +944,37 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "psi": psi, "verdict": verdict, "col": args.col,
                 "buckets": detail}))
+            return 0
+
+        if args.cmd == "sweep":
+            from mehc_curation_spark.operators.profile import (
+                threshold_sweep,
+            )
+
+            df = spark.read.parquet(args.input)
+            res = threshold_sweep(df, args.score_col, args.label_col,
+                                  lo=args.lo, hi=args.hi,
+                                  n_bins=args.bins,
+                                  group_col=args.group_col)
+            rows = [r.asDict() for r in res.collect()]
+            gkey = args.group_col
+            # best-F1 cutoff per curve (ties -> lowest threshold):
+            # the number a user actually sets the gate to
+            best: dict = {}
+            for r in sorted(rows, key=lambda r: (r.get(gkey, ""),
+                                                 r["threshold"])):
+                g = r.get(gkey) if gkey else "__all__"
+                b = best.get(g)
+                if r["f1"] is not None and (b is None
+                                            or r["f1"] > b["f1"]):
+                    best[g] = {"threshold": r["threshold"],
+                               "f1": r["f1"]}
+            print(json.dumps({
+                "score_col": args.score_col,
+                "label_col": args.label_col,
+                "group_col": gkey, "bins": args.bins,
+                "lo": args.lo, "hi": args.hi,
+                "best_f1": best, "curve": rows}))
             return 0
 
         if args.cmd == "dsir":

@@ -1064,3 +1064,31 @@ def test_curate_resume_noop_message(pairs_file, tmp_path_factory):
     assert metrics["rows"] == 0 and metrics["buckets_new"] == []
     assert "nothing to do" in again.stderr
     assert "--no_resume" in again.stderr
+
+
+def test_sweep_cli(tmp_path_factory):
+    """sweep: per-lang P/R/F1 curves; totals reconcile with DuckDB and
+    the reported best-F1 cutoff actually maximizes the curve."""
+    base = tmp_path_factory.mktemp("cli_sweep")
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    inp = str(base / "scored.parquet")
+    duckdb.sql(f"COPY (SELECT *, text LIKE '%the%' AS marker FROM "
+               f"read_parquet('{docs}')) TO '{inp}' (FORMAT PARQUET)")
+    res = json.loads(_run(
+        ["sweep", "-i", inp, "--score_col", "n_chars",
+         "--label_col", "marker", "--lo", "0", "--hi", "600",
+         "--bins", "6", "--group_col", "lang", "--cores", "4"]
+    ).stdout.strip().splitlines()[-1])
+    assert res["group_col"] == "lang" and res["curve"]
+    # per-lang n_rows must equal the corpus's non-null counts
+    exp = dict(duckdb.sql(
+        f"SELECT lang, COUNT(*) FROM read_parquet('{inp}') "
+        f"WHERE n_chars IS NOT NULL AND lang IS NOT NULL "
+        f"GROUP BY lang").fetchall())
+    got = {r["lang"]: r["n_rows"] for r in res["curve"]}
+    assert got == exp
+    # best_f1 per lang matches the max over that lang's curve
+    for lang, b in res["best_f1"].items():
+        rows = [r for r in res["curve"] if r["lang"] == lang
+                and r["f1"] is not None]
+        assert b["f1"] == max(r["f1"] for r in rows)
