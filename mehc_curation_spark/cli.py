@@ -398,6 +398,37 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--cores", type=int, default=-1)
     dr.add_argument("--master", default=None)
 
+    mn = sub.add_parser(
+        "mine",
+        help="margin-based pair mining between two corpora: forward "
+             "kNN candidates scored with the Artetxe & Schwenk ratio "
+             "margin (cos over the mean of both sides' k-NN cosine "
+             "averages) — bitext / caption-transfer / soft-dup pair "
+             "mining (graft-only capability)")
+    mn.add_argument("-i", "--input", required=True,
+                    help="QUERY corpus parquet (id + embedding)")
+    mn.add_argument("-r", "--reference", required=True,
+                    help="INDEX corpus parquet (id + embedding)")
+    mn.add_argument("-o", "--output", required=True)
+    mn.add_argument("--vec_col", default="embedding")
+    mn.add_argument("--query_id_col", default="vec_id",
+                    help="id column in the query corpus")
+    mn.add_argument("--index_id_col", default="vec_id",
+                    help="id column in the index corpus")
+    mn.add_argument("-k", type=int, default=4,
+                    help="kNN depth for candidates AND margin "
+                         "denominators")
+    mn.add_argument("--threshold", type=float, default=1.05,
+                    help="ratio-margin cutoff (CCMatrix-style mining "
+                         "uses ~1.05-1.06)")
+    mn.add_argument("--method", choices=["lsh", "exact"], default="lsh",
+                    help="lsh = bucket-key ANN joins (the at-scale "
+                         "path); exact = guarded cross-join baseline")
+    mn.add_argument("--n_planes", type=int, default=8)
+    mn.add_argument("--probe_hamming", type=int, default=2)
+    mn.add_argument("--cores", type=int, default=-1)
+    mn.add_argument("--master", default=None)
+
     sw = sub.add_parser(
         "sweep",
         help="filter-threshold calibration: precision/recall/F1 of "
@@ -944,6 +975,44 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "psi": psi, "verdict": verdict, "col": args.col,
                 "buckets": detail}))
+            return 0
+
+        if args.cmd == "mine":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators.similarity import (
+                margin_mine,
+            )
+
+            qdf = spark.read.parquet(args.input).select(
+                F.col(args.query_id_col).alias("query_id"),
+                F.col(args.vec_col).alias("_v")
+            ).withColumnRenamed("_v", args.vec_col)
+            idx = spark.read.parquet(args.reference).select(
+                F.col(args.index_id_col).alias("index_id"),
+                F.col(args.vec_col).alias("_v")
+            ).withColumnRenamed("_v", args.vec_col)
+            pairs = margin_mine(qdf, idx, args.vec_col,
+                                "query_id", "index_id", k=args.k,
+                                threshold=args.threshold,
+                                method=args.method,
+                                n_planes=args.n_planes,
+                                probe_hamming=args.probe_hamming)
+            out_dir = os.path.join(args.output, "data")
+            pairs.write.mode("overwrite").parquet(out_dir)
+            back = spark.read.parquet(out_dir)
+            agg = back.agg(
+                F.count("*").alias("n_pairs"),
+                F.countDistinct("query_id").alias("n_queries_matched"),
+                F.round(F.max("margin"), 6).alias("max_margin"),
+                F.round(F.avg("margin"), 6).alias("mean_margin")).first()
+            print(json.dumps({
+                "n_pairs": agg["n_pairs"],
+                "n_queries_matched": agg["n_queries_matched"],
+                "max_margin": agg["max_margin"],
+                "mean_margin": agg["mean_margin"],
+                "k": args.k, "threshold": args.threshold,
+                "method": args.method}))
             return 0
 
         if args.cmd == "sweep":

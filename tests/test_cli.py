@@ -1092,3 +1092,42 @@ def test_sweep_cli(tmp_path_factory):
         rows = [r for r in res["curve"] if r["lang"] == lang
                 and r["f1"] is not None]
         assert b["f1"] == max(r["f1"] for r in rows)
+
+
+def test_mine_cli(tmp_path_factory):
+    """mine: margin-mined pairs written to parquet; JSON summary
+    reconciles; every pair respects the threshold; exact and lsh
+    modes agree on the pairs lsh surfaces (one-sided margin bias)."""
+    base = tmp_path_factory.mktemp("cli_mine")
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    q = str(base / "q.parquet")
+    r = str(base / "r.parquet")
+    duckdb.sql(f"COPY (SELECT * FROM read_parquet('{emb}') WHERE "
+               f"vec_id % 4 = 0) TO '{q}' (FORMAT PARQUET)")
+    duckdb.sql(f"COPY (SELECT * FROM read_parquet('{emb}') WHERE "
+               f"vec_id % 4 <> 0) TO '{r}' (FORMAT PARQUET)")
+    out = str(base / "mined")
+    res = json.loads(_run(
+        ["mine", "-i", q, "-r", r, "-o", out, "-k", "4",
+         "--threshold", "1.1", "--method", "exact", "--cores", "4"]
+    ).stdout.strip().splitlines()[-1])
+    rows = duckdb.sql(
+        f"SELECT COUNT(*), MIN(margin), COUNT(DISTINCT query_id) "
+        f"FROM read_parquet('{out}/data/*.parquet')").fetchone()
+    assert rows[0] == res["n_pairs"] > 0
+    assert rows[1] >= 1.1
+    assert rows[2] == res["n_queries_matched"]
+
+    out2 = str(base / "mined_lsh")
+    res2 = json.loads(_run(
+        ["mine", "-i", q, "-r", r, "-o", out2, "-k", "4",
+         "--threshold", "1.1", "--method", "lsh", "--probe_hamming",
+         "4", "--cores", "4"]).stdout.strip().splitlines()[-1])
+    # one-sided ANN bias: on every pair both paths surface, the lsh
+    # margin is >= the exact margin (documented in margin_mine)
+    n_viol = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out2}/data/*.parquet') l "
+        f"JOIN read_parquet('{out}/data/*.parquet') e "
+        f"USING (query_id, index_id) WHERE l.margin < e.margin"
+    ).fetchone()[0]
+    assert n_viol == 0 and res2["n_pairs"] > 0
