@@ -516,3 +516,81 @@ def threshold_sweep(df: DataFrame, score_col: str, label_col: str,
         *gcols, threshold.alias("threshold"), "kept", "tp",
         "n_rows", "n_pos", precision.alias("precision"),
         recall.alias("recall"), f1.alias("f1"))
+
+
+def reference_profile(df_ref: DataFrame, col: str,
+                      n_buckets: int = 10) -> dict:
+    """Driver-side reference distribution for drift checks against a
+    STREAM (or any repeated cheap comparisons): the same equal-width
+    bucketing :func:`score_drift` uses, collected once into a small
+    dict ``{col, lo, hi, n_buckets, counts, total}`` that a
+    foreachBatch callback can score micro-batches against without
+    re-scanning the reference corpus per batch."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    c = F.col(col).cast("double")
+    ref = df_ref.filter(c.isNotNull() & ~F.isnan(c))
+    bounds = ref.agg(F.min(c).alias("lo"), F.max(c).alias("hi"),
+                     F.count("*").alias("tr")).first()
+    if bounds["lo"] is None:
+        raise ValueError(f"reference_profile: no non-NULL '{col}' values")
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    width = (hi - lo) / n_buckets if hi > lo else 1.0
+    bucket = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), F.floor(
+        (c - F.lit(lo)) / F.lit(width)))).cast("int")
+    rows = (ref.select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n")).collect())
+    counts = [0] * n_buckets
+    for r in rows:
+        counts[r["bucket"]] = r["n"]
+    return {"col": col, "lo": lo, "hi": hi, "n_buckets": n_buckets,
+            "counts": counts, "total": int(bounds["tr"])}
+
+
+def psi_against_profile(new_counts: list, new_total: int,
+                        profile: dict) -> float:
+    """PSI of a new-side bucket-count vector against a
+    :func:`reference_profile` — the EXACT arithmetic of
+    :func:`score_drift` (add-one smoothing, per-bucket
+    (p_ref - p_new) * ln(p_ref / p_new) rounded to 6, summed then
+    rounded to 6), so a streaming monitor and the batch `drift` CLI
+    agree to the last digit on the same data (pinned by test)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        # Spark's F.round on a double is BigDecimal(shortest-repr)
+        # HALF_UP; python's round() is HALF_EVEN — replicate Spark
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               rounding=ROUND_HALF_UP))
+
+    nb = profile["n_buckets"]
+    if len(new_counts) != nb:
+        raise ValueError(f"psi_against_profile: expected {nb} counts, "
+                         f"got {len(new_counts)}")
+    tr, tn = profile["total"], new_total
+    psi = 0.0
+    for nr, nn in zip(profile["counts"], new_counts):
+        p_ref = (nr + 1) / float(tr + nb)
+        p_new = (nn + 1) / float(tn + nb)
+        psi += _r6((p_ref - p_new) * math.log(p_ref / p_new))
+    return _r6(psi)
+
+
+def bucket_counts_for_profile(df: DataFrame, profile: dict) -> list:
+    """Bucket a frame's ``profile['col']`` with the profile's bounds
+    (same clamp-to-edges rule as :func:`score_drift`) and return the
+    count vector aligned to ``profile['counts']``."""
+    nb = profile["n_buckets"]
+    lo, hi = profile["lo"], profile["hi"]
+    width = (hi - lo) / nb if hi > lo else 1.0
+    c = F.col(profile["col"]).cast("double")
+    bucket = F.least(F.lit(nb - 1), F.greatest(F.lit(0), F.floor(
+        (c - F.lit(lo)) / F.lit(width)))).cast("int")
+    rows = (df.filter(c.isNotNull() & ~F.isnan(c))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n")).collect())
+    counts = [0] * nb
+    for r in rows:
+        counts[r["bucket"]] = r["n"]
+    return counts

@@ -449,3 +449,60 @@ def run_stream_decontaminate(spark, input_dir: str, index_table_path: str,
         spark, input_dir, table_path, checkpoint_dir,
         transform=lambda s: s, schema=schema or DOCS_STREAM_SCHEMA,
         batch_transform=decontaminate)
+
+
+def run_stream_drift(spark, input_dir: str, output_dir: str,
+                     checkpoint_dir: str, profile: dict,
+                     schema=None):
+    """Streaming drift monitor: score every arriving micro-batch
+    against a standing :func:`~mehc_curation_spark.operators.profile.
+    reference_profile` and append one verdict row per batch — the
+    live analog of the batch ``drift`` CLI ("is tonight's crawl
+    already off-distribution?"), with bit-identical PSI arithmetic
+    (``psi_against_profile`` is pinned to ``score_drift``'s values by
+    test, so the pager and the post-mortem report can never disagree).
+
+    Physical shape per micro-batch: ONE map-combinable bucket count
+    (n_buckets integers to the driver — the reference corpus is never
+    rescanned), pure-Python PSI over those integers, one verdict row
+    written to ``output_dir/batch_id=N``. Writing each batch under its
+    own ``batch_id=`` directory with mode=overwrite makes the sink
+    idempotent under Structured Streaming's same-id replay — the
+    standard exactly-once recipe, same as the snapshot-table ingestion
+    above.
+
+    Returns the started query (availableNow trigger, so backfills and
+    tests terminate). Verdict thresholds follow the PSI rule of thumb
+    used by the ``drift`` CLI: < 0.1 stable, < 0.25 moderate, else
+    investigate.
+    """
+    import json as _json
+    import os as _os
+
+    from mehc_curation_spark.operators.profile import (
+        bucket_counts_for_profile,
+        psi_against_profile,
+    )
+
+    def _score_batch(batch_df, batch_id: int):
+        counts = bucket_counts_for_profile(batch_df, profile)
+        n = int(sum(counts))
+        psi = psi_against_profile(counts, n, profile) if n else None
+        verdict = (None if psi is None
+                   else "stable" if psi < 0.1
+                   else "moderate" if psi < 0.25 else "investigate")
+        row = [(int(batch_id), n, psi, verdict,
+                _json.dumps(counts))]
+        out = _os.path.join(output_dir, f"batch_id={int(batch_id)}")
+        (batch_df.sparkSession.createDataFrame(
+            row, "batch_id long, n_rows long, psi double, "
+                 "verdict string, bucket_counts string")
+         .coalesce(1).write.mode("overwrite").parquet(out))
+
+    stream = (spark.readStream.schema(schema or DOCS_STREAM_SCHEMA)
+              .parquet(input_dir))
+    return (stream.writeStream
+            .foreachBatch(_score_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

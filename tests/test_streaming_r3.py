@@ -233,3 +233,67 @@ def test_stream_decontaminate_against_text_index(spark, tmp_path):
                              threshold=0.5).awaitTermination(300)
     assert t.current_version() == v_before
     assert sorted(r["doc_id"] for r in t.read(spark).collect()) == [2, 3, 5]
+
+
+def test_stream_drift_monitor(spark, tmp_path):
+    """Streaming drift monitor: micro-batches scored against a
+    standing reference profile; an on-distribution batch reads
+    stable, a shifted one reads investigate; the stored PSI equals
+    score_drift's batch value EXACTLY (shared arithmetic); replay
+    with the same checkpoint rewrites nothing new."""
+    from mehc_curation_spark.operators.profile import (
+        reference_profile,
+        score_drift,
+    )
+    from mehc_curation_spark.streaming.curate_stream import (
+        DOCS_STREAM_SCHEMA,
+        run_stream_drift,
+    )
+
+    def rows(shift, n=400, base=0):
+        return [(base + i, f"doc {i}", "en", "crawl",
+                 shift + (i * 7) % 100) for i in range(n)]
+
+    ref = spark.createDataFrame(rows(0), DOCS_STREAM_SCHEMA)
+    profile = reference_profile(ref, "n_chars", n_buckets=10)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    out = str(tmp_path / "drift_out")
+    ck = str(tmp_path / "drift_ck")
+
+    def arrive(rws):
+        spark.createDataFrame(rws, DOCS_STREAM_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    arrive(rows(0, base=1000))          # same distribution
+    run_stream_drift(spark, in_dir, out, ck,
+                     profile).awaitTermination(300)
+    arrive(rows(400, base=2000))        # hard shift: clamps to top bucket
+    run_stream_drift(spark, in_dir, out, ck,
+                     profile).awaitTermination(300)
+
+    got = {r["batch_id"]: r for r in
+           spark.read.parquet(out + "/batch_id=*").collect()}
+    assert len(got) == 2
+    b0, b1 = got[0], got[1]
+    assert b0["n_rows"] == 400 and b1["n_rows"] == 400
+    assert b0["verdict"] == "stable" and b0["psi"] < 0.1
+    assert b1["verdict"] == "investigate" and b1["psi"] > 0.25
+
+    # bit-identical to the batch-mode monitor on the same data
+    batch2 = spark.createDataFrame(rows(400, base=2000),
+                                   DOCS_STREAM_SCHEMA)
+    contribs = score_drift(ref, batch2, "n_chars",
+                           n_buckets=10).collect()
+    assert round(sum(r["psi_contrib"] for r in contribs), 6) == b1["psi"]
+
+    # replay: no new arrivals -> no new batch dirs, old rows untouched
+    import glob
+    dirs_before = sorted(glob.glob(out + "/batch_id=*"))
+    run_stream_drift(spark, in_dir, out, ck,
+                     profile).awaitTermination(300)
+    assert sorted(glob.glob(out + "/batch_id=*")) == dirs_before
+    again = {r["batch_id"]: r["psi"] for r in
+             spark.read.parquet(out + "/batch_id=*").collect()}
+    assert again == {0: b0["psi"], 1: b1["psi"]}
