@@ -68,8 +68,15 @@ def _ambient_probe(n_threads: int = 8, reps: int = 2) -> dict:
                 + np.int64(1442695040888963407)
 
     work()  # warmup: page-fault the base array, JIT nothing, cache it
+    # memory-bandwidth leg: a copy over an array far beyond LLC — the
+    # CPU legs are cache-resident and blind to co-tenants saturating
+    # the memory bus, which hits shuffle/scan-heavy Spark work hardest
+    big = np.arange(32_000_000, dtype=np.int64)  # 256 MB
+    sink = np.empty_like(big)
+    np.copyto(sink, big)  # warmup / page-fault
     t1 = float("inf")
     t8 = float("inf")
+    tm = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         work()
@@ -82,7 +89,35 @@ def _ambient_probe(n_threads: int = 8, reps: int = 2) -> dict:
         for t in threads:
             t.join()
         t8 = min(t8, (time.perf_counter() - t0) * 1000.0)
-    return {"t1_ms": round(t1, 1), "t8_ms": round(t8, 1)}
+        t0 = time.perf_counter()
+        np.copyto(sink, big)
+        tm = min(tm, (time.perf_counter() - t0) * 1000.0)
+    return {"t1_ms": round(t1, 1), "t8_ms": round(t8, 1),
+            "tmem_ms": round(tm, 1)}
+
+
+def _wait_for_quiet(max_wait_sec: float = 300.0,
+                    t1_max: float = 60.0, ratio_max: float = 2.5) -> dict:
+    """Probe-gate a measurement: poll :func:`_ambient_probe` until the
+    host looks quiet (single-thread time under ``t1_max`` ms AND
+    8-thread makespan within ``ratio_max`` of it) or ``max_wait_sec``
+    elapses — then return the last probe (recorded with the sample, so
+    a gate timeout is visible in the data). External tenant load is
+    bursty on this box (minutes-scale); a bounded wait converts
+    "hope the sample lands quiet" into "usually measure quiet, and
+    KNOW when we didn't". Disable by SPARK_GRAFT_PROBE_GATE=0."""
+    if os.environ.get("SPARK_GRAFT_PROBE_GATE", "1") == "0":
+        return _ambient_probe()
+    deadline = time.time() + max_wait_sec
+    while True:
+        p = _ambient_probe()
+        if (p["t1_ms"] < t1_max
+                and p["t8_ms"] < ratio_max * p["t1_ms"]):
+            return p
+        if time.time() >= deadline:
+            p["gate_timed_out"] = True
+            return p
+        time.sleep(10.0)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -303,9 +338,10 @@ def main() -> None:
     widths = [half if i != 1 else cpus for i in range(curate_reps)]
     curate_probes: list[float] = []
     for i, width in enumerate(widths):
-        # ambient probe BEFORE the rep (we are idle here): a quiet
-        # host reads ~40-80 ms, an oversubscribed one several hundred
-        curate_probes.append(_ambient_probe())
+        # probe-gate each rep (bounded wait): most samples then
+        # measure a quiet host, and the recorded probe says when the
+        # gate gave up and measured under load anyway
+        curate_probes.append(_wait_for_quiet(max_wait_sec=120.0))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--curate-one", str(width), str(n_pairs)],
@@ -478,13 +514,14 @@ def scaling() -> None:
             "print(json.dumps({'sec': sec, 'rows': rows}))"
         )
         l0 = _load1()
-        r_probe = _ambient_probe()
+        r_probe = _wait_for_quiet()
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)), check=True)
         r = json.loads(out.stdout.strip().splitlines()[-1])
         r["load1_before"], r["load1_after"] = l0, _load1()
         r["probe_before"] = r_probe
+        r["probe_after"] = _ambient_probe()
         return r
 
     runs: dict[int, list[dict]] = {lo: [], hi: []}
@@ -506,6 +543,14 @@ def scaling() -> None:
                          for r in runs[lo])
     loads_hi = ", ".join(f"{r['load1_before']:.0f}->{r['load1_after']:.0f}"
                          for r in runs[hi])
+
+    def _fmt_probe(r):
+        pb, pa = r.get("probe_before", {}), r.get("probe_after", {})
+        return (f"{pb.get('t8_ms', 0):.0f}->{pa.get('t8_ms', 0):.0f}"
+                + ("!" if pb.get("gate_timed_out") else ""))
+
+    probes_lo = ", ".join(_fmt_probe(r) for r in runs[lo])
+    probes_hi = ", ".join(_fmt_probe(r) for r in runs[hi])
     md = f"""# BENCH — scaling evidence (N → 4N parallelism)
 
 Protocol (BASELINE.md): identical curation job (full labels pipeline:
@@ -527,10 +572,17 @@ pure-Python multiprocessing burn measured the MACHINE's own 8→32
 scaling at only ~0.79 under ambient load, so {lo}→{hi} is the largest
 N→4N pair whose upper level fits inside the machine's spare capacity.
 
-| parallelism | best wall sec | all runs (sec) | ambient load1 before->after | best rows/sec |
-|---|---|---|---|---|
-| local[{lo}]  | {sec_lo:.1f} | {all_lo} | {loads_lo} | {t_lo:,.0f} |
-| local[{hi}] | {sec_hi:.1f} | {all_hi} | {loads_hi} | {t_hi:,.0f} |
+| parallelism | best wall sec | all runs (sec) | ambient load1 before->after | probe t8 ms before->after | best rows/sec |
+|---|---|---|---|---|---|
+| local[{lo}]  | {sec_lo:.1f} | {all_lo} | {loads_lo} | {probes_lo} | {t_lo:,.0f} |
+| local[{hi}] | {sec_hi:.1f} | {all_hi} | {loads_hi} | {probes_hi} | {t_hi:,.0f} |
+
+Each run is probe-GATED (`bench.py:_wait_for_quiet`): it starts only
+after the self-calibrating ambient probe reads quiet (8-thread
+makespan within 2.5x of single-thread, bounded wait; `!` marks a
+gate timeout), and the probe re-runs after the sample — so every
+wall-clock number above carries its own host-business receipt that
+our process cannot have polluted.
 
 **Scaling efficiency: {eff:.3f}** (target >= 0.8)
 
