@@ -568,7 +568,8 @@ def build_parser() -> argparse.ArgumentParser:
     tm.add_argument("action",
                     choices=["compact", "expire", "orphans", "history",
                              "delete", "takedown", "update", "merge",
-                             "diff", "tag", "untag", "rollback"])
+                             "diff", "tag", "untag", "rollback",
+                             "branch", "dropbranch", "publish"])
     tm.add_argument("-o", "--output", required=True,
                     help="table path (a run_curate/SnapshotTable output)")
     tm.add_argument("--target_files", type=int, default=8,
@@ -684,7 +685,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "table" and args.action in (
-            "orphans", "history", "expire", "tag", "untag", "rollback"):
+            "orphans", "history", "expire", "tag", "untag", "rollback",
+            "branch", "dropbranch", "publish"):
         # metadata/filesystem-only actions need no SparkSession
         from mehc_curation_spark.io.catalog import SnapshotTable
 
@@ -716,6 +718,28 @@ def main(argv: list[str] | None = None) -> int:
             v = t.rollback(target)
             print(json.dumps({"rolled_back_to": t.resolve_ref(target),
                               "new_version": v}))
+        elif args.action == "branch":
+            if not args.name:
+                raise SystemExit("table branch requires --name")
+            at = (int(args.at) if args.at and args.at.isdigit()
+                  else args.at)
+            v = t.create_branch(args.name, at)
+            print(json.dumps({"branch": args.name, "head": v,
+                              "branches": t.branches()}))
+        elif args.action == "dropbranch":
+            if not args.name:
+                raise SystemExit("table dropbranch requires --name")
+            t.drop_branch(args.name)
+            print(json.dumps({"dropped": args.name,
+                              "branches": t.branches()}))
+        elif args.action == "publish":
+            if not args.name:
+                raise SystemExit("table publish requires --name "
+                                 "(the audited branch to fast-forward "
+                                 "main to)")
+            v = t.fast_forward("main", args.name)
+            print(json.dumps({"published": args.name, "main_head": v,
+                              "branches": t.branches()}))
         else:
             hist = []
             for v in range(1, t.current_version() + 1):
@@ -725,8 +749,10 @@ def main(argv: list[str] | None = None) -> int:
                 hist.append({"version": v, "files": len(m["files"]),
                              "properties": m.get("properties", {})})
             print(json.dumps({"current": t.current_version(),
+                              "read_head": t._branch_head(),
                               "snapshots": hist,
-                              "tags": t.tags()}))
+                              "tags": t.tags(),
+                              "branches": t.branches()}))
         return 0
 
     # Friendly missing-path errors BEFORE paying Spark startup: a bad

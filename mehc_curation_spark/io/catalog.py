@@ -79,7 +79,10 @@ class SnapshotTable:
         # read_incremental) accepts tags for free.
         if isinstance(version, str):
             version = self.resolve_ref(version)
-        v = self.current_version() if version is None else version
+        # default read head: branch 'main' when branch refs exist
+        # (write-audit-publish — staged branch commits advance the log
+        # tip but not what default readers see), else the log tip
+        v = self._branch_head() if version is None else version
         if v == 0:
             return {"version": 0, "files": [], "schema": None, "parent": None}
         with open(self._manifest_path(v)) as f:
@@ -90,7 +93,8 @@ class SnapshotTable:
 
     # -- write ------------------------------------------------------------
 
-    def _commit_manifest(self, build, max_attempts: int = 64) -> int:
+    def _commit_manifest(self, build, max_attempts: int = 64,
+                         branch: Optional[str] = None) -> int:
         """Optimistic-concurrency manifest publish (Iceberg-style commit
         CAS): compose the manifest against the current parent, then
         claim the next version file with ``os.link`` — an atomic
@@ -101,8 +105,24 @@ class SnapshotTable:
 
         ``build(parent, parent_manifest)`` returns the manifest dict
         sans version/parent, re-evaluated per attempt.
+
+        On a table WITH branch refs, every commit targets a branch
+        (default ``main``): the parent is that branch's head — not the
+        log tip — and the branch ref advances with the commit. These
+        commits serialize under the refs lock (the parent-equals-
+        claimed-version-minus-one invariant that makes the lock-free
+        CAS safe does not hold once heads and the log tip diverge, so
+        two same-branch writers could otherwise both build from the
+        same head and silently drop one append). Tables that never
+        branched keep the lock-free path bit-for-bit.
         """
         os.makedirs(self.meta_dir, exist_ok=True)
+        if self.branches():
+            return self._commit_manifest_branched(build, max_attempts,
+                                                  branch or "main")
+        if branch not in (None, "main"):
+            raise KeyError(
+                f"{self.path}: no branch {branch!r} — create_branch first")
         for _ in range(max_attempts):
             parent = self.current_version()
             manifest = build(parent, self.manifest(parent))
@@ -119,6 +139,48 @@ class SnapshotTable:
                 continue  # lost the race — rebuild against new parent
             finally:
                 os.remove(tmp)
+        raise RuntimeError(
+            f"{self.path}: manifest commit contention exceeded "
+            f"{max_attempts} attempts")
+
+    def _commit_manifest_branched(self, build, max_attempts: int,
+                                  name: str) -> int:
+        """Branch-targeted commit: build from the branch head, claim
+        the next LOG version (the snapshot log stays one linear,
+        gapless sequence — branches are refs INTO it, the Iceberg
+        model), advance the ref. Runs under the refs lock (see
+        :meth:`_commit_manifest`)."""
+        with self._refs_lock():
+            br = self.branches()
+            if name != "main" and name not in br:
+                raise KeyError(
+                    f"{self.path}: no branch {name!r} "
+                    f"(branches: {sorted(br)})")
+            parent = br.get(name, self.current_version())
+            manifest = build(parent, self.manifest(parent))
+            manifest["parent"] = parent or None
+            manifest["branch"] = name
+            for _ in range(max_attempts):
+                # the log tip can still advance under us: a process
+                # holding a pre-branch view of the table commits
+                # lock-free. Retry only the version claim — the parent
+                # (the branch head) cannot move while we hold the lock.
+                version = self.current_version() + 1
+                manifest["version"] = version
+                tmp = (self._manifest_path(version)
+                       + f".tmp-{uuid.uuid4().hex[:8]}")
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f, indent=1)
+                try:
+                    os.link(tmp, self._manifest_path(version))
+                except FileExistsError:
+                    continue
+                finally:
+                    os.remove(tmp)
+                refs = {"tags": self.tags(), "branches": self.branches()}
+                refs["branches"][name] = version
+                self._write_refs_locked(refs)
+                return version
         raise RuntimeError(
             f"{self.path}: manifest commit contention exceeded "
             f"{max_attempts} attempts")
@@ -160,7 +222,8 @@ class SnapshotTable:
     def write(self, df: DataFrame, mode: str = "append",
               properties: Optional[dict] = None,
               allow_schema_evolution: bool = False,
-              stats_cols: Optional[tuple[str, ...]] = None) -> int:
+              stats_cols: Optional[tuple[str, ...]] = None,
+              branch: Optional[str] = None) -> int:
         """Write a new snapshot; returns the committed version.
 
         mode='append' keeps prior files in the new manifest;
@@ -180,7 +243,10 @@ class SnapshotTable:
         """
         assert mode in ("append", "overwrite")
         os.makedirs(self.meta_dir, exist_ok=True)
-        parent = self.current_version()
+        # advisory precheck against the TARGET branch's head (the
+        # build-time check inside the commit governs); staging the
+        # data files before a doomed commit would only waste the write
+        parent = self._branch_head(branch)
         parent_manifest = self.manifest(parent)
 
         if parent and parent_manifest["schema"] and mode == "append":
@@ -217,7 +283,7 @@ class SnapshotTable:
                 "properties": properties or {},
             }
 
-        return self._commit_manifest(build)
+        return self._commit_manifest(build, branch=branch)
 
     def commit_files(self, rel_files: list[str], schema_json: str,
                      mode: str = "append",
@@ -1054,15 +1120,51 @@ class SnapshotTable:
                 "treat it as empty — restore it (or delete it after "
                 "confirming no tag was a legal hold)") from e
 
+    def branches(self) -> dict:
+        """Current branch map ``{name: head_version}`` (Iceberg branch
+        refs analog). Empty for tables that never branched — those
+        behave exactly as before branches existed (default reads at
+        the log tip, lock-free commit CAS). Same corruption stance as
+        :meth:`tags`."""
+        try:
+            with open(self._refs_path()) as f:
+                return dict(json.load(f).get("branches", {}))
+        except FileNotFoundError:
+            return {}
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"{self.path}: refs.json is corrupt ({e}); refusing to "
+                "treat it as empty — restore it (or delete it after "
+                "confirming no ref was a legal hold)") from e
+
     def resolve_ref(self, ref) -> int:
-        """A version int passes through; a string resolves as a tag."""
+        """A version int passes through; a string resolves as a tag,
+        then as a branch head (refs share one namespace — creation
+        enforces uniqueness)."""
         if not isinstance(ref, str):
             return ref
         tags = self.tags()
-        if ref not in tags:
+        if ref in tags:
+            return tags[ref]
+        branches = self.branches()
+        if ref in branches:
+            return branches[ref]
+        raise KeyError(
+            f"{self.path}: no tag or branch {ref!r} "
+            f"(tags: {sorted(tags)}, branches: {sorted(branches)})")
+
+    def _branch_head(self, branch=None) -> int:
+        """Head version of ``branch`` (default the read head: branch
+        'main' when branch refs exist, else the log tip)."""
+        br = self.branches()
+        if branch in (None, "main"):
+            return br.get("main", self.current_version()) if br \
+                else self.current_version()
+        if branch not in br:
             raise KeyError(
-                f"{self.path}: no tag {ref!r} (tags: {sorted(tags)})")
-        return tags[ref]
+                f"{self.path}: no branch {branch!r} "
+                f"(branches: {sorted(br)})")
+        return br[branch]
 
     @contextmanager
     def _refs_lock(self):
@@ -1095,15 +1197,22 @@ class SnapshotTable:
         validation done there (e.g. 'target manifest exists') cannot
         race a concurrent expire."""
         with self._refs_lock():
-            refs = {"tags": self.tags()}
+            refs = {"tags": self.tags(), "branches": self.branches()}
             refs = fn(refs)
-            tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as f:
-                json.dump(refs, f, indent=1)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._refs_path())
+            self._write_refs_locked(refs)
             return refs
+
+    def _write_refs_locked(self, refs: dict) -> None:
+        """Durable refs.json write (tmp + fsync + rename). Caller MUST
+        hold the refs lock."""
+        if not refs.get("branches"):
+            refs = {k: v for k, v in refs.items() if k != "branches"}
+        tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._refs_path())
 
     def tag(self, name: str, version=None) -> int:
         """Pin ``version`` (default current) under ``name``. Re-tagging
@@ -1130,6 +1239,89 @@ class SnapshotTable:
             del refs["tags"][name]
             return refs
         self._mutate_refs(mut)
+
+    # -- branches: write-audit-publish ----------------------------------
+    #
+    # Iceberg branch refs analog, serving the WAP (write-audit-publish)
+    # workflow that production curation runs on every risky re-process:
+    # stage the new snapshot on a branch, audit it with real queries
+    # (drift, rule_ablation, audit_sample), then fast-forward main.
+    # Branches are refs INTO the one linear snapshot log (the Iceberg
+    # model: all snapshots share the metadata list; refs select heads),
+    # so time travel, expire retention and snapshot_diff keep working
+    # unchanged. Creating the first branch pins 'main' explicitly; from
+    # then on default reads follow main's head, not the log tip.
+
+    def create_branch(self, name: str, at=None) -> int:
+        """Create branch ``name`` at ``at`` (version/ref; default the
+        current read head). Returns the branch's starting head."""
+        self._refuse_on_ledger("create_branch")
+        if name == "main":
+            raise ValueError(f"{self.path}: 'main' is implicit — it is "
+                             "pinned automatically on first branch")
+        v = self.resolve_ref(at) if at is not None else self._branch_head()
+
+        def mut(refs):
+            if name in refs["branches"] or name in refs["tags"]:
+                raise ValueError(
+                    f"{self.path}: ref {name!r} already exists "
+                    "(tags and branches share one namespace)")
+            if v < 1 or not os.path.exists(self._manifest_path(v)):
+                raise FileNotFoundError(
+                    f"{self.path}: cannot branch at v{v} — no such "
+                    "snapshot")
+            # first branch pins main at the pre-branch read head
+            refs["branches"].setdefault("main", self.current_version())
+            refs["branches"][name] = v
+            return refs
+        self._mutate_refs(mut)
+        return v
+
+    def drop_branch(self, name: str) -> None:
+        if name == "main":
+            raise ValueError(f"{self.path}: cannot drop 'main'")
+
+        def mut(refs):
+            if name not in refs["branches"]:
+                raise KeyError(f"{self.path}: no branch {name!r}")
+            del refs["branches"][name]
+            return refs
+        self._mutate_refs(mut)
+
+    def fast_forward(self, branch: str, to: str) -> int:
+        """Advance ``branch`` to branch ``to``'s head — the PUBLISH
+        step of WAP (Iceberg ``fast_forward``). Refused unless
+        ``branch``'s head is an ancestor of the target (walking the
+        manifests' parent chain): a diverged branch needs an explicit
+        decision (rollback one side, or re-stage), never a silent
+        overwrite. Returns the new head."""
+
+        def mut(refs):
+            if to not in refs["branches"]:
+                raise KeyError(f"{self.path}: no branch {to!r}")
+            target = refs["branches"][to]
+            cur = refs["branches"].get(
+                branch, self.current_version() if branch == "main" else None)
+            if cur is None:
+                raise KeyError(f"{self.path}: no branch {branch!r}")
+            v = target
+            while v and v != cur:
+                if not os.path.exists(self._manifest_path(v)):
+                    raise ValueError(
+                        f"{self.path}: cannot verify ancestry — "
+                        f"manifest v{v} expired; rollback/re-stage "
+                        "instead")
+                v = self.manifest(v).get("parent") or 0
+            if v != cur and cur != 0:
+                raise ValueError(
+                    f"{self.path}: {branch!r} (v{cur}) is not an "
+                    f"ancestor of {to!r} (v{target}) — branches "
+                    "diverged; rollback or re-stage instead of "
+                    "fast-forward")
+            refs["branches"][branch] = target
+            return refs
+        refs = self._mutate_refs(mut)
+        return refs["branches"][branch]
 
     def rollback(self, version) -> int:
         """Re-commit snapshot ``version`` (int or tag) as a NEW current
@@ -1180,6 +1372,11 @@ class SnapshotTable:
         cur = self.current_version()
         keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
         keep_versions.update(v for v in self.tags().values() if v <= cur)
+        # branch heads are retained like tags (dropping the branch
+        # releases them); intermediate branch ancestors may expire —
+        # fast_forward detects the broken chain and refuses
+        keep_versions.update(v for v in self.branches().values()
+                             if v <= cur)
         live_files: set[str] = set()
         known: set[str] = set()
         for v in range(1, cur + 1):

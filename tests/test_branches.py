@@ -1,0 +1,166 @@
+"""Snapshot-table branches (Iceberg branch-refs analog): the
+write-audit-publish workflow — stage commits on a branch, default
+readers keep seeing main, fast-forward publishes. Cites the model
+semantics of Iceberg refs (public: iceberg.apache.org/docs branching
+& WAP); no reference-repo analog (its output is overwrite-only CSV).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import threading
+
+import pytest
+
+from mehc_curation_spark.io.catalog import SnapshotTable
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return SnapshotTable(str(tmp_path / "t"))
+
+
+def _ids(spark, t, version=None):
+    return sorted(r["id"] for r in t.read(spark, version=version).collect())
+
+
+def test_branch_write_isolated_from_main(spark, tbl):
+    tbl.write(spark.range(3).toDF("id"))
+    assert tbl.create_branch("audit") == 1
+    # main pinned at the pre-branch head
+    assert tbl.branches() == {"main": 1, "audit": 1}
+
+    tbl.write(spark.range(3, 6).toDF("id"), branch="audit")
+    # default readers still see main; branch readers see the append
+    assert _ids(spark, tbl) == [0, 1, 2]
+    assert _ids(spark, tbl, version="audit") == [0, 1, 2, 3, 4, 5]
+    assert tbl.branches()["audit"] == 2
+    assert tbl.branches()["main"] == 1
+    # the log is still one linear sequence
+    assert tbl.current_version() == 2
+    assert tbl.manifest(2)["branch"] == "audit"
+    assert tbl.manifest(2)["parent"] == 1
+
+
+def test_publish_fast_forward(spark, tbl):
+    tbl.write(spark.range(2).toDF("id"))
+    tbl.create_branch("audit")
+    tbl.write(spark.range(2, 4).toDF("id"), branch="audit")
+    tbl.write(spark.range(4, 5).toDF("id"), branch="audit")
+    assert _ids(spark, tbl) == [0, 1]
+    head = tbl.fast_forward("main", "audit")
+    assert head == tbl.branches()["audit"]
+    assert _ids(spark, tbl) == [0, 1, 2, 3, 4]
+
+
+def test_fast_forward_refuses_divergence(spark, tbl):
+    tbl.write(spark.range(2).toDF("id"))
+    tbl.create_branch("audit")
+    tbl.write(spark.range(2, 4).toDF("id"), branch="audit")
+    # main advances independently -> diverged
+    tbl.write(spark.range(9, 10).toDF("id"))
+    assert _ids(spark, tbl) == [0, 1, 9]
+    with pytest.raises(ValueError, match="diverged"):
+        tbl.fast_forward("main", "audit")
+    # audit is unaffected and still readable
+    assert _ids(spark, tbl, version="audit") == [0, 1, 2, 3]
+
+
+def test_default_commits_advance_main_when_branched(spark, tbl):
+    tbl.write(spark.range(2).toDF("id"))
+    tbl.create_branch("audit")
+    tbl.write(spark.range(2, 3).toDF("id"))  # default -> main
+    assert tbl.branches()["main"] == 2
+    assert _ids(spark, tbl) == [0, 1, 2]
+    assert _ids(spark, tbl, version="audit") == [0, 1]
+
+
+def test_ref_namespace_and_guards(spark, tbl):
+    tbl.write(spark.range(1).toDF("id"))
+    tbl.tag("v1")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.create_branch("v1")
+    tbl.create_branch("audit")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.create_branch("audit")
+    with pytest.raises(ValueError, match="'main' is implicit"):
+        tbl.create_branch("main")
+    with pytest.raises(ValueError, match="cannot drop 'main'"):
+        tbl.drop_branch("main")
+    with pytest.raises(KeyError, match="no branch"):
+        tbl.write(spark.range(1, 2).toDF("id"), branch="nope")
+    tbl.drop_branch("audit")
+    with pytest.raises(KeyError, match="no branch"):
+        tbl.drop_branch("audit")
+    # a table that never branched refuses branch writes loudly
+    t2 = SnapshotTable(str(tbl.path) + "2")
+    t2.write(spark.range(1).toDF("id"))
+    with pytest.raises(KeyError, match="no branch"):
+        t2.write(spark.range(1, 2).toDF("id"), branch="audit")
+
+
+def test_expire_keeps_branch_heads(spark, tbl):
+    tbl.write(spark.range(2).toDF("id"))
+    tbl.create_branch("audit")
+    tbl.write(spark.range(2, 4).toDF("id"), branch="audit")  # v2 = head
+    for i in range(4, 8):
+        tbl.write(spark.range(i, i + 1).toDF("id"))  # advance main/log
+    tbl.expire_snapshots(keep_last=1)
+    # both heads still readable
+    assert _ids(spark, tbl, version="audit") == [0, 1, 2, 3]
+    assert max(_ids(spark, tbl)) == 7
+    # main's head is retained even though keep_last=1 counts from the
+    # log tip (which is an audit-free main commit)
+    assert os.path.exists(tbl._manifest_path(tbl.branches()["audit"]))
+
+
+def test_concurrent_same_branch_writers_lose_no_update(spark, tbl):
+    tbl.write(spark.range(1).toDF("id"))
+    tbl.create_branch("audit")
+    errs = []
+
+    def w(lo):
+        try:
+            tbl.write(spark.range(lo, lo + 1).toDF("id"), branch="audit")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=w, args=(10 * i,)) for i in range(1, 5)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = _ids(spark, tbl, version="audit")
+    assert got == [0, 10, 20, 30, 40]
+    assert _ids(spark, tbl) == [0]  # main untouched
+
+
+def test_branch_cli_wap_roundtrip(spark, tmp_path):
+    """CLI WAP loop: branch -> (API write to branch) -> publish;
+    history reports heads; dropbranch cleans up."""
+    t = SnapshotTable(str(tmp_path / "cli_t"))
+    t.write(spark.range(3).toDF("id"))
+
+    def run(*args):
+        proc = subprocess.run(
+            [sys.executable, "-m", "mehc_curation_spark", "table",
+             *args, "-o", t.path],
+            cwd=REPO, capture_output=True, text=True, timeout=300)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    res = run("branch", "--name", "audit")
+    assert res["branches"] == {"main": 1, "audit": 1}
+    t.write(spark.range(3, 5).toDF("id"), branch="audit")
+    hist = run("history")
+    assert hist["read_head"] == 1 and hist["branches"]["audit"] == 2
+    pub = run("publish", "--name", "audit")
+    assert pub["main_head"] == 2
+    assert sorted(r["id"] for r in t.read(spark).collect()) == \
+        [0, 1, 2, 3, 4]
+    res = run("dropbranch", "--name", "audit")
+    assert "audit" not in res["branches"]
