@@ -323,6 +323,21 @@ def doc_threshold_sweep(spark, sf_dir):
                            lo=0.0, hi=600.0, n_bins=12, group_col="lang")
 
 
+def doc_calibration(spark, sf_dir):
+    """Reliability-diagram report (operators/profile.py:
+    calibration_report, Guo et al. 2017): per-bin confidence vs
+    empirical accuracy for a synthetic probability column (exact
+    rational (n_chars % 97)/97 so both engines bin identically)
+    against a text-marker label. Means are single divisions of
+    scaled-integer sums — FULL value oracle."""
+    from mehc_curation_spark.operators.profile import calibration_report
+
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("_prob", (F.col("n_chars") % 97) / F.lit(97.0))
+         .withColumn("_y", F.col("text").contains("the")))
+    return calibration_report(d, "_prob", "_y", n_bins=10)
+
+
 def doc_rule_ablation(spark, sf_dir):
     """One-pass rule ablation/overlap report
     (operators/profile.py:rule_ablation): per-rule total drops, UNIQUE
@@ -3771,6 +3786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_label_shift": doc_label_shift,
         "doc_rule_ablation": doc_rule_ablation,
         "doc_threshold_sweep": doc_threshold_sweep,
+        "doc_calibration": doc_calibration,
         "doc_audit_sample": doc_audit_sample,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_pii_audit": doc_pii_audit,
@@ -4269,6 +4285,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((p_ref - p_new) * ln(p_ref / p_new), 6)
                        AS psi_contrib
             FROM p
+        """,
+        "doc_calibration": """
+            WITH d AS (
+              SELECT (n_chars % 97) / 97.0 AS p,
+                     CASE WHEN text LIKE '%the%' THEN 1 ELSE 0 END AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+            b AS (
+              SELECT CAST(LEAST(GREATEST(FLOOR(p * 10), 0), 9) AS BIGINT)
+                       AS bin,
+                     CAST(ROUND(ROUND(p, 6) * 1000000) AS BIGINT) AS ps,
+                     y
+              FROM d),
+            per AS (
+              SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(y) AS BIGINT) AS n_pos,
+                     CAST(SUM(ps) AS BIGINT) AS sp
+              FROM b GROUP BY bin)
+            SELECT bin, n, n_pos,
+                   ROUND(CAST(sp AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 1000000.0), 6) AS conf,
+                   ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS acc,
+                   ROUND(ABS(
+                     ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     - ROUND(CAST(sp AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * 1000000.0), 6)), 6)
+                     AS gap
+            FROM per
         """,
         "doc_threshold_sweep": """
             WITH d AS (

@@ -594,3 +594,51 @@ def bucket_counts_for_profile(df: DataFrame, profile: dict) -> list:
     for r in rows:
         counts[r["bucket"]] = r["n"]
     return counts
+
+
+def calibration_report(df: DataFrame, prob_col: str, label_col: str,
+                       n_bins: int = 10) -> DataFrame:
+    """Reliability diagram + expected-calibration-error inputs for a
+    probabilistic quality model (Guo et al. 2017, "On Calibration of
+    Modern Neural Networks", ICML — the standard production check that
+    a model's confidence means what it says; run it on the quality
+    classifier before trusting its probabilities as sampling weights).
+
+    Bins ``prob_col`` into ``n_bins`` equal-width bins over [0, 1]
+    (probs clamp to the edge bins; NULL prob/label rows are excluded)
+    and reports per OCCUPIED bin:
+
+    ``bin, n, n_pos, conf, acc, gap``
+
+    where ``conf`` is the bin's mean predicted probability, ``acc``
+    its empirical positive rate, and ``gap = |acc - conf|``; ECE is
+    ``sum(n_i * gap_i) / N`` over these rows. Determinism contract
+    (shared with the SQL oracle): probabilities are rounded to 6 and
+    scaled to exact integers before summing, so every mean is one
+    double division of integer-valued operands — bit-reproducible
+    across engines and partitionings.
+
+    Scale shape: ONE map-combinable scan to per-bin integer counts;
+    nothing else moves.
+    """
+    if n_bins < 1:
+        raise ValueError(f"calibration_report: n_bins={n_bins} must be >= 1")
+    p = F.col(prob_col).cast("double")
+    d = df.filter(p.isNotNull() & ~F.isnan(p)
+                  & F.col(label_col).isNotNull())
+    bin_idx = F.least(F.greatest(F.floor(p * n_bins), F.lit(0)),
+                      F.lit(int(n_bins) - 1))
+    scaled = F.round(F.round(p, 6) * 1000000).cast("long")
+    per = (d.select(bin_idx.alias("bin"), scaled.alias("_ps"),
+                    F.col(label_col).cast("boolean").alias("_y"))
+           .groupBy("bin")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("n_pos"),
+                F.sum("_ps").alias("_sp")))
+    conf = F.round(F.col("_sp").cast("double")
+                   / (F.col("n").cast("double") * F.lit(1000000.0)), 6)
+    acc = F.round(F.col("n_pos").cast("double")
+                  / F.col("n").cast("double"), 6)
+    return per.select(
+        "bin", "n", "n_pos", conf.alias("conf"), acc.alias("acc"),
+        F.round(F.abs(acc - conf), 6).alias("gap"))

@@ -372,3 +372,47 @@ class TestThresholdSweep:
             threshold_sweep(d, "score", "y", lo=0.0, hi=1.0, n_bins=0)
         with pytest.raises(ValueError, match="hi > lo"):
             threshold_sweep(d, "score", "y", lo=1.0, hi=1.0)
+
+
+class TestCalibrationReport:
+    def test_hand_computed(self, spark):
+        from mehc_curation_spark.operators.profile import (
+            calibration_report,
+        )
+
+        # bin 0: probs .05/.05, one positive -> conf .05, acc .5
+        # bin 9: probs .95/1.0 (1.0 clamps into bin 9), both positive
+        rows = [(0.05, True), (0.05, False), (0.95, True), (1.0, True)]
+        d = spark.createDataFrame(rows, "p double, y boolean")
+        res = {r["bin"]: r for r in
+               calibration_report(d, "p", "y", n_bins=10).collect()}
+        assert set(res) == {0, 9}
+        b0, b9 = res[0], res[9]
+        assert (b0["n"], b0["n_pos"]) == (2, 1)
+        assert b0["conf"] == 0.05 and b0["acc"] == 0.5
+        assert b0["gap"] == 0.45
+        assert (b9["n"], b9["n_pos"]) == (2, 2)
+        assert b9["conf"] == 0.975 and b9["acc"] == 1.0
+        assert b9["gap"] == 0.025
+
+    def test_nulls_and_partition_invariance(self, spark):
+        import pytest
+
+        from mehc_curation_spark.operators.profile import (
+            calibration_report,
+        )
+
+        rows = ([(i / 100.0, i % 3 == 0) for i in range(100)]
+                + [(None, True), (0.5, None)])
+        outs = []
+        for parts in (1, 7):
+            d = spark.createDataFrame(
+                rows, "p double, y boolean").repartition(parts)
+            res = calibration_report(d, "p", "y", n_bins=10).collect()
+            assert sum(r["n"] for r in res) == 100  # NULLs excluded
+            outs.append(sorted(
+                (r["bin"], r["n"], r["n_pos"], r["conf"], r["acc"],
+                 r["gap"]) for r in res))
+        assert outs[0] == outs[1]
+        with pytest.raises(ValueError, match="n_bins"):
+            calibration_report(d, "p", "y", n_bins=0)
