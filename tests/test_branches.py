@@ -164,3 +164,20 @@ def test_branch_cli_wap_roundtrip(spark, tmp_path):
         [0, 1, 2, 3, 4]
     res = run("dropbranch", "--name", "audit")
     assert "audit" not in res["branches"]
+
+
+def test_incremental_read_between_refs(spark, tbl):
+    """The WAP audit read: read_incremental accepts refs, so
+    'exactly what did the staged branch add on top of main' is one
+    incremental read — no version numbers in hand."""
+    tbl.write(spark.range(3).toDF("id"))
+    tbl.create_branch("audit")
+    tbl.write(spark.range(3, 6).toDF("id"), branch="audit")
+    inc = tbl.read_incremental(spark, since_version="main",
+                               to_version="audit")
+    assert sorted(r["id"] for r in inc.collect()) == [3, 4, 5]
+    # and the row-level changelog agrees
+    diff = tbl.snapshot_diff(spark, from_version="main",
+                             to_version="audit", id_col="id")
+    got = sorted((r["id"], r["_change_type"]) for r in diff.collect())
+    assert got == [(3, "insert"), (4, "insert"), (5, "insert")]
