@@ -338,6 +338,19 @@ def doc_calibration(spark, sf_dir):
     return calibration_report(d, "_prob", "_y", n_bins=10)
 
 
+def doc_auc(spark, sf_dir):
+    """Per-language ROC-AUC (operators/profile.py:auc_report,
+    Mann-Whitney midrank identity) of n_chars against a text-marker
+    label: rows collapse to per-(lang, score) counts, midranks come
+    from a window over the aggregated rows, one exact division at the
+    end. FULL value oracle."""
+    from mehc_curation_spark.operators.profile import auc_report
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_y", F.col("text").contains("the"))
+    return auc_report(d, "n_chars", "_y", group_col="lang")
+
+
 def doc_rule_ablation(spark, sf_dir):
     """One-pass rule ablation/overlap report
     (operators/profile.py:rule_ablation): per-rule total drops, UNIQUE
@@ -3787,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rule_ablation": doc_rule_ablation,
         "doc_threshold_sweep": doc_threshold_sweep,
         "doc_calibration": doc_calibration,
+        "doc_auc": doc_auc,
         "doc_audit_sample": doc_audit_sample,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_pii_audit": doc_pii_audit,
@@ -4285,6 +4299,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((p_ref - p_new) * ln(p_ref / p_new), 6)
                        AS psi_contrib
             FROM p
+        """,
+        "doc_auc": """
+            WITH d AS (
+              SELECT lang, CAST(n_chars AS DOUBLE) AS s,
+                     CASE WHEN text LIKE '%the%' THEN 1 ELSE 0 END AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND text IS NOT NULL
+                AND lang IS NOT NULL),
+            per AS (
+              SELECT lang, s, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(y) AS BIGINT) AS p
+              FROM d GROUP BY lang, s),
+            mr AS (
+              SELECT lang, n, p,
+                     CAST(COALESCE(SUM(n) OVER (PARTITION BY lang
+                       ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS DOUBLE)
+                       + (n + 1) / 2.0 AS mrank
+              FROM per),
+            agg AS (
+              SELECT lang, CAST(SUM(n) AS BIGINT) AS n,
+                     CAST(SUM(p) AS BIGINT) AS n_pos,
+                     SUM(p * mrank) AS S
+              FROM mr GROUP BY lang)
+            SELECT lang, n, n_pos, n - n_pos AS n_neg,
+                   CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+                     ROUND((S - CAST(n_pos AS DOUBLE)
+                                * (n_pos + 1) / 2.0)
+                           / (CAST(n_pos AS DOUBLE)
+                              * CAST(n - n_pos AS DOUBLE)), 6)
+                   END AS auc
+            FROM agg
         """,
         "doc_calibration": """
             WITH d AS (

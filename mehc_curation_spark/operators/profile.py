@@ -642,3 +642,66 @@ def calibration_report(df: DataFrame, prob_col: str, label_col: str,
     return per.select(
         "bin", "n", "n_pos", conf.alias("conf"), acc.alias("acc"),
         F.round(F.abs(acc - conf), 6).alias("gap"))
+
+
+def auc_report(df: DataFrame, score_col: str, label_col: str,
+               group_col: Optional[str] = None) -> DataFrame:
+    """ROC-AUC of a score against a boolean label via the
+    Mann-Whitney U rank statistic (the textbook identity: AUC =
+    P(score_pos > score_neg) + P(equal)/2), optionally one row per
+    group — the third leg of the gate-tuning triad beside
+    :func:`threshold_sweep` (operating points) and
+    :func:`calibration_report` (probability quality).
+
+    Computed distributively with NO per-row window: rows collapse to
+    per-(group, score) counts in one map-combinable aggregation; a
+    window over those aggregated rows (ordered by score) assigns each
+    distinct score its midrank ``cum_before + (n + 1) / 2``; then
+    ``AUC = (S - n_pos*(n_pos+1)/2) / (n_pos * n_neg)`` where S is the
+    positives' midrank sum. Midranks are dyadic rationals (halves) and
+    counts are exact integers, so the one final division is
+    bit-reproducible across engines and partitionings. Ties get the
+    standard average-rank treatment. NULL scores/labels (and NULL
+    groups when grouped) are excluded; a group with no positives or no
+    negatives reports NULL auc (undefined).
+
+    Returns ``(group?, n, n_pos, n_neg, auc)``.
+    """
+    from pyspark.sql import Window
+
+    p = F.col(score_col).cast("double")
+    d = df.filter(p.isNotNull() & ~F.isnan(p)
+                  & F.col(label_col).isNotNull())
+    gcols = []
+    if group_col is not None:
+        d = d.filter(F.col(group_col).isNotNull())
+        gcols = [group_col]
+    per = (d.select(*gcols, p.alias("_s"),
+                    F.col(label_col).cast("boolean").alias("_y"))
+           .groupBy(*gcols, "_s")
+           .agg(F.count("*").alias("_n"),
+                F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_p")))
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    cum_before = F.coalesce(
+        F.sum("_n").over(wg.orderBy("_s").rowsBetween(
+            Window.unboundedPreceding, -1)), F.lit(0))
+    midrank = cum_before.cast("double") + (F.col("_n") + 1) / F.lit(2.0)
+    whole = wg.orderBy("_s").rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing)
+    stats = (per.withColumn("_mr", midrank)
+             .withColumn("_S", F.sum(F.col("_p") * F.col("_mr"))
+                         .over(whole))
+             .withColumn("n", F.sum("_n").over(whole))
+             .withColumn("n_pos", F.sum("_p").over(whole))
+             .withColumn("_rn", F.row_number().over(wg.orderBy("_s")))
+             .filter(F.col("_rn") == 1))
+    n_neg = F.col("n") - F.col("n_pos")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (n_neg > 0),
+        F.round((F.col("_S")
+                 - F.col("n_pos").cast("double")
+                 * (F.col("n_pos") + 1).cast("double") / F.lit(2.0))
+                / (F.col("n_pos").cast("double") * n_neg.cast("double")),
+                6))
+    return stats.select(*gcols, "n", "n_pos", n_neg.alias("n_neg"),
+                        auc.alias("auc"))

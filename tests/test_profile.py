@@ -416,3 +416,56 @@ class TestCalibrationReport:
         assert outs[0] == outs[1]
         with pytest.raises(ValueError, match="n_bins"):
             calibration_report(d, "p", "y", n_bins=0)
+
+
+class TestAucReport:
+    def test_matches_sklearn_free_reference(self, spark):
+        """Hand/NumPy Mann-Whitney reference on random data with ties
+        (no sklearn in the container — the midrank formula IS the
+        published identity)."""
+        import numpy as np
+
+        from mehc_curation_spark.operators.profile import auc_report
+
+        rng = np.random.default_rng(5)
+        scores = rng.integers(0, 20, size=200).astype(float)  # ties!
+        labels = rng.random(200) < (scores / 25.0)  # score-correlated
+        rows = [(float(s), bool(y)) for s, y in zip(scores, labels)]
+        got = auc_report(
+            spark.createDataFrame(rows, "s double, y boolean"),
+            "s", "y").collect()[0]
+
+        order = np.argsort(scores, kind="stable")
+        ranks = np.empty(200)
+        sorted_s = scores[order]
+        i = 0
+        r = 1
+        while i < 200:
+            j = i
+            while j < 200 and sorted_s[j] == sorted_s[i]:
+                j += 1
+            ranks[order[i:j]] = (r + (r + (j - i) - 1)) / 2.0
+            r += j - i
+            i = j
+        npos = int(labels.sum())
+        nneg = 200 - npos
+        exp = (ranks[labels].sum() - npos * (npos + 1) / 2.0) \
+            / (npos * nneg)
+        assert got["n"] == 200 and got["n_pos"] == npos
+        assert got["auc"] == round(exp, 6)
+
+    def test_perfect_and_degenerate(self, spark):
+        from mehc_curation_spark.operators.profile import auc_report
+
+        # perfectly separating score -> AUC 1.0
+        rows = [(float(i), i >= 5, "g") for i in range(10)]
+        d = spark.createDataFrame(rows, "s double, y boolean, g string")
+        assert auc_report(d, "s", "y").collect()[0]["auc"] == 1.0
+        # anti-separating -> 0.0; all-one-class -> NULL
+        rows2 = ([(float(i), i < 5, "a") for i in range(10)]
+                 + [(1.0, True, "b"), (2.0, True, "b")])
+        res = {r["g"]: r for r in auc_report(
+            spark.createDataFrame(rows2, "s double, y boolean, g string"),
+            "s", "y", group_col="g").collect()}
+        assert res["a"]["auc"] == 0.0
+        assert res["b"]["auc"] is None and res["b"]["n_neg"] == 0
