@@ -398,6 +398,30 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--cores", type=int, default=-1)
     dr.add_argument("--master", default=None)
 
+    em = sub.add_parser(
+        "evalmodel",
+        help="score-column quality report: group-wise ROC-AUC "
+             "(Mann-Whitney midranks), best-F1 operating point from a "
+             "threshold sweep, and — when the score is a probability "
+             "— a calibration/reliability table (graft-only "
+             "capability)")
+    em.add_argument("-i", "--input", required=True,
+                    help="parquet with score + boolean label columns")
+    em.add_argument("--score_col", required=True)
+    em.add_argument("--label_col", required=True)
+    em.add_argument("--group_col", default=None)
+    em.add_argument("--lo", type=float, default=None,
+                    help="sweep grid lower edge (default: data min)")
+    em.add_argument("--hi", type=float, default=None,
+                    help="sweep grid upper edge (default: data max + "
+                         "epsilon)")
+    em.add_argument("--bins", type=int, default=20)
+    em.add_argument("--prob", action="store_true",
+                    help="score is a probability in [0,1]: also emit "
+                         "the calibration table + ECE")
+    em.add_argument("--cores", type=int, default=-1)
+    em.add_argument("--master", default=None)
+
     mn = sub.add_parser(
         "mine",
         help="margin-based pair mining between two corpora: forward "
@@ -1001,6 +1025,67 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "psi": psi, "verdict": verdict, "col": args.col,
                 "buckets": detail}))
+            return 0
+
+        if args.cmd == "evalmodel":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators.profile import (
+                auc_report,
+                calibration_report,
+                threshold_sweep,
+            )
+
+            df = spark.read.parquet(args.input)
+            auc_rows = [r.asDict() for r in auc_report(
+                df, args.score_col, args.label_col,
+                group_col=args.group_col).collect()]
+
+            lo, hi = args.lo, args.hi
+            if lo is None or hi is None:
+                c = F.col(args.score_col).cast("double")
+                b = (df.filter(c.isNotNull() & ~F.isnan(c))
+                     .agg(F.min(c).alias("lo"),
+                          F.max(c).alias("hi")).first())
+                if b["lo"] is None:
+                    raise SystemExit("evalmodel: no non-NULL scores")
+                if lo is None:
+                    lo = float(b["lo"])
+                if hi is None:
+                    # half-open grid: nudge past the max so the top
+                    # score lands in the last bin, not outside it
+                    hi = float(b["hi"]) + max(
+                        1e-9, abs(float(b["hi"])) * 1e-9)
+            sweep_rows = [r.asDict() for r in threshold_sweep(
+                df, args.score_col, args.label_col, lo=lo, hi=hi,
+                n_bins=args.bins, group_col=args.group_col).collect()]
+            gkey = args.group_col
+            best: dict = {}
+            for r in sorted(sweep_rows,
+                            key=lambda r: (str(r.get(gkey, "")),
+                                           r["threshold"])):
+                g = r.get(gkey) if gkey else "__all__"
+                b2 = best.get(g)
+                if r["f1"] is not None and (b2 is None
+                                            or r["f1"] > b2["f1"]):
+                    best[g] = {"threshold": r["threshold"],
+                               "f1": r["f1"], "precision": r["precision"],
+                               "recall": r["recall"]}
+
+            out = {"score_col": args.score_col,
+                   "label_col": args.label_col,
+                   "group_col": gkey,
+                   "auc": auc_rows, "best_f1": best}
+            if args.prob:
+                cal = [r.asDict() for r in calibration_report(
+                    df, args.score_col, args.label_col,
+                    n_bins=args.bins).collect()]
+                n_total = sum(r["n"] for r in cal)
+                ece = (round(sum(r["n"] * r["gap"] for r in cal)
+                             / n_total, 6) if n_total else None)
+                out["calibration"] = cal
+                out["ece"] = ece
+            print(json.dumps(out))
             return 0
 
         if args.cmd == "mine":

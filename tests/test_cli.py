@@ -1131,3 +1131,39 @@ def test_mine_cli(tmp_path_factory):
         f"USING (query_id, index_id) WHERE l.margin < e.margin"
     ).fetchone()[0]
     assert n_viol == 0 and res2["n_pairs"] > 0
+
+
+def test_evalmodel_cli(tmp_path_factory):
+    """evalmodel: AUC + best-F1 + calibration/ECE in one JSON; AUC
+    reconciles with a DuckDB midrank recomputation; ECE equals the
+    weighted per-bin gap sum."""
+    base = tmp_path_factory.mktemp("cli_eval")
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    inp = str(base / "scored.parquet")
+    # synthetic probability correlated with the label via n_chars
+    duckdb.sql(f"COPY (SELECT *, (n_chars % 97) / 97.0 AS p, "
+               f"n_chars >= 250 AS y FROM read_parquet('{docs}')) "
+               f"TO '{inp}' (FORMAT PARQUET)")
+    res = json.loads(_run(
+        ["evalmodel", "-i", inp, "--score_col", "p", "--label_col",
+         "y", "--bins", "10", "--prob", "--cores", "4"]
+    ).stdout.strip().splitlines()[-1])
+    assert len(res["auc"]) == 1
+    a = res["auc"][0]
+    exp = duckdb.sql(f"""
+        WITH d AS (SELECT p AS s, CASE WHEN y THEN 1 ELSE 0 END AS yy
+                   FROM read_parquet('{inp}')
+                   WHERE p IS NOT NULL AND y IS NOT NULL),
+        r AS (SELECT yy, RANK() OVER (ORDER BY s) +
+                     (COUNT(*) OVER (PARTITION BY s) - 1) / 2.0 AS mr
+              FROM d)
+        SELECT ROUND((SUM(CASE WHEN yy=1 THEN mr END)
+                      - SUM(yy) * (SUM(yy) + 1) / 2.0)
+                     / (SUM(yy) * (COUNT(*) - SUM(yy))), 6) FROM r
+    """).fetchone()[0]
+    assert a["auc"] == exp
+    assert "__all__" in res["best_f1"]
+    cal = res["calibration"]
+    n_tot = sum(r["n"] for r in cal)
+    assert res["ece"] == round(
+        sum(r["n"] * r["gap"] for r in cal) / n_tot, 6)
