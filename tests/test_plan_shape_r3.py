@@ -388,3 +388,49 @@ def test_rule_ablation_single_aggregate_no_join(spark):
     assert _count(tree, "Window") == 0, tree
     assert _count(tree, "ArrowEvalPython") == 0, tree
     assert _count(tree, "HashAggregate") >= 1, tree
+
+
+def test_threshold_sweep_one_rowlevel_exchange(spark):
+    """threshold_sweep: rows collapse via ONE partial-aggregable
+    hash aggregate (one row-level exchange on (group, bin)); the
+    cumulative windows run over the aggregated minority. Pin: exactly
+    2 hash exchanges total (agg + window regroup), no Python."""
+    from mehc_curation_spark.operators.profile import threshold_sweep
+
+    d = _docs(spark).withColumn("_y", F.col("doc_id") % 2 == 0)
+    tree = _tree(threshold_sweep(d, "doc_id", "_y", lo=0.0, hi=50.0,
+                                 n_bins=10, group_col="lang"))
+    ex = [ln for ln in tree.splitlines()
+          if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 2, tree
+    # the row-level aggregate is partial (map-side combine present)
+    assert _count(tree, "partial_count") >= 1 or \
+        _count(tree, "HashAggregate") >= 2, tree
+    assert "Python" not in tree and "BatchEvalPython" not in tree
+
+
+def test_calibration_report_single_exchange_no_python(spark):
+    from mehc_curation_spark.operators.profile import calibration_report
+
+    d = _docs(spark).withColumn(
+        "_p", (F.col("doc_id") % 97) / F.lit(97.0)).withColumn(
+        "_y", F.col("doc_id") % 2 == 0)
+    tree = _tree(calibration_report(d, "_p", "_y", n_bins=10))
+    assert _count(tree, "Exchange") == 1, tree
+    assert "Python" not in tree
+
+
+def test_auc_report_no_rowlevel_window(spark):
+    """auc_report: the ONLY row-level shuffle is the per-(group,
+    score) aggregate; every Window node runs over the aggregated
+    frame (its partitioning keys are the group, never per-row)."""
+    from mehc_curation_spark.operators.profile import auc_report
+
+    d = _docs(spark).withColumn("_y", F.col("doc_id") % 2 == 0)
+    tree = _tree(auc_report(d, "doc_id", "_y", group_col="lang"))
+    ex = [ln for ln in tree.splitlines()
+          if "Exchange hashpartitioning" in ln]
+    # one row-level agg exchange on (lang, score) + one regroup of the
+    # aggregated rows onto (lang) for the windows
+    assert len(ex) == 2, tree
+    assert "Python" not in tree
