@@ -39,9 +39,9 @@ def _load1() -> float:
 
 def _ambient_probe(n_threads: int = 8, reps: int = 2) -> dict:
     """Self-calibrating ambient-contention probe, run while THIS
-    process is otherwise idle: a fixed workload (40 multiplications of
-    256x256 float64 matrices; NumPy releases the GIL) timed once on a
-    single thread (``t1_ms``) and once as the makespan of
+    process is otherwise idle: a fixed workload (a 20-step elementwise
+    int64 LCG sweep over 1M elements; NumPy releases the GIL) timed
+    once on a single thread (``t1_ms``) and once as the makespan of
     ``n_threads`` concurrent threads (``t8_ms``), best of ``reps``.
 
     load1 cannot separate OUR job's contribution from other tenants'
@@ -336,12 +336,20 @@ def main() -> None:
     curate_reps = max(1, int(os.environ.get("SPARK_GRAFT_CURATE_REPS",
                                             str(max(2 * reps, 8)))))
     widths = [half if i != 1 else cpus for i in range(curate_reps)]
-    curate_probes: list[float] = []
+    curate_probes: list[dict] = []
+    # SHARED gate budget across all reps (not 120s each): min() only
+    # needs SOME reps to land quiet, and bounding the total wait keeps
+    # the whole bench's worst case ~6 min above its quiet-host time
+    # even when the host never goes quiet (every probe is recorded, so
+    # a budget exhausted under load is visible in the data).
+    gate_budget = float(os.environ.get("SPARK_GRAFT_GATE_BUDGET", "360"))
+    gate_deadline = time.time() + gate_budget
     for i, width in enumerate(widths):
         # probe-gate each rep (bounded wait): most samples then
         # measure a quiet host, and the recorded probe says when the
         # gate gave up and measured under load anyway
-        curate_probes.append(_wait_for_quiet(max_wait_sec=120.0))
+        curate_probes.append(_wait_for_quiet(
+            max_wait_sec=max(0.0, gate_deadline - time.time())))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--curate-one", str(width), str(n_pairs)],
@@ -442,6 +450,7 @@ def main() -> None:
                     "one cpus-wide rep, the rest cpus//2 (the Arrow "
                     "stage keeps ~2 threads per slot busy)",
             "headline_reps": reps, "curate_reps": len(widths),
+            "gate_budget_sec": gate_budget,
             "curate_widths": curate_widths,
             "curate_width_best":
                 curate_widths[curate_samples.index(curate_sec)]},
