@@ -432,6 +432,85 @@ def doc_pii_audit(spark, sf_dir):
     return pii_audit(d.withColumn("text", aug), "doc_id", "text")
 
 
+def _expectation_rules():
+    """The shared ruleset for the expectations surfaces: one of each
+    builder kind, exercising the pinned NULL contract (only not_null
+    fails on NULL), a tolerated-fraction threshold, a strict SQL
+    predicate, and the table-level uniqueness rule."""
+    from mehc_curation_spark.operators.expectations import (
+        expect_in_range,
+        expect_in_set,
+        expect_matches,
+        expect_not_null,
+        expect_sql,
+        expect_unique,
+    )
+
+    return [
+        expect_not_null("lang", name="lang_not_null"),
+        expect_matches("lang", "^[a-z]{2}$", name="lang_matches"),
+        expect_in_set("source", [f"src{i}" for i in range(20)],
+                      name="source_in_set"),
+        expect_in_range("n_chars", 0, 1000, name="n_chars_in_range",
+                        max_fail_fraction=0.05),
+        expect_sql("len_consistent", "n_chars = length(text)"),
+        expect_unique("doc_id", name="doc_id_unique"),
+    ]
+
+
+def _expectation_violations(d):
+    """Deterministic defect injection (the documents corpus is clean,
+    so every rule would trivially pass): doc_id slices get a NULL
+    lang, an uppercase lang, a foreign source, an inflated n_chars,
+    and duplicated rows — each restated verbatim in the oracle."""
+    did = F.col("doc_id")
+    return (d.select(
+        "doc_id", "text",
+        F.when(did % 17 == 0, F.lit(None))
+         .when(did % 19 == 0, F.lit("EN"))
+         .otherwise(F.col("lang")).alias("lang"),
+        F.when(did % 29 == 0, F.lit("bad/src"))
+         .otherwise(F.col("source")).alias("source"),
+        F.when(did % 23 == 0, F.col("n_chars") * 100)
+         .otherwise(F.col("n_chars")).alias("n_chars")))
+
+
+def doc_expectations(spark, sf_dir):
+    """Declarative data-quality expectations report
+    (operators/expectations.py): every rule compiled into ONE
+    aggregate pass — the contract layer between "a job wrote rows"
+    and "downstream may read them", generalizing the reference's
+    hard-coded stage gates
+    (/root/reference/mehc_curation/refinement/core/pipeline.py:74-81).
+    Full value oracle: DuckDB restates the defect injection and every
+    rule as CASE sums, including the duplicated-row union feeding the
+    uniqueness rule."""
+    from mehc_curation_spark.operators.expectations import (
+        expectation_report,
+    )
+
+    base = _expectation_violations(_t(spark, sf_dir, "documents"))
+    aug = base.unionAll(base.filter(F.col("doc_id") % 31 == 0))
+    return expectation_report(aug, _expectation_rules())
+
+
+def doc_expectations_enforce(spark, sf_dir):
+    """Row-level enforcement companion: the quarantine frame with the
+    alphabetically-ordered violated-rule list per row (joined to one
+    string so the value oracle compares it byte-for-byte). Row rules
+    only — uniqueness is table-level by construction."""
+    from mehc_curation_spark.operators.expectations import (
+        enforce_expectations,
+    )
+
+    base = _expectation_violations(_t(spark, sf_dir, "documents"))
+    rules = [r for r in _expectation_rules() if r.predicate is not None]
+    _clean, quar = enforce_expectations(base, rules)
+    return quar.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.array_join("failed_expectations", ",").alias("failed"))
+
+
 def doc_token_stats(spark, sf_dir):
     from mehc_curation_spark.operators.text_stats import (
         bpe_ish_token_count_col,
@@ -3803,6 +3882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_auc": doc_auc,
         "doc_audit_sample": doc_audit_sample,
         "doc_pii_scrub": doc_pii_scrub,
+        "doc_expectations": doc_expectations,
+        "doc_expectations_enforce": doc_expectations_enforce,
         "doc_pii_audit": doc_pii_audit,
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
@@ -4513,6 +4594,104 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(regexp_replace(text, '{email}', '', 'g'),
                                   '{url}', '', 'g') AS text_scrubbed
             FROM documents
+        """,
+        # Expectations: the defect injection + every rule restated as
+        # CASE sums over one scan; uniqueness via count - distinct
+        "doc_expectations": r"""
+            WITH aug0 AS (
+                SELECT doc_id, text,
+                       CASE WHEN doc_id % 17 = 0 THEN NULL
+                            WHEN doc_id % 19 = 0 THEN 'EN'
+                            ELSE lang END AS lang,
+                       CASE WHEN doc_id % 29 = 0 THEN 'bad/src'
+                            ELSE source END AS source,
+                       CASE WHEN doc_id % 23 = 0 THEN n_chars * 100
+                            ELSE n_chars END AS n_chars
+                FROM documents
+            ), aug AS (
+                SELECT * FROM aug0
+                UNION ALL SELECT * FROM aug0 WHERE doc_id % 31 = 0
+            ), m AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS v_nn,
+                       SUM(CASE WHEN lang IS NULL THEN 0
+                                WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 0
+                                ELSE 1 END) AS v_ma,
+                       SUM(CASE WHEN source IS NULL THEN 0
+                                WHEN source IN (
+                                    'src0','src1','src2','src3','src4',
+                                    'src5','src6','src7','src8','src9',
+                                    'src10','src11','src12','src13','src14',
+                                    'src15','src16','src17','src18','src19')
+                                THEN 0 ELSE 1 END) AS v_st,
+                       SUM(CASE WHEN n_chars IS NULL THEN 0
+                                WHEN n_chars BETWEEN 0 AND 1000 THEN 0
+                                ELSE 1 END) AS v_rg,
+                       SUM(CASE WHEN COALESCE(n_chars = LENGTH(text), FALSE)
+                                THEN 0 ELSE 1 END) AS v_len,
+                       COUNT(doc_id) AS e_u,
+                       COUNT(DISTINCT doc_id) AS d_u
+                FROM aug
+            )
+            SELECT rule,
+                   CAST(n_evaluated AS BIGINT) AS n_evaluated,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   ROUND(n_violations / NULLIF(n_evaluated, 0)::DOUBLE, 6)
+                       AS fail_fraction,
+                   max_fail_fraction,
+                   CASE WHEN n_evaluated = 0 THEN TRUE
+                        ELSE n_violations / n_evaluated::DOUBLE
+                             <= max_fail_fraction END AS passed
+            FROM (
+                SELECT 'lang_not_null' AS rule, n AS n_evaluated,
+                       v_nn AS n_violations, 0.0 AS max_fail_fraction FROM m
+                UNION ALL SELECT 'lang_matches', n, v_ma, 0.0 FROM m
+                UNION ALL SELECT 'source_in_set', n, v_st, 0.0 FROM m
+                UNION ALL SELECT 'n_chars_in_range', n, v_rg, 0.05 FROM m
+                UNION ALL SELECT 'len_consistent', n, v_len, 0.0 FROM m
+                UNION ALL SELECT 'doc_id_unique', e_u, e_u - d_u, 0.0 FROM m
+            )
+            ORDER BY rule
+        """,
+        # Enforcement quarantine: per-row failed-rule list in the
+        # enforcer's alphabetical order (concat_ws skips the NULL
+        # CASEs in both engines)
+        "doc_expectations_enforce": r"""
+            WITH aug0 AS (
+                SELECT doc_id, text,
+                       CASE WHEN doc_id % 17 = 0 THEN NULL
+                            WHEN doc_id % 19 = 0 THEN 'EN'
+                            ELSE lang END AS lang,
+                       CASE WHEN doc_id % 29 = 0 THEN 'bad/src'
+                            ELSE source END AS source,
+                       CASE WHEN doc_id % 23 = 0 THEN n_chars * 100
+                            ELSE n_chars END AS n_chars
+                FROM documents
+            ), q AS (
+                SELECT doc_id, lang, source, n_chars,
+                       concat_ws(',',
+                           CASE WHEN lang IS NOT NULL AND NOT
+                                regexp_matches(lang, '^[a-z]{2}$')
+                                THEN 'lang_matches' END,
+                           CASE WHEN lang IS NULL
+                                THEN 'lang_not_null' END,
+                           CASE WHEN NOT COALESCE(
+                                    n_chars = LENGTH(text), FALSE)
+                                THEN 'len_consistent' END,
+                           CASE WHEN n_chars IS NOT NULL AND
+                                n_chars NOT BETWEEN 0 AND 1000
+                                THEN 'n_chars_in_range' END,
+                           CASE WHEN source IS NOT NULL AND source NOT IN (
+                                    'src0','src1','src2','src3','src4',
+                                    'src5','src6','src7','src8','src9',
+                                    'src10','src11','src12','src13','src14',
+                                    'src15','src16','src17','src18','src19')
+                                THEN 'source_in_set' END
+                       ) AS failed
+                FROM aug0
+            )
+            SELECT doc_id, lang, source, n_chars, failed
+            FROM q WHERE failed <> ''
         """,
         # PII audit: residue-chain class counts + Luhn-validated cards
         # (patterns injected from operators/pii_audit.AUDIT_PATTERNS)

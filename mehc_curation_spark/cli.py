@@ -398,6 +398,39 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--cores", type=int, default=-1)
     dr.add_argument("--master", default=None)
 
+    xp = sub.add_parser(
+        "expect",
+        help="declarative data-quality expectations over a corpus: "
+             "one-pass rule report, optional row-level quarantine "
+             "split; exits 1 when any rule fails (graft-only "
+             "capability)")
+    xp.add_argument("-i", "--input", required=True,
+                    help="corpus parquet")
+    xp.add_argument("--not_null", action="append", default=[],
+                    metavar="COL")
+    xp.add_argument("--unique", action="append", default=[],
+                    metavar="COL", help="table-level; excluded from "
+                                        "--quarantine row enforcement")
+    xp.add_argument("--range", action="append", default=[],
+                    metavar="COL:LO:HI",
+                    help="closed numeric interval; NULL passes")
+    xp.add_argument("--matches", action="append", default=[],
+                    metavar="COL:REGEX",
+                    help="rlike search (anchor with ^...$ for a full "
+                         "match); NULL passes")
+    xp.add_argument("--in_set", action="append", default=[],
+                    metavar="COL:V1,V2,...",
+                    help="membership over literal strings; NULL passes")
+    xp.add_argument("--max_fail", type=float, default=0.0,
+                    help="tolerated violation fraction applied to "
+                         "every rule (default 0 = strict)")
+    xp.add_argument("--quarantine", default=None,
+                    help="also write clean/ and quarantine/ parquet "
+                         "under this dir (row rules only; quarantine "
+                         "rows carry failed_expectations)")
+    xp.add_argument("--cores", type=int, default=-1)
+    xp.add_argument("--master", default=None)
+
     em = sub.add_parser(
         "evalmodel",
         help="score-column quality report: group-wise ROC-AUC "
@@ -1026,6 +1059,83 @@ def main(argv: list[str] | None = None) -> int:
                 "psi": psi, "verdict": verdict, "col": args.col,
                 "buckets": detail}))
             return 0
+
+        if args.cmd == "expect":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators.expectations import (
+                enforce_expectations,
+                expect_in_range,
+                expect_in_set,
+                expect_matches,
+                expect_not_null,
+                expect_unique,
+                expectation_report,
+            )
+
+            def _split2(spec: str, what: str) -> tuple[str, str]:
+                col, sep, rest = spec.partition(":")
+                if not sep or not col or not rest:
+                    raise SystemExit(
+                        f"expect: bad --{what} spec {spec!r} "
+                        f"(want COL:{what.upper()})")
+                return col, rest
+
+            mf = args.max_fail
+            rules = []
+            for c in args.not_null:
+                rules.append(expect_not_null(c, max_fail_fraction=mf))
+            for c in args.unique:
+                rules.append(expect_unique(c, max_fail_fraction=mf))
+            for spec in args.range:
+                col, rest = _split2(spec, "range")
+                try:
+                    lo, hi = (float(x) for x in rest.split(":", 1))
+                except ValueError:
+                    raise SystemExit(
+                        f"expect: bad --range spec {spec!r} "
+                        f"(want COL:LO:HI)")
+                rules.append(expect_in_range(col, lo, hi,
+                                             max_fail_fraction=mf))
+            for spec in args.matches:
+                col, pat = _split2(spec, "matches")
+                rules.append(expect_matches(col, pat,
+                                            max_fail_fraction=mf))
+            for spec in args.in_set:
+                col, vals = _split2(spec, "in_set")
+                rules.append(expect_in_set(col, vals.split(","),
+                                           max_fail_fraction=mf))
+            if not rules:
+                raise SystemExit(
+                    "expect: no rules given (--not_null / --unique / "
+                    "--range / --matches / --in_set)")
+
+            df = spark.read.parquet(args.input)
+            report = [r.asDict() for r in
+                      expectation_report(df, rules).collect()]
+            out = {"n_rules": len(report),
+                   "all_passed": all(r["passed"] for r in report),
+                   "rules": report}
+            if args.quarantine:
+                row_rules = [r for r in rules if r.predicate is not None]
+                if not row_rules:
+                    raise SystemExit(
+                        "expect: --quarantine needs at least one "
+                        "row-level rule (--unique is table-level)")
+                clean, quar = enforce_expectations(df, row_rules)
+                cdir = os.path.join(args.quarantine, "clean")
+                qdir = os.path.join(args.quarantine, "quarantine")
+                clean.write.mode("overwrite").parquet(cdir)
+                (quar.withColumn(
+                    "failed_expectations",
+                    F.array_join("failed_expectations", ","))
+                 .write.mode("overwrite").parquet(qdir))
+                out["clean_rows"] = spark.read.parquet(cdir).count()
+                out["quarantine_rows"] = spark.read.parquet(qdir).count()
+                out["clean_dir"] = cdir
+                out["quarantine_dir"] = qdir
+            print(json.dumps(out))
+            return 0 if out["all_passed"] else 1
 
         if args.cmd == "evalmodel":
             from pyspark.sql import functions as F

@@ -1167,3 +1167,60 @@ def test_evalmodel_cli(tmp_path_factory):
     n_tot = sum(r["n"] for r in cal)
     assert res["ece"] == round(
         sum(r["n"] * r["gap"] for r in cal) / n_tot, 6)
+
+
+def test_expect_cli(tmp_path_factory):
+    """expect subcommand: rule report reconciles with DuckDB CASE
+    sums over the same corpus; --quarantine splits the rows exactly;
+    exit code 1 signals the failing gate, 0 a passing one."""
+    base = tmp_path_factory.mktemp("cli_expect")
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    qdir = str(base / "q")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark", "expect",
+         "-i", docs, "--not_null", "lang", "--unique", "doc_id",
+         "--range", "n_chars:0:200", "--matches", r"lang:^[a-z]{2}$",
+         "--quarantine", qdir, "--cores", "4"],
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert proc.returncode == (0 if res["all_passed"] else 1)
+    rep = {r["rule"]: r for r in res["rules"]}
+    exp = duckdb.sql(f"""
+        SELECT SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+               SUM(CASE WHEN n_chars IS NULL THEN 0
+                        WHEN n_chars BETWEEN 0 AND 200 THEN 0
+                        ELSE 1 END),
+               COUNT(doc_id) - COUNT(DISTINCT doc_id),
+               COUNT(*)
+        FROM read_parquet('{docs}')
+    """).fetchone()
+    assert rep["lang_not_null"]["n_violations"] == exp[0]
+    assert rep["n_chars_in_range"]["n_violations"] == exp[1]
+    assert rep["doc_id_unique"]["n_violations"] == exp[2]
+    assert res["clean_rows"] + res["quarantine_rows"] == exp[3]
+    # quarantine rows = rows violating at least one ROW rule
+    # (uniqueness is table-level and excluded from enforcement)
+    n_bad = duckdb.sql(f"""
+        SELECT COUNT(*) FROM read_parquet('{docs}')
+        WHERE lang IS NULL
+           OR (n_chars IS NOT NULL AND n_chars NOT BETWEEN 0 AND 200)
+           OR (lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z]{{2}}$'))
+    """).fetchone()[0]
+    assert res["quarantine_rows"] == n_bad
+    got = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{qdir}/quarantine/*.parquet')"
+    ).fetchone()[0]
+    assert got == n_bad
+
+
+def test_expect_cli_passing_gate(tmp_path_factory):
+    """A rule set the corpus satisfies exits 0 with all_passed."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    proc = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark", "expect",
+         "-i", docs, "--not_null", "doc_id", "--unique", "doc_id",
+         "--cores", "4"],
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["all_passed"]
