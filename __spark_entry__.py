@@ -1274,6 +1274,21 @@ def doc_minhash_neardup(spark, sf_dir):
                              num_hashes=32, bands=8, shingle_k=3)
 
 
+def doc_lsh_plan(spark, sf_dir):
+    """Banded-LSH parameter planner (MMDS §3.4.3): for each Jaccard
+    threshold, every bands×rows factorization of the 32-hash signature
+    with its midpoint-integrated S-curve false-positive / false-
+    negative areas and the plan rank the auto-tuner
+    (`minhash_near_dups(bands=None)` → `lsh_plan`) uses. Fully
+    SQL-oracled: the integral is a Catalyst `aggregate` left-fold over
+    a fixed `sequence`, reproduced value-for-value by the DuckDB
+    SUM-over-generate_series twin."""
+    from mehc_curation_spark.operators.similarity import lsh_plan_table
+
+    return lsh_plan_table(spark, thresholds=(0.3, 0.5, 0.7),
+                          num_hashes=32, grid=200)
+
+
 def _bloom_split(spark, sf_dir):
     """Shared ref/cand split for the Bloom surfaces: reference =
     doc_id % 5 == 0, key = 30-char text prefix (same keying convention
@@ -3939,6 +3954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_alignment": emb_alignment,
         # UDF-backed but still fully DuckDB-oracled (value-for-value)
         "doc_minhash_neardup": doc_minhash_neardup,
+        "doc_lsh_plan": doc_lsh_plan,
         "doc_cross_dedup": doc_cross_dedup,
         "doc_eval_decontam": doc_eval_decontam,
         "doc_simhash": doc_simhash,
@@ -5664,6 +5680,34 @@ def oracle_sql() -> dict[str, str]:
         # bands=8/rows=4 (verified pairwise at sf0.01), so the oracle is
         # the brute-force all-pairs shingle-set Jaccard — the Spark side
         # must reproduce it value-for-value through the banded path.
+        # banded-LSH planner: same midpoint grid, pow S-curve, rounded
+        # areas and (rounded total, bands) rank as similarity.lsh_plan_table
+        "doc_lsh_plan": r"""
+            WITH divs AS (
+              SELECT t.threshold, b.bands, 32 // b.bands AS n_rows
+              FROM (VALUES (0.3),(0.5),(0.7)) t(threshold)
+              CROSS JOIN (VALUES (1),(2),(4),(8),(16),(32)) b(bands)
+            ),
+            grid AS (SELECT (i - 0.5)/200.0 AS s
+                     FROM generate_series(1,200) g(i)),
+            e AS (
+              SELECT threshold, bands, n_rows,
+                SUM(CASE WHEN s < threshold
+                    THEN 1 - POWER(1 - POWER(s, n_rows), bands)
+                    ELSE 0 END)/200.0 AS fp,
+                SUM(CASE WHEN s >= threshold
+                    THEN POWER(1 - POWER(s, n_rows), bands)
+                    ELSE 0 END)/200.0 AS fn
+              FROM divs CROSS JOIN grid GROUP BY 1,2,3
+            )
+            SELECT threshold, bands, n_rows,
+              ROUND(fp,6) AS fp_area, ROUND(fn,6) AS fn_area,
+              ROUND(fp+fn,6) AS total_err,
+              ROW_NUMBER() OVER (PARTITION BY threshold
+                                 ORDER BY ROUND(fp+fn,6), bands)
+                AS plan_rank
+            FROM e
+        """,
         "doc_minhash_neardup": r"""
             WITH sh AS (
                 SELECT doc_id, list_distinct(list_transform(

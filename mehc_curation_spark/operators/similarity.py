@@ -451,11 +451,117 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
 _SHINGLE_CACHE_HOLDER: list = []
 
 
+def lsh_error_areas(bands: int, rows: int, threshold: float,
+                    grid: int = 200) -> tuple[float, float]:
+    """(fp_area, fn_area) of the banded-LSH S-curve
+    p(s) = 1 - (1 - s^rows)^bands around a Jaccard ``threshold``
+    (Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets* §3.4.3).
+
+    fp_area = ∫₀ᵗ p(s) ds   — candidate-probability mass spent below
+    the threshold (pairs the verify stage must discard);
+    fn_area = ∫ₜ¹ (1-p(s)) ds — miss mass above it (true near-dups the
+    banding never pairs). Midpoint rule on a fixed ``grid`` so the
+    numbers are deterministic and reproducible in plain SQL
+    (the doc_lsh_plan oracle computes the identical sums)."""
+    fp = fn = 0.0
+    for i in range(1, grid + 1):
+        s = (i - 0.5) / grid
+        p = 1.0 - (1.0 - s ** rows) ** bands
+        if s < threshold:
+            fp += p
+        else:
+            fn += 1.0 - p
+    return fp / grid, fn / grid
+
+
+def lsh_plan(threshold: float, num_hashes: int = 32, grid: int = 200,
+             fn_weight: float = 1.0) -> tuple[int, int]:
+    """Pick (bands, rows) for banded MinHash LSH from a Jaccard
+    threshold: over all factorizations bands*rows == num_hashes,
+    minimize fp_area + fn_weight*fn_area (ties → fewer bands, i.e.
+    the cheaper plan — fewer band keys shuffle per row).
+
+    ``fn_weight > 1`` biases toward recall (dedup pipelines usually
+    prefer paying more verify work over missing true dups, because
+    the exact-Jaccard verify stage removes false positives anyway but
+    nothing recovers a missed pair).
+    """
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        fp, fn = lsh_error_areas(bands, rows, threshold, grid)
+        key = (fp + fn_weight * fn, bands)
+        if best is None or key < best[0]:
+            best = (key, (bands, rows))
+    return best[1]
+
+
+def lsh_plan_table(spark, thresholds=(0.3, 0.5, 0.7), num_hashes: int = 32,
+                   grid: int = 200) -> DataFrame:
+    """Per-(threshold, bands, rows) S-curve error table — the data a
+    user inspects to understand what :func:`lsh_plan` chose.
+
+    Columns: threshold, bands, n_rows, fp_area, fn_area, total_err
+    (all areas midpoint-integrated on ``grid`` points, rounded to 6),
+    plan_rank (1 = the pick for that threshold, ranked on rounded
+    total_err then fewer bands). The integral itself runs as a
+    Catalyst ``aggregate`` over a ``sequence`` — a left fold in fixed
+    index order, so the sums are deterministic and SQL-reproducible.
+    """
+    from pyspark.sql import Window
+
+    divs = [(float(t), b, num_hashes // b)
+            for t in thresholds
+            for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    df = spark.createDataFrame(divs, "threshold double, bands int, n_rows int")
+    g = float(grid)
+
+    def s_of(i):
+        return (i.cast("double") - 0.5) / F.lit(g)
+
+    def p_of(sv):
+        return F.lit(1.0) - F.pow(
+            F.lit(1.0) - F.pow(sv, F.col("n_rows")), F.col("bands"))
+
+    seq = F.sequence(F.lit(1), F.lit(grid))
+    fp = F.aggregate(
+        seq, F.lit(0.0),
+        lambda acc, i: acc + F.when(s_of(i) < F.col("threshold"),
+                                    p_of(s_of(i))).otherwise(F.lit(0.0))) / g
+    fn = F.aggregate(
+        seq, F.lit(0.0),
+        lambda acc, i: acc + F.when(s_of(i) >= F.col("threshold"),
+                                    F.lit(1.0) - p_of(s_of(i)))
+        .otherwise(F.lit(0.0))) / g
+    w = Window.partitionBy("threshold").orderBy(
+        F.round(fp + fn, 6).asc(), F.col("bands").asc())
+    return (df.select(
+        "threshold", "bands", "n_rows",
+        F.round(fp, 6).alias("fp_area"),
+        F.round(fn, 6).alias("fn_area"),
+        F.round(fp + fn, 6).alias("total_err"),
+        F.row_number().over(w).alias("plan_rank"))
+        .orderBy("threshold", "plan_rank"))
+
+
 def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5, num_hashes: int = 32,
-                      bands: int = 8, shingle_k: int = 3,
+                      bands: Optional[int] = 8, shingle_k: int = 3,
                       max_bucket: int = 64) -> DataFrame:
     """LSH candidates → exact-Jaccard verify → pairs over threshold.
+
+    ``bands=None`` self-tunes the banding from the threshold via
+    :func:`lsh_plan` (recall-biased, fn_weight=4): the verify stage
+    already removes the extra false-positive candidates a
+    steeper-than-necessary curve admits, so auto mode errs toward
+    firing bands — a user who only knows "dups are ≥ 0.4 similar"
+    gets a sound plan without understanding the S-curve.
 
     Shingling runs ONCE (VERDICT r2 item 4): the shingle-hash table is
     computed a single time and persisted (MEMORY_AND_DISK — slim
@@ -474,6 +580,8 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     loses its cache."""
     from pyspark.storagelevel import StorageLevel
 
+    if bands is None:
+        bands, _rows = lsh_plan(threshold, num_hashes, fn_weight=4.0)
     sh = shingle_table(df, id_col, text_col, shingle_k) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     while _SHINGLE_CACHE_HOLDER:
