@@ -1339,6 +1339,62 @@ def doc_bloom_prefilter_check(spark, sf_dir):
         "n_exact long, contains_all_exact boolean, fp_bounded boolean")
 
 
+def doc_heavy_hitters(spark, sf_dir):
+    """Hot tokens via the mergeable Misra-Gries sketch
+    (operators/sketch.py) — the bounded-memory scale path for
+    heavy-hitter discovery whose exact twin would shuffle one row per
+    distinct term. FULLY value-oracled: with num_counters=4096 >> the
+    per-partition distinct-token count the sketch provably degrades to
+    exact counts with zero decrement mass, so est == exact, err == 0,
+    and the DuckDB exact-count twin matches value-for-value. The
+    approximate regime's guarantees are pinned by
+    doc_heavy_hitters_check."""
+    from mehc_curation_spark.operators.sketch import heavy_hitter_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return heavy_hitter_tokens(d, "text", num_counters=4096, top_k=20)
+
+
+def doc_heavy_hitters_check(spark, sf_dir):
+    """Soundness oracle for the Misra-Gries sketch in its APPROXIMATE
+    regime: num_counters=28 < the 31-token vocabulary over 8
+    partitions, so decrements actually fire. Asserts the Mergeable-
+    Summaries theorems, which hold under ANY partition layout:
+    est <= exact <= est + D for every reported term (bounds_ok), every
+    term with exact > D is reported (coverage_ok — D is the sketch's
+    own summed decrement mass), D <= floor(n/(m+1)) (err_within_bound),
+    and the SQL-computable guaranteed-heavy set {exact > n/(m+1)} is
+    fully reported (guaranteed_reported). n_distinct / n_tokens /
+    n_guaranteed are exact corpus constants the oracle recomputes."""
+    from mehc_curation_spark.operators.sketch import (
+        heavy_hitters_sketch, tokens_frame)
+
+    m = 28
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_frame(d, "text")
+    sk = heavy_hitters_sketch(toks.repartition(8), "term",
+                              num_counters=m, top_k=None).toPandas()
+    exact = {r["term"]: r["cnt"] for r in
+             toks.groupBy("term").agg(F.count("*").alias("cnt"))
+             .collect()}
+    n_tokens = sum(exact.values())
+    n_distinct = len(exact)
+    D = int(sk.err_bound.iloc[0]) if len(sk) else 0
+    reported = dict(zip(sk.term, sk.est_count))
+    bounds_ok = all(est <= exact.get(t, 0) <= est + D
+                    for t, est in reported.items())
+    coverage_ok = all(t in reported
+                      for t, c in exact.items() if c > D)
+    hard = n_tokens // (m + 1)
+    guaranteed = [t for t, c in exact.items() if c > n_tokens / (m + 1)]
+    return spark.createDataFrame(
+        [(n_distinct, n_tokens, len(guaranteed), bounds_ok, coverage_ok,
+          D <= hard, all(t in reported for t in guaranteed))],
+        "n_distinct long, n_tokens long, n_guaranteed long, "
+        "bounds_ok boolean, coverage_ok boolean, "
+        "err_within_bound boolean, guaranteed_reported boolean")
+
+
 def doc_cross_dedup(spark, sf_dir):
     """TEXT decontamination, FULLY DuckDB-oracled: candidate documents
     (doc_id % 5 != 0) whose shingle-Jaccard against any reference
@@ -3955,6 +4011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # UDF-backed but still fully DuckDB-oracled (value-for-value)
         "doc_minhash_neardup": doc_minhash_neardup,
         "doc_lsh_plan": doc_lsh_plan,
+        "doc_heavy_hitters": doc_heavy_hitters,
+        "doc_heavy_hitters_check": doc_heavy_hitters_check,
         "doc_cross_dedup": doc_cross_dedup,
         "doc_eval_decontam": doc_eval_decontam,
         "doc_simhash": doc_simhash,
@@ -5680,6 +5738,44 @@ def oracle_sql() -> dict[str, str]:
         # bands=8/rows=4 (verified pairwise at sf0.01), so the oracle is
         # the brute-force all-pairs shingle-set Jaccard — the Spark side
         # must reproduce it value-for-value through the banded path.
+        # Misra-Gries sketch, exact regime (num_counters >> vocab →
+        # zero decrement mass): est == exact count, err == 0; same
+        # tokenizer and (count desc, term asc) top-20 as the Spark side
+        "doc_heavy_hitters": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(
+                         LOWER(text), '[ \t\n\r]+'), y -> y <> '')) AS term
+              FROM documents WHERE text IS NOT NULL
+            ), c AS (
+              SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+            )
+            SELECT term, cnt AS est_count, cnt AS max_count,
+                   0::BIGINT AS err_bound
+            FROM c
+            ORDER BY cnt DESC, term ASC
+            LIMIT 20
+        """,
+        # sketch check: the booleans are layout-invariant theorems
+        # (Agarwal et al., Mergeable Summaries); the numeric columns
+        # are exact corpus constants with the same tokenizer
+        "doc_heavy_hitters_check": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(
+                         LOWER(text), '[ \t\n\r]+'), y -> y <> '')) AS term
+              FROM documents WHERE text IS NOT NULL
+            ), c AS (
+              SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+            ), tot AS (
+              SELECT COUNT(*) AS n_distinct,
+                     CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM c
+            )
+            SELECT n_distinct, n_tokens,
+                   (SELECT COUNT(*) FROM c, tot
+                    WHERE cnt > n_tokens / 29.0) AS n_guaranteed,
+                   TRUE AS bounds_ok, TRUE AS coverage_ok,
+                   TRUE AS err_within_bound, TRUE AS guaranteed_reported
+            FROM tot
+        """,
         # banded-LSH planner: same midpoint grid, pow S-curve, rounded
         # areas and (rounded total, bands) rank as similarity.lsh_plan_table
         "doc_lsh_plan": r"""
