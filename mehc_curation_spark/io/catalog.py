@@ -19,7 +19,11 @@ interface that switches to real Iceberg when a runtime is present:
    reading NULL for new columns;
 4. **manifest column stats / data skipping** — per-file min/max read
    from parquet footers at commit; `read(between=(col, lo, hi))`
-   prunes non-overlapping files before Spark opens them;
+   prunes non-overlapping files before Spark opens them; optional
+   per-file bloom bitmaps (``write(bloom_cols=...)``) extend skipping
+   to POINT lookups (``read(eq=(col, value))``) where ranges overlap
+   everywhere — the Parquet-bloom-filter / Iceberg analog for
+   takedown-by-id probes;
 5. **snapshot expiry** — `expire_snapshots(keep_last)` drops old
    manifests and unreferenced data files.
 
@@ -30,6 +34,8 @@ one snapshot per stage, which is what checkpoint-resume reads back.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import shutil
@@ -223,7 +229,8 @@ class SnapshotTable:
               properties: Optional[dict] = None,
               allow_schema_evolution: bool = False,
               stats_cols: Optional[tuple[str, ...]] = None,
-              branch: Optional[str] = None) -> int:
+              branch: Optional[str] = None,
+              bloom_cols: Optional[tuple[str, ...]] = None) -> int:
         """Write a new snapshot; returns the committed version.
 
         mode='append' keeps prior files in the new manifest;
@@ -240,6 +247,12 @@ class SnapshotTable:
         stats recorded for data skipping (default
         ``DEFAULT_STATS_COLS``) — a labels table can skip on e.g.
         ``lang`` or a bucket id, not just ``phash``.
+
+        ``bloom_cols`` additionally records a per-file bloom bitmap
+        for each named column, enabling POINT-lookup file skipping
+        (``read(eq=(col, value))``) where min/max ranges are useless —
+        e.g. finding one ``image_id`` (a takedown probe) in a table
+        whose id ranges all overlap.
         """
         assert mode in ("append", "overwrite")
         os.makedirs(self.meta_dir, exist_ok=True)
@@ -261,6 +274,9 @@ class SnapshotTable:
                     f"{parent_manifest['schema']}")
 
         new_files, new_stats = self._stage_data_files(df, stats_cols)
+        if bloom_cols:
+            self._merge_blooms_into_stats(
+                new_stats, self._collect_file_blooms(new_files, bloom_cols))
 
         def build(p, pm):
             if p and pm["schema"] and mode == "append":
@@ -289,7 +305,8 @@ class SnapshotTable:
                      mode: str = "append",
                      properties: Optional[dict] = None,
                      replace_prefixes: Optional[list[str]] = None,
-                     stats_cols: Optional[tuple[str, ...]] = None) -> int:
+                     stats_cols: Optional[tuple[str, ...]] = None,
+                     bloom_cols: Optional[tuple[str, ...]] = None) -> int:
         """Publish a snapshot manifest over data files ALREADY inside
         ``data/`` (e.g. bucket dirs moved in by the curation ledger's
         atomic commit) without rewriting them. Entries may be relative
@@ -306,6 +323,10 @@ class SnapshotTable:
         """
         assert mode in ("append", "overwrite")
         new_stats = self._collect_file_stats(list(rel_files), stats_cols)
+        if bloom_cols:
+            self._merge_blooms_into_stats(
+                new_stats,
+                self._collect_file_blooms(list(rel_files), bloom_cols))
         prefixes = tuple(replace_prefixes or ())
 
         def build(p, pm):
@@ -367,6 +388,126 @@ class SnapshotTable:
                 stats[rel] = entry
         return stats
 
+    # -- per-file bloom filters (point-lookup skipping) ---------------------
+
+    # reserved key inside a file's stats entry; min/max column names
+    # live beside it (a data column literally named "__bloom__" would
+    # collide — not a schema this engine produces)
+    BLOOM_KEY = "__bloom__"
+    DEFAULT_BLOOM_BITS = 1 << 13   # 1 KiB bitmap per (file, column)
+    DEFAULT_BLOOM_HASHES = 5
+
+    @staticmethod
+    def _bloom_key_bytes(v) -> bytes:
+        """Canonical byte encoding of a bloom key. int/str/binary only:
+        float equality is not a sane skip key, and NULL membership is
+        a stats question, not a bloom one."""
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        if isinstance(v, str):
+            return v.encode("utf-8")
+        if isinstance(v, bool) or v is None:
+            raise TypeError("bloom keys must be int, string or binary")
+        if isinstance(v, int):
+            return str(v).encode("ascii")
+        raise TypeError("bloom keys must be int, string or binary")
+
+    @staticmethod
+    def _bloom_positions(key: bytes, n_bits: int, n_hashes: int):
+        for i in range(n_hashes):
+            h = hashlib.blake2b(key, digest_size=8,
+                                salt=i.to_bytes(8, "little")).digest()
+            yield int.from_bytes(h, "little") % n_bits
+
+    def _collect_file_blooms(self, rel_files: list[str],
+                             cols: tuple[str, ...],
+                             n_bits: int = DEFAULT_BLOOM_BITS,
+                             n_hashes: int = DEFAULT_BLOOM_HASHES) -> dict:
+        """Per-file bloom bitmaps for ``cols`` — the Parquet
+        bloom-filter / Iceberg point-lookup-skipping analog. Unlike the
+        footer min/max stats this READS the key columns (columnar, one
+        column at a time), which is exactly the cost real engines pay
+        to build blooms at write time. A column whose values are not
+        int/str/binary is silently skipped (no bloom ⇒ never pruned ⇒
+        sound)."""
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for rel in rel_files:
+            p = os.path.join(self.data_dir, rel)
+            try:
+                pf = pq.ParquetFile(p)
+            except Exception:
+                continue
+            entry = {}
+            names = set(pf.schema_arrow.names)
+            for col in cols:
+                if col not in names:
+                    continue
+                bits = bytearray(n_bits // 8)
+                ok = True
+                for v in pf.read(columns=[col]).column(col).to_pylist():
+                    if v is None:
+                        continue
+                    try:
+                        key = self._bloom_key_bytes(v)
+                    except TypeError:
+                        ok = False
+                        break
+                    for pos in self._bloom_positions(key, n_bits,
+                                                     n_hashes):
+                        bits[pos >> 3] |= 1 << (pos & 7)
+                if ok:
+                    entry[col] = {
+                        "b": base64.b64encode(bytes(bits)).decode("ascii"),
+                        "m": n_bits, "k": n_hashes}
+            if entry:
+                out[rel] = entry
+        return out
+
+    @staticmethod
+    def _merge_blooms_into_stats(stats: dict, blooms: dict) -> dict:
+        for rel, entry in blooms.items():
+            stats.setdefault(rel, {})[SnapshotTable.BLOOM_KEY] = entry
+        return stats
+
+    @classmethod
+    def _stats_layout_of(cls, manifest: dict) -> tuple[tuple, tuple]:
+        """(stats_cols, bloom_cols) recorded across a manifest's file
+        entries — what a rewrite (compact / row-op) must re-record so
+        the table keeps its skipping behavior after the rewrite."""
+        stats = manifest.get("stats", {})
+        sc = tuple(sorted({c for e in stats.values() for c in e
+                           if c != cls.BLOOM_KEY}))
+        bc = tuple(sorted({c for e in stats.values()
+                           for c in e.get(cls.BLOOM_KEY, {})}))
+        return sc, bc
+
+    @classmethod
+    def _bloom_may_contain(cls, entry: dict, col: str, value) -> bool:
+        """Sound point-skip predicate: False ONLY when the file's
+        bloom for ``col`` proves ``value`` absent; missing bloom or an
+        un-encodable probe value means 'must scan'."""
+        b = (entry or {}).get(cls.BLOOM_KEY, {}).get(col)
+        if not b:
+            return True
+        try:
+            key = cls._bloom_key_bytes(value)
+        except TypeError:
+            return True
+        bits = base64.b64decode(b["b"])
+        return all(bits[p >> 3] & (1 << (p & 7))
+                   for p in cls._bloom_positions(key, b["m"], b["k"]))
+
+    @staticmethod
+    def _eq_list(eq) -> list[tuple]:
+        """Normalize ``eq``: one (col, value) pair or a list of them."""
+        if not eq:
+            return []
+        if isinstance(eq[0], str):
+            return [tuple(eq)]
+        return [tuple(e) for e in eq]
+
     # -- read ---------------------------------------------------------------
 
     @staticmethod
@@ -396,9 +537,26 @@ class SnapshotTable:
         except TypeError:
             return True
 
+    def _select_files(self, m: dict, between, eq) -> list[str]:
+        """File-level pruning shared by read/files_pruned: min/max
+        range skipping for ``between`` triples, min/max (lo=hi) AND
+        bloom skipping for ``eq`` pairs. Files without the relevant
+        stats are always kept (skipping is sound, never lossy)."""
+        stats = m.get("stats", {})
+        files = list(m["files"])
+        for col, lo, hi in self._between_list(between):
+            files = [f for f in files
+                     if self._stats_may_overlap(stats.get(f, {}),
+                                                col, lo, hi)]
+        for col, v in self._eq_list(eq):
+            files = [f for f in files
+                     if self._stats_may_overlap(stats.get(f, {}), col, v, v)
+                     and self._bloom_may_contain(stats.get(f, {}), col, v)]
+        return files
+
     def read(self, spark: SparkSession,
              version=None,
-             between=None) -> DataFrame:
+             between=None, eq=None) -> DataFrame:
         """Read a snapshot; `between=(col, lo, hi)` — or a LIST of such
         triples (ANDed; the multi-column read a z-ordered layout
         serves) — additionally prunes at the FILE level using the
@@ -406,52 +564,46 @@ class SnapshotTable:
         overlap are never opened — the Iceberg data-skipping analog)
         and applies the row-level filter on what remains. Files
         without recorded stats are always read (skipping must be
-        sound, never lossy)."""
+        sound, never lossy).
+
+        ``eq=(col, value)`` — or a list of pairs (ANDed) — is the
+        POINT-lookup form: files are skipped via min/max AND via the
+        per-file bloom bitmaps recorded by ``write(bloom_cols=...)``
+        (a bloom miss proves the value absent from the file), then the
+        equality filter applies row-level."""
         m = self.manifest(version)
         if not m["files"]:
             raise FileNotFoundError(f"{self.path}: no committed snapshot")
-        files = m["files"]
-        ranges = self._between_list(between)
-        if ranges:
-            stats = m.get("stats", {})
-            for col, lo, hi in ranges:
-                files = [f for f in files
-                         if self._stats_may_overlap(stats.get(f, {}),
-                                                    col, lo, hi)]
-            if not files:
-                # empty selection: preserve schema via a no-row filter
-                full = (spark.read.option("basePath", self.data_dir)
-                        .option("mergeSchema", "true").parquet(
-                            *[os.path.join(self.data_dir, f)
-                              for f in m["files"]]))
-                from pyspark.sql import functions as F
+        files = self._select_files(m, between, eq)
+        from pyspark.sql import functions as F
 
-                return full.filter(F.lit(False))
+        if not files:
+            # empty selection: preserve schema via a no-row filter
+            full = (spark.read.option("basePath", self.data_dir)
+                    .option("mergeSchema", "true").parquet(
+                        *[os.path.join(self.data_dir, f)
+                          for f in m["files"]]))
+            return full.filter(F.lit(False))
         paths = [os.path.join(self.data_dir, f) for f in files]
         # basePath keeps hive-style partition columns (bucket=k) when
         # manifests reference files inside partition dirs; mergeSchema
         # reconciles pre-evolution files (missing columns read as NULL)
         df = (spark.read.option("basePath", self.data_dir)
               .option("mergeSchema", "true").parquet(*paths))
-        if ranges:
-            from pyspark.sql import functions as F
-
-            for col, lo, hi in ranges:
-                df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        for col, lo, hi in self._between_list(between):
+            df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        for col, v in self._eq_list(eq):
+            df = df.filter(F.col(col) == v)
         return df
 
     def files_pruned(self, between,
-                     version=None) -> tuple[int, int]:
-        """(selected, total) file counts for a range read — the
+                     version=None, eq=None) -> tuple[int, int]:
+        """(selected, total) file counts for a range/point read — the
         observable data-skipping ratio (used by tests/monitoring).
-        ``between`` is one (col, lo, hi) triple or a list (ANDed)."""
+        ``between`` is one (col, lo, hi) triple or a list (ANDed);
+        ``eq`` one (col, value) pair or a list (bloom + min/max)."""
         m = self.manifest(version)
-        stats = m.get("stats", {})
-        sel = list(m["files"])
-        for col, lo, hi in self._between_list(between):
-            sel = [f for f in sel
-                   if self._stats_may_overlap(stats.get(f, {}),
-                                              col, lo, hi)]
+        sel = self._select_files(m, between, eq)
         return len(sel), len(m["files"])
 
     def read_incremental(self, spark: SparkSession, since_version: int,
@@ -587,8 +739,7 @@ class SnapshotTable:
         # table skipping on e.g. ivf_cell keeps skipping after
         # compaction — defaulting to DEFAULT_STATS_COLS here silently
         # destroyed data skipping for non-default tables)
-        base_stat_cols = tuple(sorted(
-            {c for entry in base.get("stats", {}).values() for c in entry}))
+        base_stat_cols, base_bloom_cols = self._stats_layout_of(base)
         if cluster_by:
             from mehc_curation_spark.operators.zorder import zorder_layout
 
@@ -616,6 +767,10 @@ class SnapshotTable:
             stat_cols = base_stat_cols
         new_files, new_stats = self._stage_data_files(
             df, stat_cols or None)
+        if base_bloom_cols:
+            self._merge_blooms_into_stats(
+                new_stats,
+                self._collect_file_blooms(new_files, base_bloom_cols))
 
         def build(p, pm):
             # Concurrency-safe rewrite: the compacted files REPLACE the
@@ -749,13 +904,16 @@ class SnapshotTable:
         affected file from the current manifest (overwrite/compaction
         conflict); files appended concurrently are carried forward."""
         base = self.manifest()
-        base_stat_cols = tuple(sorted(
-            {c for entry in base.get("stats", {}).values() for c in entry}))
+        base_stat_cols, base_bloom_cols = self._stats_layout_of(base)
         # keep file granularity ~the rewritten file count (coalesce =
         # no extra shuffle; a join upstream already repartitioned)
         new_files, new_stats = self._stage_data_files(
             rewritten.coalesce(max(1, len(affected))),
             base_stat_cols or None)
+        if base_bloom_cols:
+            self._merge_blooms_into_stats(
+                new_stats,
+                self._collect_file_blooms(new_files, base_bloom_cols))
         affected_set = set(affected)
 
         def build(p, pm):
@@ -841,13 +999,24 @@ class SnapshotTable:
         m = self.manifest()
         svals = sorted(vals)
 
+        # bloom probing is per-id driver work: worth it for the
+        # takedown shape (short lists), skipped for bulk deletes
+        probe_bloom = len(svals) <= 1000
+
         def overlaps(entry) -> bool:
             rng = entry.get(id_col)
             if rng is None:
                 return True  # no stats: must scan (skipping stays sound)
             lo, hi = rng
             i = bisect_left(svals, lo)
-            return i < len(svals) and svals[i] <= hi
+            if not (i < len(svals) and svals[i] <= hi):
+                return False
+            if not probe_bloom:
+                return True
+            # range says maybe: let the file's bloom (if recorded)
+            # veto ids individually — only in-range ids can match
+            return any(self._bloom_may_contain(entry, id_col, v)
+                       for v in svals[i:] if v <= hi)
         stats = m.get("stats", {})
         cand = [f for f in m["files"] if overlaps(stats.get(f, {}))]
         if not cand:
