@@ -617,6 +617,17 @@ def build_parser() -> argparse.ArgumentParser:
     pk = sub.add_parser("package", help="build the --py-files zip")
     pk.add_argument("-o", "--output", default="mehc_curation_spark.zip")
 
+    pl = sub.add_parser(
+        "pipeline", help="run a multi-step JSON pipeline spec (each "
+                         "step is one CLI subcommand in its own "
+                         "subprocess/SparkSession; completed steps "
+                         "skip on re-run; $prev/$name path "
+                         "substitution chains outputs)")
+    pl.add_argument("--spec", required=True, help="pipeline spec JSON")
+    pl.add_argument("--no_resume", action="store_true",
+                    help="re-run every step even if recorded complete")
+    pl.add_argument("--timeout_per_step", type=float, default=3600.0)
+
     tm = sub.add_parser(
         "table", help="snapshot-table maintenance (compact / expire / "
                       "orphans / history) and row-level changes "
@@ -740,6 +751,18 @@ def main(argv: list[str] | None = None) -> int:
         path = build_pyfiles_zip(args.output)
         print(json.dumps({"py_files": path}))
         return 0
+
+    if args.cmd == "pipeline":
+        if not os.path.exists(args.spec):
+            sys.stderr.write(
+                f"error: --spec path does not exist: {args.spec}\n")
+            return 2
+        from mehc_curation_spark.pipeline import run_pipeline
+
+        summary = run_pipeline(args.spec, resume=not args.no_resume,
+                               timeout_per_step=args.timeout_per_step)
+        print(json.dumps(summary))
+        return 0 if summary["ok"] else 1
 
     if args.cmd == "table" and args.action in (
             "orphans", "history", "expire", "tag", "untag", "rollback",
