@@ -290,7 +290,7 @@ class SnapshotTable:
                         f"has {pm['schema']}")
             stats = {} if mode == "overwrite" else dict(pm.get("stats", {}))
             stats.update(new_stats)
-            return {
+            out = {
                 "ts": time.time(),
                 "files": (new_files if mode == "overwrite"
                           else pm["files"] + new_files),
@@ -298,6 +298,12 @@ class SnapshotTable:
                 "schema": df.schema.json(),
                 "properties": properties or {},
             }
+            # pending MoR equality deletes survive an append (they
+            # mask rows table-wide); an overwrite replaces the whole
+            # row set, so its delete debt is moot
+            if mode == "append" and pm.get("deletes"):
+                out["deletes"] = list(pm["deletes"])
+            return out
 
         return self._commit_manifest(build, branch=branch)
 
@@ -339,13 +345,17 @@ class SnapshotTable:
                 f: v for f, v in pm.get("stats", {}).items()
                 if not (prefixes and f.startswith(prefixes))}
             stats.update(new_stats)
-            return {
+            out = {
                 "ts": time.time(),
                 "files": kept + [f for f in rel_files if f not in kept],
                 "stats": stats,
                 "schema": schema_json,
                 "properties": properties or {},
             }
+            # see write(): MoR delete debt rides along on appends
+            if mode == "append" and pm.get("deletes"):
+                out["deletes"] = list(pm["deletes"])
+            return out
 
         return self._commit_manifest(build)
 
@@ -508,6 +518,66 @@ class SnapshotTable:
             return [tuple(eq)]
         return [tuple(e) for e in eq]
 
+    # -- merge-on-read equality deletes --------------------------------------
+
+    @staticmethod
+    def _manifest_all_files(m: dict) -> set[str]:
+        """Every data-dir file a manifest references: data files plus
+        equality-delete key files (retention/orphan logic must treat
+        both as live)."""
+        files = set(m.get("files", ()))
+        files.update(d["file"] for d in m.get("deletes", ()))
+        return files
+
+    def _delete_key_groups(self, spark: SparkSession, deletes: list[dict]):
+        """Yield (key_cols, distinct-keys DataFrame) per key-column
+        group of a manifest's equality-delete entries."""
+        from collections import defaultdict
+
+        groups: dict = defaultdict(list)
+        for d in deletes:
+            groups[tuple(d["cols"])].append(d["file"])
+        for cols, files_ in groups.items():
+            keys = (spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in files_])
+                .select(*cols).distinct())
+            yield list(cols), keys
+
+    def _apply_equality_deletes(self, spark: SparkSession, df: DataFrame,
+                                deletes: list[dict]) -> DataFrame:
+        """Anti-join ``df`` against each key-column group's accumulated
+        delete keys (Iceberg v2 equality-delete semantics: a delete key
+        masks every matching row in every data file, regardless of
+        which file holds the row)."""
+        if not deletes:
+            return df
+        from pyspark.sql import functions as F
+
+        for cols, keys in self._delete_key_groups(spark, deletes):
+            df = df.join(F.broadcast(keys), on=cols, how="left_anti")
+        return df
+
+    def _equality_delete_matches(self, spark: SparkSession, df: DataFrame,
+                                 deletes: list[dict]) -> DataFrame:
+        """Rows of ``df`` a delete key masks (union of per-group
+        semi-joins) — the detection complement of
+        :meth:`_apply_equality_deletes`."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        parts = [df.join(F.broadcast(keys), on=cols, how="left_semi")
+                 for cols, keys in self._delete_key_groups(spark, deletes)]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _require_no_pending_deletes(self, op: str, m: dict) -> None:
+        if m.get("deletes"):
+            raise CommitConflictError(
+                f"{self.path}: {op} is a copy-on-write rewrite but the "
+                f"current snapshot carries {len(m['deletes'])} pending "
+                f"merge-on-read delete file(s); run apply_deletes() "
+                f"(or compact()) to materialize them first")
+
     # -- read ---------------------------------------------------------------
 
     @staticmethod
@@ -594,7 +664,12 @@ class SnapshotTable:
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         for col, v in self._eq_list(eq):
             df = df.filter(F.col(col) == v)
-        return df
+        # merge-on-read: pending equality deletes of THIS manifest
+        # version mask their rows on every read (delete keys are tiny
+        # — a broadcast anti-join per key-column group, no shuffle of
+        # the data side)
+        return self._apply_equality_deletes(spark, df,
+                                            m.get("deletes") or [])
 
     def files_pruned(self, between,
                      version=None, eq=None) -> tuple[int, int]:
@@ -620,7 +695,11 @@ class SnapshotTable:
                 f"{self.path}: no files added between v{since_version} "
                 f"and v{to_m['version']}")
         paths = [os.path.join(self.data_dir, f) for f in new_files]
-        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+        # rows appended then MoR-deleted before to_version must not
+        # surface in the incremental read
+        return self._apply_equality_deletes(spark, df,
+                                            to_m.get("deletes") or [])
 
     def snapshot_diff(self, spark: SparkSession, from_version: int,
                       to_version: Optional[int] = None,
@@ -649,7 +728,18 @@ class SnapshotTable:
         from pyspark.sql import functions as F
 
         mf, mt = self.manifest(from_version), self.manifest(to_version)
-        common = set(mf["files"]) & set(mt["files"])
+        f_del = mf.get("deletes") or []
+        t_del = mt.get("deletes") or []
+        if f_del == t_del:
+            # identical pending MoR deletes mask the same rows on both
+            # sides — shared files still compare equal, pruning stays
+            # sound
+            common = set(mf["files"]) & set(mt["files"])
+        else:
+            # a MoR delete changes row content WITHOUT changing any
+            # data file, so file-level pruning would miss it: fall back
+            # to comparing the full (masked) row sets of both sides
+            common = set()
         f_only = [f for f in mf["files"] if f not in common]
         t_only = [f for f in mt["files"] if f not in common]
 
@@ -661,6 +751,8 @@ class SnapshotTable:
                     .filter(F.lit(False)))
 
         a, b = side(f_only, t_only), side(t_only, f_only)
+        a = self._apply_equality_deletes(spark, a, f_del)
+        b = self._apply_equality_deletes(spark, b, t_del)
         all_cols = list(dict.fromkeys([*a.columns, *b.columns]))
         for c in all_cols:
             if c not in a.columns:
@@ -798,7 +890,14 @@ class SnapshotTable:
             stats = {f: v for f, v in pm.get("stats", {}).items()
                      if f in extra}
             stats.update(new_stats)
-            return {
+            # the compaction read() already applied the BASE snapshot's
+            # pending MoR deletes, so those entries are settled here;
+            # delete commits that landed since base carry forward (the
+            # read-time anti-join still masks their rows — sound)
+            settled = {d["file"] for d in base.get("deletes", [])}
+            carried = [d for d in pm.get("deletes", [])
+                       if d["file"] not in settled]
+            out = {
                 "ts": time.time(),
                 "files": new_files + extra,
                 "stats": stats,
@@ -812,6 +911,9 @@ class SnapshotTable:
                                **({"cluster_by": list(cluster_by)}
                                   if cluster_by else {})},
             }
+            if carried:
+                out["deletes"] = carried
+            return out
 
         return self._commit_manifest(build)
 
@@ -896,13 +998,19 @@ class SnapshotTable:
 
     def _commit_rewrite(self, spark: SparkSession, affected: list[str],
                         rewritten: DataFrame, op: str,
-                        properties: Optional[dict] = None) -> int:
+                        properties: Optional[dict] = None,
+                        clear_deletes: Optional[list[str]] = None) -> int:
         """Shared copy-on-write tail: stage-write ``rewritten`` (the
         full replacement content for ``affected``), move the files in,
         and commit a manifest where the affected files are swapped for
         the new ones. Aborts if a concurrent commit removed any
         affected file from the current manifest (overwrite/compaction
-        conflict); files appended concurrently are carried forward."""
+        conflict); files appended concurrently are carried forward.
+
+        Pending MoR equality-delete entries also carry forward (they
+        mask table-wide regardless of which file holds a row), minus
+        any named in ``clear_deletes`` — the entries the caller just
+        materialized into ``rewritten`` (see :meth:`apply_deletes`)."""
         base = self.manifest()
         base_stat_cols, base_bloom_cols = self._stats_layout_of(base)
         # keep file granularity ~the rewritten file count (coalesce =
@@ -929,7 +1037,7 @@ class SnapshotTable:
             stats = {f: v for f, v in pm.get("stats", {}).items()
                      if f not in affected_set}
             stats.update(new_stats)
-            return {
+            out = {
                 "ts": time.time(),
                 "files": kept + new_files,
                 "stats": stats,
@@ -937,16 +1045,35 @@ class SnapshotTable:
                 "properties": {**pm.get("properties", {}),
                                **(properties or {}), "row_op": op},
             }
+            cleared = set(clear_deletes or ())
+            carried = [d for d in pm.get("deletes", [])
+                       if d["file"] not in cleared]
+            if carried:
+                out["deletes"] = carried
+            return out
 
         return self._commit_manifest(build)
 
     def delete_where(self, spark: SparkSession, condition,
-                     candidate_files: Optional[list[str]] = None) -> int:
-        """Row-level DELETE (copy-on-write): remove every row where
-        ``condition`` evaluates TRUE (NULL keeps the row — SQL DELETE
-        semantics). Only files that actually contain matching rows are
-        rewritten; a no-match delete commits nothing and returns the
-        current version.
+                     candidate_files: Optional[list[str]] = None,
+                     mode: str = "cow",
+                     key_cols: tuple[str, ...] = ("image_id",)) -> int:
+        """Row-level DELETE: remove every row where ``condition``
+        evaluates TRUE (NULL keeps the row — SQL DELETE semantics).
+
+        ``mode='cow'`` (default) rewrites only the files that contain
+        matching rows; a no-match delete commits nothing.
+
+        ``mode='mor'`` is the merge-on-read path (Iceberg v2
+        equality-delete analog): instead of rewriting data files, the
+        matched rows' ``key_cols`` values are written to a small
+        delete-key file and recorded in the manifest; every subsequent
+        ``read()`` anti-joins the accumulated delete keys. The write
+        costs O(matched keys) regardless of table size — the shape a
+        latency-sensitive takedown wants — and the debt is settled
+        later by ``apply_deletes()`` or ``compact()``. Matched rows
+        with a NULL key are refused (an equality delete cannot address
+        them).
 
         ``condition`` is a SQL string or an UNRESOLVED Column
         (``F.col(...)`` expressions — not a column plucked from some
@@ -960,6 +1087,10 @@ class SnapshotTable:
         m = self.manifest()
         if not m["files"]:
             raise FileNotFoundError(f"{self.path}: no committed snapshot")
+        if mode == "mor":
+            return self._delete_mor(spark, cond, key_cols,
+                                    str(condition))
+        assert mode == "cow", f"unknown delete mode: {mode}"
         cand = list(candidate_files) if candidate_files is not None \
             else list(m["files"])
         if not cand:
@@ -974,6 +1105,89 @@ class SnapshotTable:
         return self._commit_rewrite(
             spark, affected, keep, "delete",
             properties={"deleted_where": str(condition)})
+
+    def _delete_mor(self, spark: SparkSession, cond, key_cols,
+                    cond_str: str) -> int:
+        """Merge-on-read delete tail: stage the matched keys as a
+        delete file and append it to the manifest's ``deletes`` list
+        (data files untouched)."""
+        from pyspark.sql import functions as F
+
+        # read() (not a raw file scan) so keys already masked by prior
+        # MoR deletes are not re-recorded
+        matched = (self.read(spark).filter(cond)
+                   .select(*key_cols).distinct())
+        null_key = matched.filter(
+            " or ".join(f"{c} is null" for c in key_cols))
+        if null_key.limit(1).count():
+            raise ValueError(
+                f"{self.path}: merge-on-read delete matched rows with "
+                f"NULL in key columns {key_cols} — an equality delete "
+                f"cannot address them; use mode='cow'")
+        if not matched.limit(1).count():
+            return self.current_version()
+        new_files, _ = self._stage_data_files(matched.coalesce(1),
+                                              stats_cols=())
+        entries = [{"file": f, "cols": list(key_cols)} for f in new_files]
+
+        def build(p, pm):
+            return {
+                "ts": time.time(),
+                "files": list(pm["files"]),
+                "stats": dict(pm.get("stats", {})),
+                "deletes": list(pm.get("deletes", [])) + entries,
+                "schema": pm["schema"],
+                "properties": {**pm.get("properties", {}),
+                               "row_op": "delete_mor",
+                               "deleted_where": cond_str},
+            }
+
+        return self._commit_manifest(build)
+
+    def apply_deletes(self, spark: SparkSession) -> int:
+        """Materialize pending merge-on-read deletes (the
+        rewrite_position_delete_files-style maintenance pass): rewrite
+        ONLY the data files that contain masked rows, drop the
+        equality-delete entries, and commit. No-op when nothing is
+        pending. Concurrent MoR deletes committed while this ran are
+        carried forward (they still apply table-wide)."""
+        from pyspark.sql import functions as F
+
+        m = self.manifest()
+        dels = m.get("deletes") or []
+        if not dels:
+            return m["version"]
+        scan = self._read_rel_files(spark, list(m["files"]),
+                                    with_file_col=True,
+                                    align_to=m["schema"])
+        masked = self._equality_delete_matches(spark, scan, dels)
+        affected = self._collect_affected(masked)
+        if not affected:
+            # pure bookkeeping: keys matched no current rows
+            def build(p, pm):
+                done = {d["file"] for d in dels}
+                carried = [d for d in pm.get("deletes", [])
+                           if d["file"] not in done]
+                out = {
+                    "ts": time.time(),
+                    "files": list(pm["files"]),
+                    "stats": dict(pm.get("stats", {})),
+                    "schema": pm["schema"],
+                    "properties": {**pm.get("properties", {}),
+                                   "row_op": "apply_deletes"},
+                }
+                if carried:
+                    out["deletes"] = carried
+                return out
+            return self._commit_manifest(build)
+        keep = self._apply_equality_deletes(
+            spark,
+            self._read_rel_files(spark, affected, align_to=m["schema"]),
+            dels)
+        return self._commit_rewrite(
+            spark, affected, keep, "apply_deletes",
+            properties={"applied_delete_files": len(dels)},
+            clear_deletes=[d["file"] for d in dels])
 
     def delete_ids(self, spark: SparkSession, id_col: str, ids) -> int:
         """Takedown-shaped DELETE: remove every row whose ``id_col``
@@ -1057,6 +1271,10 @@ class SnapshotTable:
         m = self.manifest()
         if not m["files"]:
             raise FileNotFoundError(f"{self.path}: no committed snapshot")
+        # an UPDATE over rows a pending equality delete masks is
+        # ambiguous (it could even rewrite the key column and unmask a
+        # logically-deleted row) — settle the debt first
+        self._require_no_pending_deletes("update_where", m)
         table_cols = [f["name"] for f in json.loads(m["schema"])["fields"]]
         bad = set(assignments) - set(table_cols)
         if bad:
@@ -1112,6 +1330,10 @@ class SnapshotTable:
         m = self.manifest()
         if not m["files"]:
             raise FileNotFoundError(f"{self.path}: no committed snapshot")
+        # a MERGE whose key matches a row a pending equality delete
+        # masks would "insert" a row the read side keeps masking —
+        # settle the debt first
+        self._require_no_pending_deletes("merge_upsert", m)
         table_fields = json.loads(m["schema"])["fields"]
         table_cols = [f["name"] for f in table_fields]
         if sorted(source.columns) != sorted(table_cols):
@@ -1193,7 +1415,8 @@ class SnapshotTable:
         for v in range(1, self.current_version() + 1):
             p = self._manifest_path(v)
             if os.path.exists(p):
-                live.update(self.manifest(v)["files"])
+                # data files AND equality-delete key files are live
+                live.update(self._manifest_all_files(self.manifest(v)))
         return self._sweep_unreferenced(live, known_committed=live,
                                         older_than_sec=older_than_sec)
 
@@ -1504,7 +1727,7 @@ class SnapshotTable:
                 f"{self.path}: cannot rollback to v{v} — no such "
                 "snapshot (expired?)")
         m = self.manifest(v)
-        missing = [f for f in m["files"]
+        missing = [f for f in sorted(self._manifest_all_files(m))
                    if not os.path.exists(os.path.join(self.data_dir, f))]
         if missing:
             raise FileNotFoundError(
@@ -1513,7 +1736,7 @@ class SnapshotTable:
                 f"{missing[:3]}")
 
         def build(p, pm):
-            return {
+            out = {
                 "ts": time.time(),
                 "files": list(m["files"]),
                 "stats": dict(m.get("stats", {})),
@@ -1521,6 +1744,9 @@ class SnapshotTable:
                 "properties": {**(m.get("properties") or {}),
                                "rollback_of": v},
             }
+            if m.get("deletes"):
+                out["deletes"] = list(m["deletes"])
+            return out
         return self._commit_manifest(build)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
@@ -1551,9 +1777,9 @@ class SnapshotTable:
         for v in range(1, cur + 1):
             if os.path.exists(self._manifest_path(v)):
                 m = self.manifest(v)
-                known.update(m["files"])
+                known.update(self._manifest_all_files(m))
                 if v in keep_versions:
-                    live_files.update(m["files"])
+                    live_files.update(self._manifest_all_files(m))
         # Manifests are removed BEFORE the data sweep: a crash between
         # the two steps then leaves only unreferenced files (cleaned on
         # the next expire), never a readable manifest that references
