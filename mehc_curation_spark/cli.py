@@ -637,7 +637,8 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["compact", "expire", "orphans", "history",
                              "delete", "takedown", "update", "merge",
                              "diff", "tag", "untag", "rollback",
-                             "branch", "dropbranch", "publish"])
+                             "branch", "dropbranch", "publish",
+                             "apply_deletes"])
     tm.add_argument("-o", "--output", required=True,
                     help="table path (a run_curate/SnapshotTable output)")
     tm.add_argument("--target_files", type=int, default=8,
@@ -652,6 +653,13 @@ def build_parser() -> argparse.ArgumentParser:
     tm.add_argument("--where", default=None,
                     help="delete/update: SQL predicate (rows where it "
                          "is TRUE are deleted / updated)")
+    tm.add_argument("--mor", action="store_true",
+                    help="delete: merge-on-read — record the matched "
+                         "keys in a small delete file instead of "
+                         "rewriting data files (O(keys) takedown "
+                         "latency at any table size; reads mask the "
+                         "keys until 'apply_deletes' or 'compact' "
+                         "settles the debt)")
     tm.add_argument("--set", action="append", default=[],
                     metavar="COL=SQL_EXPR",
                     help="update: assignment, repeatable "
@@ -916,11 +924,26 @@ def main(argv: list[str] | None = None) -> int:
                                 "update_after")}}))
                 return 0
             before = t.current_version()
+            if args.action == "apply_deletes":
+                pending = len(t.manifest().get("deletes") or [])
+                v = t.apply_deletes(spark)
+                print(json.dumps({"action": "apply_deletes",
+                                  "version": v, "changed": v != before,
+                                  "settled_delete_files": pending}))
+                return 0
             if args.action == "delete":
                 if not args.where:
                     raise SystemExit("table delete requires --where")
-                v = t.delete_where(spark, args.where)
+                v = t.delete_where(spark, args.where,
+                                   mode="mor" if args.mor else "cow",
+                                   key_cols=(args.id_col,))
             elif args.action == "takedown":
+                if args.mor:
+                    raise SystemExit(
+                        "--mor applies to 'delete'; takedown by id is "
+                        "already file-pruned copy-on-write (use delete "
+                        "--where \"id_col in (...)\" --mor for a "
+                        "merge-on-read takedown)")
                 if not args.ids:
                     raise SystemExit("table takedown requires --ids")
                 ids = _takedown_ids(args.ids, args.output, args.id_col)
@@ -943,7 +966,9 @@ def main(argv: list[str] | None = None) -> int:
                                    args.key)
             print(json.dumps({"action": args.action, "version": v,
                               "changed": v != before,
-                              "files": len(t.manifest(v)["files"])}))
+                              "files": len(t.manifest(v)["files"]),
+                              "pending_delete_files":
+                                  len(t.manifest(v).get("deletes") or [])}))
             return 0
 
         if args.cmd == "tokenize":
@@ -1901,6 +1926,15 @@ def main(argv: list[str] | None = None) -> int:
             print(report)
         print(json.dumps(fmt))
         return 0
+    except Exception as exc:
+        # commit conflicts (concurrent writer, pending MoR delete debt)
+        # are operator guidance, not bugs — one friendly line, exit 1
+        from mehc_curation_spark.io.catalog import CommitConflictError
+
+        if isinstance(exc, CommitConflictError):
+            sys.stderr.write(f"error: {exc}\n")
+            return 1
+        raise
     finally:
         spark.stop()
 

@@ -190,6 +190,63 @@ def test_table_row_ops_cli(tmp_path_factory):
     assert 2 not in rows and len(rows) == 88
 
 
+def test_table_mor_delete_cli(tmp_path_factory):
+    """table delete --mor + apply_deletes: the merge-on-read takedown
+    round-trip through the CLI — delete records keys without touching
+    data files, apply_deletes settles the debt physically."""
+    base = tmp_path_factory.mktemp("cli_mor")
+    src_p = str(base / "rows.parquet")
+    tbl = str(base / "t")
+    duckdb.sql(
+        "COPY (SELECT 'img' || i AS image_id, 'cap_' || i AS caption, "
+        "CAST(i % 5 AS BIGINT) AS phash FROM range(60) r(i)) "
+        "TO '" + src_p + "' (FORMAT PARQUET)")
+    boot = (
+        "from mehc_curation_spark.session import get_spark\n"
+        "from mehc_curation_spark.io.catalog import SnapshotTable\n"
+        "s = get_spark('boot', cores=4)\n"
+        f"SnapshotTable({tbl!r}).write(s.read.parquet({src_p!r}))\n")
+    proc = subprocess.run([sys.executable, "-c", boot], cwd=REPO,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    def manifest():
+        with open(sorted(
+                (os.path.join(tbl, "_snapshots", f)
+                 for f in os.listdir(os.path.join(tbl, "_snapshots"))
+                 if f.endswith(".json")))[-1]) as f:
+            return json.load(f)
+
+    files_before = set(manifest()["files"])
+    out = json.loads(_run(["table", "delete", "-o", tbl, "--cores", "4",
+                           "--where", "phash = 3", "--mor"])
+                     .stdout.strip().splitlines()[-1])
+    assert out["changed"] is True and out["pending_delete_files"] == 1
+    m = manifest()
+    assert set(m["files"]) == files_before  # no data rewrite
+    assert m["deletes"][0]["cols"] == ["image_id"]
+
+    out = json.loads(_run(["table", "apply_deletes", "-o", tbl,
+                           "--cores", "4"])
+                     .stdout.strip().splitlines()[-1])
+    assert out["changed"] is True and out["settled_delete_files"] == 1
+    m = manifest()
+    assert not m.get("deletes")
+    files = [os.path.join(tbl, "data", rf) for rf in m["files"]]
+    lst = "[" + ",".join(f"'{p}'" for p in files) + "]"
+    n3, n = duckdb.sql(
+        f"SELECT count(*) FILTER (phash = 3), count(*) "
+        f"FROM read_parquet({lst})").fetchone()
+    assert n3 == 0 and n == 48  # 60 - 12 (i%5==3)
+
+    # --mor with takedown must refuse, not silently ignore
+    proc = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark", "table", "takedown",
+         "-o", tbl, "--ids", "img1", "--mor", "--cores", "4"],
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert proc.returncode != 0 and "--mor" in proc.stderr
+
+
 def test_crossdedup_cli_text_and_embedding(tmp_path_factory):
     """crossdedup subcommand: decontaminate candidates vs a reference
     corpus via both engines (text MinHash bands, embedding LSH kNN).
