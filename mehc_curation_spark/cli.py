@@ -638,7 +638,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "delete", "takedown", "update", "merge",
                              "diff", "tag", "untag", "rollback",
                              "branch", "dropbranch", "publish",
-                             "apply_deletes"])
+                             "apply_deletes", "health", "maintain"])
     tm.add_argument("-o", "--output", required=True,
                     help="table path (a run_curate/SnapshotTable output)")
     tm.add_argument("--target_files", type=int, default=8,
@@ -649,7 +649,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "covers a tight range in ALL of them; range "
                          "reads on any prune files)")
     tm.add_argument("--keep_last", type=int, default=2,
-                    help="expire: snapshots to keep")
+                    help="expire/maintain: snapshots to keep")
+    tm.add_argument("--small_file_mb", type=int, default=32,
+                    help="health/maintain: files under this size count "
+                         "as small-file pressure (default 32 MiB)")
     tm.add_argument("--where", default=None,
                     help="delete/update: SQL predicate (rows where it "
                          "is TRUE are deleted / updated)")
@@ -774,12 +777,15 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "table" and args.action in (
             "orphans", "history", "expire", "tag", "untag", "rollback",
-            "branch", "dropbranch", "publish"):
+            "branch", "dropbranch", "publish", "health"):
         # metadata/filesystem-only actions need no SparkSession
         from mehc_curation_spark.io.catalog import SnapshotTable
 
         t = SnapshotTable(args.output)
-        if args.action == "orphans":
+        if args.action == "health":
+            print(json.dumps(t.health(
+                small_file_bytes=args.small_file_mb << 20)))
+        elif args.action == "orphans":
             print(json.dumps({"orphans_removed": t.remove_orphan_files()}))
         elif args.action == "expire":
             removed = t.expire_snapshots(keep_last=args.keep_last)
@@ -924,6 +930,12 @@ def main(argv: list[str] | None = None) -> int:
                                 "update_after")}}))
                 return 0
             before = t.current_version()
+            if args.action == "maintain":
+                print(json.dumps(t.maintain(
+                    spark, target_files=args.target_files,
+                    keep_last=args.keep_last,
+                    small_file_bytes=args.small_file_mb << 20)))
+                return 0
             if args.action == "apply_deletes":
                 pending = len(t.manifest().get("deletes") or [])
                 v = t.apply_deletes(spark)

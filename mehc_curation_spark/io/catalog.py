@@ -917,6 +917,108 @@ class SnapshotTable:
 
         return self._commit_manifest(build)
 
+    # -- health & maintenance -----------------------------------------------
+
+    def health(self, small_file_bytes: int = 32 << 20) -> dict:
+        """Table-health report — the numbers a maintenance scheduler
+        (or an operator) decides from: data-file count and size
+        distribution (small-file pressure, size skew), pending
+        merge-on-read delete debt, retained snapshot count, and
+        unreferenced (orphan-candidate) files on disk. Manifest +
+        filesystem metadata only — no SparkSession, no data read, so
+        it is safe to poll from monitoring at any frequency."""
+        m = self.manifest()
+        cur = self.current_version()
+        sizes, missing = [], 0
+        for f in m["files"]:
+            try:
+                sizes.append(os.path.getsize(
+                    os.path.join(self.data_dir, f)))
+            except OSError:
+                missing += 1
+        sizes.sort()
+        n = len(sizes)
+        median = sizes[n // 2] if n else 0
+        known: set[str] = set()
+        n_manifests = 0
+        for v in range(1, cur + 1):
+            if os.path.exists(self._manifest_path(v)):
+                n_manifests += 1
+                known.update(self._manifest_all_files(self.manifest(v)))
+        unreferenced = 0
+        if os.path.isdir(self.data_dir):
+            for root, _d, fnames in os.walk(self.data_dir):
+                for f in fnames:
+                    if f.startswith(".") or f.startswith("_"):
+                        continue  # sidecars follow their targets
+                    rel = os.path.relpath(os.path.join(root, f),
+                                          self.data_dir)
+                    if rel not in known:
+                        unreferenced += 1
+        dels = m.get("deletes") or []
+        return {
+            "version": m["version"],
+            "read_head": self._branch_head(),
+            "data_files": len(m["files"]),
+            "files_missing_on_disk": missing,
+            "bytes_total": sum(sizes),
+            "file_bytes_median": median,
+            "file_bytes_max": sizes[-1] if sizes else 0,
+            "small_files": sum(1 for s in sizes if s < small_file_bytes),
+            "small_file_bytes": small_file_bytes,
+            "size_skew": (round(sizes[-1] / median, 2) if median
+                          else None),
+            "pending_delete_files": len(dels),
+            "snapshots_retained": n_manifests,
+            "unreferenced_files": unreferenced,
+            "ledger_managed": os.path.exists(
+                os.path.join(self.path, "_ledger", "ledger.json")),
+        }
+
+    def maintain(self, spark: SparkSession, target_files: int = 8,
+                 keep_last: int = 2,
+                 small_file_bytes: int = 32 << 20,
+                 compact_over: Optional[int] = None,
+                 orphan_older_than_sec: float = 86400.0) -> dict:
+        """Run exactly the maintenance this table's health warrants, in
+        the safe order: settle merge-on-read delete debt, cure
+        small-file pressure, expire old snapshots, sweep orphans.
+        Returns ``{"before": health, "actions": [...], "after":
+        health}`` so a scheduler's log is self-describing.
+
+        Compaction triggers when the file count exceeds
+        ``compact_over`` (default ``4 * target_files``) or the median
+        file is under ``small_file_bytes`` with more files than
+        ``target_files``. When compaction runs it settles delete debt
+        itself (one rewrite); ``apply_deletes`` runs only when debt is
+        pending WITHOUT a compaction. Ledger-managed curate tables
+        skip compaction (their bucket layout is owned by the resume
+        ledger — compact via ``compact_increments``) but still expire
+        and sweep."""
+        before = self.health(small_file_bytes)
+        actions: list[dict] = []
+        threshold = compact_over if compact_over is not None \
+            else 4 * target_files
+        want_compact = not before["ledger_managed"] and (
+            before["data_files"] > threshold
+            or (before["data_files"] > target_files
+                and before["file_bytes_median"] < small_file_bytes))
+        if want_compact:
+            v = self.compact(spark, target_files=target_files)
+            actions.append({"action": "compact", "version": v})
+        elif before["pending_delete_files"]:
+            v = self.apply_deletes(spark)
+            actions.append({"action": "apply_deletes", "version": v})
+        if before["snapshots_retained"] > keep_last:
+            removed = self.expire_snapshots(keep_last=keep_last)
+            actions.append({"action": "expire", "files_removed": removed})
+        orph = self.remove_orphan_files(
+            older_than_sec=orphan_older_than_sec)
+        if orph:
+            actions.append({"action": "orphans", "files_removed": orph})
+        return {"before": before, "actions": actions,
+                "after": self.health(small_file_bytes)}
+
     # -- row-level changes (copy-on-write) ----------------------------------
     #
     # Iceberg v2 exposes row-level DELETE / UPDATE / MERGE; in
