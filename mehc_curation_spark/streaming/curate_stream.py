@@ -25,6 +25,7 @@ Semantics vs the batch pipeline:
 
 from __future__ import annotations
 
+import sys
 from typing import Iterator, Optional, Tuple
 
 import pandas as pd
@@ -272,7 +273,10 @@ def run_stream_to_snapshot_table(spark, input_dir: str, table_path: str,
                                  checkpoint_dir: str,
                                  config: CurationConfig = CurationConfig(),
                                  transform=None, schema=None,
-                                 batch_transform=None):
+                                 batch_transform=None,
+                                 maintain_every: Optional[int] = None,
+                                 maintain_target_files: int = 8,
+                                 maintain_keep_last: int = 8):
     """Streaming ingestion INTO the Iceberg-analog snapshot table:
     each micro-batch commits one snapshot via ``foreachBatch``, so
     consumers get snapshot isolation + time travel over the stream's
@@ -292,7 +296,17 @@ def run_stream_to_snapshot_table(spark, input_dir: str, table_path: str,
     callback (arbitrary batch-only plans — joins against static
     tables, aggregations without watermarks) and its extra_props ride
     in the snapshot properties. The exactly-once recipe lives here
-    ONCE; wrappers must not re-implement it."""
+    ONCE; wrappers must not re-implement it.
+
+    ``maintain_every=K`` runs ``SnapshotTable.maintain`` after every
+    K-th committed micro-batch (compact small files, expire beyond
+    ``maintain_keep_last`` snapshots, sweep orphans): a long-lived
+    stream commits one file set + one manifest per batch, so without
+    inline maintenance a week of 1-minute batches is ~10k tiny files
+    and manifests. Exactly-once is unaffected — replay detection uses
+    the persistent high-watermark sidecar, which survives snapshot
+    expiry by design. Maintenance failures are logged and swallowed
+    (a busy maintenance window must not fail the data batch)."""
     from mehc_curation_spark.io.catalog import SnapshotTable
     from mehc_curation_spark.schema import PAIRS_SCHEMA
 
@@ -312,6 +326,17 @@ def run_stream_to_snapshot_table(spark, input_dir: str, table_path: str,
         # leaves the manifest walk to answer the replay (the manifest
         # exists, so the walk returns True and the hwm catches up).
         _advance_stream_hwm(table, scope, int(batch_id))
+        if maintain_every and (int(batch_id) + 1) % maintain_every == 0:
+            try:
+                table.maintain(spark,
+                               target_files=maintain_target_files,
+                               keep_last=maintain_keep_last)
+            except Exception as exc:  # noqa: BLE001
+                # the data batch is already durably committed; a
+                # maintenance hiccup (e.g. a concurrent writer's
+                # commit conflict) retries at the next K-th batch
+                print(f"stream maintenance skipped at batch "
+                      f"{batch_id}: {exc}", file=sys.stderr)
 
     stream = spark.readStream.schema(schema or PAIRS_SCHEMA) \
         .parquet(input_dir)

@@ -297,3 +297,49 @@ def test_stream_drift_monitor(spark, tmp_path):
     again = {r["batch_id"]: r["psi"] for r in
              spark.read.parquet(out + "/batch_id=*").collect()}
     assert again == {0: b0["psi"], 1: b1["psi"]}
+
+
+# ---------------------------------------------------------------------------
+# inline maintenance: long-lived streams must not accumulate tiny files
+# ---------------------------------------------------------------------------
+
+def test_stream_inline_maintenance(spark, pairs_df, tmp_path):
+    in_dir = str(tmp_path / "min")
+    tbl_dir = str(tmp_path / "mtbl")
+    ck_dir = str(tmp_path / "mck")
+    os.makedirs(in_dir)
+
+    # deterministic 4x10 split (limit/offset order is not stable
+    # across executions of the same plan)
+    all_ids = sorted(r[0] for r in
+                     pairs_df.select("image_id").collect())[:40]
+    chunks = [pairs_df.filter(
+        pairs_df.image_id.isin(all_ids[10 * i:10 * i + 10])).coalesce(1)
+        for i in range(4)]
+    expect_ids = set()
+    for i, c in enumerate(chunks):
+        expect_ids.update(all_ids[10 * i:10 * i + 10])
+        c.write.mode("append").parquet(in_dir)
+        run_stream_to_snapshot_table(
+            spark, in_dir, tbl_dir, ck_dir,
+            transform=lambda s: s,
+            maintain_every=2, maintain_target_files=1,
+            maintain_keep_last=1).awaitTermination(300)
+
+    table = SnapshotTable(tbl_dir)
+    h = table.health()
+    # 4 micro-batches committed; maintenance after ids 1 and 3 keeps
+    # the table at ~target_files, not one-file-set-per-batch
+    assert h["data_files"] <= 2
+    assert h["snapshots_retained"] <= 3  # expire ran
+    assert h["unreferenced_files"] == 0 or h["unreferenced_files"] < 4
+    # exactly-once despite the expiry: rows are the union, no dup/loss
+    got = [r["image_id"] for r in
+           table.read(spark).select("image_id").collect()]
+    assert len(got) == len(set(got)) == len(expect_ids)
+    assert set(got) == expect_ids
+    scope = _stream_scope(ck_dir)
+    # replay of any settled batch is still detected as committed
+    assert _batch_committed(table, scope, 0) is True
+    assert _batch_committed(table, scope, 3) is True
+    assert _batch_committed(table, scope, 4) is False
