@@ -663,6 +663,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "latency at any table size; reads mask the "
                          "keys until 'apply_deletes' or 'compact' "
                          "settles the debt)")
+    tm.add_argument("--mor_pos", action="store_true",
+                    help="delete: merge-on-read POSITION flavor — "
+                         "record the matched rows' (file, row-ordinal) "
+                         "coordinates; masks exactly those rows, so it "
+                         "also addresses NULL/duplicate keys. "
+                         "Copy-on-write rewrites refuse until the debt "
+                         "is settled")
     tm.add_argument("--set", action="append", default=[],
                     metavar="COL=SQL_EXPR",
                     help="update: assignment, repeatable "
@@ -946,11 +953,15 @@ def main(argv: list[str] | None = None) -> int:
             if args.action == "delete":
                 if not args.where:
                     raise SystemExit("table delete requires --where")
-                v = t.delete_where(spark, args.where,
-                                   mode="mor" if args.mor else "cow",
+                if args.mor and args.mor_pos:
+                    raise SystemExit(
+                        "--mor and --mor_pos are mutually exclusive")
+                mode = ("mor_pos" if args.mor_pos
+                        else "mor" if args.mor else "cow")
+                v = t.delete_where(spark, args.where, mode=mode,
                                    key_cols=(args.id_col,))
             elif args.action == "takedown":
-                if args.mor:
+                if args.mor or args.mor_pos:
                     raise SystemExit(
                         "--mor applies to 'delete'; takedown by id is "
                         "already file-pruned copy-on-write (use delete "

@@ -529,19 +529,79 @@ class SnapshotTable:
         files.update(d["file"] for d in m.get("deletes", ()))
         return files
 
+    # helper columns carrying parquet row identity through a masked
+    # scan (dropped before rows leave the catalog layer)
+    _META_FILE = "_mor_file_path"
+    _META_POS = "_mor_row_pos"
+
+    @staticmethod
+    def _split_deletes(deletes: list[dict]) -> tuple[list[dict],
+                                                     list[dict]]:
+        """(equality entries, position entries) of a manifest's
+        ``deletes`` list. Equality entries carry ``cols``; position
+        entries carry ``kind == 'pos'`` and their files hold
+        (file_path, pos) row coordinates."""
+        eq = [d for d in deletes if d.get("kind") != "pos"]
+        pos = [d for d in deletes if d.get("kind") == "pos"]
+        return eq, pos
+
+    def _attach_row_identity(self, df: DataFrame) -> DataFrame:
+        """Expose the parquet source's hidden row identity
+        (``_metadata.file_path`` / ``row_index``) as ordinary columns
+        so position-delete masks can anti-join on them."""
+        from pyspark.sql import functions as F
+
+        return df.select(
+            "*",
+            F.col("_metadata.file_path").alias(self._META_FILE),
+            F.col("_metadata.row_index").alias(self._META_POS))
+
     def _delete_key_groups(self, spark: SparkSession, deletes: list[dict]):
         """Yield (key_cols, distinct-keys DataFrame) per key-column
-        group of a manifest's equality-delete entries."""
+        group of a manifest's EQUALITY-delete entries (position
+        entries are the other mask — see
+        :meth:`_apply_position_deletes`)."""
         from collections import defaultdict
 
         groups: dict = defaultdict(list)
         for d in deletes:
+            if d.get("kind") == "pos":
+                continue
             groups[tuple(d["cols"])].append(d["file"])
         for cols, files_ in groups.items():
             keys = (spark.read.parquet(
                 *[os.path.join(self.data_dir, f) for f in files_])
                 .select(*cols).distinct())
             yield list(cols), keys
+
+    def _position_delete_keys(self, spark: SparkSession,
+                              pos_deletes: list[dict]) -> DataFrame:
+        """One (file_path, pos) frame over all position-delete files,
+        aliased to the helper column names the masked scan carries.
+        file_path is stored EXACTLY as ``_metadata.file_path`` yields
+        it (absolute URI — same contract as Iceberg position-delete
+        files), so the anti-join needs no path surgery."""
+        from pyspark.sql import functions as F
+
+        return (spark.read.parquet(
+            *[os.path.join(self.data_dir, d["file"]) for d in pos_deletes])
+            .select(F.col("file_path").alias(self._META_FILE),
+                    F.col("pos").alias(self._META_POS)))
+
+    def _apply_position_deletes(self, spark: SparkSession, df: DataFrame,
+                                pos_deletes: list[dict]) -> DataFrame:
+        """Anti-join ``df`` (which must carry the row-identity helper
+        columns) against the accumulated position-delete coordinates.
+        Masks SPECIFIC rows — the flavor that addresses NULL or
+        duplicate keys an equality delete cannot."""
+        if not pos_deletes:
+            return df
+        from pyspark.sql import functions as F
+
+        keys = self._position_delete_keys(spark, pos_deletes)
+        return df.join(F.broadcast(keys),
+                       on=[self._META_FILE, self._META_POS],
+                       how="left_anti")
 
     def _apply_equality_deletes(self, spark: SparkSession, df: DataFrame,
                                 deletes: list[dict]) -> DataFrame:
@@ -577,6 +637,16 @@ class SnapshotTable:
                 f"current snapshot carries {len(m['deletes'])} pending "
                 f"merge-on-read delete file(s); run apply_deletes() "
                 f"(or compact()) to materialize them first")
+
+    def _require_no_pending_pos_deletes(self, op: str, m: dict) -> None:
+        pos = self._split_deletes(m.get("deletes") or [])[1]
+        if pos:
+            raise CommitConflictError(
+                f"{self.path}: {op} rewrites (renames) data files but "
+                f"the current snapshot carries {len(pos)} pending "
+                f"POSITION delete file(s) pinning (file, ordinal) "
+                f"coordinates; run apply_deletes() (or compact()) to "
+                f"materialize them first")
 
     # -- read ---------------------------------------------------------------
 
@@ -660,16 +730,23 @@ class SnapshotTable:
         # reconciles pre-evolution files (missing columns read as NULL)
         df = (spark.read.option("basePath", self.data_dir)
               .option("mergeSchema", "true").parquet(*paths))
+        eq_dels, pos_dels = self._split_deletes(m.get("deletes") or [])
+        if pos_dels:
+            # row identity must come off the scan itself (projections
+            # sever the hidden _metadata column)
+            df = self._attach_row_identity(df)
         for col, lo, hi in self._between_list(between):
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         for col, v in self._eq_list(eq):
             df = df.filter(F.col(col) == v)
-        # merge-on-read: pending equality deletes of THIS manifest
-        # version mask their rows on every read (delete keys are tiny
-        # — a broadcast anti-join per key-column group, no shuffle of
-        # the data side)
-        return self._apply_equality_deletes(spark, df,
-                                            m.get("deletes") or [])
+        # merge-on-read: pending deletes of THIS manifest version mask
+        # their rows on every read (delete keys/coordinates are tiny —
+        # broadcast anti-joins, no shuffle of the data side)
+        df = self._apply_equality_deletes(spark, df, eq_dels)
+        if pos_dels:
+            df = (self._apply_position_deletes(spark, df, pos_dels)
+                  .drop(self._META_FILE, self._META_POS))
+        return df
 
     def files_pruned(self, between,
                      version=None, eq=None) -> tuple[int, int]:
@@ -698,8 +775,14 @@ class SnapshotTable:
         df = spark.read.option("basePath", self.data_dir).parquet(*paths)
         # rows appended then MoR-deleted before to_version must not
         # surface in the incremental read
-        return self._apply_equality_deletes(spark, df,
-                                            to_m.get("deletes") or [])
+        eq_dels, pos_dels = self._split_deletes(to_m.get("deletes") or [])
+        if pos_dels:
+            df = self._attach_row_identity(df)
+        df = self._apply_equality_deletes(spark, df, eq_dels)
+        if pos_dels:
+            df = (self._apply_position_deletes(spark, df, pos_dels)
+                  .drop(self._META_FILE, self._META_POS))
+        return df
 
     def snapshot_diff(self, spark: SparkSession, from_version: int,
                       to_version: Optional[int] = None,
@@ -743,16 +826,24 @@ class SnapshotTable:
         f_only = [f for f in mf["files"] if f not in common]
         t_only = [f for f in mt["files"] if f not in common]
 
-        def side(files, other):
+        def side(files, other, dels):
+            eq_d, pos_d = self._split_deletes(dels)
             if files:
-                return self._read_rel_files(spark, files)
-            src = other if other else mt["files"]
-            return (self._read_rel_files(spark, src)
-                    .filter(F.lit(False)))
+                df = self._read_rel_files(spark, files,
+                                          with_pos=bool(pos_d))
+            else:
+                src = other if other else mt["files"]
+                df = (self._read_rel_files(spark, src)
+                      .filter(F.lit(False)))
+                pos_d = []  # no rows to mask
+            df = self._apply_equality_deletes(spark, df, eq_d)
+            if pos_d:
+                df = (self._apply_position_deletes(spark, df, pos_d)
+                      .drop(self._META_FILE, self._META_POS))
+            return df
 
-        a, b = side(f_only, t_only), side(t_only, f_only)
-        a = self._apply_equality_deletes(spark, a, f_del)
-        b = self._apply_equality_deletes(spark, b, t_del)
+        a = side(f_only, t_only, f_del)
+        b = side(t_only, f_only, t_del)
         all_cols = list(dict.fromkeys([*a.columns, *b.columns]))
         for c in all_cols:
             if c not in a.columns:
@@ -897,6 +988,12 @@ class SnapshotTable:
             settled = {d["file"] for d in base.get("deletes", [])}
             carried = [d for d in pm.get("deletes", [])
                        if d["file"] not in settled]
+            if any(d.get("kind") == "pos" for d in carried):
+                raise CommitConflictError(
+                    f"{self.path}: compaction raced a concurrent "
+                    f"POSITION delete whose coordinates pin files the "
+                    f"rewrite replaced; re-run compact() against the "
+                    f"current snapshot")
             out = {
                 "ts": time.time(),
                 "files": new_files + extra,
@@ -969,6 +1066,8 @@ class SnapshotTable:
             "size_skew": (round(sizes[-1] / median, 2) if median
                           else None),
             "pending_delete_files": len(dels),
+            "pending_position_delete_files": len(
+                self._split_deletes(dels)[1]),
             "snapshots_retained": n_manifests,
             "unreferenced_files": unreferenced,
             "ledger_managed": os.path.exists(
@@ -1049,7 +1148,8 @@ class SnapshotTable:
     def _read_rel_files(self, spark: SparkSession,
                         rel_files: list[str],
                         with_file_col: bool = False,
-                        align_to: Optional[str] = None) -> DataFrame:
+                        align_to: Optional[str] = None,
+                        with_pos: bool = False) -> DataFrame:
         """Read exactly ``rel_files`` (manifest-relative); optionally
         tag each row with its source file (relative path) so affected
         files can be identified distributively.
@@ -1067,6 +1167,9 @@ class SnapshotTable:
               .option("mergeSchema", "true")
               .parquet(*[os.path.join(self.data_dir, f)
                          for f in rel_files]))
+        if with_pos:
+            # off the raw scan, BEFORE any projection severs _metadata
+            df = self._attach_row_identity(df)
         if align_to:
             from pyspark.sql.types import StructType
 
@@ -1075,7 +1178,9 @@ class SnapshotTable:
                 if field.name not in df.columns:
                     df = df.withColumn(field.name,
                                        F.lit(None).cast(field.dataType))
-            df = df.select(*[f.name for f in target.fields])
+            df = df.select(*([f.name for f in target.fields]
+                             + ([self._META_FILE, self._META_POS]
+                                if with_pos else [])))
         if with_file_col:
             df = df.withColumn(self._FILE_COL, F.input_file_name())
         return df
@@ -1150,6 +1255,18 @@ class SnapshotTable:
             cleared = set(clear_deletes or ())
             carried = [d for d in pm.get("deletes", [])
                        if d["file"] not in cleared]
+            # equality entries mask by VALUE and survive any rewrite;
+            # a carried POSITION entry pins (file, ordinal) and may
+            # reference a file this rewrite just replaced — its masked
+            # rows would resurrect. Abort; the caller re-runs against
+            # the snapshot that includes the concurrent delete.
+            dangling = [d for d in carried if d.get("kind") == "pos"]
+            if dangling:
+                raise CommitConflictError(
+                    f"{self.path}: {op} raced a concurrent POSITION "
+                    f"delete ({len(dangling)} pending file(s)) whose "
+                    f"coordinates may pin files this rewrite replaced; "
+                    f"re-run {op} against the current snapshot")
             if carried:
                 out["deletes"] = carried
             return out
@@ -1177,6 +1294,16 @@ class SnapshotTable:
         with a NULL key are refused (an equality delete cannot address
         them).
 
+        ``mode='mor_pos'`` is the POSITION-delete flavor (Iceberg v2
+        position-delete analog): the matched rows' (file, row-ordinal)
+        coordinates are recorded instead of key values, masking
+        exactly those rows — the form that addresses rows with NULL or
+        duplicate keys, where an equality delete would be refused or
+        over-delete. Coordinates pin specific physical files, so
+        copy-on-write rewrites are refused while position debt is
+        pending (settle with ``apply_deletes()`` / ``compact()``
+        first); equality debt has no such restriction.
+
         ``condition`` is a SQL string or an UNRESOLVED Column
         (``F.col(...)`` expressions — not a column plucked from some
         other DataFrame). ``candidate_files`` optionally narrows the
@@ -1192,7 +1319,14 @@ class SnapshotTable:
         if mode == "mor":
             return self._delete_mor(spark, cond, key_cols,
                                     str(condition))
+        if mode == "mor_pos":
+            return self._delete_mor_pos(spark, cond, str(condition))
         assert mode == "cow", f"unknown delete mode: {mode}"
+        # a CoW rewrite renames files; pending POSITION deletes pin
+        # (file, ordinal) coordinates and would dangle — their masked
+        # rows would resurrect inside the rewritten file
+        self._require_no_pending_pos_deletes("delete_where(mode='cow')",
+                                             m)
         cand = list(candidate_files) if candidate_files is not None \
             else list(m["files"])
         if not cand:
@@ -1246,6 +1380,59 @@ class SnapshotTable:
 
         return self._commit_manifest(build)
 
+    def _delete_mor_pos(self, spark: SparkSession, cond,
+                        cond_str: str) -> int:
+        """Position-delete tail: record the matched rows' (file_path,
+        row-ordinal) coordinates as a delete file (data untouched).
+        The masked read below keeps already-deleted coordinates from
+        being re-recorded; NULL/duplicate keys are fine — coordinates
+        address rows, not values."""
+        from pyspark.sql import functions as F
+
+        m = self.manifest()
+        scan = self._attach_row_identity(
+            spark.read.option("basePath", self.data_dir)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.data_dir, f)
+                       for f in m["files"]]))
+        eq_d, pos_d = self._split_deletes(m.get("deletes") or [])
+        scan = self._apply_equality_deletes(spark, scan, eq_d)
+        scan = self._apply_position_deletes(spark, scan, pos_d)
+        matched = (scan.filter(cond)
+                   .select(F.col(self._META_FILE).alias("file_path"),
+                           F.col(self._META_POS).alias("pos")))
+        if not matched.limit(1).count():
+            return self.current_version()
+        new_files, _ = self._stage_data_files(matched.coalesce(1),
+                                              stats_cols=())
+        entries = [{"file": f, "kind": "pos"} for f in new_files]
+        base_files = set(m["files"])
+
+        def build(p, pm):
+            # coordinates pin the files scanned above: a concurrent
+            # rewrite that replaced any of them would leave the
+            # coordinates dangling (masked rows resurrect in the
+            # renamed file) — abort, caller re-runs on the new snapshot
+            missing = base_files - set(pm["files"])
+            if missing:
+                raise CommitConflictError(
+                    f"{self.path}: position delete based on snapshot "
+                    f"v{m['version']} was invalidated by a concurrent "
+                    f"rewrite (e.g. {sorted(missing)[:3]}); re-run "
+                    f"against the current snapshot")
+            return {
+                "ts": time.time(),
+                "files": list(pm["files"]),
+                "stats": dict(pm.get("stats", {})),
+                "deletes": list(pm.get("deletes", [])) + entries,
+                "schema": pm["schema"],
+                "properties": {**pm.get("properties", {}),
+                               "row_op": "delete_mor_pos",
+                               "deleted_where": cond_str},
+            }
+
+        return self._commit_manifest(build)
+
     def apply_deletes(self, spark: SparkSession) -> int:
         """Materialize pending merge-on-read deletes (the
         rewrite_position_delete_files-style maintenance pass): rewrite
@@ -1255,14 +1442,26 @@ class SnapshotTable:
         carried forward (they still apply table-wide)."""
         from pyspark.sql import functions as F
 
+        from functools import reduce
+
         m = self.manifest()
         dels = m.get("deletes") or []
         if not dels:
             return m["version"]
+        eq_d, pos_d = self._split_deletes(dels)
         scan = self._read_rel_files(spark, list(m["files"]),
                                     with_file_col=True,
-                                    align_to=m["schema"])
-        masked = self._equality_delete_matches(spark, scan, dels)
+                                    align_to=m["schema"],
+                                    with_pos=bool(pos_d))
+        masks = []
+        if eq_d:
+            masks.append(self._equality_delete_matches(spark, scan, eq_d))
+        if pos_d:
+            keys = self._position_delete_keys(spark, pos_d)
+            masks.append(scan.join(
+                F.broadcast(keys),
+                on=[self._META_FILE, self._META_POS], how="left_semi"))
+        masked = reduce(lambda a, b: a.unionByName(b), masks)
         affected = self._collect_affected(masked)
         if not affected:
             # pure bookkeeping: keys matched no current rows
@@ -1284,8 +1483,12 @@ class SnapshotTable:
             return self._commit_manifest(build)
         keep = self._apply_equality_deletes(
             spark,
-            self._read_rel_files(spark, affected, align_to=m["schema"]),
-            dels)
+            self._read_rel_files(spark, affected, align_to=m["schema"],
+                                 with_pos=bool(pos_d)),
+            eq_d)
+        if pos_d:
+            keep = (self._apply_position_deletes(spark, keep, pos_d)
+                    .drop(self._META_FILE, self._META_POS))
         return self._commit_rewrite(
             spark, affected, keep, "apply_deletes",
             properties={"applied_delete_files": len(dels)},
@@ -1313,6 +1516,8 @@ class SnapshotTable:
         if not vals:
             return self.current_version()
         m = self.manifest()
+        # same CoW-rename hazard as delete_where(mode='cow')
+        self._require_no_pending_pos_deletes("delete_ids", m)
         svals = sorted(vals)
 
         # bloom probing is per-id driver work: worth it for the

@@ -194,3 +194,122 @@ def test_mor_rollback_restores_mask(spark, tbl):
     m = tbl.manifest()
     assert m.get("deletes")
     assert ids(tbl.read(spark)) == masked
+
+
+# ---------------------------------------------------------------------------
+# position deletes (Iceberg v2 position-delete analog)
+# ---------------------------------------------------------------------------
+
+def test_pos_delete_masks_without_rewriting(spark, tbl):
+    files_before = set(tbl.manifest()["files"])
+    n5 = tbl.read(spark).filter("phash = 5").count()
+    v = tbl.delete_where(spark, "phash = 5", mode="mor_pos")
+    m = tbl.manifest()
+    assert m["version"] == v
+    assert set(m["files"]) == files_before
+    assert m["deletes"][0]["kind"] == "pos"
+    assert tbl.read(spark).filter("phash = 5").count() == 0
+    assert tbl.read(spark).count() == 50 - n5
+    assert tbl.read(spark, version=v - 1).count() == 50  # time travel
+
+
+def test_pos_delete_handles_null_and_duplicate_keys(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "pk"))
+    df = spark.createDataFrame(
+        [(None, "kill me", 1), (None, "keep me", 2),
+         ("dup", "kill me", 1), ("dup", "keep me", 2)],
+        ["image_id", "caption", "phash"])
+    t.write(df)
+    # equality delete refuses NULL keys; position delete just works
+    with pytest.raises(ValueError, match="NULL"):
+        t.delete_where(spark, "phash = 1", mode="mor")
+    t.delete_where(spark, "phash = 1", mode="mor_pos")
+    got = t.read(spark).collect()
+    assert sorted(r["caption"] for r in got) == ["keep me", "keep me"]
+    # the duplicate-key row with phash=2 survived (an equality delete
+    # on image_id would have over-deleted it)
+    assert any(r["image_id"] == "dup" for r in got)
+
+
+def test_pos_delete_blocks_cow_until_settled(spark, tbl):
+    tbl.delete_where(spark, "phash = 1", mode="mor_pos")
+    with pytest.raises(CommitConflictError, match="POSITION"):
+        tbl.delete_where(spark, "phash = 2")  # cow
+    with pytest.raises(CommitConflictError, match="POSITION"):
+        tbl.delete_ids(spark, "image_id", ["img001"])
+    tbl.apply_deletes(spark)
+    assert not tbl.manifest().get("deletes")
+    # settled: cow delete proceeds
+    tbl.delete_where(spark, "phash = 2")
+    assert tbl.read(spark).filter("phash in (1, 2)").count() == 0
+
+
+def test_eq_debt_does_not_block_cow_delete(spark, tbl):
+    tbl.delete_where(spark, "phash = 1", mode="mor")
+    tbl.delete_where(spark, "phash = 2")  # cow rewrite, eq debt rides
+    got = tbl.read(spark)
+    assert got.filter("phash in (1, 2)").count() == 0
+    assert len(tbl.manifest()["deletes"]) == 1  # eq debt carried
+
+
+def test_pos_delete_survives_append_and_masks_only_old_rows(spark, tbl):
+    tbl.delete_where(spark, "phash = 0", mode="mor_pos")
+    masked = tbl.read(spark).count()
+    tbl.write(spark.createDataFrame(
+        [("imgN", "new", 0)], ["image_id", "caption", "phash"]))
+    got = tbl.read(spark)
+    assert got.count() == masked + 1
+    assert got.filter("image_id = 'imgN'").count() == 1  # new row alive
+
+
+def test_compact_settles_pos_debt(spark, tbl):
+    tbl.delete_where(spark, "phash = 4", mode="mor_pos")
+    expect = ids(tbl.read(spark))
+    tbl.compact(spark, target_files=2)
+    m = tbl.manifest()
+    assert not m.get("deletes")
+    assert ids(tbl.read(spark)) == expect
+
+
+def test_mixed_eq_and_pos_debt_settles_together(spark, tbl):
+    tbl.delete_where(spark, "phash = 1", mode="mor")
+    tbl.delete_where(spark, "phash = 2", mode="mor_pos")
+    expect = ids(tbl.read(spark))
+    assert len(tbl.manifest()["deletes"]) == 2
+    tbl.apply_deletes(spark)
+    m = tbl.manifest()
+    assert not m.get("deletes")
+    assert ids(tbl.read(spark)) == expect
+    assert tbl.read(spark).filter("phash in (1, 2)").count() == 0
+
+
+def test_pos_delete_nomatch_noop_and_no_rerecord(spark, tbl):
+    v = tbl.current_version()
+    assert tbl.delete_where(spark, "phash = 99", mode="mor_pos") == v
+    tbl.delete_where(spark, "phash = 3", mode="mor_pos")
+    # overlapping second delete: already-masked coordinates are not
+    # re-recorded (the detection scan reads the MASKED table)
+    tbl.delete_where(spark, "phash in (3, 4)", mode="mor_pos")
+    import os as _os
+    d2 = tbl.manifest()["deletes"][1]
+    keys = spark.read.parquet(_os.path.join(tbl.data_dir, d2["file"]))
+    # count masked coordinates == number of phash-4 rows only
+    n4 = tbl.read(spark, version=1).filter("phash = 4").count()
+    assert keys.count() == n4
+
+
+def test_snapshot_diff_sees_pos_delete(spark, tbl):
+    v1 = tbl.current_version()
+    victims = ids(tbl.read(spark).filter("phash = 6"))
+    v2 = tbl.delete_where(spark, "phash = 6", mode="mor_pos")
+    rows = tbl.snapshot_diff(spark, v1, v2).collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sorted(r["image_id"] for r in rows) == victims
+
+
+def test_health_reports_pos_debt(spark, tbl):
+    tbl.delete_where(spark, "phash = 1", mode="mor")
+    tbl.delete_where(spark, "phash = 2", mode="mor_pos")
+    h = tbl.health()
+    assert h["pending_delete_files"] == 2
+    assert h["pending_position_delete_files"] == 1
