@@ -3317,6 +3317,68 @@ def pairs_compute_phash_check(spark, sf_dir):
         "failure_rate_in_range boolean, failed_rows_are_null boolean")
 
 
+def pairs_phash_dihedral_check(spark, sf_dir):
+    """Check for compute_phash(dihedral_invariant=True)
+    (codecs/phash.py:phash64_dihedral — unsigned-min over the D4
+    orbit). Three invariants: (1) per decodable row the canonical
+    hash is <= the stored identity phash as unsigned 64-bit (the
+    orbit min can never exceed a member; tolerates the planted
+    ~1%-corrupted payloads whose stored phash is random), (2) the
+    min is usually STRICT — identity wins only ~1/8 of random
+    orbits — so equality fraction must be well below half, proving
+    canonicalization actually happens, and (3) a driver-side sample
+    of decoded images recomputed under rot90/rot180/mirror yields
+    the identical canonical value (exact orbit invariance).
+    Undecodable rows must be NULL."""
+    from mehc_curation_spark.codecs.image import decode_image
+    from mehc_curation_spark.codecs.phash import phash64_dihedral
+    from mehc_curation_spark.operators.multimodal import compute_phash
+
+    df = spark.read.parquet(_pairs_path())
+    d = compute_phash(df, dihedral_invariant=True)
+    # unsigned 64-bit order == signed order after XOR with the sign bit
+    u = lambda c: F.col(c).bitwiseXOR(F.lit(-(2 ** 63)))  # noqa: E731
+    j = d.join(df.select("image_id", "phash", "bytes", "w", "h", "fmt"),
+               "image_id")
+    r = j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(~F.col("decode_ok"), 1).otherwise(0)).alias("n_fail"),
+        F.sum(F.when(F.col("decode_ok") &
+                     (u("phash_computed") <= u("phash")), 1)
+              .otherwise(0)).alias("n_le"),
+        F.sum(F.when(F.col("decode_ok") &
+                     (F.col("phash_computed") == F.col("phash")), 1)
+              .otherwise(0)).alias("n_eq"),
+        F.sum(F.when(~F.col("decode_ok") &
+                     F.col("phash_computed").isNotNull(), 1)
+              .otherwise(0)).alias("n_fail_nonnull"),
+    ).first()
+    n_ok = r["n"] - r["n_fail"]
+    # (3) exact orbit invariance on a deterministic decodable sample
+    sample = (j.filter("decode_ok")
+               .orderBy("image_id").limit(5)
+               .select("image_id", "bytes", "w", "h", "fmt",
+                       "phash_computed").collect())
+    orbit_ok = True
+    for row in sample:
+        import numpy as np
+        px = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+        for var in (np.rot90(px), np.rot90(px, 2), px[:, ::-1]):
+            if phash64_dihedral(np.ascontiguousarray(var)) != row["phash_computed"]:
+                orbit_ok = False
+    return spark.createDataFrame(
+        [(r["n"],
+          # corrupted-but-decodable payloads have a random stored
+          # phash; allow the same ~1% slack as the identity check
+          bool(r["n_le"] >= n_ok - max(5, int(0.02 * r["n"]))),
+          bool(r["n_eq"] < 0.5 * n_ok),
+          bool(r["n_fail_nonnull"] == 0),
+          bool(orbit_ok and len(sample) == 5))],
+        "n_images long, orbit_min_bounded boolean, "
+        "canonicalizes_strictly boolean, failed_rows_are_null boolean, "
+        "orbit_invariant_sample boolean")
+
+
 def pairs_wds_export_check(spark, sf_dir):
     """Check for the WebDataset tar export: every shard file's md5
     must equal a digest recomputed DRIVER-SIDE from the raw fixture
@@ -4045,6 +4107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_exposure_check": pairs_exposure_check,
         "pairs_compute_phash": pairs_compute_phash,
         "pairs_compute_phash_check": pairs_compute_phash_check,
+        "pairs_phash_dihedral_check": pairs_phash_dihedral_check,
         "pairs_wds_export_check": pairs_wds_export_check,
         "pairs_wds_roundtrip_check": pairs_wds_roundtrip_check,
         "doc_split_assign": doc_split_assign,
@@ -6080,6 +6143,14 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS recompute_matches_stored,
                    TRUE AS failure_rate_in_range,
                    TRUE AS failed_rows_are_null
+        """,
+        "pairs_phash_dihedral_check": f"""
+            SELECT (SELECT COUNT(*)
+                    FROM read_parquet('{_pairs_cache_file()}')) AS n_images,
+                   TRUE AS orbit_min_bounded,
+                   TRUE AS canonicalizes_strictly,
+                   TRUE AS failed_rows_are_null,
+                   TRUE AS orbit_invariant_sample
         """,
         "pairs_wds_export_check": f"""
             SELECT CAST(4 AS INTEGER) AS n_shards,

@@ -188,3 +188,27 @@ def phash64_flip(px: np.ndarray) -> int:
     b = phash64(px[:, ::-1]) & 0xFFFFFFFFFFFFFFFF
     m = a if a <= b else b
     return int(np.uint64(m).astype(np.int64))
+
+
+def phash64_dihedral(px: np.ndarray) -> int:
+    """Dihedral-invariant perceptual hash: the unsigned-min of phash64
+    over the full D4 orbit of the image — the 8 variants reachable by
+    90°-rotations and mirrors. A rotated (90/180/270) or flipped
+    re-upload hashes to the SAME canonical value as the original, so
+    exact-equality dedup on this column collapses the whole orbit.
+
+    Invariance is EXACT and needs no symmetry property of the resample
+    or DCT: for any dihedral transform T, the orbit of T(px) is the
+    same 8-element set as the orbit of px (group closure), so the min
+    over the set is identical. Cost: one decode, one luma extraction
+    (luma commutes with axis permutations), 8 resample+DCT passes on
+    the 32x32 path — still O(pixels) dominated by the decode.
+    """
+    gray = _luma(px)
+    mirrored = gray[:, ::-1]
+    best = min(
+        _phash64_gray(np.rot90(g, k)) & 0xFFFFFFFFFFFFFFFF
+        for g in (gray, mirrored)
+        for k in range(4)
+    )
+    return int(np.uint64(best).astype(np.int64))

@@ -102,7 +102,8 @@ PHASH_SCHEMA = StructType([
 ])
 
 
-def compute_phash(df: DataFrame, flip_invariant: bool = False) -> DataFrame:
+def compute_phash(df: DataFrame, flip_invariant: bool = False,
+                  dihedral_invariant: bool = False) -> DataFrame:
     """Compute the 64-bit DCT perceptual hash FROM PIXELS (REAL —
     decode via the NumPy codecs, hash via ``codecs/phash.py``): the
     operator that produces the ``phash`` dedup-key column the
@@ -117,6 +118,13 @@ def compute_phash(df: DataFrame, flip_invariant: bool = False) -> DataFrame:
     horizontally mirrored reposts, which plain phash sees ~30+ bits
     away. Same cost class: one decode, two hashes.
 
+    ``dihedral_invariant=True`` widens the canonicalization to the
+    full D4 orbit (``codecs/phash.py:phash64_dihedral`` — unsigned-min
+    over all 8 rotation/mirror variants), additionally collapsing
+    90/180/270-rotated re-uploads. One decode, eight 32x32 hashes —
+    decode still dominates. Takes precedence over ``flip_invariant``
+    (its orbit is a superset).
+
     The driver check exploits the fixture invariant that the stored
     column IS phash64(decoded pixels) for every intact payload:
     distributed recompute must equal it exactly.
@@ -125,9 +133,12 @@ def compute_phash(df: DataFrame, flip_invariant: bool = False) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mehc_curation_spark.codecs.image import DecodeError, decode_image
-        from mehc_curation_spark.codecs.phash import phash64, phash64_flip
+        from mehc_curation_spark.codecs.phash import (
+            phash64, phash64_dihedral, phash64_flip,
+        )
 
-        hashfn = phash64_flip if flip_invariant else phash64
+        hashfn = (phash64_dihedral if dihedral_invariant
+                  else phash64_flip if flip_invariant else phash64)
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):

@@ -160,6 +160,43 @@ def test_flip_invariant_phash(spark):
     assert plain_ham > 8  # plain phash cannot pair them
 
 
+def test_dihedral_invariant_phash(spark):
+    """compute_phash(dihedral_invariant=True): every member of the D4
+    orbit — 90/180/270 rotations, mirror, mirrored rotations — hashes
+    to the SAME canonical value; plain phash sees the rotations as
+    distant. Rotated variants swap w/h, exercising the non-square
+    decode path too."""
+    from mehc_curation_spark.codecs.phash import phash64_dihedral
+    from mehc_curation_spark.operators.multimodal import compute_phash
+
+    rng = np.random.default_rng(22)
+    base = _img(rng, h=48, w=64)
+    variants = {
+        "orig": base,
+        "rot90": np.rot90(base).copy(),
+        "rot180": np.rot90(base, 2).copy(),
+        "rot270": np.rot90(base, 3).copy(),
+        "mirror": base[:, ::-1].copy(),
+        "mirror_rot90": np.rot90(base[:, ::-1]).copy(),
+    }
+    df = spark.createDataFrame(
+        [_row(k, v) for k, v in variants.items()]
+        + [("broken", b"\x00", 64, 48, "png", "c", 0)], SCHEMA)
+    out = {r["image_id"]: (r["decode_ok"], r["phash_computed"])
+           for r in compute_phash(df, dihedral_invariant=True).collect()}
+    canon = out["orig"]
+    assert canon[0] is True and canon[1] is not None
+    for k in variants:
+        assert out[k] == canon, k
+    assert out["broken"] == (False, None)
+    # the distributed value IS the codec function of the pixels
+    assert canon[1] == phash64_dihedral(base)
+    # plain phash puts a 90-deg rotation far away
+    plain_ham = bin((phash64(base) ^ phash64(variants["rot90"]))
+                    & (2 ** 64 - 1)).count("1")
+    assert plain_ham > 8
+
+
 def test_cross_corpus_single_decode_per_side(spark):
     # each corpus must decode exactly ONCE: the skew guard is a window
     # over the tile rows, not a second consumption of the Arrow stage
