@@ -333,6 +333,24 @@ def build_parser() -> argparse.ArgumentParser:
     qs.add_argument("--cores", type=int, default=-1)
     qs.add_argument("--master", default=None)
 
+    ph = sub.add_parser(
+        "phash",
+        help="compute perceptual-hash dedup keys from pixels "
+             "(decode + DCT phash64), optionally canonicalized over "
+             "the mirror or full-D4 orbit so flipped/rotated "
+             "re-uploads collide on exact equality")
+    ph.add_argument("-i", "--input", required=True,
+                    help="pairs parquet (image_id, bytes, w, h, fmt)")
+    ph.add_argument("-o", "--output", required=True)
+    ph.add_argument("--invariance", choices=["none", "flip", "dihedral"],
+                    default="none",
+                    help="none = plain phash64; flip = unsigned-min of "
+                         "both mirror orientations; dihedral = "
+                         "unsigned-min over all 8 rotation/mirror "
+                         "variants (one decode either way)")
+    ph.add_argument("--cores", type=int, default=-1)
+    ph.add_argument("--master", default=None)
+
     ds = sub.add_parser(
         "dsir",
         help="DSIR importance resampling (Xie et al. 2023): select "
@@ -1069,6 +1087,34 @@ def main(argv: list[str] | None = None) -> int:
                 summary["dropped"] = n_in - n_out
             print(json.dumps(summary))
             return 0
+        if args.cmd == "phash":
+            from pyspark.sql import functions as F
+
+            from mehc_curation_spark.operators.multimodal import (
+                compute_phash,
+            )
+
+            df = spark.read.parquet(args.input)
+            hashed = compute_phash(
+                df,
+                flip_invariant=args.invariance == "flip",
+                dihedral_invariant=args.invariance == "dihedral")
+            out = os.path.join(args.output, "hashes")
+            hashed.write.mode("overwrite").parquet(out)
+            agg = (spark.read.parquet(out)
+                   .agg(F.count("*").alias("n"),
+                        F.sum(F.col("decode_ok").cast("int"))
+                        .alias("decoded"),
+                        F.countDistinct("phash_computed")
+                        .alias("distinct_hashes"))
+                   .first())
+            print(json.dumps({"rows": agg["n"],
+                              "decoded": int(agg["decoded"]),
+                              "failed": agg["n"] - int(agg["decoded"]),
+                              "distinct_hashes": agg["distinct_hashes"],
+                              "invariance": args.invariance}))
+            return 0
+
         if args.cmd == "qscore":
             from pyspark.sql import functions as F
 

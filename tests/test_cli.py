@@ -373,6 +373,29 @@ def test_qscore_cli(tmp_path_factory):
     assert n_scored == 500
 
 
+def test_phash_cli_dihedral(pairs_file, tmp_path_factory):
+    """phash subcommand: summary reconciles with the written parquet;
+    dihedral canonicalization never increases the distinct-hash count
+    vs plain (orbit members merge, nothing splits)."""
+    base = tmp_path_factory.mktemp("cli_ph")
+    plain = json.loads(_run(
+        ["phash", "-i", pairs_file, "-o", str(base / "plain"),
+         "--cores", "4"]).stdout.strip().splitlines()[-1])
+    dih = json.loads(_run(
+        ["phash", "-i", pairs_file, "-o", str(base / "dih"),
+         "--invariance", "dihedral", "--cores", "4"]).stdout.strip()
+        .splitlines()[-1])
+    assert plain["rows"] == dih["rows"] == 2000
+    assert plain["decoded"] == dih["decoded"]
+    assert 0 < plain["failed"] < 100
+    assert dih["distinct_hashes"] <= plain["distinct_hashes"]
+    n, n_null = duckdb.sql(
+        f"SELECT COUNT(*), SUM(CASE WHEN phash_computed IS NULL "
+        f"THEN 1 ELSE 0 END) FROM "
+        f"read_parquet('{base}/dih/hashes/*.parquet')").fetchone()
+    assert n == 2000 and n_null == dih["failed"]
+
+
 def test_clusters_cli_text_and_phash(tmp_path_factory, pairs_file):
     """clusters subcommand: near-dup pairs resolved to connected
     components, one representative per cluster, keep_reps output
