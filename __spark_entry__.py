@@ -3330,6 +3330,8 @@ def pairs_phash_dihedral_check(spark, sf_dir):
     of decoded images recomputed under rot90/rot180/mirror yields
     the identical canonical value (exact orbit invariance).
     Undecodable rows must be NULL."""
+    import numpy as np
+
     from mehc_curation_spark.codecs.image import decode_image
     from mehc_curation_spark.codecs.phash import phash64_dihedral
     from mehc_curation_spark.operators.multimodal import compute_phash
@@ -3361,7 +3363,6 @@ def pairs_phash_dihedral_check(spark, sf_dir):
                        "phash_computed").collect())
     orbit_ok = True
     for row in sample:
-        import numpy as np
         px = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
         for var in (np.rot90(px), np.rot90(px, 2), px[:, ::-1]):
             if phash64_dihedral(np.ascontiguousarray(var)) != row["phash_computed"]:
