@@ -623,6 +623,11 @@ def build_parser() -> argparse.ArgumentParser:
     rz.add_argument("--rehash", action="store_true",
                     help="recompute the phash column from the resized "
                          "pixels (resizing moves DCT coefficients)")
+    rz.add_argument("--invariance",
+                    choices=["none", "flip", "dihedral"], default="none",
+                    help="--rehash canonicalization: flip = mirror-"
+                         "canonical, dihedral = full-D4-orbit canonical "
+                         "(same semantics as the phash subcommand)")
     rz.add_argument("--crop", action="store_true",
                     help="crop uniform borders (letterbox/pillarbox) "
                          "BEFORE resizing; adds cropped/crop_* columns")
@@ -1494,7 +1499,8 @@ def main(argv: list[str] | None = None) -> int:
                 upscale=args.upscale, out_fmt=args.out_fmt,
                 validate=not args.no_validate,
                 passthrough_cols=passthrough,
-                with_phash=args.rehash)
+                with_phash=args.rehash,
+                hash_invariance=args.invariance)
             if args.rehash:
                 old = (F.col("phash") if "phash" in passthrough
                        else F.lit(None).cast("long"))
@@ -1513,7 +1519,8 @@ def main(argv: list[str] | None = None) -> int:
                 "rows": agg["n"], "resized": int(agg["resized"] or 0),
                 "undecodable": int(agg["undecodable"] or 0),
                 "target": args.target, "mode": args.mode,
-                "rehash": bool(args.rehash)}))
+                "rehash": bool(args.rehash),
+                "invariance": args.invariance}))
             return 0
 
         if args.cmd == "export":

@@ -499,7 +499,8 @@ def resize_images(df: DataFrame, target: int = 256, mode: str = "longest",
                   upscale: bool = False, out_fmt: str | None = None,
                   validate: bool = True,
                   passthrough_cols: tuple[str, ...] = (),
-                  with_phash: bool = False) -> DataFrame:
+                  with_phash: bool = False,
+                  hash_invariance: str = "none") -> DataFrame:
     """Resize payloads so the longest (or shortest) side hits ``target``
     and re-encode (REAL — NumPy codecs + deterministic bilinear kernel,
     codecs/resize.py).
@@ -529,7 +530,11 @@ def resize_images(df: DataFrame, target: int = 256, mode: str = "longest",
     are still in hand (resizing moves DCT coefficients, so the stored
     phash no longer identifies the new payload) — again inside the
     same stage, zero extra decodes and zero joins; it forces the
-    decode of unchanged rows (a hash needs pixels). Decode + resample
+    decode of unchanged rows (a hash needs pixels).
+    ``hash_invariance`` picks the rehash canonicalization —
+    ``"none"`` (plain phash64), ``"flip"`` (mirror-canonical) or
+    ``"dihedral"`` (full-D4-orbit canonical), matching
+    :func:`compute_phash`'s flags. Decode + resample
     + re-encode all happen inside ONE Arrow stage: bytes cross the
     JVM->Python boundary once each way and never shuffle.
     """
@@ -542,6 +547,10 @@ def resize_images(df: DataFrame, target: int = 256, mode: str = "longest",
     if out_fmt is not None and out_fmt not in KNOWN_FORMATS:
         raise ValueError(
             f"unknown out_fmt {out_fmt!r}; known: {KNOWN_FORMATS}")
+    if hash_invariance not in ("none", "flip", "dihedral"):
+        raise ValueError(
+            f"unknown hash_invariance {hash_invariance!r}; "
+            "expected none|flip|dihedral")
     payload_cols = ("image_id", "bytes", "w", "h", "fmt")
     passthrough_cols = tuple(passthrough_cols)
     clash = [c for c in passthrough_cols if c in payload_cols]
@@ -559,8 +568,13 @@ def resize_images(df: DataFrame, target: int = 256, mode: str = "longest",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mehc_curation_spark.codecs.image import (
             LOSSLESS_FORMATS, DecodeError, decode_image, encode_image)
-        from mehc_curation_spark.codecs.phash import phash64
+        from mehc_curation_spark.codecs.phash import (
+            phash64, phash64_dihedral, phash64_flip,
+        )
         from mehc_curation_spark.codecs.resize import fit_dims, resize_bilinear
+
+        hashfn = {"none": phash64, "flip": phash64_flip,
+                  "dihedral": phash64_dihedral}[hash_invariance]
 
         for pdf in batches:
             rows = []
@@ -580,7 +594,7 @@ def resize_images(df: DataFrame, target: int = 256, mode: str = "longest",
                         # already ran
                         px = (decode_image(data, fmt0, w, h)
                               if validate or with_phash else None)
-                        hcol = ((phash64(px),) if with_phash else ())
+                        hcol = ((hashfn(px),) if with_phash else ())
                         rows.append((image_id, True, False,
                                      bytes(data), w, h, fmt0)
                                     + hcol + extra)
@@ -594,7 +608,7 @@ def resize_images(df: DataFrame, target: int = 256, mode: str = "longest",
                         # through the codec before hashing
                         stored = (out_px if fmt in LOSSLESS_FORMATS
                                   else decode_image(enc, fmt, out_w, out_h))
-                        hcol = (phash64(stored),)
+                        hcol = (hashfn(stored),)
                     else:
                         hcol = ()
                     rows.append((image_id, True, chg, enc,

@@ -187,3 +187,33 @@ def test_resize_partition_invariant(spark):
     b = {r["image_id"]: bytes(r["bytes"]) if r["bytes"] is not None else None
          for r in resize_images(df.repartition(7), target=30).collect()}
     assert a == b
+
+
+def test_resize_rehash_invariance(spark):
+    """hash_invariance='dihedral' on --rehash: a mirrored copy of the
+    same source resizes to a mirrored image whose canonical hash
+    EQUALS the original's (both orbits coincide after the symmetric
+    bilinear resample of exact mirror inputs encoded losslessly);
+    plain rehash of the two differs. Bad invariance name raises at
+    construction."""
+    from mehc_curation_spark.codecs.phash import phash64_dihedral
+
+    rng = np.random.RandomState(13)
+    big = rng.randint(0, 256, (40, 60, 3), dtype=np.uint8)
+    rows = [("orig", encode_image(big, "png"), 60, 40, "png"),
+            ("mirror", encode_image(big[:, ::-1].copy(), "png"),
+             60, 40, "png")]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+    out = {r["image_id"]: r["phash_computed"] for r in
+           resize_images(df, target=30, with_phash=True,
+                         hash_invariance="dihedral").collect()}
+    assert out["orig"] == out["mirror"] is not None
+    # value is the codec function of the resized pixels
+    exp = resize_bilinear(big, 20, 30)
+    assert out["orig"] == phash64_dihedral(exp)
+    plain = {r["image_id"]: r["phash_computed"] for r in
+             resize_images(df, target=30, with_phash=True).collect()}
+    assert plain["orig"] != plain["mirror"]
+    with pytest.raises(ValueError):
+        resize_images(df, hash_invariance="nope")
