@@ -3994,7 +3994,102 @@ def doc_html_extract(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order doubles as the driver-side CORRECTNESS sampling
+    # window: the driver checks the FIRST 50 entries each round, so
+    # never-driver-checked entries are rotated to the front every
+    # round.  Rotation log: r4 fronts the 50 oracled pairs_*/emb_*/
+    # dedup entries never sampled in r1-r3; the next 33 (13 deferred
+    # oracled + 20 rows-only) are queued for the r5 window; entries
+    # with a green driver row in r1-r3 sit at the back (rows-only
+    # surfaces last so the sampled window stays fully oracled).
     return {
+        # --- r4 window: never-driver-checked, DuckDB-oracled (50) ---
+        "pairs_compute_phash_check": pairs_compute_phash_check,
+        "emb_ann_ivfpq_check": emb_ann_ivfpq_check,
+        "pairs_wds_roundtrip_check": pairs_wds_roundtrip_check,
+        "pairs_curate_incremental_check": pairs_curate_incremental_check,
+        "doc_dedup_clusters": doc_dedup_clusters,
+        "doc_leakage_split": doc_leakage_split,
+        "doc_substring_dedup": doc_substring_dedup,
+        "doc_line_dedup": doc_line_dedup,
+        "doc_catalog_row_ops": doc_catalog_row_ops,
+        "doc_catalog_diff": doc_catalog_diff,
+        "doc_zorder_scan": doc_zorder_scan,
+        "doc_lsh_plan": doc_lsh_plan,
+        "doc_heavy_hitters": doc_heavy_hitters,
+        "doc_heavy_hitters_check": doc_heavy_hitters_check,
+        "doc_cross_dedup": doc_cross_dedup,
+        "doc_eval_decontam": doc_eval_decontam,
+        "pairs_exact_dedup": pairs_exact_dedup,
+        "pairs_meta_audit_check": pairs_meta_audit_check,
+        "pairs_meta_scrub_check": pairs_meta_scrub_check,
+        "pairs_tile_dups_check": pairs_tile_dups_check,
+        "pairs_phash_clusters": pairs_phash_clusters,
+        "pairs_ar_buckets": pairs_ar_buckets,
+        "pairs_export_shards": pairs_export_shards,
+        "pairs_csv_scan": pairs_csv_scan,
+        "pairs_caption_junk": pairs_caption_junk,
+        "pairs_image_borders_check": pairs_image_borders_check,
+        "pairs_resize_check": pairs_resize_check,
+        "pairs_color_stats_check": pairs_color_stats_check,
+        "pairs_crop_check": pairs_crop_check,
+        "pairs_ssim_verify_check": pairs_ssim_verify_check,
+        "pairs_phash_verify_check": pairs_phash_verify_check,
+        "pairs_exposure_check": pairs_exposure_check,
+        "pairs_phash_dihedral_check": pairs_phash_dihedral_check,
+        "pairs_wds_export_check": pairs_wds_export_check,
+        "doc_split_assign": doc_split_assign,
+        "doc_bpe_check": doc_bpe_check,
+        "doc_bpe_encode_check": doc_bpe_encode_check,
+        "doc_bloom_prefilter_check": doc_bloom_prefilter_check,
+        "pairs_image_quality_check": pairs_image_quality_check,
+        "emb_ann_ivf_persisted_check": emb_ann_ivf_persisted_check,
+        "emb_ann_join_check": emb_ann_join_check,
+        "emb_cross_dedup_check": emb_cross_dedup_check,
+        "emb_semdedup_check": emb_semdedup_check,
+        "emb_hard_negatives_check": emb_hard_negatives_check,
+        "emb_margin_mine": emb_margin_mine,
+        "emb_retrieval_eval": emb_retrieval_eval,
+        "emb_margin_mine_check": emb_margin_mine_check,
+        "emb_ann_pq_check": emb_ann_pq_check,
+        "emb_ann_pq_persisted_check": emb_ann_pq_persisted_check,
+        "emb_ann_ivfpq_join_check": emb_ann_ivfpq_join_check,
+        # --- queued for the r5 window: deferred oracled (13) ---
+        "doc_chunks": doc_chunks,
+        "doc_pack_check": doc_pack_check,
+        "doc_source_reputation": doc_source_reputation,
+        "doc_token_budget_sample": doc_token_budget_sample,
+        "doc_quality_tiers": doc_quality_tiers,
+        "doc_url_canonical": doc_url_canonical,
+        "doc_url_dedup": doc_url_dedup,
+        "doc_html_extract": doc_html_extract,
+        "doc_optout_filter": doc_optout_filter,
+        "doc_unigram_check": doc_unigram_check,
+        "doc_edit_dups": doc_edit_dups,
+        "emb_aesthetic": emb_aesthetic,
+        "emb_alignment": emb_alignment,
+        # --- queued for r5: never-checked rows-only surfaces (20) ---
+        "pairs_meta_audit": pairs_meta_audit,
+        "pairs_tile_dups": pairs_tile_dups,
+        "pairs_image_borders": pairs_image_borders,
+        "pairs_resize": pairs_resize,
+        "pairs_color_stats": pairs_color_stats,
+        "pairs_crop_borders": pairs_crop_borders,
+        "pairs_phash_verify": pairs_phash_verify,
+        "pairs_ssim_verify": pairs_ssim_verify,
+        "pairs_exposure": pairs_exposure,
+        "pairs_compute_phash": pairs_compute_phash,
+        "doc_bpe_merges": doc_bpe_merges,
+        "doc_bloom_prefilter": doc_bloom_prefilter,
+        "emb_semdedup": emb_semdedup,
+        "emb_ann_join": emb_ann_join,
+        "emb_hard_negatives": emb_hard_negatives,
+        "emb_margin_mine_lsh": emb_margin_mine_lsh,
+        "emb_cross_dedup": emb_cross_dedup,
+        "emb_ann_ivf_persisted": emb_ann_ivf_persisted,
+        "emb_ann_pq": emb_ann_pq,
+        "pairs_image_quality": pairs_image_quality,
+        # --- green driver row in r1-r3: oracled (67) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q5_region_revenue": q5_region_revenue,
@@ -4025,7 +4120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_skew_report": doc_skew_report,
         "doc_join_fanout": doc_join_fanout,
         "doc_mojibake_fix": doc_mojibake_fix,
-        "doc_compression": doc_compression,
         "doc_compression_check": doc_compression_check,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_length_outliers": doc_length_outliers,
@@ -4047,115 +4141,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": doc_exact_dedup,
         "doc_dedup_dropall": doc_dedup_dropall,
         "doc_ngram_jaccard": doc_ngram_jaccard,
-        "doc_edit_dups": doc_edit_dups,
-        "doc_dedup_clusters": doc_dedup_clusters,
-        "doc_leakage_split": doc_leakage_split,
-        "doc_substring_dedup": doc_substring_dedup,
-        "doc_line_dedup": doc_line_dedup,
-        "doc_chunks": doc_chunks,
-        "doc_pack_check": doc_pack_check,
-        "doc_source_reputation": doc_source_reputation,
-        "doc_token_budget_sample": doc_token_budget_sample,
-        "doc_quality_tiers": doc_quality_tiers,
         "doc_fingerprint": doc_fingerprint,
-        "doc_catalog_row_ops": doc_catalog_row_ops,
-        "doc_catalog_diff": doc_catalog_diff,
-        "doc_zorder_scan": doc_zorder_scan,
-        "doc_url_canonical": doc_url_canonical,
-        "doc_url_dedup": doc_url_dedup,
-        "doc_html_extract": doc_html_extract,
-        "doc_optout_filter": doc_optout_filter,
-        "doc_unigram_check": doc_unigram_check,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
-        "emb_aesthetic": emb_aesthetic,
         "emb_near_dup": emb_near_dup,
-        "emb_alignment": emb_alignment,
-        # UDF-backed but still fully DuckDB-oracled (value-for-value)
         "doc_minhash_neardup": doc_minhash_neardup,
-        "doc_lsh_plan": doc_lsh_plan,
-        "doc_heavy_hitters": doc_heavy_hitters,
-        "doc_heavy_hitters_check": doc_heavy_hitters_check,
-        "doc_cross_dedup": doc_cross_dedup,
-        "doc_eval_decontam": doc_eval_decontam,
         "doc_simhash": doc_simhash,
         "doc_simhash_neardup": doc_simhash_neardup,
-        "pairs_exact_dedup": pairs_exact_dedup,
-        "pairs_meta_audit": pairs_meta_audit,
-        "pairs_meta_audit_check": pairs_meta_audit_check,
-        "pairs_meta_scrub_check": pairs_meta_scrub_check,
         "pairs_phash_neardup": pairs_phash_neardup,
-        "pairs_tile_dups": pairs_tile_dups,
-        "pairs_tile_dups_check": pairs_tile_dups_check,
-        "pairs_phash_clusters": pairs_phash_clusters,
-        "pairs_ar_buckets": pairs_ar_buckets,
-        "pairs_export_shards": pairs_export_shards,
-        "pairs_csv_scan": pairs_csv_scan,
-        "pairs_caption_junk": pairs_caption_junk,
-        "pairs_image_borders": pairs_image_borders,
-        "pairs_image_borders_check": pairs_image_borders_check,
-        "pairs_resize": pairs_resize,
-        "pairs_resize_check": pairs_resize_check,
-        "pairs_color_stats": pairs_color_stats,
-        "pairs_color_stats_check": pairs_color_stats_check,
-        "pairs_crop_borders": pairs_crop_borders,
-        "pairs_crop_check": pairs_crop_check,
-        "pairs_phash_verify": pairs_phash_verify,
-        "pairs_ssim_verify": pairs_ssim_verify,
-        "pairs_ssim_verify_check": pairs_ssim_verify_check,
-        "pairs_phash_verify_check": pairs_phash_verify_check,
-        "pairs_exposure": pairs_exposure,
-        "pairs_exposure_check": pairs_exposure_check,
-        "pairs_compute_phash": pairs_compute_phash,
-        "pairs_compute_phash_check": pairs_compute_phash_check,
-        "pairs_phash_dihedral_check": pairs_phash_dihedral_check,
-        "pairs_wds_export_check": pairs_wds_export_check,
-        "pairs_wds_roundtrip_check": pairs_wds_roundtrip_check,
-        "doc_split_assign": doc_split_assign,
-        "doc_bpe_merges": doc_bpe_merges,
-        "doc_bpe_check": doc_bpe_check,
-        "doc_bpe_encode_check": doc_bpe_encode_check,
         "clips_audio_features": clips_audio_features,
         "videos_frame_sample": videos_frame_sample,
-        # property-assertion checks (oracle states the expected outcome)
         "pairs_curate_check": pairs_curate_check,
-        "pairs_curate_incremental_check": pairs_curate_incremental_check,
         "doc_langid_check": doc_langid_check,
-        "doc_bloom_prefilter_check": doc_bloom_prefilter_check,
         "pairs_image_features_check": pairs_image_features_check,
-        "pairs_image_quality_check": pairs_image_quality_check,
         "emb_ann_lsh_check": emb_ann_lsh_check,
         "emb_ann_ivf_check": emb_ann_ivf_check,
-        "emb_ann_ivf_persisted_check": emb_ann_ivf_persisted_check,
-        "emb_ann_join_check": emb_ann_join_check,
-        "emb_cross_dedup_check": emb_cross_dedup_check,
         "emb_near_dup_lsh_check": emb_near_dup_lsh_check,
-        "emb_semdedup_check": emb_semdedup_check,
-        # model/UDF-backed (rows-only: langid model scoring, image
-        # decode, and the raw ANN/LSH surfaces checked via *_check)
+        # --- green driver row in r1-r3 or by-design rows-only (7) ---
+        "doc_compression": doc_compression,
         "emb_near_dup_lsh": emb_near_dup_lsh,
-        "doc_bloom_prefilter": doc_bloom_prefilter,
-        "emb_semdedup": emb_semdedup,
         "doc_langid": doc_langid,
         "emb_ann_lsh": emb_ann_lsh,
-        "emb_ann_join": emb_ann_join,
-        "emb_hard_negatives": emb_hard_negatives,
-        "emb_hard_negatives_check": emb_hard_negatives_check,
-        "emb_margin_mine": emb_margin_mine,
-        "emb_retrieval_eval": emb_retrieval_eval,
-        "emb_margin_mine_lsh": emb_margin_mine_lsh,
-        "emb_margin_mine_check": emb_margin_mine_check,
-        "emb_cross_dedup": emb_cross_dedup,
         "emb_ann_ivf": emb_ann_ivf,
-        "emb_ann_ivf_persisted": emb_ann_ivf_persisted,
-        "emb_ann_pq": emb_ann_pq,
-        "emb_ann_pq_check": emb_ann_pq_check,
-        "emb_ann_pq_persisted_check": emb_ann_pq_persisted_check,
-        "emb_ann_ivfpq_check": emb_ann_ivfpq_check,
-        "emb_ann_ivfpq_join_check": emb_ann_ivfpq_join_check,
         "pairs_curate_labels": pairs_curate_labels,
         "pairs_image_features": pairs_image_features,
-        "pairs_image_quality": pairs_image_quality,
     }
 
 

@@ -474,7 +474,39 @@ def main() -> None:
         "incremental_curate": incremental,
         "host": {"cpu_count": os.cpu_count(), "load1_start": load1_start},
     }
-    print(json.dumps(result))
+    # The driver only captures a bounded stdout TAIL (~2000 chars), so
+    # the FULL detail (per-run samples, loads, probes) goes to
+    # BENCH/details_r{N}.json on disk and the final stdout line is a
+    # compact parseable headline (VERDICT r3 item 2: BENCH_r03 came
+    # back `parsed: null` because the detail blob blew the tail).
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(out_dir, exist_ok=True)
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "latest")
+    detail_path = os.path.join(out_dir, f"details_r{rnd}.json")
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+    inc_best = max(
+        (v["rows_per_sec"] for v in incremental["by_corpus_rows"].values()),
+        default=None)
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": queries,
+        "sf": result["sf"],
+        "cpus": cpus,
+        "curate_rows": curate_rows,
+        "curate_sec": result["curate_sec"],
+        "headline_queries_total_sec": total,
+        "incremental_rows_per_sec": inc_best,
+        "details": os.path.relpath(detail_path,
+                                   os.path.dirname(os.path.abspath(__file__))),
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: drop per-query detail first
+        compact["queries"] = {"total_sec": total}
+        line = json.dumps(compact)
+    print(line, flush=True)
 
 
 def scaling() -> None:
