@@ -1278,15 +1278,18 @@ def doc_lsh_plan(spark, sf_dir):
     """Banded-LSH parameter planner (MMDS §3.4.3): for each Jaccard
     threshold, every bands×rows factorization of the 32-hash signature
     with its midpoint-integrated S-curve false-positive / false-
-    negative areas and the plan rank the auto-tuner
-    (`minhash_near_dups(bands=None)` → `lsh_plan`) uses. Fully
+    negative areas and, via ``fn_weight=4.0`` (the same recall bias
+    the auto-tuner `minhash_near_dups(bands=None)` passes to
+    `lsh_plan`), a plan_rank whose rank-1 row IS the banding the
+    auto-tuner picks (ADVICE r3: the table previously ranked on the
+    unweighted total and could disagree with the tuner). Fully
     SQL-oracled: the integral is a Catalyst `aggregate` left-fold over
     a fixed `sequence`, reproduced value-for-value by the DuckDB
     SUM-over-generate_series twin."""
     from mehc_curation_spark.operators.similarity import lsh_plan_table
 
     return lsh_plan_table(spark, thresholds=(0.3, 0.5, 0.7),
-                          num_hashes=32, grid=200)
+                          num_hashes=32, grid=200, fn_weight=4.0)
 
 
 def _bloom_split(spark, sf_dir):
@@ -5850,7 +5853,9 @@ def oracle_sql() -> dict[str, str]:
             FROM tot
         """,
         # banded-LSH planner: same midpoint grid, pow S-curve, rounded
-        # areas and (rounded total, bands) rank as similarity.lsh_plan_table
+        # areas and (rounded fp + 4*fn, bands) rank as
+        # similarity.lsh_plan_table(fn_weight=4.0) — the auto-tuner's
+        # objective, so rank 1 is the banding the tuner picks
         "doc_lsh_plan": r"""
             WITH divs AS (
               SELECT t.threshold, b.bands, 32 // b.bands AS n_rows
@@ -5872,8 +5877,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT threshold, bands, n_rows,
               ROUND(fp,6) AS fp_area, ROUND(fn,6) AS fn_area,
               ROUND(fp+fn,6) AS total_err,
+              ROUND(fp+4.0*fn,6) AS weighted_err,
               ROW_NUMBER() OVER (PARTITION BY threshold
-                                 ORDER BY ROUND(fp+fn,6), bands)
+                                 ORDER BY ROUND(fp+4.0*fn,6), bands)
                 AS plan_rank
             FROM e
         """,

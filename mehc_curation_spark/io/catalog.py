@@ -298,12 +298,14 @@ class SnapshotTable:
                 "schema": df.schema.json(),
                 "properties": properties or {},
             }
-            # pending MoR equality deletes survive an append (they
-            # mask rows table-wide); an overwrite replaces the whole
-            # row set, so its delete debt is moot
+            # pending MoR equality deletes survive an append (their
+            # seq scoping keeps them off the files this append adds);
+            # an overwrite replaces the whole row set, so its delete
+            # debt is moot
             if mode == "append" and pm.get("deletes"):
                 out["deletes"] = list(pm["deletes"])
-            return out
+            return self._carry_seq(out, pm, new_files, bump=True,
+                                   fresh=(mode == "overwrite"))
 
         return self._commit_manifest(build, branch=branch)
 
@@ -355,7 +357,9 @@ class SnapshotTable:
             # see write(): MoR delete debt rides along on appends
             if mode == "append" and pm.get("deletes"):
                 out["deletes"] = list(pm["deletes"])
-            return out
+            return self._carry_seq(out, pm,
+                                   [f for f in rel_files if f not in kept],
+                                   bump=True, fresh=(mode == "overwrite"))
 
         return self._commit_manifest(build)
 
@@ -545,6 +549,70 @@ class SnapshotTable:
         pos = [d for d in deletes if d.get("kind") == "pos"]
         return eq, pos
 
+    # -- sequence-number scoping (Iceberg v2 data-sequence semantics) --------
+    #
+    # Every commit that adds data files stamps them with the manifest's
+    # next sequence number (``last_seq`` + 1, recorded per file in
+    # ``file_seq``); an equality-delete commit stamps its entries with
+    # ITS sequence number. A delete with seq s masks only files whose
+    # seq is < s — so a row re-ingested AFTER a takedown (same key,
+    # newer file) is visible, exactly like Iceberg scopes equality
+    # deletes to older data files (ADVICE r3 medium: previously a
+    # pending delete masked table-wide, silently swallowing later
+    # appends that reused a key). Rewrites (compaction, CoW row ops)
+    # preserve the MAX sequence of the files they replace, so pending
+    # deletes committed after the replaced files still mask the
+    # rewritten rows. Legacy manifests (no ``file_seq``) and legacy
+    # delete entries (no ``seq``) keep the old table-wide behavior.
+
+    @staticmethod
+    def _next_seq(pm: dict) -> int:
+        return pm.get("last_seq", 0) + 1
+
+    @staticmethod
+    def _carry_seq(out: dict, pm: dict,
+                   new_files: Optional[list[str]] = None,
+                   bump: bool = False,
+                   fresh: bool = False) -> dict:
+        """Thread ``file_seq``/``last_seq`` through a manifest build:
+        carry the parent's entries (restricted to files the new
+        manifest still references), stamp ``new_files`` with the next
+        sequence number when ``bump``, start empty when ``fresh``
+        (overwrite)."""
+        last = pm.get("last_seq", 0)
+        fseq = {} if fresh else {
+            f: s for f, s in pm.get("file_seq", {}).items()
+            if f in set(out["files"])}
+        if bump:
+            last += 1
+            for f in new_files or ():
+                fseq[f] = last
+        if fseq:
+            out["file_seq"] = fseq
+        if last:
+            out["last_seq"] = last
+        return out
+
+    def _eq_delete_classes(self, m: dict, files: list[str],
+                           eq_dels: list[dict]) -> list[tuple[list[str],
+                                                              list[dict]]]:
+        """Partition ``files`` by WHICH equality-delete entries apply
+        under sequence scoping (entry seq s masks files with seq < s;
+        entries without a seq mask everything). Returns
+        ``[(files_subset, applicable_entries), ...]`` — one scan per
+        class lets every class keep the plain broadcast anti-join plan
+        with no per-row file-identity bookkeeping. With no post-delete
+        appends this is a single class (the pre-scoping fast path)."""
+        fseq = m.get("file_seq", {})
+        classes: dict[tuple, list[str]] = {}
+        for f in files:
+            q = fseq.get(f, 0)
+            key = tuple(i for i, d in enumerate(eq_dels)
+                        if d.get("seq") is None or q < d["seq"])
+            classes.setdefault(key, []).append(f)
+        return [(fs, [eq_dels[i] for i in key])
+                for key, fs in classes.items()]
+
     def _attach_row_identity(self, df: DataFrame) -> DataFrame:
         """Expose the parquet source's hidden row identity
         (``_metadata.file_path`` / ``row_index``) as ordinary columns
@@ -606,9 +674,10 @@ class SnapshotTable:
     def _apply_equality_deletes(self, spark: SparkSession, df: DataFrame,
                                 deletes: list[dict]) -> DataFrame:
         """Anti-join ``df`` against each key-column group's accumulated
-        delete keys (Iceberg v2 equality-delete semantics: a delete key
-        masks every matching row in every data file, regardless of
-        which file holds the row)."""
+        delete keys. Callers pass only the entries that APPLY to the
+        files ``df`` was scanned from (sequence scoping is decided at
+        the file level by :meth:`_eq_delete_classes`; within a class
+        every entry masks every matching row)."""
         if not deletes:
             return df
         from pyspark.sql import functions as F
@@ -724,25 +793,36 @@ class SnapshotTable:
                         *[os.path.join(self.data_dir, f)
                           for f in m["files"]]))
             return full.filter(F.lit(False))
-        paths = [os.path.join(self.data_dir, f) for f in files]
-        # basePath keeps hive-style partition columns (bucket=k) when
-        # manifests reference files inside partition dirs; mergeSchema
-        # reconciles pre-evolution files (missing columns read as NULL)
-        df = (spark.read.option("basePath", self.data_dir)
-              .option("mergeSchema", "true").parquet(*paths))
         eq_dels, pos_dels = self._split_deletes(m.get("deletes") or [])
-        if pos_dels:
-            # row identity must come off the scan itself (projections
-            # sever the hidden _metadata column)
-            df = self._attach_row_identity(df)
+        # merge-on-read: pending deletes of THIS manifest version mask
+        # their rows on every read (delete keys/coordinates are tiny —
+        # broadcast anti-joins, no shuffle of the data side). Sequence
+        # scoping partitions the selected files into classes by which
+        # equality entries apply (one class — one scan, the plain plan
+        # — unless data was appended after a delete commit).
+        parts = []
+        for fs, dels_c in self._eq_delete_classes(m, files, eq_dels):
+            # basePath keeps hive-style partition columns (bucket=k)
+            # when manifests reference files inside partition dirs;
+            # mergeSchema reconciles pre-evolution files (missing
+            # columns read as NULL)
+            part = (spark.read.option("basePath", self.data_dir)
+                    .option("mergeSchema", "true")
+                    .parquet(*[os.path.join(self.data_dir, f)
+                               for f in fs]))
+            if pos_dels:
+                # row identity must come off the scan itself
+                # (projections sever the hidden _metadata column)
+                part = self._attach_row_identity(part)
+            parts.append(
+                self._apply_equality_deletes(spark, part, dels_c))
+        df = parts[0]
+        for part in parts[1:]:
+            df = df.unionByName(part, allowMissingColumns=True)
         for col, lo, hi in self._between_list(between):
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         for col, v in self._eq_list(eq):
             df = df.filter(F.col(col) == v)
-        # merge-on-read: pending deletes of THIS manifest version mask
-        # their rows on every read (delete keys/coordinates are tiny —
-        # broadcast anti-joins, no shuffle of the data side)
-        df = self._apply_equality_deletes(spark, df, eq_dels)
         if pos_dels:
             df = (self._apply_position_deletes(spark, df, pos_dels)
                   .drop(self._META_FILE, self._META_POS))
@@ -771,14 +851,23 @@ class SnapshotTable:
             raise FileNotFoundError(
                 f"{self.path}: no files added between v{since_version} "
                 f"and v{to_m['version']}")
-        paths = [os.path.join(self.data_dir, f) for f in new_files]
-        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
         # rows appended then MoR-deleted before to_version must not
-        # surface in the incremental read
+        # surface in the incremental read (sequence-scoped, same as
+        # read(): a delete only masks files older than itself)
         eq_dels, pos_dels = self._split_deletes(to_m.get("deletes") or [])
-        if pos_dels:
-            df = self._attach_row_identity(df)
-        df = self._apply_equality_deletes(spark, df, eq_dels)
+        parts = []
+        for fs, dels_c in self._eq_delete_classes(to_m, new_files,
+                                                  eq_dels):
+            part = (spark.read.option("basePath", self.data_dir)
+                    .parquet(*[os.path.join(self.data_dir, f)
+                               for f in fs]))
+            if pos_dels:
+                part = self._attach_row_identity(part)
+            parts.append(
+                self._apply_equality_deletes(spark, part, dels_c))
+        df = parts[0]
+        for part in parts[1:]:
+            df = df.unionByName(part, allowMissingColumns=True)
         if pos_dels:
             df = (self._apply_position_deletes(spark, df, pos_dels)
                   .drop(self._META_FILE, self._META_POS))
@@ -826,24 +915,31 @@ class SnapshotTable:
         f_only = [f for f in mf["files"] if f not in common]
         t_only = [f for f in mt["files"] if f not in common]
 
-        def side(files, other, dels):
+        def side(files, other, dels, m_side):
             eq_d, pos_d = self._split_deletes(dels)
             if files:
-                df = self._read_rel_files(spark, files,
-                                          with_pos=bool(pos_d))
+                parts = []
+                for fs, dels_c in self._eq_delete_classes(m_side, files,
+                                                          eq_d):
+                    part = self._read_rel_files(spark, fs,
+                                                with_pos=bool(pos_d))
+                    parts.append(self._apply_equality_deletes(
+                        spark, part, dels_c))
+                df = parts[0]
+                for part in parts[1:]:
+                    df = df.unionByName(part, allowMissingColumns=True)
             else:
                 src = other if other else mt["files"]
                 df = (self._read_rel_files(spark, src)
                       .filter(F.lit(False)))
                 pos_d = []  # no rows to mask
-            df = self._apply_equality_deletes(spark, df, eq_d)
             if pos_d:
                 df = (self._apply_position_deletes(spark, df, pos_d)
                       .drop(self._META_FILE, self._META_POS))
             return df
 
-        a = side(f_only, t_only, f_del)
-        b = side(t_only, f_only, t_del)
+        a = side(f_only, t_only, f_del, mf)
+        b = side(t_only, f_only, t_del, mt)
         all_cols = list(dict.fromkeys([*a.columns, *b.columns]))
         for c in all_cols:
             if c not in a.columns:
@@ -984,10 +1080,31 @@ class SnapshotTable:
             # the compaction read() already applied the BASE snapshot's
             # pending MoR deletes, so those entries are settled here;
             # delete commits that landed since base carry forward (the
-            # read-time anti-join still masks their rows — sound)
-            settled = {d["file"] for d in base.get("deletes", [])}
+            # read-time anti-join still masks their rows — sound).
+            # Sequence scoping makes settling safe under concurrent
+            # appends: a base delete's seq is <= base last_seq, every
+            # 'extra' file appended since has a larger seq, so the
+            # settled entries never masked the carried-forward rows
+            # and settling cannot unmask anything. Only LEGACY
+            # (seq-less, table-wide) entries could — abort in that
+            # upgrade corner rather than silently change row content
+            # (ADVICE r3 low).
+            settled_entries = base.get("deletes", [])
+            settled = {d["file"] for d in settled_entries}
             carried = [d for d in pm.get("deletes", [])
                        if d["file"] not in settled]
+            extra_since_base = [f for f in pm["files"]
+                                if f not in base_files]
+            if extra_since_base and any(
+                    d.get("seq") is None and d.get("kind") != "pos"
+                    for d in settled_entries):
+                raise CommitConflictError(
+                    f"{self.path}: compaction would settle a legacy "
+                    f"(sequence-less, table-wide) equality delete while "
+                    f"{len(extra_since_base)} file(s) were appended "
+                    f"concurrently — settling would unmask their "
+                    f"matching rows; run apply_deletes() first, then "
+                    f"re-run compact()")
             if any(d.get("kind") == "pos" for d in carried):
                 raise CommitConflictError(
                     f"{self.path}: compaction raced a concurrent "
@@ -1010,6 +1127,17 @@ class SnapshotTable:
             }
             if carried:
                 out["deletes"] = carried
+            # rewritten files inherit the MAX sequence of the files
+            # they replace (Iceberg rewrite semantics): deletes
+            # committed concurrently (seq > every base file) keep
+            # masking the compacted rows
+            out = self._carry_seq(out, pm)
+            base_seq = max((pm.get("file_seq", {}).get(f, 0)
+                            for f in base_files), default=0)
+            if base_seq:
+                fseq = out.setdefault("file_seq", {})
+                for f in new_files:
+                    fseq[f] = base_seq
             return out
 
         return self._commit_manifest(build)
@@ -1269,6 +1397,21 @@ class SnapshotTable:
                     f"re-run {op} against the current snapshot")
             if carried:
                 out["deletes"] = carried
+            if affected_set:
+                # rewrite: new files inherit the MAX sequence of the
+                # files they replace so concurrent deletes (larger
+                # seq) keep masking the rewritten rows
+                out = self._carry_seq(out, pm)
+                aff_seq = max((pm.get("file_seq", {}).get(f, 0)
+                               for f in affected_set), default=0)
+                if aff_seq:
+                    fseq = out.setdefault("file_seq", {})
+                    for f in new_files:
+                        fseq[f] = aff_seq
+            else:
+                # pure insert (merge with no matches): NEW data gets
+                # the next sequence number like any append
+                out = self._carry_seq(out, pm, new_files, bump=True)
             return out
 
         return self._commit_manifest(build)
@@ -1367,16 +1510,22 @@ class SnapshotTable:
         entries = [{"file": f, "cols": list(key_cols)} for f in new_files]
 
         def build(p, pm):
-            return {
+            # the delete's sequence number scopes it to files already
+            # present: rows appended AFTER this commit that reuse a
+            # deleted key are NOT masked (Iceberg v2 semantics)
+            seq = self._next_seq(pm)
+            out = {
                 "ts": time.time(),
                 "files": list(pm["files"]),
                 "stats": dict(pm.get("stats", {})),
-                "deletes": list(pm.get("deletes", [])) + entries,
+                "deletes": (list(pm.get("deletes", []))
+                            + [{**e, "seq": seq} for e in entries]),
                 "schema": pm["schema"],
                 "properties": {**pm.get("properties", {}),
                                "row_op": "delete_mor",
                                "deleted_where": cond_str},
             }
+            return self._carry_seq(out, pm, bump=True)
 
         return self._commit_manifest(build)
 
@@ -1390,13 +1539,21 @@ class SnapshotTable:
         from pyspark.sql import functions as F
 
         m = self.manifest()
-        scan = self._attach_row_identity(
-            spark.read.option("basePath", self.data_dir)
-            .option("mergeSchema", "true")
-            .parquet(*[os.path.join(self.data_dir, f)
-                       for f in m["files"]]))
         eq_d, pos_d = self._split_deletes(m.get("deletes") or [])
-        scan = self._apply_equality_deletes(spark, scan, eq_d)
+        # sequence-scoped masking: one scan per file class so each
+        # class anti-joins only the delete entries that apply to it
+        parts = []
+        for fs, dels_c in self._eq_delete_classes(m, list(m["files"]),
+                                                  eq_d):
+            part = self._attach_row_identity(
+                spark.read.option("basePath", self.data_dir)
+                .option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.data_dir, f) for f in fs]))
+            parts.append(
+                self._apply_equality_deletes(spark, part, dels_c))
+        scan = parts[0]
+        for part in parts[1:]:
+            scan = scan.unionByName(part, allowMissingColumns=True)
         scan = self._apply_position_deletes(spark, scan, pos_d)
         matched = (scan.filter(cond)
                    .select(F.col(self._META_FILE).alias("file_path"),
@@ -1420,7 +1577,7 @@ class SnapshotTable:
                     f"v{m['version']} was invalidated by a concurrent "
                     f"rewrite (e.g. {sorted(missing)[:3]}); re-run "
                     f"against the current snapshot")
-            return {
+            out = {
                 "ts": time.time(),
                 "files": list(pm["files"]),
                 "stats": dict(pm.get("stats", {})),
@@ -1430,6 +1587,7 @@ class SnapshotTable:
                                "row_op": "delete_mor_pos",
                                "deleted_where": cond_str},
             }
+            return self._carry_seq(out, pm)
 
         return self._commit_manifest(build)
 
@@ -1449,13 +1607,24 @@ class SnapshotTable:
         if not dels:
             return m["version"]
         eq_d, pos_d = self._split_deletes(dels)
+        classes = self._eq_delete_classes(m, list(m["files"]), eq_d)
         scan = self._read_rel_files(spark, list(m["files"]),
                                     with_file_col=True,
                                     align_to=m["schema"],
                                     with_pos=bool(pos_d))
         masks = []
-        if eq_d:
-            masks.append(self._equality_delete_matches(spark, scan, eq_d))
+        # sequence-scoped detection: a file appended after a delete
+        # commit is exempt from that delete's keys, so its rows must
+        # not count as masked (they'd be silently dropped from the
+        # rewrite otherwise — the exact ADVICE r3 failure mode)
+        for fs, dels_c in classes:
+            if not dels_c:
+                continue
+            part = self._read_rel_files(spark, fs, with_file_col=True,
+                                        align_to=m["schema"],
+                                        with_pos=bool(pos_d))
+            masks.append(
+                self._equality_delete_matches(spark, part, dels_c))
         if pos_d:
             keys = self._position_delete_keys(spark, pos_d)
             masks.append(scan.join(
@@ -1479,13 +1648,22 @@ class SnapshotTable:
                 }
                 if carried:
                     out["deletes"] = carried
-                return out
+                return self._carry_seq(out, pm)
             return self._commit_manifest(build)
-        keep = self._apply_equality_deletes(
-            spark,
-            self._read_rel_files(spark, affected, align_to=m["schema"],
-                                 with_pos=bool(pos_d)),
-            eq_d)
+        # the replacement content applies each class's own entries
+        # only (an exempt file's rows survive even when they match a
+        # newer-append-exempt delete key)
+        keeps = []
+        for fs, dels_c in classes:
+            aff_c = [f for f in fs if f in set(affected)]
+            if not aff_c:
+                continue
+            part = self._read_rel_files(spark, aff_c,
+                                        align_to=m["schema"],
+                                        with_pos=bool(pos_d))
+            keeps.append(
+                self._apply_equality_deletes(spark, part, dels_c))
+        keep = reduce(lambda a, b: a.unionByName(b), keeps)
         if pos_d:
             keep = (self._apply_position_deletes(spark, keep, pos_d)
                     .drop(self._META_FILE, self._META_POS))
@@ -2053,6 +2231,14 @@ class SnapshotTable:
             }
             if m.get("deletes"):
                 out["deletes"] = list(m["deletes"])
+            # restore the TARGET's file sequences; last_seq stays
+            # monotone across the whole history (a rollback must not
+            # let a future delete reuse a sequence number)
+            if m.get("file_seq"):
+                out["file_seq"] = dict(m["file_seq"])
+            last = max(m.get("last_seq", 0), pm.get("last_seq", 0))
+            if last:
+                out["last_seq"] = last
             return out
         return self._commit_manifest(build)
 

@@ -503,14 +503,17 @@ def lsh_plan(threshold: float, num_hashes: int = 32, grid: int = 200,
 
 
 def lsh_plan_table(spark, thresholds=(0.3, 0.5, 0.7), num_hashes: int = 32,
-                   grid: int = 200) -> DataFrame:
+                   grid: int = 200, fn_weight: float = 1.0) -> DataFrame:
     """Per-(threshold, bands, rows) S-curve error table — the data a
     user inspects to understand what :func:`lsh_plan` chose.
 
     Columns: threshold, bands, n_rows, fp_area, fn_area, total_err
     (all areas midpoint-integrated on ``grid`` points, rounded to 6),
+    weighted_err (fp + fn_weight*fn — :func:`lsh_plan`'s objective),
     plan_rank (1 = the pick for that threshold, ranked on rounded
-    total_err then fewer bands). The integral itself runs as a
+    weighted_err then fewer bands — pass the same ``fn_weight`` as
+    the caller of :func:`lsh_plan` to see ITS ranking; the default
+    1.0 ranks on the unweighted total). The integral itself runs as a
     Catalyst ``aggregate`` over a ``sequence`` — a left fold in fixed
     index order, so the sums are deterministic and SQL-reproducible.
     """
@@ -539,13 +542,15 @@ def lsh_plan_table(spark, thresholds=(0.3, 0.5, 0.7), num_hashes: int = 32,
         lambda acc, i: acc + F.when(s_of(i) >= F.col("threshold"),
                                     F.lit(1.0) - p_of(s_of(i)))
         .otherwise(F.lit(0.0))) / g
+    weighted = fp + F.lit(float(fn_weight)) * fn
     w = Window.partitionBy("threshold").orderBy(
-        F.round(fp + fn, 6).asc(), F.col("bands").asc())
+        F.round(weighted, 6).asc(), F.col("bands").asc())
     return (df.select(
         "threshold", "bands", "n_rows",
         F.round(fp, 6).alias("fp_area"),
         F.round(fn, 6).alias("fn_area"),
         F.round(fp + fn, 6).alias("total_err"),
+        F.round(weighted, 6).alias("weighted_err"),
         F.row_number().over(w).alias("plan_rank"))
         .orderBy("threshold", "plan_rank"))
 

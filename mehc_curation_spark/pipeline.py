@@ -130,10 +130,32 @@ def run_pipeline(spec_path: str, resume: bool = True,
                 outputs["prev"] = out_path
             continue
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, "-m", "mehc_curation_spark", *argv],
-            capture_output=True, text=True, env=run_env,
-            timeout=timeout_per_step)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "mehc_curation_spark", *argv],
+                capture_output=True, text=True, env=run_env,
+                timeout=timeout_per_step)
+        except subprocess.TimeoutExpired as te:
+            # a hung step is a FAILED step, not a runner traceback:
+            # record it in the state file and return the documented
+            # per-step summary with ok=False (ADVICE r3)
+            secs = round(time.time() - t0, 3)
+            state[str(idx)] = {"hash": h, "status": "timeout",
+                               "ts": time.time()}
+            with open(state_path, "w") as f:
+                json.dump(state, f, indent=1)
+            tail = te.stderr or b""
+            if isinstance(tail, bytes):
+                tail = tail.decode("utf-8", "replace")
+            results.append({
+                "name": name, "op": step["op"], "status": "timeout",
+                "returncode": None, "seconds": secs, "output": out_path,
+                "summary": None,
+                "stderr_tail": (f"step exceeded timeout_per_step="
+                                f"{timeout_per_step}s; "
+                                + tail[-1500:])})
+            ok = False
+            break
         secs = round(time.time() - t0, 3)
         summary = None
         for line in reversed(proc.stdout.strip().splitlines()):

@@ -79,6 +79,7 @@ def test_plan_table_matches_pure_python_and_oracle(spark):
         SELECT threshold, bands, n_rows,
           ROUND(fp,6) AS fp_area, ROUND(fn,6) AS fn_area,
           ROUND(fp+fn,6) AS total_err,
+          ROUND(fp+fn,6) AS weighted_err,
           ROW_NUMBER() OVER (PARTITION BY threshold
                              ORDER BY ROUND(fp+fn,6), bands) AS plan_rank
         FROM e
@@ -88,6 +89,21 @@ def test_plan_table_matches_pure_python_and_oracle(spark):
     a = sorted(map(tuple, pdf[cols].astype(str).values.tolist()))
     b = sorted(map(tuple, dpdf[cols].astype(str).values.tolist()))
     assert a == b
+
+
+def test_plan_table_weighted_rank_matches_auto_tuner(spark):
+    # ADVICE r3: with fn_weight=4.0 (the auto-tuner's bias) the
+    # table's rank-1 row must be the banding the auto-tuner picks
+    pdf = lsh_plan_table(spark, thresholds=(0.3, 0.5, 0.7),
+                         num_hashes=32, grid=200,
+                         fn_weight=4.0).toPandas()
+    for t in (0.3, 0.5, 0.7):
+        row = pdf[(pdf.threshold == t) & (pdf.plan_rank == 1)].iloc[0]
+        assert (row.bands, row.n_rows) == lsh_plan(t, 32, fn_weight=4.0)
+        # components are rounded to 6dp independently of the weighted
+        # sum: worst case |err| = 0.5e-6*(1 + 4) + 0.5e-6
+        assert row.weighted_err == pytest.approx(
+            row.fp_area + 4.0 * row.fn_area, abs=4e-6)
 
 
 def test_auto_bands_matches_explicit(spark):

@@ -1,0 +1,222 @@
+"""Sequence-number scoping of merge-on-read equality deletes
+(Iceberg v2 data-sequence semantics, ADVICE r3 medium): a pending
+equality delete masks only data files OLDER than itself, so a row
+re-ingested after a takedown (same key, newer file) is visible, and
+apply_deletes()/compact() never physically drop it.
+
+Reference parity: mehc-curation has no snapshot store; this pins our
+Iceberg-analog catalog against real Iceberg's documented scoping of
+equality deletes by sequence number to older data files.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mehc_curation_spark.io.catalog import CommitConflictError, SnapshotTable
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(f"img{i:03d}", f"caption {i}", i % 5) for i in range(30)],
+        ["image_id", "caption", "phash"])
+    t.write(df, stats_cols=("image_id",))
+    return t
+
+
+def ids(df):
+    return sorted(r[0] for r in df.select("image_id").collect())
+
+
+def _reingest(spark, tbl, key="img003", caption="re-ingested"):
+    tbl.write(spark.createDataFrame(
+        [(key, caption, 99)], ["image_id", "caption", "phash"]))
+
+
+def test_reingested_key_visible_after_mor_delete(spark, tbl):
+    tbl.delete_where(spark, "image_id = 'img003'", mode="mor")
+    assert tbl.read(spark).filter("image_id = 'img003'").count() == 0
+    _reingest(spark, tbl)
+    got = tbl.read(spark).filter("image_id = 'img003'").collect()
+    # the NEW row (newer file than the delete) is visible; the old
+    # row stays masked
+    assert len(got) == 1 and got[0]["caption"] == "re-ingested"
+    # and the delete still masks the other keys it recorded
+    tbl.delete_where(spark, "phash = 1", mode="mor")
+    assert tbl.read(spark).filter(
+        "phash = 1 and caption like 'caption%'").count() == 0
+
+
+def test_manifest_records_seq_metadata(spark, tbl):
+    v_del = tbl.delete_where(spark, "image_id = 'img003'", mode="mor")
+    _reingest(spark, tbl)
+    m = tbl.manifest()
+    assert m["deletes"][0]["seq"] is not None
+    fseq = m["file_seq"]
+    old_files = tbl.manifest(v_del)["files"]
+    new_files = [f for f in m["files"] if f not in old_files]
+    assert new_files
+    assert all(fseq[f] > m["deletes"][0]["seq"] for f in new_files)
+    assert all(fseq[f] < m["deletes"][0]["seq"] for f in old_files)
+
+
+def test_apply_deletes_keeps_reingested_row(spark, tbl):
+    tbl.delete_where(spark, "image_id = 'img003'", mode="mor")
+    _reingest(spark, tbl)
+    expect = ids(tbl.read(spark))
+    tbl.apply_deletes(spark)
+    m = tbl.manifest()
+    assert not m.get("deletes")
+    assert ids(tbl.read(spark)) == expect
+    # physically: the re-ingested row survives the raw scan, the old
+    # one is gone
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(tbl.data_dir, f) for f in m["files"]])
+    rows = raw.filter("image_id = 'img003'").collect()
+    assert len(rows) == 1 and rows[0]["caption"] == "re-ingested"
+
+
+def test_compact_keeps_reingested_row(spark, tbl):
+    tbl.delete_where(spark, "image_id = 'img003'", mode="mor")
+    _reingest(spark, tbl)
+    expect = ids(tbl.read(spark))
+    tbl.compact(spark, target_files=2)
+    m = tbl.manifest()
+    assert not m.get("deletes")
+    assert ids(tbl.read(spark)) == expect
+    raw = spark.read.parquet(
+        *[os.path.join(tbl.data_dir, f) for f in m["files"]])
+    rows = raw.filter("image_id = 'img003'").collect()
+    assert len(rows) == 1 and rows[0]["caption"] == "re-ingested"
+
+
+def test_cow_rewrite_preserves_delete_scoping(spark, tbl):
+    # eq debt rides through a CoW delete (_commit_rewrite); rewritten
+    # files must inherit the max replaced seq so the pending delete
+    # still masks their rows — and a re-ingested row stays visible
+    tbl.delete_where(spark, "image_id = 'img003'", mode="mor")
+    _reingest(spark, tbl)
+    before = ids(tbl.read(spark))
+    tbl.delete_where(spark, "phash = 2")  # CoW rewrite of other rows
+    got = ids(tbl.read(spark))
+    assert got == sorted(set(before) - set(
+        i for i in before if int(i[3:]) % 5 == 2 and i != "img003"))
+    assert "img003" in got
+
+
+def test_incremental_read_sees_reingested_key(spark, tbl):
+    v1 = tbl.delete_where(spark, "image_id = 'img003'", mode="mor")
+    _reingest(spark, tbl)
+    inc = tbl.read_incremental(spark, since_version=v1)
+    assert ids(inc) == ["img003"]
+
+
+def test_snapshot_diff_reports_reingest_as_insert(spark, tbl):
+    v1 = tbl.delete_where(spark, "image_id = 'img003'", mode="mor")
+    _reingest(spark, tbl)
+    rows = tbl.snapshot_diff(spark, v1).collect()
+    assert len(rows) == 1
+    assert rows[0]["_change_type"] == "insert"
+    assert rows[0]["image_id"] == "img003"
+
+
+def test_legacy_seqless_delete_masks_table_wide(spark, tbl):
+    # upgrade path: a manifest written before sequence scoping (no
+    # seq on the entry, no file_seq) keeps the old table-wide mask
+    import json
+
+    tbl.delete_where(spark, "image_id = 'img003'", mode="mor")
+    _reingest(spark, tbl)
+    v = tbl.current_version()
+    p = tbl._manifest_path(v)
+    m = json.load(open(p))
+    for d in m.get("deletes", []):
+        d.pop("seq", None)
+    m.pop("file_seq", None)
+    m.pop("last_seq", None)
+    json.dump(m, open(p, "w"))
+    assert tbl.read(spark).filter("image_id = 'img003'").count() == 0
+
+
+def test_compact_with_concurrent_append_of_deleted_key(
+        spark, tbl, monkeypatch):
+    # the full ADVICE r3 low: compact() settles a delete while a
+    # concurrent append re-ingests a masked key — seq scoping means
+    # the append was never masked, so settling changes nothing
+    tbl.delete_where(spark, "image_id = 'img007'", mode="mor")
+    orig = SnapshotTable._commit_manifest
+    hit = {"done": False}
+
+    def racing_commit(self, build, max_attempts=64, branch=None):
+        if not hit["done"]:
+            hit["done"] = True
+            clone = SnapshotTable(self.path)
+            monkeypatch.undo()
+            clone.write(spark.createDataFrame(
+                [("img007", "concurrent", 99)],
+                ["image_id", "caption", "phash"]))
+        return orig(self, build, max_attempts, branch=branch)
+
+    monkeypatch.setattr(SnapshotTable, "_commit_manifest", racing_commit)
+    tbl.compact(spark, target_files=1)
+    got = tbl.read(spark).filter("image_id = 'img007'").collect()
+    assert len(got) == 1 and got[0]["caption"] == "concurrent"
+
+
+def test_compact_aborts_settling_legacy_delete_under_append(
+        spark, tbl, monkeypatch):
+    # legacy (seq-less) delete entries mask table-wide, so settling
+    # them while files were appended concurrently WOULD unmask rows:
+    # compact must refuse (ADVICE r3 low, upgrade corner)
+    import json
+
+    tbl.delete_where(spark, "image_id = 'img007'", mode="mor")
+    v = tbl.current_version()
+    p = tbl._manifest_path(v)
+    m = json.load(open(p))
+    for d in m["deletes"]:
+        d.pop("seq", None)
+    json.dump(m, open(p, "w"))
+
+    orig = SnapshotTable._commit_manifest
+    hit = {"done": False}
+
+    def racing_commit(self, build, max_attempts=64, branch=None):
+        if not hit["done"]:
+            hit["done"] = True
+            clone = SnapshotTable(self.path)
+            monkeypatch.undo()
+            clone.write(spark.createDataFrame(
+                [("img007", "concurrent", 99)],
+                ["image_id", "caption", "phash"]))
+        return orig(self, build, max_attempts, branch=branch)
+
+    monkeypatch.setattr(SnapshotTable, "_commit_manifest", racing_commit)
+    with pytest.raises(CommitConflictError, match="legacy"):
+        tbl.compact(spark, target_files=1)
+
+
+def test_concurrent_delete_still_masks_compacted_rows(
+        spark, tbl, monkeypatch):
+    # the reverse race: a MoR delete commits DURING compact (carried
+    # forward); the compacted files inherit the max base seq, so the
+    # carried delete (larger seq) still masks the rewritten rows
+    orig = SnapshotTable._commit_manifest
+    hit = {"done": False}
+
+    def racing_commit(self, build, max_attempts=64, branch=None):
+        if not hit["done"]:
+            hit["done"] = True
+            clone = SnapshotTable(self.path)
+            monkeypatch.undo()
+            clone.delete_where(spark, "phash = 3", mode="mor")
+        return orig(self, build, max_attempts, branch=branch)
+
+    monkeypatch.setattr(SnapshotTable, "_commit_manifest", racing_commit)
+    tbl.compact(spark, target_files=1)
+    m = tbl.manifest()
+    assert m.get("deletes")  # carried forward
+    assert tbl.read(spark).filter("phash = 3").count() == 0

@@ -104,6 +104,31 @@ def test_pipeline_failure_stops_chain(tmp_path):
     assert not json.loads(proc.stdout.strip().splitlines()[-1])["ok"]
 
 
+def test_pipeline_step_timeout_recorded_not_raised(tmp_path):
+    # a hung step must land in the summary as status='timeout' with
+    # the state file updated — not propagate TimeoutExpired out of
+    # run_pipeline (ADVICE r4)
+    w = str(tmp_path)
+    spec = {"steps": [
+        {"op": "qscore", "input": DOCS, "output": f"{w}/t1"},
+        {"op": "qscore", "input": DOCS, "output": f"{w}/t2"},
+    ]}
+    sp = os.path.join(w, "spec.json")
+    with open(sp, "w") as f:
+        json.dump(spec, f)
+    s = run_pipeline(sp, timeout_per_step=0.5)
+    assert not s["ok"]
+    assert len(s["steps"]) == 1  # chain stopped at the hung step
+    assert s["steps"][0]["status"] == "timeout"
+    assert "timeout_per_step" in s["steps"][0]["stderr_tail"]
+    state = json.load(open(sp + ".state.json"))
+    assert state["0"]["status"] == "timeout"
+    # a resumed run does NOT skip the timed-out step
+    s2 = run_pipeline(sp)
+    assert s2["ok"]
+    assert s2["steps"][0]["status"] == "ok"
+
+
 def test_pipeline_cli_missing_spec():
     proc = subprocess.run(
         [sys.executable, "-m", "mehc_curation_spark", "pipeline",
