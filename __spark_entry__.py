@@ -1501,7 +1501,7 @@ def emb_ann_ivf(spark, sf_dir):
     # the check genuinely covers this surface (a check at different
     # params would stay green through a recall regression here).
     return ivf_topk(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
-                    q, k=10, n_cells=16, n_probe=8)
+                    q, k=10, n_cells="auto", n_probe=8)
 
 
 def _ivf_table_path(sf_dir: str) -> str:
@@ -1527,7 +1527,7 @@ def _build_ivf_table(spark, sf_dir):
     # invocations would grow /tmp without bound otherwise
     shutil.rmtree(path, ignore_errors=True)
     save_ivf_index(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
-                   path, n_cells=16, seed=42)
+                   path, n_cells="auto", seed=42)
     return path, q
 
 
@@ -1564,7 +1564,7 @@ def emb_ann_ivf_persisted_check(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     got = ivf_topk_from_table(spark, path, q, k=10, n_probe=8).collect()
     exp = ivf_topk(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
-                   q, k=10, n_cells=16, n_probe=8).collect()
+                   q, k=10, n_cells="auto", n_probe=8).collect()
     same = ([(r["vec_id"], r["cos"]) for r in got]
             == [(r["vec_id"], r["cos"]) for r in exp])
     table = SnapshotTable(path)
@@ -2761,16 +2761,19 @@ def emb_ann_lsh_check(spark, sf_dir):
 
 
 def emb_ann_ivf_check(spark, sf_dir):
-    """Same assertion pattern for the IVF path: with n_probe=8 of 16
-    cells the ANN top-10 must land inside the brute-force top-25
-    (measured top-11 at sf0.01; the margin absorbs borderline KMeans
-    cell-assignment jitter across partitionings)."""
+    """Same assertion pattern for the IVF path: with n_probe=8 of the
+    auto-sized cells (rows/1024 clamped to >= 8 — 8 at driver SFs, so
+    every cell is probed here; at corpus scale the same call prunes)
+    the ANN top-10 must land inside the brute-force top-25 (the
+    margin absorbs borderline KMeans cell-assignment jitter across
+    partitionings)."""
     from mehc_curation_spark.operators.similarity import cosine_topk, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     rest = e.filter(F.col("vec_id") != 0)
-    ann = ivf_topk(rest, "embedding", "vec_id", q, k=10, n_cells=16, n_probe=8)
+    ann = ivf_topk(rest, "embedding", "vec_id", q, k=10, n_cells="auto",
+                   n_probe=8)
     brute25 = cosine_topk(rest, "embedding", "vec_id", q, k=25)
     n_ann = ann.count()
     n_outside = ann.join(brute25, "vec_id", "left_anti").count()
@@ -2831,7 +2834,7 @@ def emb_semdedup(spark, sf_dir):
     from mehc_curation_spark.operators.similarity import semdedup
 
     e = _t(spark, sf_dir, "embeddings")
-    return semdedup(e, "embedding", "vec_id", threshold=0.4, n_cells=8)
+    return semdedup(e, "embedding", "vec_id", threshold=0.4, n_cells="auto")
 
 
 def emb_semdedup_check(spark, sf_dir):
@@ -2849,7 +2852,8 @@ def emb_semdedup_check(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    sd = semdedup(e, "embedding", "vec_id", threshold=0.4, n_cells=8).cache()
+    sd = semdedup(e, "embedding", "vec_id", threshold=0.4,
+                  n_cells="auto").cache()
     exact = embedding_near_dups_exact(e, "embedding", "vec_id",
                                       threshold=0.4).cache()
     n_exact = exact.count()
@@ -2868,7 +2872,7 @@ def emb_semdedup_check(spark, sf_dir):
         .filter(F.col("_ca") == F.col("_cb"))
         .count())
     sd2 = semdedup(e.repartition(13), "embedding", "vec_id",
-                   threshold=0.4, n_cells=8)
+                   threshold=0.4, n_cells="auto")
     n_diff = (sd.select("vec_id", "keep")
               .exceptAll(sd2.select("vec_id", "keep")).count())
     return spark.createDataFrame(

@@ -49,14 +49,19 @@ CELL_COL = "ivf_cell"
 
 
 def save_ivf_index(df: DataFrame, vec_col: str, id_col: str,
-                   table_path: str, n_cells: int = 16,
+                   table_path: str, n_cells=16,
                    seed: int = 42) -> tuple[SnapshotTable, np.ndarray]:
     """Train + persist an IVF index; returns (table, centers).
+
+    ``n_cells="auto"`` corpus-sizes the cell count (~1k vectors per
+    cell — see :func:`..similarity.ivf_index`), the setting a
+    build-once/query-many index should ship with.
 
     One snapshot commit: rows clustered by cell (range partition →
     contiguous cell bands per file, stats on ``ivf_cell``), centroids
     and index config in the manifest properties."""
     assigned, centers = ivf_index(df, vec_col, n_cells, seed, id_col=id_col)
+    n_cells = len(centers)  # resolved count when "auto" was passed
     clustered = (assigned.withColumnRenamed("_ivf_cell", CELL_COL)
                  .repartitionByRange(n_cells, CELL_COL)
                  .sortWithinPartitions(CELL_COL))

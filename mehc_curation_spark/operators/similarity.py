@@ -1118,18 +1118,27 @@ def sample_training_vectors(df: DataFrame, vec_col: str,
     return np.asarray(sample)
 
 
-def ivf_index(df: DataFrame, vec_col: str, n_cells: int = 16,
+def ivf_index(df: DataFrame, vec_col: str, n_cells=16,
               seed: int = 42, id_col: Optional[str] = None,
               max_train: int = 16384, n_rows: Optional[int] = None):
     """Train an IVF coarse quantizer and return (assigned_df, centers):
     the input with an `_ivf_cell` column and the centroid matrix
     (n_cells, dim) for query-side probing.
 
+    ``n_cells="auto"`` sizes the cell count from the corpus:
+    rows/1024 clamped to [8, 65536] — ~1k vectors per cell, the
+    faiss-style sizing that keeps per-cell scans bounded as the
+    corpus grows (a fixed small n_cells stops pruning at scale).
+
     Training is DETERMINISTIC and partition-invariant (see
     :func:`sample_training_vectors`), clustered driver-side with a
     fixed-seed NumPy Lloyd's — the faiss-style recipe (coarse
     quantizers train on a small sample; thousands of points per cell
     suffice). Assignment is one vectorized Arrow UDF."""
+    if n_cells == "auto":
+        if n_rows is None:
+            n_rows = df.count()
+        n_cells = max(8, min(65536, n_rows // 1024))
     # sample cap ~1k points/cell: enough for a coarse quantizer
     X = sample_training_vectors(df, vec_col, id_col,
                                 min(max_train, n_cells * 1024), n_rows)
@@ -1140,7 +1149,7 @@ def ivf_index(df: DataFrame, vec_col: str, n_cells: int = 16,
 
 
 def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
-             query: Sequence[float], k: int = 10, n_cells: int = 16,
+             query: Sequence[float], k: int = 10, n_cells=16,
              n_probe: int = 4, seed: int = 42,
              round_to: int = 4) -> DataFrame:
     """ANN top-k via IVF: probe the `n_probe` cells whose centroids are
@@ -1163,7 +1172,8 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
 
 def semdedup(df: DataFrame, vec_col: str, id_col: str,
              threshold: float = 0.95, n_cells=16,
-             seed: int = 42, round_to: int = 4) -> DataFrame:
+             seed: int = 42, round_to: int = 4,
+             max_cell_rows: int = 500_000) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering + within-cluster cosine.
 
@@ -1216,8 +1226,18 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str,
     out_schema = (f"{id_col} {id_type}, cell long, "
                   "centroid_cos double, keep boolean")
 
+    n_cells_used, mcr = int(n_cells), int(max_cell_rows)
+
     def _dedup_cell(key, pdf):
         cell = key[0]
+        if len(pdf) > mcr:
+            # a cell must fit in executor memory (SemDeDup's sizing
+            # contract) — refuse loudly instead of OOMing mid-stage
+            raise ValueError(
+                f"semdedup: cell {cell} holds {len(pdf)} rows > "
+                f"max_cell_rows={mcr} (n_cells={n_cells_used} is too "
+                f"small or the embedding space is collapsed); pass "
+                f"n_cells='auto' (or a larger n_cells / max_cell_rows)")
         if cell is None or pd.isna(cell):
             return pd.DataFrame({
                 id_col: pdf["_sid"],
