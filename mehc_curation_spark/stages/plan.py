@@ -91,6 +91,83 @@ def _dedup_pass(df: DataFrame, caption_hash_col: str) -> DataFrame:
     )
 
 
+def _dedup_pass_dual(df: DataFrame, caption_hash_col: str) -> DataFrame:
+    """:func:`_dedup_pass` evolving a TWIN drop-reason
+    (``_drop_reason_old``) computed as if only the rows with
+    ``_is_old`` true existed, in the SAME window pass.
+
+    Both twin window specs are satisfied by the identical
+    (phash, h.a, h.b, id) sort the primary pass already performs, so
+    the prior-label replay costs zero extra shuffles and zero extra
+    sorts — just three more window aggregates over the sorted runs.
+    Incremental curation (stages/incremental.py) derives "what was
+    this old row's label before the increment arrived" from the twin
+    instead of scanning the corpus-sized labels table."""
+    alive = F.col("drop_reason").isNull()
+    is_old = F.col("_is_old")
+    alive_o = F.col("_drop_reason_old").isNull() & is_old
+    h = F.col(caption_hash_col)
+    w_key = Window.partitionBy(KEY_COL)
+    w_prior = (
+        Window.partitionBy(KEY_COL, f"{caption_hash_col}.a",
+                           f"{caption_hash_col}.b")
+        .orderBy(ID_COL)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    conflict = (F.min(F.when(alive, h)).over(w_key)
+                != F.max(F.when(alive, h)).over(w_key))
+    prior_alive = F.count(F.when(alive, F.lit(1))).over(w_prior)
+    conflict_o = (F.min(F.when(alive_o, h)).over(w_key)
+                  != F.max(F.when(alive_o, h)).over(w_key))
+    prior_alive_o = F.count(F.when(alive_o, F.lit(1))).over(w_prior)
+    # one select: every window expression evaluates against the
+    # PRE-update reason columns
+    return df.select(
+        *[c for c in df.columns
+          if c not in ("drop_reason", "_drop_reason_old")],
+        F.coalesce(
+            F.col("drop_reason"),
+            F.when(conflict, F.lit("duplicate_conflict"))
+            .when(prior_alive > 0, F.lit("duplicate_perfect")),
+        ).alias("drop_reason"),
+        F.coalesce(
+            F.col("_drop_reason_old"),
+            F.when(is_old & conflict_o, F.lit("duplicate_conflict"))
+            .when(is_old & (prior_alive_o > 0),
+                  F.lit("duplicate_perfect")),
+        ).alias("_drop_reason_old"),
+    )
+
+
+def apply_dedup_passes_dual(state: DataFrame,
+                            config: "CurationConfig",
+                            is_old_col: str) -> DataFrame:
+    """:func:`apply_dedup_passes` (window strategy) that ALSO carries
+    the counterfactual ``_drop_reason_old`` — each row's drop reason
+    as if only the ``is_old_col`` rows existed. Old rows whose two
+    reasons differ are exactly the rows the increment relabels (the
+    non-dedup label parts are per-row and cannot flip), so the
+    incremental diff needs no join against stored labels."""
+    gates = config.dedup_gates()
+    out = state.withColumn("_is_old", F.col(is_old_col)) \
+               .withColumn("_drop_reason_old",
+                           F.when(F.col(is_old_col),
+                                  F.col("drop_reason")))
+    if gates[0]:
+        out = _dedup_pass_dual(out, "_h_orig")
+    folded = F.coalesce(F.col("drop_reason"), F.col("scrub_reason"))
+    out = (out.withColumn("drop_reason", folded)
+           .withColumn("_drop_reason_old",
+                       F.when(F.col("_is_old"),
+                              F.coalesce(F.col("_drop_reason_old"),
+                                         F.col("scrub_reason")))))
+    if gates[1]:
+        out = _dedup_pass_dual(out, "_h_scrub")
+    if gates[2]:
+        out = _dedup_pass_dual(out, "_h_final")
+    return out.drop("_is_old")
+
+
 def _dedup_pass_agg(df: DataFrame, caption_hash_col: str) -> DataFrame:
     """Skew-robust variant of :func:`_dedup_pass` — identical
     semantics via two partial aggregations + joins instead of windows.
