@@ -723,6 +723,14 @@ def build_parser() -> argparse.ArgumentParser:
     tm.add_argument("--at", default=None,
                     help="tag: version to pin (default current); "
                          "rollback: target version or tag name")
+    tm.add_argument("--rebase", action="store_true",
+                    help="publish: when main advanced while the audit "
+                         "branch held staged work (fast-forward would "
+                         "refuse with 'diverged'), re-apply the "
+                         "branch's append-only delta as one new commit "
+                         "on main's head; refused if the branch did "
+                         "anything but append (see MIGRATION.md 'WAP "
+                         "conflict contract')")
     tm.add_argument("--cores", type=int, default=-1)
     tm.add_argument("--master", default=None)
     return p
@@ -861,8 +869,12 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("table publish requires --name "
                                  "(the audited branch to fast-forward "
                                  "main to)")
-            v = t.fast_forward("main", args.name)
+            if args.rebase:
+                v = t.rebase_publish(args.name, onto="main")
+            else:
+                v = t.fast_forward("main", args.name)
             print(json.dumps({"published": args.name, "main_head": v,
+                              "rebased": bool(args.rebase),
                               "branches": t.branches()}))
         else:
             hist = []

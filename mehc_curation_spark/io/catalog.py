@@ -2200,6 +2200,109 @@ class SnapshotTable:
         refs = self._mutate_refs(mut)
         return refs["branches"][branch]
 
+    def rebase_publish(self, branch: str, onto: str = "main") -> int:
+        """Publish ``branch`` onto ``onto`` when :meth:`fast_forward`
+        refuses because the target advanced concurrently (the WAP
+        divergence case: audit work staged on a branch while ingestion
+        kept appending to main).
+
+        Resolution contract (MIGRATION.md "WAP conflict contract"):
+
+        - the branch's work since the merge base must be APPEND-ONLY
+          (no file removed or rewritten, no MoR delete-debt change) —
+          then its added files are re-applied as ONE new commit on
+          ``onto``'s current head, and the branch ref is re-pointed at
+          the published commit;
+        - anything else (the branch compacted, overwrote, deleted) is
+          REFUSED: replaying a rewrite over a moved base can silently
+          resurrect or drop rows, so it needs a human decision
+          (rollback one side, or re-stage the audit work).
+
+        Schema: the published commit keeps ``onto``'s schema unless
+        the branch evolved it additively (then the superset wins);
+        divergent evolution on both sides is refused.
+        Returns the new head of ``onto``."""
+        br = self.branches()
+        if branch not in br:
+            raise KeyError(f"{self.path}: no branch {branch!r}")
+        head = br[branch]
+        onto_head = br.get(
+            onto, self.current_version() if onto == "main" else None)
+        if onto_head is None:
+            raise KeyError(f"{self.path}: no branch {onto!r}")
+
+        def ancestors(v: int) -> list[int]:
+            out = []
+            while v:
+                if not os.path.exists(self._manifest_path(v)):
+                    raise ValueError(
+                        f"{self.path}: cannot verify ancestry — manifest "
+                        f"v{v} expired; rollback/re-stage instead")
+                out.append(v)
+                v = self.manifest(v).get("parent") or 0
+            return out
+
+        o_anc = set(ancestors(onto_head))
+        base = next((v for v in ancestors(head) if v in o_anc), None)
+        if base is None:
+            raise ValueError(
+                f"{self.path}: {branch!r} and {onto!r} share no common "
+                f"ancestor")
+        if base == head:
+            return onto_head  # nothing staged
+        if base == onto_head:
+            return self.fast_forward(onto, branch)  # plain publish
+        bm, basem = self.manifest(head), self.manifest(base)
+        removed = sorted(set(basem["files"]) - set(bm["files"]))
+        if removed:
+            raise CommitConflictError(
+                f"{self.path}: branch {branch!r} removed/rewrote files "
+                f"present at its base v{base} (e.g. {removed[:3]}) — "
+                f"only append-only audit work can be rebase-published; "
+                f"rollback or re-stage instead")
+        if (bm.get("deletes") or []) != (basem.get("deletes") or []):
+            raise CommitConflictError(
+                f"{self.path}: branch {branch!r} changed merge-on-read "
+                f"delete debt since its base — settle or re-stage "
+                f"before publishing")
+        base_files = set(basem["files"])
+        delta = [f for f in bm["files"] if f not in base_files]
+
+        def build(p, pm):
+            if json.loads(bm["schema"]) == json.loads(pm["schema"]):
+                schema = pm["schema"]
+            elif self._schema_compatible(bm["schema"], pm["schema"]):
+                schema = bm["schema"]  # branch evolved additively
+            else:
+                raise CommitConflictError(
+                    f"{self.path}: branch {branch!r} and {onto!r} "
+                    f"evolved the schema divergently — re-stage the "
+                    f"audit work on the current {onto!r}")
+            new = [f for f in delta if f not in set(pm["files"])]
+            stats = dict(pm.get("stats", {}))
+            stats.update({f: v for f, v in bm.get("stats", {}).items()
+                          if f in set(new)})
+            out = {
+                "ts": time.time(),
+                "files": pm["files"] + new,
+                "stats": stats,
+                "schema": schema,
+                "properties": {**pm.get("properties", {}),
+                               "rebase_publish_of": branch,
+                               "rebase_base": base},
+            }
+            if pm.get("deletes"):
+                out["deletes"] = list(pm["deletes"])
+            return self._carry_seq(out, pm, new, bump=True)
+
+        v = self._commit_manifest(build, branch=onto)
+
+        def mut(refs):
+            refs["branches"][branch] = v
+            return refs
+        self._mutate_refs(mut)
+        return v
+
     def rollback(self, version) -> int:
         """Re-commit snapshot ``version`` (int or tag) as a NEW current
         version — content identical (files/stats/schema), history

@@ -20,7 +20,16 @@ Semantics vs the batch pipeline:
   ``applyInPandasWithState``), and the authoritative drop-all decision
   stays with the batch dedup pass over the accumulated table (run the
   batch `curate` over each day's snapshot — the lambda-architecture
-  split, stated rather than hidden).
+  split, stated rather than hidden). The divergence window is PINNED,
+  not just documented
+  (tests/test_streaming_r3.py::test_stream_vs_batch_conflict_divergence_bound):
+  with no state timeout, stream flags differ from the batch labels
+  ONLY on rows that arrived before their phash's second distinct
+  caption; the revealing row and everything after is flagged, and a
+  non-conflicted phash is never flagged. With ``state_timeout_ms``
+  set, phashes idle past the timeout additionally restart fresh
+  (test_conflict_state_expires_after_timeout) — size the timeout to
+  the batch reprocessing cadence.
 """
 
 from __future__ import annotations

@@ -181,3 +181,82 @@ def test_incremental_read_between_refs(spark, tbl):
                              to_version="audit", id_col="id")
     got = sorted((r["id"], r["_change_type"]) for r in diff.collect())
     assert got == [(3, "insert"), (4, "insert"), (5, "insert")]
+
+
+# ---------------------------------------------------------------------------
+# WAP under concurrency: main advances while audit holds staged work
+# (VERDICT r3 item 6 — rebase-or-refuse publish semantics)
+# ---------------------------------------------------------------------------
+
+def test_rebase_publish_after_main_advanced(spark, tbl):
+    tbl.write(spark.range(0, 2).toDF("id"))          # v1
+    tbl.create_branch("audit")
+    tbl.write(spark.range(10, 12).toDF("id"), branch="audit")  # staged
+    # main advances independently: append then compact
+    tbl.write(spark.range(2, 4).toDF("id"), branch="main")
+    tbl.compact(spark, target_files=1)
+    # fast-forward must refuse the divergence...
+    with pytest.raises(ValueError, match="diverged"):
+        tbl.fast_forward("main", "audit")
+    # ...and rebase_publish resolves it: the audit branch's
+    # append-only delta lands as one commit on main's current head
+    v = tbl.rebase_publish("audit")
+    assert tbl.branches()["main"] == v
+    assert tbl.branches()["audit"] == v  # re-pointed, no longer diverged
+    assert _ids(spark, tbl) == [0, 1, 2, 3, 10, 11]
+    m = tbl.manifest(v)
+    assert m["properties"]["rebase_publish_of"] == "audit"
+    # a subsequent plain publish works again (no divergence left)
+    tbl.write(spark.range(20, 21).toDF("id"), branch="audit")
+    tbl.fast_forward("main", "audit")
+    assert _ids(spark, tbl) == [0, 1, 2, 3, 10, 11, 20]
+
+
+def test_rebase_publish_refuses_non_append_branch(spark, tbl):
+    tbl.write(spark.range(0, 4).toDF("id"))
+    tbl.create_branch("audit")
+    # the branch REWRITES (overwrite) instead of appending
+    tbl.write(spark.range(50, 52).toDF("id"), mode="overwrite",
+              branch="audit")
+    tbl.write(spark.range(4, 6).toDF("id"), branch="main")  # diverge
+    from mehc_curation_spark.io.catalog import CommitConflictError
+    with pytest.raises(CommitConflictError, match="append-only"):
+        tbl.rebase_publish("audit")
+    # main untouched by the refused publish
+    assert _ids(spark, tbl) == [0, 1, 2, 3, 4, 5]
+
+
+def test_rebase_publish_noop_and_fast_forward_paths(spark, tbl):
+    tbl.write(spark.range(0, 2).toDF("id"))
+    tbl.create_branch("audit")
+    # nothing staged: no-op returns main's head
+    assert tbl.rebase_publish("audit") == tbl.branches()["main"]
+    # staged but main did NOT move: falls through to fast_forward
+    tbl.write(spark.range(5, 7).toDF("id"), branch="audit")
+    v = tbl.rebase_publish("audit")
+    assert tbl.branches()["main"] == v
+    assert _ids(spark, tbl) == [0, 1, 5, 6]
+
+
+def test_rebase_publish_cli(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "c"))
+    t.write(spark.range(0, 2).toDF("id"))
+    t.create_branch("audit")
+    t.write(spark.range(10, 12).toDF("id"), branch="audit")
+    t.write(spark.range(2, 3).toDF("id"), branch="main")
+    # plain publish exits non-zero on divergence
+    proc = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark", "table", "publish",
+         "-o", t.path, "--name", "audit"],
+        cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert proc.returncode != 0
+    assert "diverged" in proc.stderr
+    # --rebase resolves
+    proc = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark", "table", "publish",
+         "-o", t.path, "--name", "audit", "--rebase"],
+        cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["rebased"] is True
+    assert _ids(spark, t) == [0, 1, 2, 10, 11]

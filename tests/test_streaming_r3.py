@@ -343,3 +343,105 @@ def test_stream_inline_maintenance(spark, pairs_df, tmp_path):
     assert _batch_committed(table, scope, 0) is True
     assert _batch_committed(table, scope, 3) is True
     assert _batch_committed(table, scope, 4) is False
+
+
+# ---------------------------------------------------------------------------
+# lambda-split divergence bound (VERDICT r3 item 7): streaming
+# conflict_suspect vs the authoritative batch conflict labels may
+# differ ONLY on rows that ARRIVED before their phash's conflict
+# became observable — never on later rows, and never on
+# non-conflicted phashes.
+# ---------------------------------------------------------------------------
+
+def test_stream_vs_batch_conflict_divergence_bound(spark, tmp_path):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # arrival script: list of micro-batches (one parquet file each,
+    # maxFilesPerTrigger=1 + spaced mtimes pin the order)
+    batches = [
+        # b0: g7 consistent so far; g8 conflicts WITHIN the batch
+        # (id order a1 < a2 < a3); g9 consistent forever
+        [("a1", None, None, None, "raw", "A", 8),
+         ("a2", None, None, None, "raw", "B", 8),
+         ("a3", None, None, None, "raw", "A", 8),
+         ("g1", None, None, None, "raw", "X", 7),
+         ("n1", None, None, None, "raw", "ok", 9)],
+        # b1: g7 now conflicts (D after X); null caption on g9 must
+        # not create a conflict
+        [("g2", None, None, None, "raw", "D", 7),
+         ("n2", None, None, None, "raw", None, 9)],
+        # b2: post-conflict arrivals on both conflicted phashes
+        [("g3", None, None, None, "raw", "X", 7),
+         ("a4", None, None, None, "raw", "A", 8),
+         ("n3", None, None, None, "raw", "ok", 9)],
+    ]
+    from mehc_curation_spark.schema import PAIRS_SCHEMA
+
+    in_dir = str(tmp_path / "din")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(batches):
+        sub = os.path.join(in_dir, f"b{i}.parquet")
+        (spark.createDataFrame(rows, PAIRS_SCHEMA)
+         .coalesce(1).write.parquet(sub))
+        # spaced mtimes: the file source admits files oldest-first
+        for root, _d, fs in os.walk(sub):
+            for f in fs:
+                os.utime(os.path.join(root, f), (1000 + i * 100,) * 2)
+        os.utime(sub, (1000 + i * 100,) * 2)
+
+    stream = (spark.readStream.schema(PAIRS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(in_dir + "/*"))
+    out = flag_conflicts_stream(stream)  # no timeout: bound is exact
+    q = (out.writeStream.format("memory").queryName("div")
+         .option("checkpointLocation", str(tmp_path / "dck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    flags = {r["image_id"]: r["conflict_suspect"]
+             for r in spark.sql("SELECT * FROM div").collect()}
+    assert len(flags) == sum(len(b) for b in batches)
+
+    # authoritative batch rule: a phash with >1 distinct non-null
+    # caption drops ALL its rows
+    all_rows = [r for b in batches for r in b]
+    caps = {}
+    for (iid, _b, _w, _h, _f, cap, ph) in all_rows:
+        if cap is not None:
+            caps.setdefault(ph, set()).add(cap)
+    batch_conflicted = {iid for (iid, _b, _w, _h, _f, cap, ph)
+                        in all_rows if len(caps.get(ph, ())) > 1}
+
+    # arrival-order emulation of the streaming rule → the conflict
+    # point of each phash (first row at/after which flags must fire)
+    state = {}
+    expect = {}
+    for b in batches:
+        for (iid, _b, _w, _h, _f, cap, ph) in sorted(b):
+            cap0, conf = state.get(ph, (None, False))
+            if cap is not None:
+                if cap0 is None:
+                    cap0 = cap
+                elif cap != cap0:
+                    conf = True
+            state[ph] = (cap0, conf)
+            expect[iid] = conf
+
+    # 1. determinism: the operator implements exactly the arrival rule
+    assert flags == expect
+    # 2. soundness: a flag never fires outside the batch conflict set
+    flagged = {i for i, v in flags.items() if v}
+    assert flagged <= batch_conflicted
+    # 3. bound: divergence from batch is EXACTLY the pre-observation
+    #    prefix — every conflicted row arriving at/after its phash's
+    #    conflict point is flagged
+    divergent = batch_conflicted - flagged
+    assert divergent == {"a1", "g1"}
+    # (only the rows that arrived BEFORE their phash's second
+    # distinct caption diverge; "a2"/"g2" REVEAL the conflict and are
+    # flagged immediately, "a3"/"a4"/"g3" arrive after and MUST be)
+    assert flags["a2"] and flags["g2"]
+    assert flags["a3"] and flags["a4"] and flags["g3"]
+    # non-conflicted phash (9, incl. its null caption) never flagged
+    assert not flags["n1"] and not flags["n2"] and not flags["n3"]
