@@ -685,7 +685,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "rewriting data files (O(keys) takedown "
                          "latency at any table size; reads mask the "
                          "keys until 'apply_deletes' or 'compact' "
-                         "settles the debt)")
+                         "settles the debt). merge: append the source "
+                         "rows + their keys as a sequence-scoped "
+                         "equality delete in ONE commit — O(source) "
+                         "upsert with no table scan or rewrite")
     tm.add_argument("--mor_pos", action="store_true",
                     help="delete: merge-on-read POSITION flavor — "
                          "record the matched rows' (file, row-ordinal) "
@@ -1020,8 +1023,14 @@ def main(argv: list[str] | None = None) -> int:
             else:  # merge
                 if not args.source:
                     raise SystemExit("table merge requires --source")
+                if args.mor_pos:
+                    raise SystemExit(
+                        "--mor_pos applies to 'delete'; merge "
+                        "supports --mor (append + equality-delete "
+                        "keys in one commit)")
                 v = t.merge_upsert(spark, spark.read.parquet(args.source),
-                                   args.key)
+                                   args.key,
+                                   mode="mor" if args.mor else "cow")
             print(json.dumps({"action": args.action, "version": v,
                               "changed": v != before,
                               "files": len(t.manifest(v)["files"]),

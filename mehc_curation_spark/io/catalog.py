@@ -1796,29 +1796,49 @@ class SnapshotTable:
                         "updated_cols": sorted(assignments)})
 
     def merge_upsert(self, spark: SparkSession, source: DataFrame,
-                     key_col: str) -> int:
-        """MERGE INTO analog (copy-on-write): rows of ``source`` whose
-        ``key_col`` matches an existing row REPLACE that row; the rest
-        are inserted. Source keys must be non-NULL and unique (the
-        SQL MERGE cardinality rule — one source row per target row).
-        Only files containing matched keys are rewritten; a pure-insert
-        merge rewrites nothing and appends the source files.
+                     key_col: str, mode: str = "cow") -> int:
+        """MERGE INTO analog: rows of ``source`` whose ``key_col``
+        matches an existing row REPLACE that row; the rest are
+        inserted. Source keys must be non-NULL and unique (the SQL
+        MERGE cardinality rule — one source row per target row).
 
-        Concurrency: snapshot isolation — aborts if a concurrent
-        commit rewrote an affected file; a concurrent APPEND that
+        ``mode='cow'`` (default): only files containing matched keys
+        are rewritten; a pure-insert merge rewrites nothing and
+        appends the source files.
+
+        ``mode='mor'`` (Iceberg v2 merge-on-read upsert): ONE commit
+        appends the source rows as new data files AND records their
+        keys as an equality-delete entry stamped with the same
+        sequence number. Sequence scoping makes this correct with no
+        table scan at all: the delete masks only OLDER files (the
+        previous versions of matched keys), never the files this
+        commit appends, and keys that matched nothing mask nothing.
+        Cost is O(source) regardless of table size — the
+        label-correction shape a trillion-row table wants; debt is
+        settled later by ``apply_deletes()``/``compact()``. Unlike
+        CoW merge it is also legal while other equality debt is
+        pending (scoping keeps the new rows out of older deletes'
+        reach).
+
+        Concurrency: snapshot isolation — CoW aborts if a concurrent
+        commit rewrote an affected file (MoR commits are append-shaped
+        and cannot conflict on files); a concurrent APPEND that
         introduced the same key is carried forward and wins no
         arbitration (real Iceberg's SERIALIZABLE level would abort;
         document your writers or serialize merges externally)."""
         from pyspark.sql import functions as F
 
+        assert mode in ("cow", "mor"), f"unknown merge mode: {mode}"
         self._refuse_on_ledger("merge_upsert")
         m = self.manifest()
         if not m["files"]:
             raise FileNotFoundError(f"{self.path}: no committed snapshot")
-        # a MERGE whose key matches a row a pending equality delete
-        # masks would "insert" a row the read side keeps masking —
-        # settle the debt first
-        self._require_no_pending_deletes("merge_upsert", m)
+        if mode == "cow":
+            # a CoW MERGE whose key matches a row a pending equality
+            # delete masks would "insert" a row the read side keeps
+            # masking — settle the debt first (the MoR path is immune:
+            # its rows carry a newer sequence than any pending delete)
+            self._require_no_pending_deletes("merge_upsert", m)
         table_fields = json.loads(m["schema"])["fields"]
         table_cols = [f["name"] for f in table_fields]
         if sorted(source.columns) != sorted(table_cols):
@@ -1850,6 +1870,8 @@ class SnapshotTable:
                 raise ValueError(
                     "merge_upsert: duplicate source keys (MERGE "
                     "cardinality: at most one source row per key)")
+            if mode == "mor":
+                return self._merge_upsert_mor(spark, src, key_col, m)
             # manifest-stats pruning of the DETECTION scan (same move
             # as delete_ids): a file whose key-column min/max range
             # cannot overlap [min(src), max(src)] cannot contain any
@@ -1885,6 +1907,41 @@ class SnapshotTable:
                                         properties={"merge_key": key_col})
         finally:
             src.unpersist()
+
+    def _merge_upsert_mor(self, spark: SparkSession, src: DataFrame,
+                          key_col: str, m: dict) -> int:
+        """Merge-on-read upsert tail (see :meth:`merge_upsert`): stage
+        the source rows as data files and their keys as ONE
+        equality-delete file, commit both with the same sequence
+        number. No table read, no rewrite — O(source) at any size."""
+        stat_cols, bloom_cols = self._stats_layout_of(m)
+        new_files, new_stats = self._stage_data_files(
+            src, stat_cols or None)
+        if bloom_cols:
+            self._merge_blooms_into_stats(
+                new_stats, self._collect_file_blooms(new_files, bloom_cols))
+        key_files, _ = self._stage_data_files(
+            src.select(key_col).coalesce(1), stats_cols=())
+        entries = [{"file": f, "cols": [key_col]} for f in key_files]
+
+        def build(p, pm):
+            seq = self._next_seq(pm)
+            stats = dict(pm.get("stats", {}))
+            stats.update(new_stats)
+            out = {
+                "ts": time.time(),
+                "files": pm["files"] + new_files,
+                "stats": stats,
+                "schema": pm["schema"],
+                "deletes": (list(pm.get("deletes", []))
+                            + [{**e, "seq": seq} for e in entries]),
+                "properties": {**pm.get("properties", {}),
+                               "row_op": "merge_mor",
+                               "merge_key": key_col},
+            }
+            return self._carry_seq(out, pm, new_files, bump=True)
+
+        return self._commit_manifest(build)
 
     def remove_orphan_files(self, older_than_sec: float = 86400.0) -> int:
         """Delete data files referenced by NO manifest — leftovers of

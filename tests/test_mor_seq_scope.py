@@ -220,3 +220,111 @@ def test_concurrent_delete_still_masks_compacted_rows(
     m = tbl.manifest()
     assert m.get("deletes")  # carried forward
     assert tbl.read(spark).filter("phash = 3").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read MERGE (Iceberg v2 MoR upsert): one append-shaped
+# commit = source rows + sequence-scoped equality delete of their
+# keys. O(source) at any table size, no scan, no rewrite.
+# ---------------------------------------------------------------------------
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        rows, "image_id string, caption string, phash bigint")
+
+
+def test_mor_merge_matches_cow_merge(spark, tmp_path):
+    rows = [(f"img{i:03d}", f"caption {i}", i % 5) for i in range(30)]
+    src_rows = [("img003", "corrected", 99),   # update
+                ("img900", "brand new", 42)]   # insert
+    a = SnapshotTable(str(tmp_path / "cow"))
+    b = SnapshotTable(str(tmp_path / "mor"))
+    for t in (a, b):
+        t.write(spark.createDataFrame(
+            rows, ["image_id", "caption", "phash"]),
+            stats_cols=("image_id",))
+    a.merge_upsert(spark, _src(spark, src_rows), "image_id")
+    b.merge_upsert(spark, _src(spark, src_rows), "image_id", mode="mor")
+    get = lambda t: sorted(map(tuple, t.read(spark).collect()))
+    assert get(a) == get(b)
+    # MoR side: data files grew (append), debt pending, no rewrite
+    m = b.manifest()
+    assert m.get("deletes") and m["deletes"][0]["seq"] is not None
+    # settle → still identical, physically deduplicated
+    b.apply_deletes(spark)
+    assert get(a) == get(b)
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(b.data_dir, f) for f in b.manifest()["files"]])
+    assert raw.filter("image_id = 'img003'").count() == 1
+
+
+def test_mor_merge_legal_with_pending_debt_and_scoped(spark, tbl):
+    # unlike CoW merge, MoR merge is allowed while equality debt is
+    # pending: its rows carry a newer sequence than the old delete
+    tbl.delete_where(spark, "image_id = 'img005'", mode="mor")
+    tbl.merge_upsert(
+        spark, _src(spark, [("img005", "resurrected", 77)]),
+        "image_id", mode="mor")
+    got = tbl.read(spark).filter("image_id = 'img005'").collect()
+    assert len(got) == 1 and got[0]["caption"] == "resurrected"
+    # and the older takedown still masks nothing it shouldn't
+    assert tbl.read(spark).count() == 30
+
+
+def test_mor_merge_chain_last_writer_wins(spark, tbl):
+    tbl.merge_upsert(spark, _src(spark, [("img001", "v2", 1)]),
+                     "image_id", mode="mor")
+    tbl.merge_upsert(spark, _src(spark, [("img001", "v3", 1)]),
+                     "image_id", mode="mor")
+    got = tbl.read(spark).filter("image_id = 'img001'").collect()
+    assert len(got) == 1 and got[0]["caption"] == "v3"
+    tbl.compact(spark, target_files=1)
+    got = tbl.read(spark).filter("image_id = 'img001'").collect()
+    assert len(got) == 1 and got[0]["caption"] == "v3"
+
+
+def test_mor_merge_validation(spark, tbl):
+    with pytest.raises(ValueError, match="NULL"):
+        tbl.merge_upsert(spark, _src(spark, [(None, "x", 1)]),
+                         "image_id", mode="mor")
+    with pytest.raises(ValueError, match="duplicate"):
+        tbl.merge_upsert(
+            spark, _src(spark, [("a", "x", 1), ("a", "y", 2)]),
+            "image_id", mode="mor")
+
+
+def test_mor_merge_snapshot_diff(spark, tbl):
+    v1 = tbl.current_version()
+    tbl.merge_upsert(
+        spark, _src(spark, [("img002", "patched", 50),
+                            ("imgZZ", "inserted", 51)]),
+        "image_id", mode="mor")
+    rows = tbl.snapshot_diff(spark, v1).collect()
+    kinds = sorted((r["image_id"], r["_change_type"]) for r in rows)
+    assert kinds == [("img002", "update_after"),
+                     ("img002", "update_before"),
+                     ("imgZZ", "insert")]
+
+
+def test_mor_merge_cli(spark, tmp_path):
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    t = SnapshotTable(str(tmp_path / "mc"))
+    t.write(spark.createDataFrame(
+        [("a", "one", 1), ("b", "two", 2)],
+        ["image_id", "caption", "phash"]))
+    srcp = str(tmp_path / "src.parquet")
+    _src(spark, [("a", "ONE", 9), ("c", "three", 3)]) \
+        .write.parquet(srcp)
+    proc = subprocess.run(
+        [sys.executable, "-m", "mehc_curation_spark", "table", "merge",
+         "-o", t.path, "--source", srcp, "--mor"],
+        cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr
+    import json as _json
+    out = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["pending_delete_files"] == 1
+    got = {r["image_id"]: r["caption"] for r in t.read(spark).collect()}
+    assert got == {"a": "ONE", "b": "two", "c": "three"}
