@@ -1013,13 +1013,20 @@ def main(argv: list[str] | None = None) -> int:
                 if not args.where or not args.set:
                     raise SystemExit(
                         "table update requires --where and --set")
+                if args.mor_pos:
+                    raise SystemExit(
+                        "--mor_pos applies to 'delete'; update "
+                        "supports --mor (append updated rows + "
+                        "equality-delete their keys in one commit)")
                 assigns = {}
                 for a in args.set:
                     col, _, expr = a.partition("=")
                     if not _:
                         raise SystemExit(f"bad --set (want COL=EXPR): {a}")
                     assigns[col.strip()] = expr
-                v = t.update_where(spark, args.where, assigns)
+                v = t.update_where(spark, args.where, assigns,
+                                   mode="mor" if args.mor else "cow",
+                                   key_cols=(args.id_col,))
             else:  # merge
                 if not args.source:
                     raise SystemExit("table merge requires --source")

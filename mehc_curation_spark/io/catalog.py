@@ -1740,23 +1740,42 @@ class SnapshotTable:
             properties={"deleted_ids": len(svals)})
 
     def update_where(self, spark: SparkSession, condition,
-                     assignments: dict) -> int:
-        """Row-level UPDATE (copy-on-write): for rows where
-        ``condition`` is TRUE, set each column in ``assignments`` to
-        its new expression (SQL string or unresolved Column); other
-        rows — and rows where the condition is NULL — are byte-carried
-        unchanged. Assignments must target EXISTING columns and keep
-        their types (the table schema is pinned). This is the
-        "re-scrub captions in place when a new PII pattern ships"
-        operation."""
+                     assignments: dict, mode: str = "cow",
+                     key_cols: tuple[str, ...] = ("image_id",)) -> int:
+        """Row-level UPDATE: for rows where ``condition`` is TRUE, set
+        each column in ``assignments`` to its new expression (SQL
+        string or unresolved Column); other rows — and rows where the
+        condition is NULL — are carried unchanged. Assignments must
+        target EXISTING columns and keep their types (the table schema
+        is pinned). This is the "re-scrub captions in place when a new
+        PII pattern ships" operation.
+
+        ``mode='cow'`` (default) rewrites only the files containing
+        matched rows (byte-carries their unmatched neighbors).
+
+        ``mode='mor'`` (merge-on-read update, completing the MoR
+        delete/update/merge triple): ONE append-shaped commit writes
+        the post-update rows plus a sequence-scoped equality delete of
+        their ``key_cols`` values — cost O(rows sharing a matched key)
+        with no file rewrite, legal even while other delete debt
+        (equality or position) is pending, because the appended rows
+        outrank every older delete. Rows that share a key with a
+        matched row but do not match the condition are re-appended
+        unchanged (the key-level delete would otherwise lose them);
+        matched rows with a NULL key are refused (an equality delete
+        cannot address them — use CoW)."""
         from pyspark.sql import functions as F
 
+        assert mode in ("cow", "mor"), f"unknown update mode: {mode}"
         self._refuse_on_ledger("update_where")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         m = self.manifest()
         if not m["files"]:
             raise FileNotFoundError(f"{self.path}: no committed snapshot")
-        # an UPDATE over rows a pending equality delete masks is
+        if mode == "mor":
+            return self._update_mor(spark, cond, assignments, key_cols,
+                                    m, str(condition))
+        # a CoW UPDATE over rows a pending equality delete masks is
         # ambiguous (it could even rewrite the key column and unmask a
         # logically-deleted row) — settle the debt first
         self._require_no_pending_deletes("update_where", m)
@@ -1794,6 +1813,85 @@ class SnapshotTable:
             spark, affected, df, "update",
             properties={"updated_where": str(condition),
                         "updated_cols": sorted(assignments)})
+
+    def _update_mor(self, spark: SparkSession, cond, assignments: dict,
+                    key_cols: tuple[str, ...], m: dict,
+                    cond_str: str) -> int:
+        """Merge-on-read UPDATE tail (see :meth:`update_where`).
+
+        Detection reads the MASKED table (so already-deleted rows are
+        neither updated nor resurrected), pulls every row sharing a
+        ``key_cols`` value with a matched row, applies the assignments
+        to the matching subset, and commits the whole key-group row
+        set as an append plus one equality-delete entry at the same
+        sequence number."""
+        from pyspark.sql import functions as F
+
+        table_cols = [f["name"] for f in json.loads(m["schema"])["fields"]]
+        bad = set(assignments) - set(table_cols)
+        if bad:
+            raise ValueError(
+                f"update_where: assignment to non-existent column(s) "
+                f"{sorted(bad)}; the snapshot schema is pinned")
+        if set(assignments) & set(key_cols):
+            raise ValueError(
+                f"update_where(mode='mor'): assignments touch key "
+                f"column(s) {sorted(set(assignments) & set(key_cols))} "
+                f"— a key rewrite cannot be expressed as an equality "
+                f"delete on the old key; use mode='cow'")
+        df = self.read(spark)
+        matched = df.filter(cond)
+        null_key = matched.filter(
+            " or ".join(f"{c} is null" for c in key_cols))
+        if null_key.limit(1).count():
+            raise ValueError(
+                f"{self.path}: update_where(mode='mor') matched rows "
+                f"with NULL in key columns {key_cols}; use mode='cow'")
+        keys = matched.select(*key_cols).distinct()
+        rows = df.join(F.broadcast(keys), list(key_cols), "left_semi")
+        new_exprs = {name: (F.expr(e) if isinstance(e, str) else e)
+                     for name, e in assignments.items()}
+        updated = rows.select(*[
+            F.when(cond, new_exprs[c]).otherwise(F.col(c)).alias(c)
+            if c in new_exprs else F.col(c)
+            for c in table_cols])
+        if [_f["type"] for _f in json.loads(updated.schema.json())["fields"]] \
+                != [_f["type"] for _f in json.loads(m["schema"])["fields"]]:
+            raise ValueError(
+                "update_where: assignments changed column types "
+                f"(schema is pinned): {m['schema']} -> "
+                f"{updated.schema.json()}")
+        if updated.isEmpty():
+            return m["version"]
+        stat_cols, bloom_cols = self._stats_layout_of(m)
+        new_files, new_stats = self._stage_data_files(
+            updated, stat_cols or None)
+        if bloom_cols:
+            self._merge_blooms_into_stats(
+                new_stats, self._collect_file_blooms(new_files, bloom_cols))
+        key_files, _ = self._stage_data_files(
+            keys.coalesce(1), stats_cols=())
+        entries = [{"file": f, "cols": list(key_cols)} for f in key_files]
+
+        def build(p, pm):
+            seq = self._next_seq(pm)
+            stats = dict(pm.get("stats", {}))
+            stats.update(new_stats)
+            out = {
+                "ts": time.time(),
+                "files": pm["files"] + new_files,
+                "stats": stats,
+                "schema": pm["schema"],
+                "deletes": (list(pm.get("deletes", []))
+                            + [{**e, "seq": seq} for e in entries]),
+                "properties": {**pm.get("properties", {}),
+                               "row_op": "update_mor",
+                               "updated_where": cond_str,
+                               "updated_cols": sorted(assignments)},
+            }
+            return self._carry_seq(out, pm, new_files, bump=True)
+
+        return self._commit_manifest(build)
 
     def merge_upsert(self, spark: SparkSession, source: DataFrame,
                      key_col: str, mode: str = "cow") -> int:

@@ -328,3 +328,67 @@ def test_mor_merge_cli(spark, tmp_path):
     assert out["pending_delete_files"] == 1
     got = {r["image_id"]: r["caption"] for r in t.read(spark).collect()}
     assert got == {"a": "ONE", "b": "two", "c": "three"}
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read UPDATE: append post-update rows + equality-delete
+# their keys in one commit (no rewrite)
+# ---------------------------------------------------------------------------
+
+def test_mor_update_matches_cow_update(spark, tmp_path):
+    rows = [(f"img{i:03d}", f"caption {i}", i % 5) for i in range(30)]
+    a = SnapshotTable(str(tmp_path / "ucow"))
+    b = SnapshotTable(str(tmp_path / "umor"))
+    for t in (a, b):
+        t.write(spark.createDataFrame(
+            rows, ["image_id", "caption", "phash"]),
+            stats_cols=("image_id",))
+    a.update_where(spark, "phash = 2", {"caption": F.lit("scrubbed")})
+    files_before = set(b.manifest()["files"])
+    b.update_where(spark, "phash = 2", {"caption": F.lit("scrubbed")},
+                   mode="mor")
+    get = lambda t: sorted(map(tuple, t.read(spark).collect()))
+    assert get(a) == get(b)
+    m = b.manifest()
+    # no rewrite: every pre-update file still referenced, debt pending
+    assert files_before <= set(m["files"])
+    assert m.get("deletes")
+    b.apply_deletes(spark)
+    assert get(a) == get(b)
+
+
+def test_mor_update_legal_with_pending_debt(spark, tbl):
+    tbl.delete_where(spark, "image_id = 'img001'", mode="mor")
+    tbl.update_where(spark, "phash = 3", {"caption": F.lit("fixed")},
+                     mode="mor")
+    got = tbl.read(spark)
+    # masked row stays masked (not resurrected by the update)
+    assert got.filter("image_id = 'img001'").count() == 0
+    assert (got.filter("phash = 3").select("caption").distinct().collect()
+            == [("fixed",)])
+
+
+def test_mor_update_key_guards(spark, tbl):
+    with pytest.raises(ValueError, match="key"):
+        tbl.update_where(spark, "phash = 1",
+                         {"image_id": F.lit("x")}, mode="mor")
+    # no match -> noop, no debt
+    v = tbl.current_version()
+    assert tbl.update_where(spark, "phash = 999",
+                            {"caption": F.lit("x")}, mode="mor") == v
+    assert not tbl.manifest().get("deletes")
+
+
+def test_mor_update_duplicate_keys_keep_group(spark, tmp_path):
+    # two rows share a key; only one matches the condition — the
+    # non-matching sibling must survive the key-level delete
+    t = SnapshotTable(str(tmp_path / "dup"))
+    t.write(spark.createDataFrame(
+        [("k", "match me", 1), ("k", "keep me", 2), ("z", "other", 3)],
+        ["image_id", "caption", "phash"]))
+    t.update_where(spark, "phash = 1", {"caption": F.lit("updated")},
+                   mode="mor")
+    got = sorted((r["image_id"], r["caption"], r["phash"])
+                 for r in t.read(spark).collect())
+    assert got == [("k", "keep me", 2), ("k", "updated", 1),
+                   ("z", "other", 3)]
