@@ -354,7 +354,14 @@ class SnapshotTable:
                 "schema": schema_json,
                 "properties": properties or {},
             }
-            # see write(): MoR delete debt rides along on appends
+            # see write(): MoR delete debt rides along on appends.
+            # NOTE: files landed under replace_prefixes get a FRESH
+            # sequence (not the replaced buckets' max) — commit_files
+            # is the ledger/bucket-recompute path, and ledger-managed
+            # tables refuse row ops, so no equality delete can be
+            # pending here; a future non-ledger caller mixing
+            # replace_prefixes with MoR debt would need rewrite-style
+            # seq inheritance like _commit_rewrite's.
             if mode == "append" and pm.get("deletes"):
                 out["deletes"] = list(pm["deletes"])
             return self._carry_seq(out, pm,
