@@ -61,11 +61,120 @@ class SnapshotTable:
         self.path = path
         self.meta_dir = os.path.join(path, "_snapshots")
         self.data_dir = os.path.join(path, "data")
+        self.seg_dir = os.path.join(self.meta_dir, "segments")
+        # immutable once written — cache by name for the life of this
+        # handle (hydrating N snapshots re-reads nothing)
+        self._seg_cache: dict[str, dict] = {}
 
     # -- metadata ---------------------------------------------------------
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.meta_dir, f"v{version:06d}.json")
+
+    # -- manifest segments (Iceberg manifest-file analog) ------------------
+    #
+    # A naive manifest inlines every file entry, so EVERY commit
+    # rewrites O(table files) of JSON — fine at thousands of files,
+    # hostile at the 10^5-10^6 files a 100 TB table holds. Above
+    # SEGMENT_MIN_FILES entries, the file list (with its per-file
+    # stats + sequence numbers) moves into immutable SEGMENT files and
+    # the manifest stores only the segment name list: an append-shaped
+    # commit then writes one O(delta) segment plus a tiny manifest,
+    # exactly the Iceberg manifest-file/manifest-list split. Rewrites
+    # (compaction, CoW row ops) repack into a fresh segment; when the
+    # per-manifest segment list exceeds SEGMENT_MAX_COUNT it is also
+    # repacked (bounding hydration fan-in). Readers are unaffected:
+    # manifest() hydrates segments back into the inline shape (cached —
+    # segments are immutable). Orphan segments (CAS-losing commit
+    # attempts, crashed writers) are swept by expire_snapshots with an
+    # in-flight age guard.
+
+    SEGMENT_MIN_FILES = 1024
+    SEGMENT_MAX_COUNT = 64
+    SEGMENT_ORPHAN_AGE_SEC = 3600.0
+
+    def _segment_path(self, name: str) -> str:
+        return os.path.join(self.seg_dir, name)
+
+    def _load_segment(self, name: str) -> dict:
+        seg = self._seg_cache.get(name)
+        if seg is None:
+            with open(self._segment_path(name)) as f:
+                seg = json.load(f)
+            self._seg_cache[name] = seg
+        return seg
+
+    def _hydrate(self, m: dict) -> dict:
+        """Materialize a segmented manifest back into the inline shape
+        every consumer reads (files / stats / file_seq); keeps the
+        ``segments`` key so commit packers can diff against it."""
+        segs = m.get("segments")
+        if not segs:
+            return m
+        files: list[str] = []
+        stats: dict = {}
+        fseq: dict = {}
+        for name in segs:
+            seg = self._load_segment(name)
+            files.extend(seg["files"])
+            stats.update(seg.get("stats", {}))
+            fseq.update(seg.get("file_seq", {}))
+        out = dict(m)
+        out["files"] = files
+        out["stats"] = stats
+        if fseq:
+            out["file_seq"] = fseq
+        return out
+
+    def _write_segment(self, files: list[str], stats: dict,
+                       fseq: dict) -> str:
+        os.makedirs(self.seg_dir, exist_ok=True)
+        name = f"seg-{uuid.uuid4().hex[:12]}.json"
+        payload: dict = {
+            "files": list(files),
+            "stats": {f: stats[f] for f in files if f in stats}}
+        fs = {f: fseq[f] for f in files if f in fseq}
+        if fs:
+            payload["file_seq"] = fs
+        tmp = self._segment_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self._segment_path(name))
+        self._seg_cache[name] = payload
+        return name
+
+    def _pack_segments(self, manifest: dict, parent_m: dict) -> dict:
+        """Convert a built (inline) manifest to segment form when the
+        table is large: append-shaped commits reference the parent's
+        segments plus ONE delta segment; anything else repacks fresh.
+        Small tables stay inline (readable, debuggable)."""
+        files = manifest.get("files") or []
+        if len(files) < self.SEGMENT_MIN_FILES:
+            return manifest
+        stats = manifest.get("stats") or {}
+        fseq = manifest.get("file_seq") or {}
+        p_segs = (parent_m or {}).get("segments") or []
+        segments = None
+        if p_segs and len(p_segs) < self.SEGMENT_MAX_COUNT:
+            pf = parent_m["files"]
+            n = len(pf)
+            p_stats = parent_m.get("stats", {})
+            p_fseq = parent_m.get("file_seq", {})
+            if (len(files) >= n and files[:n] == pf
+                    and all(stats.get(f) == p_stats.get(f) for f in pf)
+                    and all(fseq.get(f) == p_fseq.get(f) for f in pf)):
+                segments = list(p_segs)
+                delta = files[n:]
+                if delta:
+                    segments.append(
+                        self._write_segment(delta, stats, fseq))
+        if segments is None:
+            segments = [self._write_segment(files, stats, fseq)]
+        out = {k: v for k, v in manifest.items()
+               if k not in ("files", "stats", "file_seq")}
+        out["segments"] = segments
+        out["n_files"] = len(files)
+        return out
 
     def current_version(self) -> int:
         """Highest committed snapshot version (0 = empty table)."""
@@ -92,7 +201,7 @@ class SnapshotTable:
         if v == 0:
             return {"version": 0, "files": [], "schema": None, "parent": None}
         with open(self._manifest_path(v)) as f:
-            return json.load(f)
+            return self._hydrate(json.load(f))
 
     def exists(self) -> bool:
         return self.current_version() > 0
@@ -131,7 +240,9 @@ class SnapshotTable:
                 f"{self.path}: no branch {branch!r} — create_branch first")
         for _ in range(max_attempts):
             parent = self.current_version()
-            manifest = build(parent, self.manifest(parent))
+            parent_m = self.manifest(parent)
+            manifest = self._pack_segments(build(parent, parent_m),
+                                           parent_m)
             version = parent + 1
             manifest["version"] = version
             manifest["parent"] = parent or None
@@ -163,7 +274,9 @@ class SnapshotTable:
                     f"{self.path}: no branch {name!r} "
                     f"(branches: {sorted(br)})")
             parent = br.get(name, self.current_version())
-            manifest = build(parent, self.manifest(parent))
+            parent_m = self.manifest(parent)
+            manifest = self._pack_segments(build(parent, parent_m),
+                                           parent_m)
             manifest["parent"] = parent or None
             manifest["branch"] = name
             for _ in range(max_attempts):
@@ -1205,6 +1318,14 @@ class SnapshotTable:
                 self._split_deletes(dels)[1]),
             "snapshots_retained": n_manifests,
             "unreferenced_files": unreferenced,
+            # manifest-metadata shape: segment count of the head
+            # manifest (0 = inline small-table form) and the head
+            # manifest's on-disk byte size — the number that stays
+            # O(delta) per append once the table is segment-packed
+            "manifest_segments": len(m.get("segments") or []),
+            "manifest_bytes": (os.path.getsize(
+                self._manifest_path(m["version"]))
+                if m.get("version") else 0),
             "ledger_managed": os.path.exists(
                 os.path.join(self.path, "_ledger", "ledger.json")),
         }
@@ -2532,12 +2653,14 @@ class SnapshotTable:
                              if v <= cur)
         live_files: set[str] = set()
         known: set[str] = set()
+        live_segs: set[str] = set()
         for v in range(1, cur + 1):
             if os.path.exists(self._manifest_path(v)):
                 m = self.manifest(v)
                 known.update(self._manifest_all_files(m))
                 if v in keep_versions:
                     live_files.update(self._manifest_all_files(m))
+                    live_segs.update(m.get("segments") or [])
         # Manifests are removed BEFORE the data sweep: a crash between
         # the two steps then leaves only unreferenced files (cleaned on
         # the next expire), never a readable manifest that references
@@ -2548,6 +2671,23 @@ class SnapshotTable:
             p = self._manifest_path(v)
             if os.path.exists(p):
                 os.remove(p)
+        # segment GC: a segment is live iff a RETAINED manifest
+        # references it. Young unreferenced segments are kept — a
+        # lock-free committer writes its segments BEFORE winning the
+        # manifest CAS, so an in-flight commit's segments look
+        # orphaned until it lands (same age guard as the data sweep).
+        if os.path.isdir(self.seg_dir):
+            now = time.time()
+            for name in os.listdir(self.seg_dir):
+                if name in live_segs or not name.startswith("seg-"):
+                    continue
+                full = self._segment_path(name)
+                try:
+                    if now - os.path.getmtime(full) \
+                            > self.SEGMENT_ORPHAN_AGE_SEC:
+                        os.remove(full)
+                except OSError:
+                    pass
         return live_files, known
 
 
