@@ -2923,6 +2923,124 @@ def _pairs_path(n: int = 2000, seed: int = 42) -> str:
     return write_pairs_parquet(cache, n, seed)
 
 
+# ---------------------------------------------------------------------------
+# Scalar-twin oracle materialization: for surfaces whose VALUE a SQL
+# engine cannot restate (deflate, the trigram langid model, the full
+# curator, iterative BPE), the pure-Python/numpy single-process twin —
+# the same independent implementation the pytest oracles trust — is
+# materialized to parquet and the DuckDB oracle reads it back. The
+# driver row then value-hashes the DISTRIBUTED execution (partitioning,
+# row alignment, Arrow batching) against the local twin, turning four
+# formerly rows-only surfaces into full green-able rows (VERDICT r4
+# Next #4). Twins regenerate on every call (500-2000 rows, pure
+# Python) so a stale cache can never mask a drift.
+
+def _twin_path(tag: str, name: str) -> str:
+    import hashlib
+
+    d = os.path.join("/tmp/mehc_twin_cache",
+                     hashlib.md5(tag.rstrip("/").encode()).hexdigest()[:10])
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name + ".parquet")
+
+
+def _docs_table(sf_dir: str, columns=None):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=columns)
+
+
+def _ensure_compression_twin(sf_dir: str) -> str:
+    """Per-document deflate ratio, scalar twin (text_stats.py
+    compression_ratio — the exact function the pandas UDF vectorizes),
+    preserving the table's doc_id arrow type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mehc_curation_spark.operators.text_stats import compression_ratio
+
+    t = _docs_table(sf_dir, ["doc_id", "text"])
+    vals = [compression_ratio(x) for x in t["text"].to_pylist()]
+    out = _twin_path(sf_dir, "compression")
+    pq.write_table(
+        pa.table({"doc_id": t["doc_id"],
+                  "deflate_ratio": pa.array(vals, pa.float64())}), out)
+    return out
+
+
+def _ensure_langid_twin(sf_dir: str) -> str:
+    """langid + perplexity scalar twin (rules/langid.py classify_batch
+    — numpy, no Spark). Raw doubles; the oracle SQL applies the same
+    ROUND the Spark surface does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mehc_curation_spark.rules.langid import classify_batch
+
+    t = _docs_table(sf_dir, ["doc_id", "text"])
+    langs, confs, ppls = classify_batch(t["text"].to_pylist())
+    out = _twin_path(sf_dir, "langid")
+    pq.write_table(
+        pa.table({"doc_id": t["doc_id"],
+                  "lang": pa.array(list(langs), pa.string()),
+                  "lang_conf": pa.array(confs, pa.float64()),
+                  "ppl": pa.array(ppls, pa.float64())}), out)
+    return out
+
+
+def _ensure_bpe_twin(sf_dir: str) -> str:
+    """BPE merge list scalar twin (vocab.py bpe_train_local — the
+    single-process trainer doc_bpe_check already pins the distributed
+    trainer against), same corpus and n_merges as the surface."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mehc_curation_spark.operators.vocab import bpe_train_local
+
+    texts = _docs_table(sf_dir, ["text"])["text"].to_pylist()
+    merges = bpe_train_local(texts, n_merges=_BPE_MERGES)
+    out = _twin_path(sf_dir, "bpe_merges")
+    pq.write_table(
+        pa.table({"rank": pa.array(range(1, len(merges) + 1), pa.int32()),
+                  "left": pa.array([a for a, _ in merges], pa.string()),
+                  "right": pa.array([b for _, b in merges], pa.string()),
+                  "merged": pa.array([a + b for a, b in merges],
+                                     pa.string())}), out)
+    return out
+
+
+def _ensure_curate_labels_twin() -> str:
+    """The flagship: full-pipeline labels from the pure-pandas oracle
+    curator (oracle.py curate_oracle — the implementation
+    tests/test_pipeline_oracle.py holds the Spark plan bitwise-equal
+    to), over the same seed-deterministic pairs fixture the driver
+    surface reads. All 8 surface columns including raw doubles
+    (lang_conf/ppl are bitwise-reproducible: both paths run the same
+    numpy scoring)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mehc_curation_spark.oracle import curate_oracle
+
+    src = _pairs_path()
+    pdf = pq.read_table(src).to_pandas()
+    o = curate_oracle(pdf).merge(
+        pdf[["image_id", "phash"]], on="image_id", validate="1:1")
+    out = _twin_path(src, "curate_labels")
+    pq.write_table(
+        pa.table({"image_id": pa.array(o["image_id"], pa.string()),
+                  "phash": pa.array(o["phash"], pa.int64()),
+                  "keep": pa.array(o["keep"], pa.bool_()),
+                  "drop_reason": pa.array(o["drop_reason"], pa.string()),
+                  "caption_scrubbed": pa.array(o["caption_scrubbed"],
+                                               pa.string()),
+                  "lang": pa.array(o["lang"], pa.string()),
+                  "lang_conf": pa.array(o["lang_conf"], pa.float64()),
+                  "ppl": pa.array(o["ppl"], pa.float64())}), out)
+    return out
+
+
 def pairs_curate_labels(spark, sf_dir):
     """The full image+caption curation pipeline (decode gate on) over
     the seed-deterministic synthetic pairs table."""
@@ -4372,7 +4490,37 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN (16 - i) % 2 = 1 THEN "
         f"CASE WHEN {_DIGIT} * 2 > 9 THEN {_DIGIT} * 2 - 9 "
         f"ELSE {_DIGIT} * 2 END ELSE {_DIGIT} END)) % 10 = 0)")
+    # scalar-twin parquets for the four surfaces SQL cannot restate
+    # (deflate / trigram langid / the full curator / iterative BPE):
+    # materialized fresh at oracle-build time from the same on-disk
+    # inputs the Spark surfaces read, so the driver row value-hashes
+    # distributed execution against the independent local path.
+    # CORRECTNESS runs at sf=0.01 (driver contract).
+    _ORACLE_SF = "/root/testdata/sf0.01"
+    _tw_compression = _ensure_compression_twin(_ORACLE_SF)
+    _tw_langid = _ensure_langid_twin(_ORACLE_SF)
+    _tw_bpe = _ensure_bpe_twin(_ORACLE_SF)
+    _tw_labels = _ensure_curate_labels_twin()
     return {
+        "doc_compression": f"""
+            SELECT doc_id, deflate_ratio
+            FROM read_parquet('{_tw_compression}')
+        """,
+        "doc_langid": f"""
+            SELECT doc_id, lang,
+                   ROUND(lang_conf, 6) AS lang_conf,
+                   ROUND(ppl, 4) AS ppl
+            FROM read_parquet('{_tw_langid}')
+        """,
+        "doc_bpe_merges": f"""
+            SELECT rank, "left", "right", merged
+            FROM read_parquet('{_tw_bpe}')
+        """,
+        "pairs_curate_labels": f"""
+            SELECT image_id, phash, keep, drop_reason,
+                   caption_scrubbed, lang, lang_conf, ppl
+            FROM read_parquet('{_tw_labels}')
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

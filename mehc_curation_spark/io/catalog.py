@@ -427,7 +427,9 @@ class SnapshotTable:
                      properties: Optional[dict] = None,
                      replace_prefixes: Optional[list[str]] = None,
                      stats_cols: Optional[tuple[str, ...]] = None,
-                     bloom_cols: Optional[tuple[str, ...]] = None) -> int:
+                     bloom_cols: Optional[tuple[str, ...]] = None,
+                     equality_deletes: Optional[list[dict]] = None,
+                     clear_deletes: bool = False) -> int:
         """Publish a snapshot manifest over data files ALREADY inside
         ``data/`` (e.g. bucket dirs moved in by the curation ledger's
         atomic commit) without rewriting them. Entries may be relative
@@ -441,8 +443,34 @@ class SnapshotTable:
         (the old bucket dirs were just overwritten on disk, so keeping
         their stale entries would make the snapshot reference deleted
         files).
+
+        ``equality_deletes``: ``[{"file": rel, "cols": [...]}, ...]``
+        entries over key files ALREADY inside ``data/``; each is
+        stamped with THIS commit's sequence number, so (Iceberg v2
+        data-sequence semantics) the delete masks only files from
+        OLDER commits — never the files this same commit appends.
+        This is the merge-on-read upsert shape for ledger-managed
+        tables (``run_curate_increment`` flip commits), which cannot
+        go through :meth:`merge_upsert` because row ops refuse on
+        ledgered tables. Append mode only, and mutually exclusive
+        with ``replace_prefixes`` (a physical replacement commit would
+        need rewrite-style seq inheritance — see the NOTE below).
+
+        ``clear_deletes``: drop ALL pending delete entries from the
+        new snapshot — the settle commit a bucket-aware debt
+        materialization publishes after physically rewriting the
+        masked rows' buckets via ``replace_prefixes``.
         """
         assert mode in ("append", "overwrite")
+        eq_entries = list(equality_deletes or ())
+        if eq_entries:
+            assert mode == "append", \
+                "equality_deletes: append-mode commits only"
+            assert not replace_prefixes, \
+                "equality_deletes cannot combine with replace_prefixes"
+            for e in eq_entries:
+                assert e.get("file") and e.get("cols"), \
+                    f"malformed equality-delete entry: {e}"
         new_stats = self._collect_file_stats(list(rel_files), stats_cols)
         if bloom_cols:
             self._merge_blooms_into_stats(
@@ -469,14 +497,28 @@ class SnapshotTable:
             }
             # see write(): MoR delete debt rides along on appends.
             # NOTE: files landed under replace_prefixes get a FRESH
-            # sequence (not the replaced buckets' max) — commit_files
-            # is the ledger/bucket-recompute path, and ledger-managed
-            # tables refuse row ops, so no equality delete can be
-            # pending here; a future non-ledger caller mixing
-            # replace_prefixes with MoR debt would need rewrite-style
-            # seq inheritance like _commit_rewrite's.
-            if mode == "append" and pm.get("deletes"):
+            # sequence (not the replaced buckets' max) — the settle
+            # path that mixes replace_prefixes with pending debt must
+            # pass clear_deletes=True (it rewrites from a MoR-resolved
+            # read, so no entry may survive to re-mask the fresh-seq
+            # files); other replace_prefixes callers (ledger bucket
+            # recomputes) hold no debt. A future caller needing
+            # partial settle would need rewrite-style seq inheritance
+            # like _commit_rewrite's.
+            if mode == "append" and pm.get("deletes") and not clear_deletes:
                 out["deletes"] = list(pm["deletes"])
+            if prefixes and pm.get("deletes") and not clear_deletes:
+                raise CommitConflictError(
+                    f"{self.path}: commit_files(replace_prefixes=...) "
+                    f"while {len(pm['deletes'])} merge-on-read delete "
+                    "entr(ies) are pending — replaced files take a "
+                    "fresh sequence and would escape the pending "
+                    "masks; settle the debt first (clear_deletes=True "
+                    "from a MoR-resolved rewrite, or apply_deletes())")
+            if eq_entries:
+                seq = self._next_seq(pm)
+                out["deletes"] = (out.get("deletes") or []) + [
+                    {**e, "seq": seq} for e in eq_entries]
             return self._carry_seq(out, pm,
                                    [f for f in rel_files if f not in kept],
                                    bump=True, fresh=(mode == "overwrite"))

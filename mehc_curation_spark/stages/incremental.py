@@ -410,6 +410,11 @@ def compact_increments(spark: SparkSession, output_path: str,
                 f"{output_path}: not an incremental table (no "
                 f"{STATE_DIR}/ sidecar) — for streaming/snapshot-native "
                 "tables use SnapshotTable.compact")
+        # pending MoR flip debt first: a compaction rewrite commits
+        # via replace_prefixes, which the catalog refuses under live
+        # debt (fresh-seq files would escape the pending masks)
+        _settle_label_debt(spark, ledger, labels_tbl,
+                           keep_replaced_files)
         return {
             "labels": _compact_bucketed(spark, labels_tbl,
                                         keep_replaced_files),
@@ -420,12 +425,73 @@ def compact_increments(spark: SparkSession, output_path: str,
         os.close(lock_fd)
 
 
+def _settle_label_debt(spark: SparkSession, ledger: Ledger,
+                       labels_tbl: SnapshotTable,
+                       keep_replaced_files: bool = False):
+    """Materialize pending merge-on-read flip debt on an incremental
+    labels table: rewrite ONLY the buckets holding masked rows (the
+    flip commit records them on each delete entry — old and new
+    versions of a flipped row share phash, hence bucket), preserving
+    the hive ``bucket=k/`` layout, then publish a clear-deletes
+    snapshot via ``replace_prefixes``. This is the bucket-aware analog
+    of :meth:`SnapshotTable.apply_deletes` — the generic pass stages
+    FLAT files, which would break the partitioned layout this table's
+    readers and prefix-replacement commits rely on. The rewrite scan
+    is partition-pruned to the flip buckets and MoR-resolved, so the
+    staged content embeds every pending mask; ``clear_deletes`` is
+    therefore exact (a delete key matching no row masks nothing).
+    Call under the commit lock. Returns the new version, or None when
+    no debt is pending."""
+    m = labels_tbl.manifest()
+    dels = m.get("deletes") or []
+    if not dels:
+        return None
+    buckets = {int(b) for d in dels for b in d.get("buckets", ())}
+    if any("buckets" not in d for d in dels):
+        # a foreign entry (not written by the flip commit) carries no
+        # bucket record — rewrite every bucket (sound, just slower)
+        buckets = {int(f.split("=", 1)[1].split("/", 1)[0])
+                   for f in m["files"] if f.startswith(f"{BUCKET_COL}=")}
+    buckets = sorted(buckets)
+    if not buckets:
+        return None
+    resolved = (labels_tbl.read(spark)
+                .filter(F.col(BUCKET_COL).isin(buckets)))
+    stg = ledger.staging_dir()
+    # deterministic tag: a crash-and-retry of the same settle (version
+    # unchanged) overwrites its own half-moved files
+    tag = f"settle{m['version']}"
+    try:
+        (resolved.repartition(F.col(BUCKET_COL))
+         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stg))
+        pref = tuple(f"{BUCKET_COL}={b}/" for b in buckets)
+        replaced = [f for f in m["files"] if f.startswith(pref)]
+        rel = _move_in(stg, labels_tbl.data_dir, tag)
+        v = labels_tbl.commit_files(
+            rel, m["schema"],
+            properties={**(m.get("properties") or {}),
+                        "settled_deletes": len(dels)},
+            replace_prefixes=list(pref),
+            clear_deletes=True)
+        if not keep_replaced_files:
+            for f in replaced + [d["file"] for d in dels]:
+                try:
+                    os.unlink(os.path.join(labels_tbl.data_dir, f))
+                except FileNotFoundError:
+                    pass
+        return v
+    finally:
+        shutil.rmtree(stg, ignore_errors=True)
+
+
 def run_curate_increment(
     spark: SparkSession,
     new_input_path: str,
     output_path: str,
     config: CurationConfig = CurationConfig(),
     keep_replaced_files: bool = False,
+    flip_mode: str = "mor",
+    settle_deletes_after: int = 16,
 ) -> dict:
     """Curate the rows in ``new_input_path`` (an increment: rows NOT
     seen by any previous call) into the labels table at
@@ -455,12 +521,41 @@ def run_curate_increment(
     keep-first tiebreaker; a duplicate id is two claims to one row).
     An empty increment is a no-op, not an error.
 
+    ``flip_mode`` decides how OLD rows whose label flipped are
+    committed (Iceberg's write.update.mode analog):
+
+    - ``'mor'`` (default, merge-on-read): ONE append-shaped commit —
+      the flipped rows' new versions ride in the same staged bucket
+      write as the increment's labels, plus one equality-delete entry
+      over their image_ids, sequence-stamped so it masks only the
+      OLDER copies (io/catalog.py sequence scoping). Cost is
+      O(increment): no survivor rewrite, no labels-table read at all.
+      Read-side debt (one broadcast anti-join per unsettled flip
+      commit) is bounded by ``settle_deletes_after``: once that many
+      delete entries are pending, the increment settles them inline —
+      a bucket-aware ``apply_deletes`` that rewrites ONLY the flip
+      buckets, preserving the hive bucket layout (the catalog's
+      generic ``apply_deletes`` would flatten it). Amortized settle
+      cost ≈ (flip-bucket content)/N per increment.
+    - ``'cow'`` (copy-on-write): every bucket holding a flip is
+      rewritten in place (survivors + relabels), exactly the r3
+      physical shape. Pending MoR debt (from earlier 'mor'
+      increments) is settled first — a prefix-replacement commit
+      under live debt is refused by the catalog.
+
+    Both modes produce byte-identical label tables (batch
+    equivalence holds regardless; tests/test_incremental.py runs the
+    suite in each mode).
+
     Returns a metrics dict: ``rows_new/kept_new`` describe this
     increment's rows, ``relabeled_old`` counts previously-committed
     rows whose label changed (``retracted`` = the subset that flipped
-    keep→drop), plus the write shape (``buckets_rewritten/appended``)
-    and the new snapshot versions.
+    keep→drop), plus the write shape (``buckets_rewritten/appended``
+    — in 'mor' mode ``buckets_rewritten`` lists the flip buckets,
+    i.e. the buckets whose old rows were LOGICALLY rewritten via
+    delete+append) and the new snapshot versions.
     """
+    assert flip_mode in ("mor", "cow"), f"unknown flip_mode: {flip_mode}"
     ledger = Ledger(output_path)
     labels_tbl = SnapshotTable(output_path)
     state_tbl = _state_table(output_path)
@@ -472,7 +567,6 @@ def run_curate_increment(
     labels_committed = False
     changed = None
     la = None
-    old_state = None
     # Increment reads are increment-sized: the session-wide small
     # maxPartitionBytes a corpus-scale batch run tunes for (waves of
     # tasks per executor) would split a 40k-row increment into
@@ -673,7 +767,15 @@ def run_curate_increment(
         # diff is a FILTER on the cached replay: no join, no labels
         # read.
         if not first:
-            cur = labels_tbl.read(spark)  # survivors only, see step 4
+            if flip_mode == "cow":
+                # settle any pending MoR flip debt from earlier 'mor'
+                # increments BEFORE reading: the CoW bucket rewrite
+                # below commits via replace_prefixes, which the
+                # catalog refuses under live debt (fresh-seq files
+                # would escape the pending masks)
+                _settle_label_debt(spark, ledger, labels_tbl,
+                                   keep_replaced_files)
+                cur = labels_tbl.read(spark)  # survivors only, step 4
             changed = (
                 la.filter(~F.col("_is_new")
                           & ~F.col("drop_reason").eqNullSafe(
@@ -696,14 +798,22 @@ def run_curate_increment(
         # were about half the per-increment wall time)
         stg_out = None
         content = new_labels.select(*LABEL_COLS, BUCKET_COL)
-        if not first:
-            # survivors = old rows of every bucket that holds a flip,
-            # minus the flipped rows themselves (their relabel rides
-            # in ``changed``). The literal isin(aff_buckets) prunes
-            # the labels scan to affected hive dirs (flip buckets are
-            # a subset of affected buckets); the lazy semi-join then
-            # narrows to exactly the flip buckets without a metrics
-            # round-trip first.
+        if not first and flip_mode == "mor":
+            # merge-on-read: the flipped rows' NEW versions ride in
+            # the same append-shaped staged write as the increment's
+            # labels; their OLD copies are masked by the equality-
+            # delete entry committed in step 5. Nothing corpus-sized
+            # is read or written — the labels table is never scanned.
+            content = content.unionByName(
+                changed.select(*LABEL_COLS, BUCKET_COL))
+        elif not first:
+            # copy-on-write: survivors = old rows of every bucket that
+            # holds a flip, minus the flipped rows themselves (their
+            # relabel rides in ``changed``). The literal
+            # isin(aff_buckets) prunes the labels scan to affected
+            # hive dirs (flip buckets are a subset of affected
+            # buckets); the lazy semi-join then narrows to exactly the
+            # flip buckets without a metrics round-trip first.
             changed_buckets = changed.select(BUCKET_COL).distinct()
             survivors = (cur.filter(F.col(BUCKET_COL).isin(aff_buckets))
                          .join(F.broadcast(changed_buckets),
@@ -757,14 +867,39 @@ def run_curate_increment(
         # ---- 5. durable commit (manifest swap is the atomic step) -----
         data_dir = os.path.join(output_path, "data")
         os.makedirs(data_dir, exist_ok=True)
+        mor_flips = flip_mode == "mor" and not first
         replaced = []
-        if rewrite_buckets:
+        if rewrite_buckets and not mor_flips:
             m = labels_tbl.manifest()
             pref = tuple(f"{BUCKET_COL}={b}/" for b in rewrite_buckets)
             replaced = [f for f in m["files"] if f.startswith(pref)]
         rel_files = []
         if stg_out:
             rel_files += _move_in(stg_out, data_dir, tag)
+        eq_entries = []
+        if mor_flips and n_changed:
+            # the flipped image_ids as ONE equality-delete key file:
+            # sequence scoping (stamped by commit_files) masks only
+            # the OLD copies — the new versions appended by this same
+            # commit carry the delete's own sequence and stay visible.
+            # Deterministic name: a crash-before-commit retry of the
+            # same inc_id overwrites it (same heal contract as the
+            # tagged state files); unreferenced leftovers age out via
+            # remove_orphan_files. The entry records the flip buckets
+            # so the settle pass can rewrite exactly those (old/new
+            # versions share phash, hence bucket).
+            stg_del = ledger.staging_dir()
+            staged_dirs.append(stg_del)
+            (changed.select(ID_COL).coalesce(1)
+             .write.mode("overwrite").parquet(stg_del))
+            part = next(p for p in sorted(os.listdir(stg_del))
+                        if p.endswith(".parquet"))
+            os.makedirs(os.path.join(data_dir, "_deletes"), exist_ok=True)
+            del_rel = f"_deletes/{tag}-flips.parquet"
+            os.replace(os.path.join(stg_del, part),
+                       os.path.join(data_dir, del_rel))
+            eq_entries.append({"file": del_rel, "cols": [ID_COL],
+                               "buckets": rewrite_buckets})
 
         # write-ahead for the state commit: inc_id + where the staged
         # state lives + its schema, so _heal can roll forward
@@ -775,6 +910,7 @@ def run_curate_increment(
                         "relabeled_old": n_changed,
                         "rewrite_buckets": rewrite_buckets,
                         "aff_buckets": aff_buckets,
+                        "flip_mode": flip_mode,
                         "state_staging": stg_state,
                         "state_schema": state_new.schema.json(),
                         "config_fp": fp,
@@ -782,7 +918,9 @@ def run_curate_increment(
                         "input_version_consumed": input_ver,
                         "elapsed_sec": elapsed},
             replace_prefixes=[f"{BUCKET_COL}={b}/"
-                              for b in rewrite_buckets])
+                              for b in (() if mor_flips
+                                        else rewrite_buckets)],
+            equality_deletes=eq_entries)
         labels_committed = True
 
         # replaced files are no longer referenced by the NEW snapshot;
@@ -816,6 +954,21 @@ def run_curate_increment(
         ledger.publish_buckets(per_bucket, elapsed)
         ledger.write_aux("inc_meta.json", {"inc_id": inc_id})
 
+        # read-amplification bound for the MoR flip path: once the
+        # pending-entry count reaches the threshold, settle inline
+        # (still under the lock). Each unsettled entry costs readers
+        # one broadcast anti-join + a scan class — O(1) each, but the
+        # union plan widens with every flip commit, so debt must not
+        # grow without bound.
+        n_pending = 0
+        if mor_flips and settle_deletes_after > 0:
+            pending = labels_tbl.manifest().get("deletes") or []
+            if len(pending) >= settle_deletes_after:
+                _settle_label_debt(spark, ledger, labels_tbl,
+                                   keep_replaced_files)
+            else:
+                n_pending = len(pending)
+
         _mark("commit")
         for d in staged_dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -837,8 +990,6 @@ def run_curate_increment(
             changed.unpersist()
         if la is not None:
             la.unpersist()
-        if old_state is not None:
-            old_state.unpersist()
 
     return {
         "rows_new": n_new,
@@ -847,7 +998,9 @@ def run_curate_increment(
         "retracted": n_retracted,
         "buckets_appended": append_buckets,
         "buckets_rewritten": rewrite_buckets,
-        "snapshot_version": snapshot_version,
+        "flip_mode": flip_mode,
+        "delete_entries_pending": n_pending,
+        "snapshot_version": labels_tbl.current_version(),
         "state_version": state_version,
         "lang_stats": lang_stats,
         "elapsed_sec": elapsed,

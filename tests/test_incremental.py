@@ -166,17 +166,94 @@ def test_refuses_stateless_table(spark, corpus, tmp_path):
 
 def test_raw_data_dir_matches_snapshot_after_rewrites(
         spark, corpus, tmp_path):
-    """Replaced files are unlinked post-commit, so a plain
+    """CoW mode: replaced files are unlinked post-commit, so a plain
     spark.read.parquet(out/data) sees exactly the live snapshot."""
     out = str(tmp_path / "out")
     for i in range(2):
         chunk = corpus.iloc[i::2].reset_index(drop=True)
         run_curate_increment(
-            spark, _write(chunk, str(tmp_path / f"c{i}.parquet")), out, CFG)
+            spark, _write(chunk, str(tmp_path / f"c{i}.parquet")), out, CFG,
+            flip_mode="cow")
     raw = spark.read.parquet(os.path.join(out, "data"))
     snap = SnapshotTable(out).read(spark)
     assert raw.count() == snap.count() == 3000
     assert raw.select("image_id").distinct().count() == 3000
+
+
+def test_mor_flip_debt_and_settle(spark, corpus, tmp_path):
+    """MoR mode (default): flip commits are append-shaped — the data
+    dir carries the masked old copies plus one equality-delete key
+    file per flip commit — while the SNAPSHOT read resolves to the
+    exact batch labels. Settling rewrites only the flip buckets and
+    restores physical == logical."""
+    from mehc_curation_spark.io.ledger import Ledger
+    from mehc_curation_spark.stages.incremental import _settle_label_debt
+
+    out = str(tmp_path / "out")
+    flips = 0
+    for i in range(2):
+        chunk = corpus.iloc[i::2].reset_index(drop=True)
+        m = run_curate_increment(
+            spark, _write(chunk, str(tmp_path / f"c{i}.parquet")), out, CFG)
+        flips += m["relabeled_old"]
+    assert flips > 0  # non-vacuous: retraction machinery ran
+    tbl = SnapshotTable(out)
+    dels = tbl.manifest().get("deletes") or []
+    assert len(dels) == 1 and dels[0]["cols"] == ["image_id"]
+    assert dels[0]["buckets"]  # settle targets recorded
+    data_files = [f for f in tbl.manifest()["files"]]
+    raw = spark.read.parquet(*[os.path.join(out, "data", f)
+                               for f in data_files])
+    assert raw.count() == 3000 + flips  # masked copies still on disk
+    _assert_batch_equal(spark, out, corpus)  # read resolves the masks
+
+    v = _settle_label_debt(spark, Ledger(out), tbl)
+    assert v == tbl.current_version()
+    assert not (tbl.manifest().get("deletes") or [])
+    raw2 = spark.read.parquet(os.path.join(out, "data"))
+    assert raw2.count() == tbl.read(spark).count() == 3000
+    _assert_batch_equal(spark, out, corpus)  # settle changed nothing
+
+    # delete key files reclaimed with the replaced copies
+    deldir = os.path.join(out, "data", "_deletes")
+    assert not os.path.isdir(deldir) or not os.listdir(deldir)
+
+
+def test_mor_auto_settle_threshold(spark, corpus, tmp_path):
+    """settle_deletes_after=1: every flip commit settles inline, so
+    debt never survives an increment and labels stay batch-equal."""
+    out = str(tmp_path / "out")
+    for i in range(3):
+        chunk = corpus.iloc[i::3].reset_index(drop=True)
+        m = run_curate_increment(
+            spark, _write(chunk, str(tmp_path / f"c{i}.parquet")), out, CFG,
+            settle_deletes_after=1)
+        assert m["delete_entries_pending"] == 0
+    tbl = SnapshotTable(out)
+    assert not (tbl.manifest().get("deletes") or [])
+    raw = spark.read.parquet(os.path.join(out, "data"))
+    assert raw.count() == tbl.read(spark).count() == 3000
+    _assert_batch_equal(spark, out, corpus)
+
+
+def test_cow_after_mor_settles_first(spark, corpus, tmp_path):
+    """A CoW increment on a table carrying MoR flip debt settles the
+    debt before its prefix-replacement commit (which the catalog
+    refuses under live debt) — mixing modes stays batch-equal."""
+    out = str(tmp_path / "out")
+    thirds = [corpus.iloc[i::3].reset_index(drop=True) for i in range(3)]
+    run_curate_increment(
+        spark, _write(thirds[0], str(tmp_path / "c0.parquet")), out, CFG)
+    m1 = run_curate_increment(
+        spark, _write(thirds[1], str(tmp_path / "c1.parquet")), out, CFG)
+    assert m1["relabeled_old"] > 0  # debt actually pending
+    assert SnapshotTable(out).manifest().get("deletes")
+    m2 = run_curate_increment(
+        spark, _write(thirds[2], str(tmp_path / "c2.parquet")), out, CFG,
+        flip_mode="cow")
+    assert m2["flip_mode"] == "cow"
+    assert not (SnapshotTable(out).manifest().get("deletes") or [])
+    _assert_batch_equal(spark, out, corpus)
 
 
 def test_config_drift_refused(spark, corpus, tmp_path):
