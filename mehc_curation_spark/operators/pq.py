@@ -261,9 +261,11 @@ IVFPQ_CELL_COL = "ivfpq_cell"
 
 
 def save_ivfpq_index(df: DataFrame, vec_col: str, id_col: str,
-                     table_path: str, n_cells: int = 16, m: int = 8,
+                     table_path: str, n_cells="auto", m: int = 8,
                      n_codes: int = 16, seed: int = 42,
-                     max_train: int = 16384):
+                     max_train: int = 16384,
+                     max_cell_rows="auto",
+                     n_rows: Optional[int] = None):
     """Train coarse centroids + residual PQ codebooks on one
     deterministic sample, encode every vector to (cell, m-byte code),
     and persist ONLY (id, cell, code) — range-partitioned by cell with
@@ -272,11 +274,30 @@ def save_ivfpq_index(df: DataFrame, vec_col: str, id_col: str,
     everything (cosine semantics); the residual r = x-hat - c_cell is
     what PQ encodes, per the paper — residuals are far more
     homogeneous than raw vectors, so the same code budget reconstructs
-    them better. Returns (table, centers, codebooks)."""
+    them better. Returns (table, centers, codebooks).
+
+    ``n_cells="auto"`` (default) applies the same corpus-sized rule as
+    :func:`similarity.ivf_index`: rows/1024 clamped to [8, 65536] —
+    ~1k vectors per cell, so the probed fraction keeps shrinking as
+    the corpus grows instead of a fixed toy constant stopping the
+    coarse quantizer from pruning at scale (pass ``n_rows`` to skip
+    the sizing count if the caller already knows it).
+
+    ``max_cell_rows="auto"`` guards against a COLLAPSED quantizer
+    (embedding space degenerate → most rows land in one cell → the
+    file-level pruning the index exists for is gone): after encoding,
+    refuse loudly if any cell exceeds 32x the balanced share (floor
+    65536 so small corpora never trip it). Pass an int for an absolute
+    bound, or None to skip the check."""
     from mehc_curation_spark.io.catalog import SnapshotTable
     from mehc_curation_spark.operators.similarity import _normalized_vec
 
     ndf = df.withColumn("_nvec", _normalized_vec(F.col(vec_col)))
+    if n_cells == "auto":
+        if n_rows is None:
+            n_rows = df.count()
+        n_cells = max(8, min(65536, n_rows // 1024))
+    n_cells = int(n_cells)
     X = _normalize_rows(sample_training_vectors(
         ndf, "_nvec", id_col, min(max_train, max(n_cells, n_codes) * 1024),
         what="save_ivfpq_index"))
@@ -296,6 +317,25 @@ def save_ivfpq_index(df: DataFrame, vec_col: str, id_col: str,
                      F.col("_enc.code").alias(CODE_COL))
              .repartitionByRange(n_cells, IVFPQ_CELL_COL)
              .sortWithinPartitions(IVFPQ_CELL_COL))
+    if max_cell_rows is not None:
+        # one cheap agg over the (9+m)-byte code rows, cached so the
+        # write below reuses the encoded frame instead of paying the
+        # encode UDF twice
+        codes = codes.persist()
+        agg = (codes.groupBy(IVFPQ_CELL_COL).count()
+               .agg(F.max("count").alias("mx"),
+                    F.sum("count").alias("n")).first())
+        mx, total = int(agg["mx"] or 0), int(agg["n"] or 0)
+        limit = (max(65536, 32 * -(-total // n_cells))
+                 if max_cell_rows == "auto" else int(max_cell_rows))
+        if mx > limit:
+            codes.unpersist()
+            raise ValueError(
+                f"save_ivfpq_index: largest cell holds {mx} of {total} "
+                f"rows > max_cell_rows={limit} (n_cells={n_cells}) — "
+                "the coarse quantizer collapsed, so file-level pruning "
+                "is gone; raise n_cells (or pass n_cells='auto'), or "
+                "pass max_cell_rows=None to persist anyway")
     table = SnapshotTable(table_path)
     table.write(codes, mode="overwrite",
                 properties={
@@ -306,6 +346,8 @@ def save_ivfpq_index(df: DataFrame, vec_col: str, id_col: str,
                     "ivfpq_vec_col": vec_col, "ivfpq_id_col": id_col,
                     "ivfpq_seed": int(seed)},
                 stats_cols=(IVFPQ_CELL_COL,))
+    if max_cell_rows is not None:
+        codes.unpersist()
     return table, centers, books
 
 
