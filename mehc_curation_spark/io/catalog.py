@@ -91,7 +91,13 @@ class SnapshotTable:
 
     SEGMENT_MIN_FILES = 1024
     SEGMENT_MAX_COUNT = 64
-    SEGMENT_ORPHAN_AGE_SEC = 3600.0
+    # aligned with the 86400s data-file orphan guard: a writer that
+    # stalls between _write_segment and winning the manifest CAS must
+    # not have its segment swept by a concurrent expire_snapshots
+    # (that would leave a committed manifest referencing a missing
+    # segment — an unreadable snapshot). Anything slower than a day
+    # has lost its CAS race to a conflict abort long before.
+    SEGMENT_ORPHAN_AGE_SEC = 86400.0
 
     def _segment_path(self, name: str) -> str:
         return os.path.join(self.seg_dir, name)
@@ -412,9 +418,12 @@ class SnapshotTable:
                 "properties": properties or {},
             }
             # pending MoR equality deletes survive an append (their
-            # seq scoping keeps them off the files this append adds);
-            # an overwrite replaces the whole row set, so its delete
-            # debt is moot
+            # seq scoping keeps them off the files this append adds —
+            # which a LEGACY seq-less entry cannot honor, so that
+            # upgrade corner refuses); an overwrite replaces the whole
+            # row set, so its delete debt is moot
+            if mode == "append":
+                self._require_no_legacy_deletes("write(append)", pm)
             if mode == "append" and pm.get("deletes"):
                 out["deletes"] = list(pm["deletes"])
             return self._carry_seq(out, pm, new_files, bump=True,
@@ -505,6 +514,8 @@ class SnapshotTable:
             # recomputes) hold no debt. A future caller needing
             # partial settle would need rewrite-style seq inheritance
             # like _commit_rewrite's.
+            if mode == "append" and not clear_deletes:
+                self._require_no_legacy_deletes("commit_files", pm)
             if mode == "append" and pm.get("deletes") and not clear_deletes:
                 out["deletes"] = list(pm["deletes"])
             if prefixes and pm.get("deletes") and not clear_deletes:
@@ -868,6 +879,24 @@ class SnapshotTable:
                 f"current snapshot carries {len(m['deletes'])} pending "
                 f"merge-on-read delete file(s); run apply_deletes() "
                 f"(or compact()) to materialize them first")
+
+    def _require_no_legacy_deletes(self, op: str, pm: dict) -> None:
+        """Append-shaped commits (write append, commit_files,
+        MoR merge/update) rely on sequence scoping to keep pending
+        equality deletes off the rows they add — but a LEGACY
+        (seq-less, pre-upgrade) entry masks TABLE-WIDE, so the new
+        rows would commit and then be silently invisible on every
+        read (the exact corner compact's legacy guard aborts on).
+        Refuse: settle the debt once, then the table is upgraded."""
+        legacy = [d for d in (pm.get("deletes") or [])
+                  if d.get("kind") != "pos" and d.get("seq") is None]
+        if legacy:
+            raise CommitConflictError(
+                f"{self.path}: {op} appends rows, but {len(legacy)} "
+                "pending LEGACY (seq-less) equality-delete entr(ies) "
+                "mask table-wide — the appended rows would be "
+                "silently invisible; run apply_deletes() (or "
+                "compact()) once to settle the pre-upgrade debt")
 
     def _require_no_pending_pos_deletes(self, op: str, m: dict) -> None:
         pos = self._split_deletes(m.get("deletes") or [])[1]
@@ -2044,6 +2073,8 @@ class SnapshotTable:
         entries = [{"file": f, "cols": list(key_cols)} for f in key_files]
 
         def build(p, pm):
+            self._require_no_legacy_deletes("update_where(mode='mor')",
+                                            pm)
             seq = self._next_seq(pm)
             stats = dict(pm.get("stats", {}))
             stats.update(new_stats)
@@ -2193,6 +2224,11 @@ class SnapshotTable:
         entries = [{"file": f, "cols": [key_col]} for f in key_files]
 
         def build(p, pm):
+            # a legacy seq-less entry would mask the rows this commit
+            # appends (ADVICE r4: the scoping claim below only holds
+            # for seq-stamped entries)
+            self._require_no_legacy_deletes("merge_upsert(mode='mor')",
+                                            pm)
             seq = self._next_seq(pm)
             stats = dict(pm.get("stats", {}))
             stats.update(new_stats)
@@ -2594,6 +2630,38 @@ class SnapshotTable:
         delta = [f for f in bm["files"] if f not in base_files]
 
         def build(p, pm):
+            # Takedown race (ADVICE r4): an equality delete committed
+            # on `onto` while the branch was staged masks only files
+            # OLDER than its sequence — but this publish replays the
+            # branch delta with a FRESH sequence, so the branch's
+            # copies of those keys would escape the takedown and the
+            # removed content could resurface. Entry-level refusal
+            # (no spark session here to test key intersection): any
+            # equality entry on `onto` that was not already pending at
+            # the merge base forces a human decision — settle the
+            # debt, or re-stage the audit work on the current head.
+            # (Entries already pending AT the base predate the staged
+            # work — same semantics as appending to a debt-carrying
+            # table — and legacy seq-less entries mask table-wide,
+            # replayed files included, so neither can resurface
+            # anything.)
+            base_eq = {json.dumps(d, sort_keys=True)
+                       for d in self._split_deletes(
+                           basem.get("deletes") or [])[0]}
+            gained = [d for d in self._split_deletes(
+                          pm.get("deletes") or [])[0]
+                      if d.get("seq") is not None
+                      and json.dumps(d, sort_keys=True) not in base_eq]
+            if gained:
+                cols = sorted({c for d in gained for c in d["cols"]})
+                raise CommitConflictError(
+                    f"{self.path}: {onto!r} gained {len(gained)} "
+                    f"equality-delete entr(ies) on {cols} since the "
+                    f"merge base v{base} — publishing would replay "
+                    f"branch {branch!r}'s files with a fresh sequence, "
+                    "letting its copies of taken-down keys escape the "
+                    "delete; run apply_deletes() on the target (or "
+                    "re-stage the audit work) first")
             if json.loads(bm["schema"]) == json.loads(pm["schema"]):
                 schema = pm["schema"]
             elif self._schema_compatible(bm["schema"], pm["schema"]):

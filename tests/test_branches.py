@@ -260,3 +260,45 @@ def test_rebase_publish_cli(spark, tmp_path):
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["rebased"] is True
     assert _ids(spark, t) == [0, 1, 2, 10, 11]
+
+
+def test_rebase_publish_refuses_takedown_race(spark, tbl):
+    """ADVICE r4: an equality-delete takedown committed on main while
+    the branch was staged must block rebase_publish — replaying the
+    branch delta with a fresh sequence would let its copies of the
+    taken-down keys escape the delete and resurface removed content."""
+    from mehc_curation_spark.io.catalog import CommitConflictError
+
+    tbl.write(spark.range(0, 4).toDF("id"))
+    tbl.create_branch("audit")
+    # the branch stages a copy of id=2 (the key about to be taken down)
+    tbl.write(spark.range(2, 3).toDF("id"), branch="audit")
+    # main advances AND takes down id=2 via MoR equality delete
+    tbl.write(spark.range(4, 6).toDF("id"), branch="main")
+    tbl.delete_where(spark, "id = 2", mode="mor", key_cols=("id",))
+    assert _ids(spark, tbl) == [0, 1, 3, 4, 5]
+    with pytest.raises(CommitConflictError, match="taken-down"):
+        tbl.rebase_publish("audit")
+    # main untouched; the takedown still holds
+    assert _ids(spark, tbl) == [0, 1, 3, 4, 5]
+    # settling the debt on main clears the conflict; the publish then
+    # lands and the branch's copy of id=2 is legitimately visible
+    # (it post-dates the settled delete, like any fresh re-ingest)
+    tbl.apply_deletes(spark)
+    v = tbl.rebase_publish("audit")
+    assert tbl.branches()["main"] == v
+    assert _ids(spark, tbl) == [0, 1, 2, 3, 4, 5]
+
+
+def test_rebase_publish_ok_when_delete_predates_base(spark, tbl):
+    """An equality delete already pending AT the merge base predates
+    the staged work (same semantics as appending to a debt-carrying
+    table) — it must NOT block the publish."""
+    tbl.write(spark.range(0, 4).toDF("id"))
+    tbl.delete_where(spark, "id = 1", mode="mor", key_cols=("id",))
+    tbl.create_branch("audit")
+    tbl.write(spark.range(10, 12).toDF("id"), branch="audit")
+    tbl.write(spark.range(4, 6).toDF("id"), branch="main")  # diverge
+    v = tbl.rebase_publish("audit")
+    assert tbl.branches()["main"] == v
+    assert _ids(spark, tbl) == [0, 2, 3, 4, 5, 10, 11]

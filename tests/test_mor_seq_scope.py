@@ -166,20 +166,32 @@ def test_compact_with_concurrent_append_of_deleted_key(
     assert len(got) == 1 and got[0]["caption"] == "concurrent"
 
 
-def test_compact_aborts_settling_legacy_delete_under_append(
-        spark, tbl, monkeypatch):
-    # legacy (seq-less) delete entries mask table-wide, so settling
-    # them while files were appended concurrently WOULD unmask rows:
-    # compact must refuse (ADVICE r3 low, upgrade corner)
+def _strip_seqs(tbl):
+    """Simulate a pre-upgrade manifest: drop the seq stamps from the
+    pending delete entries (the files keep theirs — irrelevant, a
+    seq-less entry masks table-wide regardless)."""
     import json
 
-    tbl.delete_where(spark, "image_id = 'img007'", mode="mor")
-    v = tbl.current_version()
-    p = tbl._manifest_path(v)
+    p = tbl._manifest_path(tbl.current_version())
     m = json.load(open(p))
     for d in m["deletes"]:
         d.pop("seq", None)
     json.dump(m, open(p, "w"))
+    tbl._seg_cache = {}
+
+
+def test_compact_aborts_settling_legacy_delete_under_append(
+        spark, tbl, monkeypatch):
+    # legacy (seq-less) delete entries mask table-wide, so settling
+    # them while files were appended concurrently WOULD unmask rows:
+    # compact must refuse (ADVICE r3 low, upgrade corner). The
+    # write-path legacy guard (ADVICE r4) kills this race at its
+    # source for THIS code version, so the racing writer here
+    # no-ops that guard — simulating a mixed-version deployment
+    # where a pre-upgrade binary still appends — and compact's
+    # defense-in-depth must still hold.
+    tbl.delete_where(spark, "image_id = 'img007'", mode="mor")
+    _strip_seqs(tbl)
 
     orig = SnapshotTable._commit_manifest
     hit = {"done": False}
@@ -189,6 +201,9 @@ def test_compact_aborts_settling_legacy_delete_under_append(
             hit["done"] = True
             clone = SnapshotTable(self.path)
             monkeypatch.undo()
+            monkeypatch.setattr(
+                SnapshotTable, "_require_no_legacy_deletes",
+                lambda self, op, pm: None)
             clone.write(spark.createDataFrame(
                 [("img007", "concurrent", 99)],
                 ["image_id", "caption", "phash"]))
@@ -197,6 +212,30 @@ def test_compact_aborts_settling_legacy_delete_under_append(
     monkeypatch.setattr(SnapshotTable, "_commit_manifest", racing_commit)
     with pytest.raises(CommitConflictError, match="legacy"):
         tbl.compact(spark, target_files=1)
+
+
+def test_append_shaped_writes_refuse_legacy_debt(spark, tbl):
+    # ADVICE r4 low: a legacy entry masks table-wide, so every
+    # append-shaped commit whose rows claim sequence-scoped
+    # visibility (plain append, MoR merge/update) must refuse instead
+    # of committing rows the read side silently masks.
+    tbl.delete_where(spark, "image_id = 'img007'", mode="mor")
+    _strip_seqs(tbl)
+    row = spark.createDataFrame(
+        [("img007", "fresh", 99)], ["image_id", "caption", "phash"])
+    with pytest.raises(CommitConflictError, match="LEGACY"):
+        tbl.write(row)
+    with pytest.raises(CommitConflictError, match="LEGACY"):
+        tbl.merge_upsert(spark, row, "image_id", mode="mor")
+    with pytest.raises(CommitConflictError, match="LEGACY"):
+        tbl.update_where(spark, "image_id = 'img001'",
+                         {"caption": F.lit("x")}, mode="mor",
+                         key_cols=("image_id",))
+    # settling the debt upgrades the table; the same writes then pass
+    tbl.apply_deletes(spark)
+    tbl.write(row)
+    got = tbl.read(spark).filter("image_id = 'img007'").collect()
+    assert len(got) == 1 and got[0]["caption"] == "fresh"
 
 
 def test_concurrent_delete_still_masks_compacted_rows(
