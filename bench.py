@@ -457,6 +457,12 @@ def main() -> None:
         _sh.rmtree(inc_dir, ignore_errors=True)
     _write_incremental_receipt(incremental, cpus)
 
+    # catalog metadata-path probes (VERDICT r4 Next #7): the r4 MoR
+    # row ops and manifest segments claimed O(source)/O(delta) costs —
+    # put them in the headline set so regressions show round-over-round
+    queries["catalog_mor_merge"] = _bench_catalog_mor(cpus)
+    queries["catalog_segment_commit"] = _bench_segment_commit()
+
     total = round(sum(queries.values()), 3)
     result = {
         # the authoritative BASELINE.json metric: captions
@@ -698,6 +704,90 @@ network.
     print(json.dumps({f"t{lo}_rows_per_sec": round(t_lo, 1),
                       f"t{hi}_rows_per_sec": round(t_hi, 1),
                       "scaling_efficiency": round(eff, 3)}))
+
+
+def _bench_catalog_mor(cpus: int) -> float:
+    """MoR row-op latency: a 1k-row label-correction merge_upsert
+    (mode='mor') against a 200k-row snapshot table. The claim under
+    test is O(source) — no table scan, no rewrite — so the wall time
+    must track the 1k correction, not the corpus. Returns best-of-2
+    seconds (the probe is metadata + one small staged write; host
+    noise, not data volume, is the variance source)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    d = _tf.mkdtemp(prefix="mehc_bench_mor_")
+    best = float("inf")
+    try:
+        cs = make_spark(max(8, cpus // 2), app="mehc-bench-catalog")
+        cs.sparkContext.setLogLevel("ERROR")
+        base = cs.range(200_000).select(
+            F.concat(F.lit("img"), F.col("id")).alias("image_id"),
+            F.concat(F.lit("caption "), F.col("id")).alias("caption"),
+            F.pmod(F.col("id"), F.lit(997)).alias("phash"))
+        for rep in range(2):
+            path = os.path.join(d, f"t{rep}")
+            t = SnapshotTable(path)
+            t.write(base, stats_cols=("image_id",))
+            src = cs.range(1000).select(
+                F.concat(F.lit("img"), F.col("id") * 100).alias("image_id"),
+                F.lit("corrected").alias("caption"),
+                F.pmod(F.col("id") * 100, F.lit(997)).alias("phash"))
+            t0 = time.time()
+            t.merge_upsert(cs, src, "image_id", mode="mor")
+            best = min(best, time.time() - t0)
+        cs.stop()
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+    return round(best, 3)
+
+
+def _bench_segment_commit() -> float:
+    """Manifest-segment commit latency: one commit_files append of a
+    single file onto a table already holding 5000 registered files.
+    With segments the commit writes O(delta) metadata (one small
+    segment + a manifest naming the carried segments); without them
+    it would re-serialize all 5000 entries every commit. No Spark —
+    the probe isolates the metadata path. Returns best-of-3 sec."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mehc_curation_spark.io.catalog import SnapshotTable
+
+    d = _tf.mkdtemp(prefix="mehc_bench_seg_")
+    try:
+        path = os.path.join(d, "t")
+        t = SnapshotTable(path)
+        os.makedirs(t.data_dir, exist_ok=True)
+        one = pa.table({"image_id": ["x"], "phash": [1]})
+        rels = []
+        for i in range(5003):
+            rel = f"f{i:05d}.parquet"
+            pq.write_table(one, os.path.join(t.data_dir, rel))
+            rels.append(rel)
+        schema_json = ('{"type":"struct","fields":['
+                       '{"name":"image_id","type":"string",'
+                       '"nullable":true,"metadata":{}},'
+                       '{"name":"phash","type":"long",'
+                       '"nullable":true,"metadata":{}}]}')
+        t.commit_files(rels[:5000], schema_json, stats_cols=())
+        assert t.manifest().get("segments"), \
+            "segment probe: 5000-file table did not engage segments"
+        best = float("inf")
+        for k in range(3):
+            t0 = time.time()
+            t.commit_files([rels[5000 + k]], schema_json, stats_cols=())
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
 
 
 _INC_MARK = "<!-- incremental-curate-receipt -->"
