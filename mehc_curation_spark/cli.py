@@ -98,6 +98,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "groups the new rows touch (retracting "
                         "previously-kept rows their arrival conflicts "
                         "with); the first call bootstraps the table")
+    c.add_argument("--flip_mode", choices=("mor", "cow"), default="mor",
+                   help="with --incremental: how retraction flips "
+                        "commit — 'mor' (default) appends the new "
+                        "label versions + one equality-delete entry "
+                        "(O(increment), no bucket rewrite); 'cow' "
+                        "rewrites every bucket holding a flip (the "
+                        "pre-r5 physical shape)")
+    c.add_argument("--settle_deletes_after", type=int, default=16,
+                   help="with --incremental --flip_mode mor: settle "
+                        "pending flip debt (bucket-aware rewrite) "
+                        "once this many delete entries accumulate; "
+                        "0 = never settle inline")
 
     for name in ("validate", "clean", "normalize", "dedup"):
         s = sub.add_parser(name)
@@ -1920,7 +1932,9 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 metrics = run_curate_increment(
-                    spark, args.input, args.output, cfg)
+                    spark, args.input, args.output, cfg,
+                    flip_mode=args.flip_mode,
+                    settle_deletes_after=args.settle_deletes_after)
             else:
                 metrics = run_curate(spark, args.input, args.output, cfg,
                                      resume=args.resume,
