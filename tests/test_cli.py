@@ -323,15 +323,23 @@ def test_curate_incremental_cli(tmp_path_factory):
         pq.write_table(full.take(list(range(i, full.num_rows, 2))),
                        str(base / f"inc{i}.parquet"))
 
+    # settle_deletes_after=1: every MoR flip commit settles inline, so
+    # the raw-glob reads below stay valid (no masked copies / delete
+    # key files on disk) while still driving the default MoR path +
+    # the bucket-aware settle through the real CLI
     out = str(base / "out")
     m0 = json.loads(_run(["curate", "-i", str(base / "inc0.parquet"),
-                          "-o", out, "--incremental", "--cores", "4"])
+                          "-o", out, "--incremental", "--cores", "4",
+                          "--settle_deletes_after", "1"])
                     .stdout.strip().splitlines()[-1])
     m1 = json.loads(_run(["curate", "-i", str(base / "inc1.parquet"),
-                          "-o", out, "--incremental", "--cores", "4"])
+                          "-o", out, "--incremental", "--cores", "4",
+                          "--settle_deletes_after", "1"])
                     .stdout.strip().splitlines()[-1])
     assert m0["rows_new"] + m1["rows_new"] == 2000
     assert m1["relabeled_old"] > 0  # interleaved split must retract
+    assert m1["flip_mode"] == "mor"
+    assert m1["delete_entries_pending"] == 0  # settled inline
 
     out_b = str(base / "out_batch")
     pq.write_table(full, str(base / "full.parquet"))
