@@ -50,7 +50,7 @@ def get_spark(app_name: str = "mehc-curation-spark",
         # reuse or spark-submit, where --driver-memory rules)
         b = b.config("spark.driver.memory",
                      os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-    return (
+    b = (
         b.config("spark.sql.shuffle.partitions",
                  str(shuffle_partitions or max(8, cores * 2)))
         .config("spark.sql.adaptive.enabled", "true")
@@ -59,5 +59,15 @@ def get_spark(app_name: str = "mehc-curation-spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    # SPARK_GRAFT_EXTRA_CONF: JSON dict of extra spark conf — the
+    # local-CLI analog of `spark-submit --conf` (ops knobs like
+    # spark.ui.enabled or JIT flags without code edits; the test
+    # suite uses it for fast-start C1-only JVMs in subprocess runs)
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if extra:
+        import json as _json
+
+        for k, v in _json.loads(extra).items():
+            b = b.config(k, str(v))
+    return b.getOrCreate()

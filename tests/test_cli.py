@@ -23,10 +23,24 @@ def pairs_file(tmp_path_factory):
         str(tmp_path_factory.mktemp("cli") / "pairs"), 2000, seed=7)
 
 
+# fast-start JVMs for the subprocess CLI runs: these tests are wall-
+# clock bound by ~40 cold Spark starts, not by the tiny jobs inside;
+# C1-only JIT + no UI server cut each start by several seconds with
+# identical results (the suite checks VALUES, never throughput)
+_FAST_JVM = {
+    "SPARK_GRAFT_EXTRA_CONF": json.dumps({
+        "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
+        "spark.driver.extraJavaOptions": "-XX:TieredStopAtLevel=1",
+    }),
+}
+
+
 def _run(args):
     proc = subprocess.run(
         [sys.executable, "-m", "mehc_curation_spark", *args],
-        cwd=REPO, capture_output=True, text=True, timeout=600)
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+        env={**os.environ, **_FAST_JVM})
     assert proc.returncode == 0, proc.stderr[-3000:]
     return proc
 
