@@ -492,6 +492,7 @@ def run_curate_increment(
     keep_replaced_files: bool = False,
     flip_mode: str = "mor",
     settle_deletes_after: int = 16,
+    adaptive: Optional[bool] = None,
 ) -> dict:
     """Curate the rows in ``new_input_path`` (an increment: rows NOT
     seen by any previous call) into the labels table at
@@ -594,6 +595,38 @@ def run_curate_increment(
         _sweep_staging(output_path)
 
         first = not state_tbl.exists()
+        if not first:
+            # non-bootstrap increments are increment-sized end to end
+            # (replay set ~ a few x the increment): the session's
+            # corpus-scale shuffle width (2x cores) just multiplies
+            # near-empty reduce tasks whose scheduling cost dominates.
+            # One partition per core is plenty; a real cluster's
+            # defaultParallelism is the executor-cores sum, so this
+            # stays proportional to the increment's compute, not the
+            # corpus. The bootstrap keeps the session setting.
+            _scope = {
+                "spark.sql.shuffle.partitions": str(max(
+                    8, spark.sparkContext.defaultParallelism)),
+            }
+            if adaptive is None or not adaptive:
+                # AQE's stage-by-stage runtime re-planning adds a
+                # fixed scheduling cost per exchange that a ~seconds
+                # increment job cannot amortize (measured ~0.5s of a
+                # ~4s increment), and its payoffs (skew-join splits,
+                # partition coalescing) target corpus-scale shapes
+                # the replay doesn't have: the replay set is
+                # increment-sized and already uses the window
+                # strategy's fixed single exchange. Callers feeding
+                # HUGE increments (e.g. 10^9-row daily batches on a
+                # cluster) can pass adaptive=True to keep it.
+                _scope["spark.sql.adaptive.enabled"] = "false"
+            for _k, _v in _scope.items():
+                if _k not in _conf_old:
+                    try:
+                        _conf_old[_k] = spark.conf.get(_k)
+                    except Exception:
+                        _conf_old[_k] = None
+                spark.conf.set(_k, _v)
         if first and labels_tbl.exists():
             raise ValueError(
                 f"{output_path}: labels table exists but has no "
