@@ -548,6 +548,13 @@ def run_curate_increment(
     equivalence holds regardless; tests/test_incremental.py runs the
     suite in each mode).
 
+    ``adaptive``: None/False (default) disables AQE for non-bootstrap
+    increments (scoped, restored on exit) — the replay is
+    increment-sized with a fixed single-exchange plan, so AQE's
+    per-exchange runtime re-planning only adds scheduling latency.
+    Pass True when feeding huge increments whose shuffles want
+    runtime skew handling.
+
     Returns a metrics dict: ``rows_new/kept_new`` describe this
     increment's rows, ``relabeled_old`` counts previously-committed
     rows whose label changed (``retracted`` = the subset that flipped
