@@ -3010,6 +3010,95 @@ def _ensure_bpe_twin(sf_dir: str) -> str:
     return out
 
 
+def _ensure_pairs_pixel_twins() -> dict:
+    """Scalar twins for the five per-row pixel surfaces
+    (compute_phash / image_features / color_stats / exposure /
+    borders): ONE local decode pass over the pairs fixture emits all
+    five parquets, each restating its operator's per-row loop with
+    the same codec kernels (codecs/image.py, codecs/phash.py,
+    rules/imgquality.py) the mapInPandas stages vectorize — so the
+    driver rows value-check the distributed execution (Arrow
+    batching, schema, NULL handling on undecodable payloads) against
+    the independent single-process path. Returns {surface: path}."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mehc_curation_spark.codecs.image import DecodeError, decode_image
+    from mehc_curation_spark.codecs.phash import phash64
+    from mehc_curation_spark.rules.imgquality import (
+        border_metrics,
+        color_metrics,
+        exposure_metrics,
+        watermark_strip_score,
+    )
+
+    src = _pairs_path()
+    t = pq.read_table(
+        src, columns=["image_id", "bytes", "w", "h", "fmt"]).to_pandas()
+    ph, feat, col, expo, bor = [], [], [], [], []
+    for r in t.itertuples(index=False):
+        try:
+            px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+        except (DecodeError, TypeError, ValueError):
+            ph.append((r.image_id, False, None))
+            feat.append((r.image_id, False) + (None,) * 6)
+            col.append((r.image_id, False) + (None,) * 4)
+            expo.append((r.image_id, False) + (None,) * 6)
+            bor.append((r.image_id, False) + (None,) * 5)
+            continue
+        ph.append((r.image_id, True, phash64(px)))
+        luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                + 0.114 * px[:, :, 2])
+        feat.append((r.image_id, True, px.shape[0], px.shape[1],
+                     round(float(px[:, :, 0].mean()), 4),
+                     round(float(px[:, :, 1].mean()), 4),
+                     round(float(px[:, :, 2].mean()), 4),
+                     round(float(luma.std()), 4)))
+        cm = color_metrics(px)
+        col.append((r.image_id, True) + cm + (bool(cm[2] <= 2),))
+        expo.append((r.image_id, True)
+                    + exposure_metrics(px, 2, 253)
+                    + watermark_strip_score(px, 0.125))
+        bor.append((r.image_id, True) + border_metrics(px, 8))
+
+    def w(name, rows, fields):
+        out = _twin_path(src, name)
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table({f_name: pa.array(list(c), f_type)
+                      for (f_name, f_type), c in zip(fields, cols)}), out)
+        return out
+
+    s, b, i32, i64, f64 = (pa.string(), pa.bool_(), pa.int32(),
+                           pa.int64(), pa.float64())
+    return {
+        "pairs_compute_phash": w(
+            "px_phash", ph,
+            [("image_id", s), ("decode_ok", b), ("phash_computed", i64)]),
+        "pairs_image_features": w(
+            "px_features", feat,
+            [("image_id", s), ("decode_ok", b), ("h", i32), ("w", i32),
+             ("mean_r", f64), ("mean_g", f64), ("mean_b", f64),
+             ("luma_std", f64)]),
+        "pairs_color_stats": w(
+            "px_color", col,
+            [("image_id", s), ("decode_ok", b), ("colorfulness", f64),
+             ("sat_mean", f64), ("max_chan_spread", i32),
+             ("is_grayscale", b)]),
+        "pairs_exposure": w(
+            "px_exposure", expo,
+            [("image_id", s), ("decode_ok", b), ("clip_lo_frac", f64),
+             ("clip_hi_frac", f64), ("mean_luma", f64),
+             ("luma_contrast", f64), ("wm_edge_density", f64),
+             ("wm_edge_ratio", f64)]),
+        "pairs_image_borders": w(
+            "px_borders", bor,
+            [("image_id", s), ("decode_ok", b), ("border_top", i32),
+             ("border_bottom", i32), ("border_left", i32),
+             ("border_right", i32), ("border_frac", f64)]),
+    }
+
+
 def _ensure_curate_labels_twin() -> str:
     """The flagship: full-pipeline labels from the pure-pandas oracle
     curator (oracle.py curate_oracle — the implementation
@@ -4124,10 +4213,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-driver-checked entries are rotated to the front every
     # round.  Rotation log: r4 fronted the 50 never-sampled oracled
     # pairs_*/emb_*/dedup entries (all green); r5 fronts the last 13
-    # deferred oracled entries + the 4 newly-oracled scalar-twin
-    # surfaces, padding with re-confirmations of flagships and the
-    # surfaces this round changed. Rows-only surfaces sit last so the
-    # sampled window stays fully oracled.
+    # deferred oracled entries + the NINE newly-oracled scalar-twin
+    # surfaces (compression/langid/bpe_merges/curate_labels + the five
+    # per-row pixel surfaces), padding with re-confirmations of
+    # flagships and the surfaces this round changed. With this window
+    # every oracled entry has held >=1 green driver row across r1-r5;
+    # the remaining 18 rows-only surfaces (approximate/binary-output
+    # paths, each with a green oracled _check companion) sit last so
+    # the sampled window stays fully oracled.
     return {
         # --- r5 window (first 50 = the driver CORRECTNESS sample): ---
         # 13 deferred oracled entries never driver-checked in r1-r4,
@@ -4171,16 +4264,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hard_negatives_check": emb_hard_negatives_check,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_exact_dedup": doc_exact_dedup,
-        "doc_dedup_dropall": doc_dedup_dropall,
+        "pairs_image_borders": pairs_image_borders,
         "doc_quality_filter": doc_quality_filter,
         "doc_langid_check": doc_langid_check,
         "doc_quality_model_check": doc_quality_model_check,
         "doc_lang_stats": doc_lang_stats,
         "doc_minhash_neardup": doc_minhash_neardup,
-        "doc_simhash": doc_simhash,
-        "doc_simhash_neardup": doc_simhash_neardup,
-        "doc_ngram_jaccard": doc_ngram_jaccard,
-        "doc_fingerprint": doc_fingerprint,
+        "pairs_compute_phash": pairs_compute_phash,
+        "pairs_image_features": pairs_image_features,
+        "pairs_color_stats": pairs_color_stats,
+        "pairs_exposure": pairs_exposure,
         "pairs_phash_neardup": pairs_phash_neardup,
         "pairs_exact_dedup": pairs_exact_dedup,
         "pairs_image_features_check": pairs_image_features_check,
@@ -4188,6 +4281,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "doc_catalog_row_ops": doc_catalog_row_ops,
         # --- green driver row in earlier rounds: oracled ---
+        "doc_dedup_dropall": doc_dedup_dropall,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
+        "doc_simhash_neardup": doc_simhash_neardup,
+        "doc_simhash": doc_simhash,
         "pairs_compute_phash_check": pairs_compute_phash_check,
         "pairs_wds_roundtrip_check": pairs_wds_roundtrip_check,
         "doc_dedup_clusters": doc_dedup_clusters,
@@ -4275,14 +4373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rows-only surfaces (oracled _check companions above) ---
         "pairs_meta_audit": pairs_meta_audit,
         "pairs_tile_dups": pairs_tile_dups,
-        "pairs_image_borders": pairs_image_borders,
         "pairs_resize": pairs_resize,
-        "pairs_color_stats": pairs_color_stats,
         "pairs_crop_borders": pairs_crop_borders,
         "pairs_phash_verify": pairs_phash_verify,
         "pairs_ssim_verify": pairs_ssim_verify,
-        "pairs_exposure": pairs_exposure,
-        "pairs_compute_phash": pairs_compute_phash,
         "doc_bloom_prefilter": doc_bloom_prefilter,
         "emb_semdedup": emb_semdedup,
         "emb_ann_join": emb_ann_join,
@@ -4295,7 +4389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": emb_near_dup_lsh,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_ivf": emb_ann_ivf,
-        "pairs_image_features": pairs_image_features,
     }
 
 
@@ -4507,7 +4600,33 @@ def oracle_sql() -> dict[str, str]:
     _tw_langid = _ensure_langid_twin(_ORACLE_SF)
     _tw_bpe = _ensure_bpe_twin(_ORACLE_SF)
     _tw_labels = _ensure_curate_labels_twin()
+    _tw_px = _ensure_pairs_pixel_twins()
     return {
+        "pairs_compute_phash": f"""
+            SELECT image_id, decode_ok, phash_computed
+            FROM read_parquet('{_tw_px["pairs_compute_phash"]}')
+        """,
+        "pairs_image_features": f"""
+            SELECT image_id, decode_ok, h, w, mean_r, mean_g, mean_b,
+                   luma_std
+            FROM read_parquet('{_tw_px["pairs_image_features"]}')
+        """,
+        "pairs_color_stats": f"""
+            SELECT image_id, decode_ok, colorfulness, sat_mean,
+                   max_chan_spread, is_grayscale
+            FROM read_parquet('{_tw_px["pairs_color_stats"]}')
+        """,
+        "pairs_exposure": f"""
+            SELECT image_id, decode_ok, clip_lo_frac, clip_hi_frac,
+                   mean_luma, luma_contrast, wm_edge_density,
+                   wm_edge_ratio
+            FROM read_parquet('{_tw_px["pairs_exposure"]}')
+        """,
+        "pairs_image_borders": f"""
+            SELECT image_id, decode_ok, border_top, border_bottom,
+                   border_left, border_right, border_frac
+            FROM read_parquet('{_tw_px["pairs_image_borders"]}')
+        """,
         "doc_compression": f"""
             SELECT doc_id, deflate_ratio
             FROM read_parquet('{_tw_compression}')
