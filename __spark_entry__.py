@@ -3099,6 +3099,47 @@ def _ensure_pairs_pixel_twins() -> dict:
     }
 
 
+def _ensure_meta_audit_twin() -> str:
+    """Scalar twin for pairs_meta_audit: stamp + audit through the
+    same chunk-walk kernel (imgmeta.py _audit_one /
+    embed_png_text_bytes) single-process — the recompute
+    pairs_meta_audit_check already trusts, materialized so the driver
+    row value-hashes the distributed Arrow stage against it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mehc_curation_spark.operators.imgmeta import (
+        _audit_one,
+        embed_png_text_bytes,
+    )
+
+    src = _pairs_path()
+    t = pq.read_table(
+        src, columns=["image_id", "bytes", "fmt"]).to_pandas()
+    rows = []
+    for r in t.itertuples(index=False):
+        d = r.bytes
+        if d is not None and r.fmt == "png":
+            try:
+                d = embed_png_text_bytes(bytes(d), "source", r.image_id)
+            except ValueError:
+                pass
+        a = _audit_one(d, r.fmt)
+        rows.append((r.image_id, r.fmt,
+                     len(a[0]) if a[0] is not None else None,
+                     a[3], a[4], a[5]))
+    out = _twin_path(src, "meta_audit")
+    cols = list(zip(*rows))
+    pq.write_table(pa.table({
+        "image_id": pa.array(cols[0], pa.string()),
+        "fmt": pa.array(cols[1], pa.string()),
+        "n_meta": pa.array(cols[2], pa.int32()),
+        "meta_bytes": pa.array(cols[3], pa.int64()),
+        "has_text_meta": pa.array(cols[4], pa.bool_()),
+        "has_exif": pa.array(cols[5], pa.bool_())}), out)
+    return out
+
+
 def _ensure_curate_labels_twin() -> str:
     """The flagship: full-pipeline labels from the pure-pandas oracle
     curator (oracle.py curate_oracle — the implementation
@@ -4213,12 +4254,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-driver-checked entries are rotated to the front every
     # round.  Rotation log: r4 fronted the 50 never-sampled oracled
     # pairs_*/emb_*/dedup entries (all green); r5 fronts the last 13
-    # deferred oracled entries + the NINE newly-oracled scalar-twin
+    # deferred oracled entries + the TEN newly-oracled scalar-twin
     # surfaces (compression/langid/bpe_merges/curate_labels + the five
     # per-row pixel surfaces), padding with re-confirmations of
     # flagships and the surfaces this round changed. With this window
     # every oracled entry has held >=1 green driver row across r1-r5;
-    # the remaining 18 rows-only surfaces (approximate/binary-output
+    # the remaining 17 rows-only surfaces (approximate/binary-output
     # paths, each with a green oracled _check companion) sit last so
     # the sampled window stays fully oracled.
     return {
@@ -4276,11 +4317,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_exposure": pairs_exposure,
         "pairs_phash_neardup": pairs_phash_neardup,
         "pairs_exact_dedup": pairs_exact_dedup,
-        "pairs_image_features_check": pairs_image_features_check,
+        "pairs_meta_audit": pairs_meta_audit,
         "pairs_image_quality_check": pairs_image_quality_check,
         "q1_pricing_summary": q1_pricing_summary,
         "doc_catalog_row_ops": doc_catalog_row_ops,
         # --- green driver row in earlier rounds: oracled ---
+        "pairs_image_features_check": pairs_image_features_check,
         "doc_dedup_dropall": doc_dedup_dropall,
         "doc_fingerprint": doc_fingerprint,
         "doc_ngram_jaccard": doc_ngram_jaccard,
@@ -4371,7 +4413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_audio_features": clips_audio_features,
         "videos_frame_sample": videos_frame_sample,
         # --- rows-only surfaces (oracled _check companions above) ---
-        "pairs_meta_audit": pairs_meta_audit,
         "pairs_tile_dups": pairs_tile_dups,
         "pairs_resize": pairs_resize,
         "pairs_crop_borders": pairs_crop_borders,
@@ -4601,7 +4642,13 @@ def oracle_sql() -> dict[str, str]:
     _tw_bpe = _ensure_bpe_twin(_ORACLE_SF)
     _tw_labels = _ensure_curate_labels_twin()
     _tw_px = _ensure_pairs_pixel_twins()
+    _tw_meta = _ensure_meta_audit_twin()
     return {
+        "pairs_meta_audit": f"""
+            SELECT image_id, fmt, n_meta, meta_bytes, has_text_meta,
+                   has_exif
+            FROM read_parquet('{_tw_meta}')
+        """,
         "pairs_compute_phash": f"""
             SELECT image_id, decode_ok, phash_computed
             FROM read_parquet('{_tw_px["pairs_compute_phash"]}')
