@@ -545,3 +545,58 @@ def test_crash_before_ledger_publish_heals(
                  "dropped": e["dropped"]}) for b, e in led.items())}
     assert got == absolute
     _assert_batch_equal(spark, out, corpus)
+
+
+@pytest.mark.parametrize("seed", [13, 59])
+def test_random_increment_schedules_stay_batch_equal(
+        spark, corpus, tmp_path, seed):
+    """r5 model-style fuzz over the MoR flip machinery: feed the
+    corpus as a RANDOM partition of 4-6 increments in random order,
+    with per-increment random flip_mode (mor/cow mixing exercises the
+    settle-before-CoW path), a random settle threshold (including 0 =
+    never settle inline), and occasional explicit mid-schedule
+    settles/compactions. After EVERY increment the snapshot read must
+    be batch-equal to the union-so-far; at the end the debt settles
+    clean and physical == logical."""
+    import random
+
+    from mehc_curation_spark.stages.incremental import (
+        _settle_label_debt,
+        compact_increments,
+    )
+
+    rng = random.Random(seed)
+    n_inc = rng.randrange(4, 7)
+    # random partition of row indices into n_inc nonempty chunks
+    idx = list(range(len(corpus)))
+    rng.shuffle(idx)
+    bounds = sorted(rng.sample(range(1, len(idx)), n_inc - 1))
+    chunks = [sorted(idx[a:b]) for a, b in
+              zip([0] + bounds, bounds + [len(idx)])]
+    out = str(tmp_path / "out")
+    seen = []
+    for i, chunk in enumerate(chunks):
+        part = corpus.iloc[chunk].reset_index(drop=True)
+        seen.append(part)
+        mode = rng.choice(["mor", "mor", "cow"])  # bias to default
+        settle_after = rng.choice([0, 1, 2, 16])
+        m = run_curate_increment(
+            spark, _write(part, str(tmp_path / f"i{i}.parquet")), out,
+            CFG, flip_mode=mode, settle_deletes_after=settle_after)
+        assert m["flip_mode"] == mode
+        _assert_batch_equal(
+            spark, out, pd.concat(seen, ignore_index=True))
+        if rng.random() < 0.3:
+            _settle_label_debt(spark, Ledger(out), SnapshotTable(out))
+            _assert_batch_equal(
+                spark, out, pd.concat(seen, ignore_index=True))
+        if rng.random() < 0.2:
+            compact_increments(spark, out)
+            _assert_batch_equal(
+                spark, out, pd.concat(seen, ignore_index=True))
+    _settle_label_debt(spark, Ledger(out), SnapshotTable(out))
+    tbl = SnapshotTable(out)
+    assert not (tbl.manifest().get("deletes") or [])
+    raw = spark.read.parquet(os.path.join(out, "data"))
+    assert raw.count() == tbl.read(spark).count() == len(corpus)
+    _assert_batch_equal(spark, out, corpus)
