@@ -3029,13 +3029,33 @@ def _ensure_pairs_pixel_twins() -> dict:
         border_metrics,
         color_metrics,
         exposure_metrics,
+        quality_metrics,
         watermark_strip_score,
     )
+
+    def _gate(ok, m):
+        # the same first-failing-rule chain image_quality_gate builds
+        # in Catalyst, at the driver surface's thresholds (min_dim=24,
+        # max_aspect=3.0, min_blur_var=1.0, min_entropy=0.5,
+        # max_flat_frac=0.95)
+        if not ok:
+            return "img_undecodable"
+        if m[0] < 24:
+            return "img_too_small"
+        if m[1] > 3.0:
+            return "img_extreme_aspect"
+        if m[2] < 1.0:
+            return "img_blurry"
+        if m[3] < 0.5:
+            return "img_low_entropy"
+        if m[4] > 0.95:
+            return "img_flat"
+        return None
 
     src = _pairs_path()
     t = pq.read_table(
         src, columns=["image_id", "bytes", "w", "h", "fmt"]).to_pandas()
-    ph, feat, col, expo, bor = [], [], [], [], []
+    ph, feat, col, expo, bor, qual = [], [], [], [], [], []
     for r in t.itertuples(index=False):
         try:
             px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
@@ -3045,6 +3065,8 @@ def _ensure_pairs_pixel_twins() -> dict:
             col.append((r.image_id, False) + (None,) * 4)
             expo.append((r.image_id, False) + (None,) * 6)
             bor.append((r.image_id, False) + (None,) * 5)
+            qual.append((r.image_id, False) + (None,) * 5
+                        + ("img_undecodable", False))
             continue
         ph.append((r.image_id, True, phash64(px)))
         luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
@@ -3060,6 +3082,9 @@ def _ensure_pairs_pixel_twins() -> dict:
                     + exposure_metrics(px, 2, 253)
                     + watermark_strip_score(px, 0.125))
         bor.append((r.image_id, True) + border_metrics(px, 8))
+        qm = quality_metrics(px)
+        why = _gate(True, qm)
+        qual.append((r.image_id, True) + qm + (why, why is None))
 
     def w(name, rows, fields):
         out = _twin_path(src, name)
@@ -3096,6 +3121,11 @@ def _ensure_pairs_pixel_twins() -> dict:
             [("image_id", s), ("decode_ok", b), ("border_top", i32),
              ("border_bottom", i32), ("border_left", i32),
              ("border_right", i32), ("border_frac", f64)]),
+        "pairs_image_quality": w(
+            "px_quality", qual,
+            [("image_id", s), ("decode_ok", b), ("min_dim", i32),
+             ("aspect", f64), ("blur_var", f64), ("entropy", f64),
+             ("flat_frac", f64), ("drop_reason", s), ("keep", b)]),
     }
 
 
@@ -3138,6 +3168,84 @@ def _ensure_meta_audit_twin() -> str:
         "has_text_meta": pa.array(cols[4], pa.bool_()),
         "has_exif": pa.array(cols[5], pa.bool_())}), out)
     return out
+
+
+def _ensure_verify_twins() -> dict:
+    """Scalar twins for the pair-level pixel-verify surfaces
+    (pairs_phash_verify / pairs_ssim_verify): replicate
+    similarity.phash_near_dups' EXACT candidate generation locally —
+    5 disjoint bands over the unsigned 64-bit phash (4x12-bit + the
+    16-bit tail, matching the (max_hamming+1)-band pigeonhole layout
+    at max_hamming=4), bucket members 1 < n <= 1024, distinct
+    id_a < id_b pairs, popcount(xor) <= 4 verify — then run the same
+    decode/resize/PSNR/SSIM kernels (codecs/image.py,
+    codecs/resize.py) single-process per surviving pair, exactly as
+    multimodal.verify_pairs_psnr's Arrow stage does per batch."""
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mehc_curation_spark.codecs.image import (
+        DecodeError,
+        decode_image,
+        psnr,
+        ssim,
+    )
+    from mehc_curation_spark.codecs.resize import resize_bilinear
+
+    src = _pairs_path()
+    t = pq.read_table(src).to_pandas()
+    by_id = {r.image_id: r for r in t.itertuples(index=False)}
+    u64 = 0xFFFFFFFFFFFFFFFF
+    buckets = defaultdict(list)
+    for r in t.itertuples(index=False):
+        u = int(r.phash) & u64
+        for b in range(5):
+            lo, take = b * 12, (16 if b == 4 else 12)
+            buckets[(b, (u >> lo) & ((1 << take) - 1))].append(r.image_id)
+    pairs = set()
+    for ids in buckets.values():
+        if 1 < len(ids) <= 1024:
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.add((ids[i], ids[j]))
+    rows_p, rows_s = [], []
+    for ia, ib in sorted(pairs):
+        ra, rb = by_id[ia], by_id[ib]
+        if bin((int(ra.phash) ^ int(rb.phash)) & u64).count("1") > 4:
+            continue
+        try:
+            px_a = decode_image(ra.bytes, ra.fmt, int(ra.w), int(ra.h))
+            px_b = decode_image(rb.bytes, rb.fmt, int(rb.w), int(rb.h))
+            same = px_a.shape == px_b.shape
+            if not same:
+                px_b = resize_bilinear(px_b, px_a.shape[0], px_a.shape[1])
+            val = round(min(psnr(px_a, px_b), 99.0), 4)
+            rows_p.append((ia, ib, True, same, val))
+            rows_s.append((ia, ib, True, same, val,
+                           round(ssim(px_a, px_b), 4)))
+        except (DecodeError, TypeError, ValueError):
+            rows_p.append((ia, ib, False, None, None))
+            rows_s.append((ia, ib, False, None, None, None))
+
+    def w(name, rows, fields):
+        out = _twin_path(src, name)
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table({n: pa.array(list(c), ty)
+                      for (n, ty), c in zip(fields, cols)}), out)
+        return out
+
+    s, b, f64 = pa.string(), pa.bool_(), pa.float64()
+    base = [("id_a", s), ("id_b", s), ("decode_ok", b),
+            ("same_dims", b), ("psnr_db", f64)]
+    return {
+        "pairs_phash_verify": w("verify_psnr", rows_p, base),
+        "pairs_ssim_verify": w("verify_ssim", rows_s,
+                               base + [("ssim", f64)]),
+    }
 
 
 def _ensure_curate_labels_twin() -> str:
@@ -4254,12 +4362,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-driver-checked entries are rotated to the front every
     # round.  Rotation log: r4 fronted the 50 never-sampled oracled
     # pairs_*/emb_*/dedup entries (all green); r5 fronts the last 13
-    # deferred oracled entries + the TEN newly-oracled scalar-twin
+    # deferred oracled entries + the THIRTEEN newly-oracled scalar-twin
     # surfaces (compression/langid/bpe_merges/curate_labels + the five
     # per-row pixel surfaces), padding with re-confirmations of
     # flagships and the surfaces this round changed. With this window
     # every oracled entry has held >=1 green driver row across r1-r5;
-    # the remaining 17 rows-only surfaces (approximate/binary-output
+    # the remaining 14 rows-only surfaces (approximate/binary-output
     # paths, each with a green oracled _check companion) sit last so
     # the sampled window stays fully oracled.
     return {
@@ -4308,9 +4416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_image_borders": pairs_image_borders,
         "doc_quality_filter": doc_quality_filter,
         "doc_langid_check": doc_langid_check,
-        "doc_quality_model_check": doc_quality_model_check,
-        "doc_lang_stats": doc_lang_stats,
-        "doc_minhash_neardup": doc_minhash_neardup,
+        "pairs_image_quality": pairs_image_quality,
+        "pairs_ssim_verify": pairs_ssim_verify,
+        "pairs_phash_verify": pairs_phash_verify,
         "pairs_compute_phash": pairs_compute_phash,
         "pairs_image_features": pairs_image_features,
         "pairs_color_stats": pairs_color_stats,
@@ -4322,6 +4430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "doc_catalog_row_ops": doc_catalog_row_ops,
         # --- green driver row in earlier rounds: oracled ---
+        "doc_quality_model_check": doc_quality_model_check,
+        "doc_lang_stats": doc_lang_stats,
+        "doc_minhash_neardup": doc_minhash_neardup,
         "pairs_image_features_check": pairs_image_features_check,
         "doc_dedup_dropall": doc_dedup_dropall,
         "doc_fingerprint": doc_fingerprint,
@@ -4416,8 +4527,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_tile_dups": pairs_tile_dups,
         "pairs_resize": pairs_resize,
         "pairs_crop_borders": pairs_crop_borders,
-        "pairs_phash_verify": pairs_phash_verify,
-        "pairs_ssim_verify": pairs_ssim_verify,
         "doc_bloom_prefilter": doc_bloom_prefilter,
         "emb_semdedup": emb_semdedup,
         "emb_ann_join": emb_ann_join,
@@ -4426,7 +4535,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cross_dedup": emb_cross_dedup,
         "emb_ann_ivf_persisted": emb_ann_ivf_persisted,
         "emb_ann_pq": emb_ann_pq,
-        "pairs_image_quality": pairs_image_quality,
         "emb_near_dup_lsh": emb_near_dup_lsh,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_ivf": emb_ann_ivf,
@@ -4643,7 +4751,16 @@ def oracle_sql() -> dict[str, str]:
     _tw_labels = _ensure_curate_labels_twin()
     _tw_px = _ensure_pairs_pixel_twins()
     _tw_meta = _ensure_meta_audit_twin()
+    _tw_vfy = _ensure_verify_twins()
     return {
+        "pairs_phash_verify": f"""
+            SELECT id_a, id_b, decode_ok, same_dims, psnr_db
+            FROM read_parquet('{_tw_vfy["pairs_phash_verify"]}')
+        """,
+        "pairs_ssim_verify": f"""
+            SELECT id_a, id_b, decode_ok, same_dims, psnr_db, ssim
+            FROM read_parquet('{_tw_vfy["pairs_ssim_verify"]}')
+        """,
         "pairs_meta_audit": f"""
             SELECT image_id, fmt, n_meta, meta_bytes, has_text_meta,
                    has_exif
@@ -4673,6 +4790,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, decode_ok, border_top, border_bottom,
                    border_left, border_right, border_frac
             FROM read_parquet('{_tw_px["pairs_image_borders"]}')
+        """,
+        "pairs_image_quality": f"""
+            SELECT image_id, decode_ok, min_dim, aspect, blur_var,
+                   entropy, flat_frac, drop_reason, keep
+            FROM read_parquet('{_tw_px["pairs_image_quality"]}')
         """,
         "doc_compression": f"""
             SELECT doc_id, deflate_ratio
