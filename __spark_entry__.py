@@ -3248,6 +3248,46 @@ def _ensure_verify_twins() -> dict:
     }
 
 
+def _ensure_tile_dups_twin() -> str:
+    """Scalar twin for pairs_tile_dups: the brute-force all-pairs
+    recompute through the same tile-hash kernel
+    (codecs/phash.py:tile_phashes_of) that pairs_tile_dups_check
+    already holds the distributed operator set-equal to — bucket
+    members 1 < n <= 64 (the operator's max_bucket guard), pair
+    occurrences counted per shared tile hash, kept at n_match >= 6."""
+    import collections
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mehc_curation_spark.codecs.image import DecodeError, decode_image
+    from mehc_curation_spark.codecs.phash import tile_phashes_of
+
+    src = _pairs_path()
+    t = pq.read_table(src).to_pandas()
+    buckets = collections.defaultdict(list)
+    for r in t.itertuples(index=False):
+        try:
+            px = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+        except (DecodeError, TypeError, ValueError):
+            continue
+        for k, v in tile_phashes_of(px, 4):
+            buckets[(k, v)].append(r.image_id)
+    cnt = collections.Counter()
+    for ids in buckets.values():
+        if 1 < len(ids) <= 64:
+            for a, b in itertools.combinations(sorted(ids), 2):
+                cnt[(a, b)] += 1
+    rows = sorted((a, b, c) for (a, b), c in cnt.items() if c >= 6)
+    out = _twin_path(src, "tile_dups")
+    pq.write_table(pa.table({
+        "id_a": pa.array([r[0] for r in rows], pa.string()),
+        "id_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_match": pa.array([r[2] for r in rows], pa.int32())}), out)
+    return out
+
+
 def _ensure_curate_labels_twin() -> str:
     """The flagship: full-pipeline labels from the pure-pandas oracle
     curator (oracle.py curate_oracle — the implementation
@@ -4362,12 +4402,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-driver-checked entries are rotated to the front every
     # round.  Rotation log: r4 fronted the 50 never-sampled oracled
     # pairs_*/emb_*/dedup entries (all green); r5 fronts the last 13
-    # deferred oracled entries + the THIRTEEN newly-oracled scalar-twin
+    # deferred oracled entries + the FOURTEEN newly-oracled scalar-twin
     # surfaces (compression/langid/bpe_merges/curate_labels + the five
     # per-row pixel surfaces), padding with re-confirmations of
     # flagships and the surfaces this round changed. With this window
     # every oracled entry has held >=1 green driver row across r1-r5;
-    # the remaining 14 rows-only surfaces (approximate/binary-output
+    # the remaining 13 rows-only surfaces (approximate/binary-output
     # paths, each with a green oracled _check companion) sit last so
     # the sampled window stays fully oracled.
     return {
@@ -4415,7 +4455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": doc_exact_dedup,
         "pairs_image_borders": pairs_image_borders,
         "doc_quality_filter": doc_quality_filter,
-        "doc_langid_check": doc_langid_check,
+        "pairs_tile_dups": pairs_tile_dups,
         "pairs_image_quality": pairs_image_quality,
         "pairs_ssim_verify": pairs_ssim_verify,
         "pairs_phash_verify": pairs_phash_verify,
@@ -4430,6 +4470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "doc_catalog_row_ops": doc_catalog_row_ops,
         # --- green driver row in earlier rounds: oracled ---
+        "doc_langid_check": doc_langid_check,
         "doc_quality_model_check": doc_quality_model_check,
         "doc_lang_stats": doc_lang_stats,
         "doc_minhash_neardup": doc_minhash_neardup,
@@ -4524,7 +4565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_audio_features": clips_audio_features,
         "videos_frame_sample": videos_frame_sample,
         # --- rows-only surfaces (oracled _check companions above) ---
-        "pairs_tile_dups": pairs_tile_dups,
         "pairs_resize": pairs_resize,
         "pairs_crop_borders": pairs_crop_borders,
         "doc_bloom_prefilter": doc_bloom_prefilter,
@@ -4752,7 +4792,12 @@ def oracle_sql() -> dict[str, str]:
     _tw_px = _ensure_pairs_pixel_twins()
     _tw_meta = _ensure_meta_audit_twin()
     _tw_vfy = _ensure_verify_twins()
+    _tw_tiles = _ensure_tile_dups_twin()
     return {
+        "pairs_tile_dups": f"""
+            SELECT id_a, id_b, n_match
+            FROM read_parquet('{_tw_tiles}')
+        """,
         "pairs_phash_verify": f"""
             SELECT id_a, id_b, decode_ok, same_dims, psnr_db
             FROM read_parquet('{_tw_vfy["pairs_phash_verify"]}')
