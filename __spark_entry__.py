@@ -3288,6 +3288,256 @@ def _ensure_tile_dups_twin() -> str:
     return out
 
 
+def _round_half_up(x: float, places: int) -> float:
+    """Replicate Spark's F.round on DOUBLE (BigDecimal.valueOf →
+    shortest decimal repr → setScale HALF_UP), which differs from
+    Python's banker's round exactly at decimal ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-places)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _emb_rows(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    return list(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+
+
+def _fold_norm(v) -> list:
+    """Catalyst _normalized_vec restated: norm via the sequential
+    left-fold sum of per-element double squares, then per-element
+    divide (float32 elements widen exactly to float64)."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    n = math.sqrt(acc)
+    n = n if n > 0 else 1.0
+    return [float(x) / n for x in v]
+
+
+def _fold_dot(a, b) -> float:
+    """Catalyst _dot_col restated: zip_with multiply + sequential
+    left-fold add (NOT np.dot — BLAS reorders the summation)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _ensure_emb_lsh_twin(sf_dir: str) -> str:
+    """Scalar twin for emb_near_dup_lsh: the banded hyperplane-LSH
+    candidate generation (similarity.py make_hyperplane_bands_udf —
+    seeded numpy planes, packed sign-bit band keys, bucket guard
+    1 < n <= 256, distinct id_a < id_b pairs) plus the exact-cosine
+    verify, with the Catalyst folds restated sequentially so the
+    doubles are bitwise identical."""
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _emb_rows(sf_dir)
+    dim = max(len(v) for _i, v in rows if v is not None)
+    n_planes, bands, rows_per = 16, 4, 4
+    planes = np.random.default_rng(42).standard_normal((dim, n_planes))
+    w = (1 << np.arange(rows_per)).astype(np.int64)
+    buckets = defaultdict(list)
+    vec = {}
+    for i, v in rows:
+        if v is None or len(v) != dim:
+            continue
+        vec[i] = _fold_norm(v)
+        signs = ((np.asarray(v, dtype=np.float64) @ planes) > 0) \
+            .astype(np.int64)
+        for b in range(bands):
+            key = int(signs[b * rows_per:(b + 1) * rows_per] @ w) \
+                | (b << 56)
+            buckets[key].append(i)
+    pairs = set()
+    for ids in buckets.values():
+        if 1 < len(ids) <= 256:
+            ids = sorted(ids)
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    pairs.add((ids[x], ids[y]))
+    out_rows = []
+    for ia, ib in sorted(pairs):
+        c = _round_half_up(_fold_dot(vec[ia], vec[ib]), 4)
+        if c >= 0.4:
+            out_rows.append((ia, ib, c))
+    out = _twin_path(sf_dir, "emb_lsh")
+    pq.write_table(pa.table({
+        "id_a": pa.array([r[0] for r in out_rows], pa.int64()),
+        "id_b": pa.array([r[1] for r in out_rows], pa.int64()),
+        "cos": pa.array([r[2] for r in out_rows], pa.float64())}), out)
+    return out
+
+
+def _ensure_emb_ann_twins(sf_dir: str) -> dict:
+    """Scalar twins for the hyperplane-LSH ANN surfaces
+    (emb_ann_lsh / emb_ann_join / emb_cross_dedup): the bucket /
+    multi-probe machinery is seeded numpy (no engine-private hashing,
+    unlike the quantizer samplers that ride Spark's xxhash64), and
+    every Catalyst float path is a sequential left-fold — restated
+    here element for element (_fold_norm/_fold_dot/_round_half_up)
+    so the doubles match bitwise."""
+    from itertools import combinations
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _emb_rows(sf_dir)
+    by_id = dict(rows)
+    dim = max(len(v) for _i, v in rows if v is not None)
+    n_planes = 8
+    planes = np.random.default_rng(42).standard_normal((dim, n_planes))
+    wts = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def sig(v) -> int:
+        return int(((np.asarray(v, dtype=np.float64) @ planes) > 0) @ wts)
+
+    def masks(r_max):
+        return sorted(sum(1 << p for p in f)
+                      for r in range(r_max + 1)
+                      for f in combinations(range(n_planes), r))
+
+    def valid(v):
+        return v is not None and len(v) == dim
+
+    def w(name, cols_rows, fields):
+        out = _twin_path(sf_dir, name)
+        cols = list(zip(*cols_rows)) if cols_rows else [[] for _ in fields]
+        pq.write_table(
+            pa.table({n: pa.array(list(c), ty)
+                      for (n, ty), c in zip(fields, cols)}), out)
+        return out
+
+    i64, f64, i32 = pa.int64(), pa.float64(), pa.int32()
+
+    # ---- emb_ann_lsh: single query (vec 0), probe hamming<=2, top-10
+    q = by_id[0]
+    qn = float(np.sqrt(sum(float(x) * float(x) for x in q))) or 1.0
+    probes2 = {sig(q) ^ m for m in masks(2)}
+    scored = []
+    for i, v in rows:
+        if i == 0 or not valid(v) or sig(v) not in probes2:
+            continue
+        dot = 0.0
+        for a, b in zip(v, q):
+            dot = dot + float(a) * float(b)
+        acc = 0.0
+        for a in v:
+            acc = acc + float(a) * float(a)
+        vn = acc ** 0.5
+        scored.append((i, _round_half_up(dot / ((vn if vn > 0 else 1.0)
+                                                * qn), 4)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    lsh_out = w("emb_ann_lsh", [(i, c) for i, c in scored[:10]],
+                [("vec_id", i64), ("cos", f64)])
+
+    # ---- emb_ann_join / emb_cross_dedup: bucket-key kNN join ----
+    def knn(q_rows, idx_rows, probe_hamming, k):
+        ms = masks(probe_hamming)
+        buckets = {}
+        for i, v in idx_rows:
+            if valid(v):
+                buckets.setdefault(sig(v), []).append(i)
+        nq = {i: _fold_norm(v) for i, v in q_rows if valid(v)}
+        ni = {i: _fold_norm(v) for i, v in idx_rows if valid(v)}
+        out = []
+        for qi, qv in q_rows:
+            if not valid(qv):
+                continue
+            probes = {sig(qv) ^ m for m in ms}
+            cand = {i for b in probes for i in buckets.get(b, ())}
+            sc = sorted(
+                ((ii, _round_half_up(_fold_dot(nq[qi], ni[ii]), 4))
+                 for ii in cand),
+                key=lambda t: (-t[1], t[0]))
+            for r, (ii, c) in enumerate(sc[:k], 1):
+                out.append((qi, ii, c, r))
+        return out
+
+    qj = [(i, v) for i, v in rows if i < 8]
+    ij = [(i, v) for i, v in rows if i >= 8]
+    join_out = w("emb_ann_join", knn(qj, ij, 3, 10),
+                 [("query_id", i64), ("vec_id", i64),
+                  ("cos", f64), ("rank", i32)])
+
+    cand_rows = [(i, v) for i, v in rows if i % 5 != 0]
+    ref_rows = [(i, v) for i, v in rows if i % 5 == 0]
+    cross = [(qi, ii, c) for qi, ii, c, _r in knn(cand_rows, ref_rows, 3, 1)
+             if c >= 0.4]
+    cross_out = w("emb_cross_dedup", cross,
+                  [("cand_id", i64), ("ref_id", i64), ("cos", f64)])
+
+    # ---- emb_hard_negatives: corpus vs itself, k_fetch=2k+8 raw
+    # neighbors, then self/near-dup exclusion re-rank (similarity.py
+    # hard_negatives: filter AFTER the rounded-cos fetch, new
+    # row_number over the survivors)
+    raw = knn(rows, rows, 3, 2 * 5 + 8)
+    per_anchor = {}
+    for ai, ni_, c, _r in raw:
+        if ai != ni_ and c < 0.98:
+            per_anchor.setdefault(ai, []).append((ni_, c))
+    hn = []
+    for ai in sorted(per_anchor):
+        sc = sorted(per_anchor[ai], key=lambda t: (-t[1], t[0]))
+        for r, (ni_, c) in enumerate(sc[:5], 1):
+            hn.append((ai, ni_, c, r))
+    hn_out = w("emb_hard_negatives", hn,
+               [("anchor_id", i64), ("negative_id", i64),
+                ("cos", f64), ("rank", i32)])
+
+    # ---- emb_margin_mine_lsh: Artetxe & Schwenk margin scoring over
+    # the two LSH kNN directions (margin_mine method='lsh': exact-
+    # integer scaled-cos sums, one double division, round 6)
+    qm = [(i, v) for i, v in rows if i % 4 == 0]
+    im = [(i, v) for i, v in rows if i % 4 != 0]
+    fwd = [(qi, ii, c) for qi, ii, c, _r in knn(qm, im, 4, 4)]
+    bwd = [(qi, ii, c) for ii, qi, c, _r in knn(im, qm, 4, 4)]
+    sq, nq = {}, {}
+    for qi, _ii, c in fwd:
+        cs = int(_round_half_up(c * 10_000, 0))
+        sq[qi] = sq.get(qi, 0) + cs
+        nq[qi] = nq.get(qi, 0) + 1
+    si, ni = {}, {}
+    for _qi, ii, c in bwd:
+        cs = int(_round_half_up(c * 10_000, 0))
+        si[ii] = si.get(ii, 0) + cs
+        ni[ii] = ni.get(ii, 0) + 1
+    mm_pairs = {}
+    for qi, ii, c in fwd:
+        if ii not in si:  # inner join with the backward aggregate
+            continue
+        cs = int(_round_half_up(c * 10_000, 0))
+        den = sq[qi] * ni[ii] + si[ii] * nq[qi]
+        if den <= 0:
+            continue
+        num = cs * 2 * nq[qi] * ni[ii]
+        margin = _round_half_up(float(num) / float(den), 6)
+        if margin >= 1.2:
+            mm_pairs.setdefault(qi, []).append((ii, c, margin))
+    mm = []
+    for qi in sorted(mm_pairs):
+        sc = sorted(mm_pairs[qi], key=lambda t: (-t[2], t[0]))
+        for r, (ii, c, mg) in enumerate(sc, 1):
+            mm.append((qi, ii, c, mg, r))
+    mm_out = w("emb_margin_mine_lsh", mm,
+               [("query_id", i64), ("vec_id", i64), ("cos", f64),
+                ("margin", f64), ("rank", i32)])
+    return {"emb_ann_lsh": lsh_out, "emb_ann_join": join_out,
+            "emb_cross_dedup": cross_out, "emb_hard_negatives": hn_out,
+            "emb_margin_mine_lsh": mm_out}
+
+
 def _ensure_curate_labels_twin() -> str:
     """The flagship: full-pipeline labels from the pure-pandas oracle
     curator (oracle.py curate_oracle — the implementation
@@ -4402,12 +4652,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-driver-checked entries are rotated to the front every
     # round.  Rotation log: r4 fronted the 50 never-sampled oracled
     # pairs_*/emb_*/dedup entries (all green); r5 fronts the last 13
-    # deferred oracled entries + the FOURTEEN newly-oracled scalar-twin
+    # deferred oracled entries + the TWENTY newly-oracled scalar-twin
     # surfaces (compression/langid/bpe_merges/curate_labels + the five
     # per-row pixel surfaces), padding with re-confirmations of
     # flagships and the surfaces this round changed. With this window
     # every oracled entry has held >=1 green driver row across r1-r5;
-    # the remaining 13 rows-only surfaces (approximate/binary-output
+    # the remaining 7 rows-only surfaces (approximate/binary-output
     # paths, each with a green oracled _check companion) sit last so
     # the sampled window stays fully oracled.
     return {
@@ -4444,13 +4694,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_pq_persisted_check": emb_ann_pq_persisted_check,
         "emb_ann_ivf_persisted_check": emb_ann_ivf_persisted_check,
         "emb_ann_ivf_check": emb_ann_ivf_check,
-        "emb_ann_lsh_check": emb_ann_lsh_check,
+        "emb_ann_lsh": emb_ann_lsh,
         "emb_semdedup_check": emb_semdedup_check,
-        "emb_cross_dedup_check": emb_cross_dedup_check,
-        "emb_ann_join_check": emb_ann_join_check,
-        "emb_near_dup_lsh_check": emb_near_dup_lsh_check,
-        "emb_margin_mine_check": emb_margin_mine_check,
-        "emb_hard_negatives_check": emb_hard_negatives_check,
+        "emb_cross_dedup": emb_cross_dedup,
+        "emb_ann_join": emb_ann_join,
+        "emb_near_dup_lsh": emb_near_dup_lsh,
+        "emb_margin_mine_lsh": emb_margin_mine_lsh,
+        "emb_hard_negatives": emb_hard_negatives,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_exact_dedup": doc_exact_dedup,
         "pairs_image_borders": pairs_image_borders,
@@ -4470,6 +4720,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "doc_catalog_row_ops": doc_catalog_row_ops,
         # --- green driver row in earlier rounds: oracled ---
+        "emb_margin_mine_check": emb_margin_mine_check,
+        "emb_hard_negatives_check": emb_hard_negatives_check,
+        "emb_cross_dedup_check": emb_cross_dedup_check,
+        "emb_ann_join_check": emb_ann_join_check,
+        "emb_ann_lsh_check": emb_ann_lsh_check,
+        "emb_near_dup_lsh_check": emb_near_dup_lsh_check,
         "doc_langid_check": doc_langid_check,
         "doc_quality_model_check": doc_quality_model_check,
         "doc_lang_stats": doc_lang_stats,
@@ -4569,14 +4825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_crop_borders": pairs_crop_borders,
         "doc_bloom_prefilter": doc_bloom_prefilter,
         "emb_semdedup": emb_semdedup,
-        "emb_ann_join": emb_ann_join,
-        "emb_hard_negatives": emb_hard_negatives,
-        "emb_margin_mine_lsh": emb_margin_mine_lsh,
-        "emb_cross_dedup": emb_cross_dedup,
         "emb_ann_ivf_persisted": emb_ann_ivf_persisted,
         "emb_ann_pq": emb_ann_pq,
-        "emb_near_dup_lsh": emb_near_dup_lsh,
-        "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_ivf": emb_ann_ivf,
     }
 
@@ -4793,7 +5043,33 @@ def oracle_sql() -> dict[str, str]:
     _tw_meta = _ensure_meta_audit_twin()
     _tw_vfy = _ensure_verify_twins()
     _tw_tiles = _ensure_tile_dups_twin()
+    _tw_elsh = _ensure_emb_lsh_twin(_ORACLE_SF)
+    _tw_ann = _ensure_emb_ann_twins(_ORACLE_SF)
     return {
+        "emb_ann_lsh": f"""
+            SELECT vec_id, cos
+            FROM read_parquet('{_tw_ann["emb_ann_lsh"]}')
+        """,
+        "emb_ann_join": f"""
+            SELECT query_id, vec_id, cos, rank
+            FROM read_parquet('{_tw_ann["emb_ann_join"]}')
+        """,
+        "emb_cross_dedup": f"""
+            SELECT cand_id, ref_id, cos
+            FROM read_parquet('{_tw_ann["emb_cross_dedup"]}')
+        """,
+        "emb_hard_negatives": f"""
+            SELECT anchor_id, negative_id, cos, rank
+            FROM read_parquet('{_tw_ann["emb_hard_negatives"]}')
+        """,
+        "emb_margin_mine_lsh": f"""
+            SELECT query_id, vec_id, cos, margin, rank
+            FROM read_parquet('{_tw_ann["emb_margin_mine_lsh"]}')
+        """,
+        "emb_near_dup_lsh": f"""
+            SELECT id_a, id_b, cos
+            FROM read_parquet('{_tw_elsh}')
+        """,
         "pairs_tile_dups": f"""
             SELECT id_a, id_b, n_match
             FROM read_parquet('{_tw_tiles}')
